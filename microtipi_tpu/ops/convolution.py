@@ -1,0 +1,112 @@
+"""FFT-domain weighted convolution data term.
+
+Rebuild of TiPi's ``WeightedConvolutionCost`` as the reference uses it
+(``microscopy/PSF_Estimation.java:147-157,206``):
+
+    f(x) = 0.5 * alpha * sum_i  w_i * ((K (*) x)_i - d_i)^2
+
+where ``(*)`` is *circular* convolution computed in the Fourier domain and the
+kernel ``K`` is corner-origin (its center at index 0 — the reference passes
+``off = {0,0,0}`` at ``PSF_Estimation.java:145-148``). Because convolution
+commutes, the same object serves both sub-problems:
+
+- object step: kernel = PSF, variable = object;
+- PSF step:    kernel = object, variable = PSF  (the object-as-kernel trick,
+  ``PSF_Estimation.java:148,157``).
+
+TPU mapping: real volumes, so the transform is ``rfftn``/``irfftn`` — half the
+FLOPs and bandwidth of the reference's interleaved complex transforms. The
+kernel spectrum can be precomputed once per outer round. Gradients come from
+``jax.value_and_grad`` (fused cost+gradient like the reference's
+``computeCostAndGradient``); the adjoint that autodiff derives is exactly
+``irfftn(conj(K_hat) * rfftn(w*r))``.
+
+Optional padded-object support: if the variable lives on a grid larger than
+the data (to suppress periodic wraparound), the model is cropped to the
+centered data window before the residual — TiPi's R operator.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from microtipi_tpu.utils.arrays import crop_to_shape
+
+__all__ = ["WeightedConvolutionCost", "convolve", "convolve_spectrum"]
+
+
+def convolve_spectrum(kernel: jax.Array) -> jax.Array:
+    """Precompute the rfftn spectrum of a corner-origin kernel."""
+    return jnp.fft.rfftn(kernel)
+
+
+def convolve(x: jax.Array, kernel_hat: jax.Array, shape: tuple[int, ...]) -> jax.Array:
+    """Circular convolution of ``x`` with a precomputed kernel spectrum."""
+    return jnp.fft.irfftn(jnp.fft.rfftn(x) * kernel_hat, s=shape)
+
+
+class WeightedConvolutionCost(NamedTuple):
+    """Weighted FFT-convolution data fidelity term.
+
+    Fields:
+      kernel_hat: rfftn spectrum of the corner-origin kernel, at the
+        *variable* grid shape.
+      data: observed volume, natural layout.
+      weights: per-voxel statistical weights (inverse variance); ``None``
+        means uniform 1 (TiPi ``setWeights(null)`` default).
+      var_shape: static shape of the optimization variable (>= data shape).
+
+    Build with :meth:`build`; evaluate with :meth:`cost` /
+    :meth:`cost_and_gradient`.
+    """
+
+    kernel_hat: jax.Array
+    data: jax.Array
+    weights: jax.Array | None
+    var_shape: tuple[int, ...]
+
+    @classmethod
+    def build(
+        cls,
+        kernel: jax.Array,
+        data: jax.Array,
+        weights: jax.Array | None = None,
+        var_shape: tuple[int, ...] | None = None,
+    ) -> "WeightedConvolutionCost":
+        """Assemble the cost. ``kernel`` is corner-origin at ``var_shape``
+        (defaults to the data shape, the reference's configuration —
+        ``PSF_Estimation.java:134-140`` uses dataShape for both spaces)."""
+        if var_shape is None:
+            var_shape = data.shape
+        if kernel.shape != tuple(var_shape):
+            raise ValueError(
+                f"kernel shape {kernel.shape} != variable shape {tuple(var_shape)}; "
+                "use utils.arrays.pad_fft_kernel to embed it"
+            )
+        if weights is not None and weights.shape != data.shape:
+            raise ValueError("weights must match the data shape")
+        return cls(convolve_spectrum(kernel), data, weights, tuple(var_shape))
+
+    # -- model & residual --------------------------------------------------
+
+    def model(self, x: jax.Array) -> jax.Array:
+        """Forward model H x = crop(K (*) x) at the data window."""
+        hx = convolve(x, self.kernel_hat, self.var_shape)
+        if hx.shape != self.data.shape:
+            hx = crop_to_shape(hx, self.data.shape)
+        return hx
+
+    def cost(self, x: jax.Array, alpha: float = 1.0) -> jax.Array:
+        """0.5 * alpha * sum w * (H x - d)^2 — the reference evaluates with
+        alpha = 1.0 (``PSF_Estimation.java:157,206``)."""
+        r = self.model(x) - self.data
+        wr2 = r * r if self.weights is None else self.weights * r * r
+        return 0.5 * alpha * jnp.sum(wr2)
+
+    def cost_and_gradient(self, x: jax.Array, alpha: float = 1.0):
+        """Fused (f, grad f) — TiPi ``computeCostAndGradient`` equivalent."""
+        return jax.value_and_grad(partial(self.cost, alpha=alpha))(x)
