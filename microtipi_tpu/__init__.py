@@ -1,0 +1,42 @@
+"""microtipi_tpu — TPU-native microscopy blind-deconvolution framework.
+
+A from-scratch JAX/XLA rebuild of the capability surface of
+jplumail/microTiPi (pure-Java, ``/root/reference``) and the TiPi substrate it
+stands on: parameterized wide-field PSF synthesis (Zernike pupil modulus/phase
++ physical defocus), FFT-domain weighted convolution costs, VMLMB
+bound-constrained quasi-Newton, hyperbolic-TV-regularized object updates, and
+the alternating object/PSF blind-deconvolution loop — all expressed as pure
+functions that fuse into single jitted TPU programs.
+
+Two API levels:
+
+- functional (TPU-first): ``WideFieldConfig`` + ``jobs.blind_deconvolve`` /
+  ``jobs.deconvolve`` / ``jobs.fit_psf`` — fully jittable, shardable;
+- stateful (reference-parity): ``api.WideFieldModel`` / ``api.PSF_Estimation``
+  / ``api.DeconvolutionJob`` / ``api.BlindDeconvJob``.
+"""
+
+from microtipi_tpu.models.microscope import DEFOCUS, MODULUS, PARAMETER_FLAGS, PHASE
+from microtipi_tpu.models.widefield import WideFieldConfig, WideFieldParams
+from microtipi_tpu.jobs.blind import BlindDeconvConfig, BlindDeconvResult, blind_deconvolve
+from microtipi_tpu.jobs.deconv import DeconvolutionConfig, DeconvolutionResult, deconvolve
+from microtipi_tpu.jobs.psf_fit import PsfFitConfig, PsfFitResult, fit_psf
+from microtipi_tpu.ops.convolution import WeightedConvolutionCost, convolve, convolve_spectrum
+from microtipi_tpu.ops.regularization import hyperbolic_tv, hyperbolic_tv_and_gradient
+from microtipi_tpu.optim.vmlmb import VMLMBResult, VMLMBStatus, minimize_vmlmb
+from microtipi_tpu.weights.updaters import InverseVarianceWeights
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "DEFOCUS", "PHASE", "MODULUS", "PARAMETER_FLAGS",
+    "WideFieldConfig", "WideFieldParams",
+    "BlindDeconvConfig", "BlindDeconvResult", "blind_deconvolve",
+    "DeconvolutionConfig", "DeconvolutionResult", "deconvolve",
+    "PsfFitConfig", "PsfFitResult", "fit_psf",
+    "WeightedConvolutionCost", "convolve", "convolve_spectrum",
+    "hyperbolic_tv", "hyperbolic_tv_and_gradient",
+    "VMLMBResult", "VMLMBStatus", "minimize_vmlmb",
+    "InverseVarianceWeights",
+    "__version__",
+]

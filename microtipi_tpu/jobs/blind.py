@@ -1,0 +1,148 @@
+"""Blind deconvolution: alternate object updates and PSF-parameter fits.
+
+Rebuild of ``microUtils/BlindDeconvJob.java`` with the same loop semantics
+(``blindDeconv``, ``:97-138``):
+
+  for each of ``loops`` rounds:
+    1. synthesize the PSF from the current parameters and run the object
+       update (``deconvolver.updatePsf`` + ``deconv``, ``:100-108``);
+    2. optionally re-estimate data weights from the current model for the
+       PSF step (``:109-111``; the pre-deconv update is disabled upstream,
+       ``:105-107``);
+    3. unless this is the last round (``:116``), fit each configured
+       parameter family in order with its own iteration budget and
+       ``grtol = 0`` (``:118-133``, ``setRelativeTolerance(0)`` at ``:124``);
+       families with a zero budget are skipped (``:126``).
+
+TPU-first: the whole loop is one jitted program — rounds are a
+``lax.fori_loop`` whose carry is (object, params), each inner solver is a
+``lax.while_loop``, so a full blind solve is a single device dispatch with
+zero host round-trips (the BASELINE.json north star). The reference's
+cooperative ``abort()`` between rounds (``:112-115,129-132``) is a host-side
+concern; the streaming variant in ``api.BlindDeconvJob`` runs rounds as
+separate dispatches and honors aborts between them.
+
+The PSF handed to the object step stays corner-origin: the reference rolls to
+centered layout (``:100``) only because TiPi's ``setPSF`` expects that; our
+convolution consumes FFT-layout kernels directly — one layout, no shuffles.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from microtipi_tpu.jobs.deconv import DeconvolutionConfig, deconvolve
+from microtipi_tpu.jobs.psf_fit import PsfFitConfig, fit_psf
+from microtipi_tpu.models.microscope import DEFOCUS, MODULUS, PHASE
+from microtipi_tpu.ops.convolution import WeightedConvolutionCost
+from microtipi_tpu.utils.arrays import crop_to_shape, pad_fft_kernel, pad_to_shape
+
+__all__ = ["BlindDeconvConfig", "BlindDeconvResult", "blind_deconvolve"]
+
+
+@dataclasses.dataclass(frozen=True)
+class BlindDeconvConfig:
+    """Static schedule of the alternating loop.
+
+    ``families``/``psf_max_iter`` pair up like the reference's
+    ``parametersFlags``/``maxIter`` arrays (``BlindDeconvJob.java:80-88``);
+    the canonical order is (DEFOCUS, PHASE, MODULUS)
+    (``WideFieldModel.java:123``).
+    """
+
+    loops: int = 5
+    families: tuple[int, ...] = (DEFOCUS, PHASE, MODULUS)
+    psf_max_iter: tuple[int, ...] = (20, 20, 20)
+    deconv: DeconvolutionConfig = dataclasses.field(default_factory=DeconvolutionConfig)
+    fit: PsfFitConfig = dataclasses.field(default_factory=PsfFitConfig)
+
+    def __post_init__(self):
+        if len(self.families) != len(self.psf_max_iter):
+            raise ValueError("families and psf_max_iter must have the same length")
+
+
+class BlindDeconvResult(NamedTuple):
+    obj: jax.Array  # restored object, at the (possibly padded) variable grid
+    params: object  # fitted PSF parameters
+    psf: jax.Array  # final synthesized PSF (corner-origin)
+    deconv_f: jax.Array  # per-round final object-step cost, shape (loops,)
+    fit_f: jax.Array  # per-round per-family final PSF-step cost (loops, nfam)
+
+
+def blind_deconvolve(
+    data: jax.Array,
+    model,
+    params0=None,
+    x0: jax.Array | None = None,
+    weights: jax.Array | None = None,
+    weight_updater: Callable[[jax.Array, jax.Array], jax.Array] | None = None,
+    config: BlindDeconvConfig = BlindDeconvConfig(),
+) -> BlindDeconvResult:
+    """Run the alternating blind-deconvolution loop; see module docstring.
+
+    ``model`` is a PSF model config (``WideFieldConfig``); ``weight_updater``
+    maps (model_prediction, data) -> weights (see ``weights.updaters``).
+    """
+    if params0 is None:
+        params0 = model.init_params()
+    var_shape = (
+        tuple(config.deconv.var_shape) if config.deconv.var_shape is not None else data.shape
+    )
+    if x0 is None:
+        x0 = jnp.maximum(pad_to_shape(data, var_shape), 0.0)
+
+    nfam = len(config.families)
+    fit_cfg = dataclasses.replace(config.fit, grtol=0.0)  # BlindDeconvJob.java:124
+
+    def round_body(i, carry):
+        x, params, w, deconv_f, fit_f = carry
+
+        psf = model.compute_psf(params)
+        dres = deconvolve(data, psf, weights=w, x0=x, config=config.deconv)
+        x = dres.x
+        deconv_f = deconv_f.at[i].set(dres.f)
+
+        if weight_updater is not None:
+            # Model prediction H*x at the data window, from the updated object
+            # — deconvolver.getModel() in the reference (BlindDeconvJob.java:109-111).
+            kern = pad_fft_kernel(psf, var_shape)
+            full_cost = WeightedConvolutionCost.build(kern, data, None, var_shape)
+            w = weight_updater(full_cost.model(x), data)
+
+        obj_at_data = crop_to_shape(x, data.shape) if x.shape != data.shape else x
+
+        def run_fits(params):
+            ff = jnp.zeros((nfam,), dres.f.dtype)
+            for j, flag in enumerate(config.families):
+                if config.psf_max_iter[j] <= 0:  # BlindDeconvJob.java:126
+                    continue
+                fres = fit_psf(
+                    model, params, flag, data, obj_at_data, weights=w,
+                    config=dataclasses.replace(fit_cfg, max_iter=config.psf_max_iter[j]),
+                )
+                params = fres.params
+                ff = ff.at[j].set(fres.f)
+            return params, ff
+
+        def skip_fits(params):
+            return params, jnp.full((nfam,), jnp.nan, dres.f.dtype)
+
+        params, ff = lax.cond(i < config.loops - 1, run_fits, skip_fits, params)
+        fit_f = fit_f.at[i].set(ff)
+        return x, params, w, deconv_f, fit_f
+
+    f_dtype = data.dtype
+    carry0 = (
+        x0,
+        params0,
+        weights if weights is not None else jnp.ones_like(data),
+        jnp.full((config.loops,), jnp.nan, f_dtype),
+        jnp.full((config.loops, nfam), jnp.nan, f_dtype),
+    )
+    x, params, _, deconv_f, fit_f = lax.fori_loop(0, config.loops, round_body, carry0)
+    return BlindDeconvResult(x, params, model.compute_psf(params), deconv_f, fit_f)

@@ -1,0 +1,122 @@
+"""Object-update solver: edge-preserving regularized deconvolution.
+
+Rebuild of the TiPi ``DeconvolutionJob`` capability the reference drives at
+``microUtils/BlindDeconvJob.java:103-108`` (``updatePsf`` then ``deconv``):
+minimize over the object x
+
+    f(x) = 0.5 * sum w * ((psf (*) x) - d)^2  +  mu * TV_eps(x),   x >= 0
+
+with VMLMB. The data term is the weighted FFT convolution
+(``ops/convolution.py``), the regularizer the hyperbolic total variation
+(``ops/regularization.py``), and positivity is the bound constraint the
+reference's object step actually enforces (its PSF step leaves the projector
+null — ``PSF_Estimation.java:168-189``).
+
+Fully jittable: one ``lax.while_loop`` per solve, zero host round-trips.
+Optional padded-variable mode suppresses periodic wraparound: the object
+lives on ``var_shape >= data.shape`` and the model is cropped to the centered
+data window.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from microtipi_tpu.ops.convolution import WeightedConvolutionCost
+from microtipi_tpu.ops.regularization import hyperbolic_tv
+from microtipi_tpu.optim.vmlmb import VMLMBResult, minimize_vmlmb
+from microtipi_tpu.utils.arrays import pad_fft_kernel, pad_to_shape
+
+__all__ = ["DeconvolutionConfig", "DeconvolutionResult", "deconvolve", "make_objective"]
+
+
+@dataclasses.dataclass(frozen=True)
+class DeconvolutionConfig:
+    """Knobs of the object step.
+
+    Defaults mirror the reference's hard-coded numerics where they exist:
+    VMLMB memory 5 (``PSF_Estimation.java:188``), ``maxeval = 2*maxiter``
+    (``:272``). ``mu``/``epsilon`` weigh the hyperbolic TV; ``scales`` give
+    per-axis voxel sizes (pass ``(dz, dxy, dxy)`` for anisotropic stacks).
+    """
+
+    mu: float = 0.01
+    epsilon: float = 0.01
+    scales: tuple[float, ...] | None = None
+    positivity: bool = True
+    max_iter: int = 50
+    max_eval: int | None = None
+    gatol: float = 0.0
+    grtol: float = 1e-3
+    mem: int = 5
+    var_shape: tuple[int, ...] | None = None  # padded object grid (>= data shape)
+
+
+class DeconvolutionResult(NamedTuple):
+    x: jax.Array
+    f: jax.Array
+    iterations: jax.Array
+    evaluations: jax.Array
+    status: jax.Array
+    f_history: jax.Array
+    pg_history: jax.Array
+
+
+def make_objective(
+    psf: jax.Array,
+    data: jax.Array,
+    weights: jax.Array | None,
+    config: DeconvolutionConfig,
+):
+    """Build the fused cost+gradient closure for the object step.
+
+    The PSF is corner-origin (straight out of ``compute_psf``); it is embedded
+    into the variable grid if padding is configured. The kernel spectrum is
+    precomputed once per call — one rfftn per outer blind round, not per
+    VMLMB iteration.
+    """
+    var_shape = tuple(config.var_shape) if config.var_shape is not None else data.shape
+    kernel = pad_fft_kernel(psf, var_shape)
+    cost = WeightedConvolutionCost.build(kernel, data, weights, var_shape)
+
+    def objective(x):
+        f = cost.cost(x)
+        if config.mu > 0:
+            f = f + config.mu * hyperbolic_tv(x, config.epsilon, config.scales)
+        return f
+
+    return jax.value_and_grad(objective)
+
+
+def deconvolve(
+    data: jax.Array,
+    psf: jax.Array,
+    weights: jax.Array | None = None,
+    x0: jax.Array | None = None,
+    config: DeconvolutionConfig = DeconvolutionConfig(),
+) -> DeconvolutionResult:
+    """Solve the object sub-problem. ``x0`` defaults to the data itself
+    (padded if needed) — the customary warm start."""
+    var_shape = tuple(config.var_shape) if config.var_shape is not None else data.shape
+    if x0 is None:
+        x0 = pad_to_shape(data, var_shape)
+        if config.positivity:
+            x0 = jnp.maximum(x0, 0.0)
+    fun = make_objective(psf, data, weights, config)
+    res: VMLMBResult = minimize_vmlmb(
+        fun,
+        x0,
+        lower=0.0 if config.positivity else None,
+        mem=config.mem,
+        maxiter=config.max_iter,
+        maxeval=config.max_eval,
+        gatol=config.gatol,
+        grtol=config.grtol,
+    )
+    return DeconvolutionResult(
+        res.x, res.f, res.iterations, res.evaluations, res.status, res.f_history, res.pg_history
+    )

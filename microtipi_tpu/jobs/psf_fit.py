@@ -1,0 +1,108 @@
+"""PSF-parameter sub-problem: fit one parameter family to data given the object.
+
+Rebuild of ``microscopy/PSF_Estimation.java``. The essential trick carries
+over unchanged: convolution commutes, so the *object* is installed as the
+convolution kernel and the synthesized PSF is the image the data term is
+evaluated at (``PSF_Estimation.java:147-157``: ``setPSF(obj)`` then cost at
+``pupil.getPsf()``).
+
+What the rebuild collapses:
+
+- the reverse-communication VMLMB driver loop (``:199-251``) becomes a
+  ``value_and_grad`` closure handed to the functional VMLMB;
+- ``pupil.setParam -> computePsf -> computeCostAndGradient ->
+  apply_Jacobian`` (``:202-217``) becomes one differentiable composition
+  ``cost(compute_psf(params))`` — ``jax.grad`` *is* the Jacobian application;
+- best-parameters restore (``:208-216,254``) is VMLMB's best-x tracking.
+
+Defaults mirror the reference: ``grtol = 1e-3`` (``:55``), ``gatol = 0``
+(``:54``), ``maxeval = 2*maxiter`` (``:272``), VMLMB memory 5 + More-Thuente
+``(0.05, 0.1, 1e-17)`` (``:186-188``). Like the reference, no bounds are
+applied to PSF parameters (bounds are computed there but the projector stays
+null, ``:168-189``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from microtipi_tpu.models.microscope import FAMILY_NAMES
+from microtipi_tpu.ops.convolution import WeightedConvolutionCost
+from microtipi_tpu.optim.vmlmb import minimize_vmlmb
+from microtipi_tpu.utils.arrays import pad_to_shape
+
+__all__ = ["PsfFitConfig", "PsfFitResult", "fit_psf"]
+
+
+@dataclasses.dataclass(frozen=True)
+class PsfFitConfig:
+    max_iter: int = 20  # PSF_Estimation.java:59
+    max_eval: int | None = None  # defaults to 2*max_iter (:272)
+    gatol: float = 0.0  # :54
+    grtol: float = 1e-3  # :55
+    mem: int = 5  # :188
+
+
+class PsfFitResult(NamedTuple):
+    params: object  # full params pytree with the fitted family replaced
+    f: jax.Array
+    iterations: jax.Array
+    evaluations: jax.Array
+    status: jax.Array
+    f_history: jax.Array
+
+
+def fit_psf(
+    model,
+    params,
+    flag: int,
+    data: jax.Array,
+    obj: jax.Array,
+    weights: jax.Array | None = None,
+    config: PsfFitConfig = PsfFitConfig(),
+) -> PsfFitResult:
+    """Fit the parameter family selected by ``flag`` (DEFOCUS/PHASE/MODULUS).
+
+    ``model`` is a PSF model config (e.g. ``WideFieldConfig``); ``obj`` is the
+    current object estimate at the data shape (the reference pads weights to
+    the PSF shape, ``PSF_Estimation.java:322-324`` — here data/obj/PSF share
+    one grid, and a larger obj is center-cropped upstream).
+    """
+    family = FAMILY_NAMES[flag]
+    x0 = getattr(params, family)
+    if x0.shape[0] == 0:
+        raise ValueError(f"family {family!r} has no coefficients to fit")
+
+    if weights is not None and weights.shape != data.shape:
+        weights = pad_to_shape(weights, data.shape)
+
+    # Object as kernel, built once: one rfftn for the whole fit.
+    cost = WeightedConvolutionCost.build(obj, data, weights)
+
+    def objective(v):
+        p = params._replace(**{family: v})
+        psf = model.compute_psf(p)
+        return cost.cost(psf)
+
+    fun = jax.value_and_grad(objective)
+    res = minimize_vmlmb(
+        fun,
+        x0,
+        mem=config.mem,
+        maxiter=config.max_iter,
+        maxeval=config.max_eval,
+        gatol=config.gatol,
+        grtol=config.grtol,
+    )
+    return PsfFitResult(
+        params._replace(**{family: res.x}),
+        res.f,
+        res.iterations,
+        res.evaluations,
+        res.status,
+        res.f_history,
+    )

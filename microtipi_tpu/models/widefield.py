@@ -114,8 +114,12 @@ class WideFieldConfig:
         return jnp.complex128 if self.dtype == jnp.float64 else jnp.complex64
 
     def _static(self):
-        """Cached (zernike stack, geometric mask, wrapped z) as jnp constants."""
-        # NOTE: cached on the instance; all inputs are frozen dataclass fields.
+        """Cached (zernike stack, geometric mask, wrapped z).
+
+        Kept as NumPy float64 on the host — caching device/traced arrays on
+        the instance would leak tracers across jit boundaries; NumPy constants
+        embed safely into any trace. Cast to ``self.dtype`` at use sites.
+        """
         cached = getattr(self, "_static_cache", None)
         if cached is not None:
             return cached
@@ -125,11 +129,8 @@ class WideFieldConfig:
         z = orthonormalize(z)
         mask = geometric_mask(ny, nx, self.radius, self.dxy)
         zw = wrapped_z(nz)
-        out = (
-            jnp.asarray(z, self.dtype),
-            jnp.asarray(mask, self.dtype),
-            jnp.asarray(zw, self.dtype),
-        )
+        np_dtype = np.float64 if self.dtype == jnp.float64 else np.float32
+        out = (z.astype(np_dtype), mask.astype(np_dtype), zw.astype(np_dtype))
         object.__setattr__(self, "_static_cache", out)
         return out
 

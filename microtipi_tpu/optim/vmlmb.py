@@ -305,11 +305,13 @@ def _armijo_projected(fun, project, x, f, g, d, step0, ftol, max_evals):
         return ~s["done"]
 
     def body(s):
-        dec = tdot(g, tsub(s["xt"], x))  # <= 0 along the projected path
+        dec = tdot(g, tsub(s["xt"], x))
+        # dec can be >= 0 when the projection clips interior coordinates past
+        # their bound at this step length — that is a reason to backtrack
+        # (the path is descent again for small enough alpha), not to stop.
         accept = (s["ft"] <= f + ftol * dec) & (dec < 0)
-        stalled = dec >= 0  # projection absorbed the whole step
         budget = s["evals"] >= max_evals
-        done = accept | stalled | budget
+        done = accept | budget
 
         alpha_n = s["alpha"] * 0.5
 

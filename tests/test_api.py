@@ -1,0 +1,145 @@
+"""Reference-parity stateful API surface (api.py) + checkpointing."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from microtipi_tpu.api import (
+    DEFOCUS,
+    MODULUS,
+    PHASE,
+    BlindDeconvJob,
+    DeconvolutionJob,
+    PSF_Estimation,
+    WideFieldModel,
+)
+from microtipi_tpu.models.widefield import WideFieldConfig
+from microtipi_tpu.ops.convolution import convolve, convolve_spectrum
+from microtipi_tpu.utils.checkpoint import load_state, save_state
+
+SHAPE = (8, 32, 32)
+KW = dict(na=1.2, wavelength=500e-9, ni=1.33, dxy=100e-9, dz=250e-9)
+
+
+def make_scene(model, seed=0):
+    rng = np.random.default_rng(seed)
+    obj = np.zeros(SHAPE)
+    for _ in range(6):
+        obj[rng.integers(0, 8), rng.integers(4, 28), rng.integers(4, 28)] = rng.uniform(50, 100)
+    obj = jnp.asarray(obj)
+    psf = jnp.asarray(model.get_psf())
+    data = convolve(obj, convolve_spectrum(psf), SHAPE)
+    data = data + 0.01 * jnp.asarray(rng.standard_normal(SHAPE))
+    return obj, data
+
+
+def test_widefield_model_getters():
+    m = WideFieldModel(SHAPE, n_phase=4, n_modulus=2, single=False, **KW)
+    psf = m.get_psf()
+    assert psf.shape == SHAPE and psf.min() >= 0
+    assert m.get_rho().shape == (32, 32)
+    assert m.get_phi().shape == (32, 32)
+    assert m.get_psi().shape == (32, 32)
+    assert m.get_mask_pupil().shape == (32, 32)
+    assert m.get_zernike().shape[0] == m.get_n_zern()
+    assert m.get_n_phase() == 4 and m.get_n_modulus() == 2
+    np.testing.assert_allclose(m.get_ni(), KW["ni"], rtol=1e-12)
+    assert "PSF" in m.get_info()
+    # MTF = 3D FFT of the PSF (getMtf's intent; the reference impl is broken)
+    mtf = m.get_mtf()
+    np.testing.assert_allclose(mtf[0, 0, 0].real, psf.sum(), rtol=1e-10)
+
+
+def test_widefield_model_setters_invalidate():
+    m = WideFieldModel(SHAPE, n_phase=3, n_modulus=1, single=False, **KW)
+    psf0 = m.get_psf()
+    m.set_phase([0.4, -0.2, 0.1])
+    psf1 = m.get_psf()
+    assert np.abs(psf1 - psf0).max() > 0
+    m.set_defocus([KW["ni"] / KW["wavelength"] * 1.05])
+    psf2 = m.get_psf()
+    assert np.abs(psf2 - psf1).max() > 0
+    # resizing the phase basis via set_phase with a longer vector
+    m.set_phase([0.1, 0.2, 0.3, 0.4, 0.5])
+    assert m.get_n_phase() == 5
+
+
+def test_apply_jacobian_matches_functional_grad():
+    import jax
+
+    m = WideFieldModel(SHAPE, n_phase=3, n_modulus=1, single=False, **KW)
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal(SHAPE))
+    g_api = m.apply_jacobian(q, PHASE)
+    cfg = m.config
+
+    def loss(p):
+        return jnp.vdot(q, cfg.compute_psf(p))
+
+    g_fn = jax.grad(loss)(m.params).phase
+    np.testing.assert_allclose(g_api, np.asarray(g_fn), rtol=1e-10)
+
+
+def test_psf_estimation_and_deconv_job_flow():
+    m = WideFieldModel(SHAPE, n_phase=3, n_modulus=1, radial=True, single=False, **KW)
+    m.set_phase([0.5, -0.3, 0.2])
+    obj, data = make_scene(m)
+    truth_psf = m.get_psf()
+
+    # forget the phase, then fit it back from the true object
+    m.set_phase([0.0, 0.0, 0.0])
+    est = PSF_Estimation(m)
+    est.set_data(data)
+    est.set_obj(obj)
+    est.set_maximum_iterations(40)
+    est.set_relative_tolerance(1e-10)
+    est.fit_psf(PHASE)
+    assert est.get_cost() >= 0
+    assert est.get_iterations() > 0
+    fitted = np.asarray(m.get_phase_coefs())
+    np.testing.assert_allclose(fitted, [0.5, -0.3, 0.2], atol=0.1)
+
+
+def test_blind_deconv_job_host_loop():
+    m = WideFieldModel(SHAPE, n_phase=3, n_modulus=1, radial=True, single=False, **KW)
+    m.set_phase([0.5, -0.3, 0.2])
+    obj, data = make_scene(m)
+    m.set_phase([0.0, 0.0, 0.0])
+
+    est = PSF_Estimation(m)
+    est.set_data(data)
+    dec = DeconvolutionJob(data, mu=0.002, epsilon=2.0, max_iter=20)
+    job = BlindDeconvJob(3, [PHASE], [20], est, dec)
+    out = job.blind_deconv(jnp.maximum(data, 0.0))
+    assert out.shape == SHAPE
+    assert not job.is_running()
+    assert job.get_psf() is not None
+    # deconv output beats the raw data
+    assert float(jnp.linalg.norm(out - obj)) < float(jnp.linalg.norm(data - obj))
+    # model prediction available for weight updates
+    assert job.get_model().shape == SHAPE
+
+
+def test_abort_stops_job():
+    m = WideFieldModel(SHAPE, n_phase=2, n_modulus=1, radial=True, single=False, **KW)
+    obj, data = make_scene(m)
+    est = PSF_Estimation(m)
+    est.set_data(data)
+    dec = DeconvolutionJob(data, mu=0.002, max_iter=5)
+    job = BlindDeconvJob(5, [PHASE], [5], est, dec)
+    job.abort()  # pre-abort: loop should bail after the first deconv
+    out = job.blind_deconv(data)
+    assert out.shape == SHAPE
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = WideFieldConfig(shape=SHAPE, n_phase=3, n_modulus=2, dtype=jnp.float64, **KW)
+    params = cfg.init_params()._replace(phase=jnp.asarray([0.1, 0.2, 0.3]))
+    obj = jnp.asarray(np.random.default_rng(0).random(SHAPE))
+    p = str(tmp_path / "state.npz")
+    save_state(p, obj, params, 7, cost=1.25)
+    obj2, params2, rnd, extra = load_state(p)
+    np.testing.assert_array_equal(np.asarray(obj), np.asarray(obj2))
+    np.testing.assert_array_equal(np.asarray(params.phase), np.asarray(params2.phase))
+    assert rnd == 7
+    assert float(extra["cost"]) == 1.25

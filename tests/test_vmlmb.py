@@ -1,0 +1,142 @@
+"""Optimizer tests: More-Thuente line search + VMLMB on standard problems."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from microtipi_tpu.optim.linesearch import more_thuente
+from microtipi_tpu.optim.vmlmb import VMLMBStatus, minimize_vmlmb
+
+
+# ---------------------------------------------------------------- line search
+
+def _run_ls(fun, dfun, step0, **kw):
+    def phi(a):
+        return fun(a), dfun(a), None
+
+    f0, df0 = fun(jnp.asarray(0.0)), dfun(jnp.asarray(0.0))
+    return more_thuente(phi, jnp.asarray(step0), f0, df0, None, **kw)
+
+
+def test_linesearch_quadratic():
+    # phi(a) = (a-2)^2 ; minimum at 2.
+    fun = lambda a: (a - 2.0) ** 2
+    dfun = lambda a: 2.0 * (a - 2.0)
+    res = _run_ls(fun, dfun, 1.0)
+    assert int(res.status) == 0
+    # Strong Wolfe with gtol=0.1 forces the step near the minimizer.
+    assert abs(float(res.step) - 2.0) < 0.5
+    assert float(res.f) < fun(jnp.asarray(0.0))
+
+
+def test_linesearch_more_thuente_table_function():
+    # Function 1 from More & Thuente (1994): phi(a) = -a/(a^2+2), minimum at
+    # sqrt(2); their reported solutions sit near 1.4.
+    fun = lambda a: -a / (a**2 + 2.0)
+    dfun = lambda a: (a**2 - 2.0) / (a**2 + 2.0) ** 2
+    res = _run_ls(fun, dfun, 0.1, ftol=1e-3, gtol=1e-1)
+    assert int(res.status) == 0
+    assert abs(float(res.step) - np.sqrt(2.0)) < 0.3
+
+
+def test_linesearch_expands_from_tiny_step():
+    fun = lambda a: (a - 100.0) ** 2
+    dfun = lambda a: 2.0 * (a - 100.0)
+    res = _run_ls(fun, dfun, 1e-3, max_evals=60)
+    assert int(res.status) == 0
+    assert float(res.f) < fun(jnp.asarray(1e-3))
+
+
+# ---------------------------------------------------------------- vmlmb
+
+def _quadratic(n=20, seed=0, kappa=50.0):
+    rng = np.random.default_rng(seed)
+    q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    eigs = np.geomspace(1.0, kappa, n)
+    a = q @ np.diag(eigs) @ q.T
+    b = rng.standard_normal(n)
+    a = jnp.asarray(a)
+    b = jnp.asarray(b)
+
+    def fun(x):
+        return jax.value_and_grad(lambda z: 0.5 * z @ a @ z - b @ z)(x)
+
+    x_star = jnp.asarray(np.linalg.solve(np.asarray(a), np.asarray(b)))
+    return fun, x_star
+
+
+def test_vmlmb_quadratic_converges():
+    fun, x_star = _quadratic()
+    res = minimize_vmlmb(fun, jnp.zeros(20), maxiter=200, maxeval=400, grtol=0.0, gatol=1e-6)
+    assert int(res.status) == VMLMBStatus.CONVERGED
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(x_star), atol=1e-6)
+
+
+def test_vmlmb_rosenbrock():
+    def fun(x):
+        def f(z):
+            return jnp.sum(100.0 * (z[1:] - z[:-1] ** 2) ** 2 + (1.0 - z[:-1]) ** 2)
+        return jax.value_and_grad(f)(x)
+
+    x0 = jnp.asarray(np.full(8, -1.2))
+    res = minimize_vmlmb(fun, x0, maxiter=500, maxeval=1200, grtol=0.0, gatol=1e-8)
+    np.testing.assert_allclose(np.asarray(res.x), 1.0, atol=1e-5)
+
+
+def test_vmlmb_pytree_params():
+    def fun(p):
+        def f(q):
+            return jnp.sum((q["a"] - 3.0) ** 2) + jnp.sum((q["b"] + 1.0) ** 4)
+        return jax.value_and_grad(f)(p)
+
+    p0 = {"a": jnp.zeros((3, 4)), "b": jnp.zeros(5)}
+    res = minimize_vmlmb(fun, p0, maxiter=100, grtol=0.0, gatol=1e-10)
+    np.testing.assert_allclose(np.asarray(res.x["a"]), 3.0, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(res.x["b"]), -1.0, atol=1e-2)
+
+
+def test_vmlmb_bound_constrained_active_set():
+    """min 0.5||x - c||^2 with x >= 0: solution is max(c, 0)."""
+    c = jnp.asarray([-2.0, -0.5, 0.3, 1.7, -3.0, 4.0])
+
+    def fun(x):
+        return jax.value_and_grad(lambda z: 0.5 * jnp.sum((z - c) ** 2))(x)
+
+    res = minimize_vmlmb(fun, jnp.ones(6), lower=0.0, maxiter=100, maxeval=300, grtol=1e-12)
+    np.testing.assert_allclose(np.asarray(res.x), np.maximum(np.asarray(c), 0.0), atol=1e-8)
+    assert int(res.status) == VMLMBStatus.CONVERGED
+
+
+def test_vmlmb_bounds_both_sides():
+    c = jnp.asarray([-2.0, 0.5, 3.0])
+
+    def fun(x):
+        return jax.value_and_grad(lambda z: 0.5 * jnp.sum((z - c) ** 2))(x)
+
+    res = minimize_vmlmb(fun, jnp.zeros(3), lower=0.0, upper=1.0, maxiter=60, grtol=1e-12)
+    np.testing.assert_allclose(np.asarray(res.x), [0.0, 0.5, 1.0], atol=1e-8)
+
+
+def test_vmlmb_respects_maxiter_and_tracks_best():
+    fun, _ = _quadratic(seed=3)
+    res = minimize_vmlmb(fun, jnp.zeros(20), maxiter=3, maxeval=100, grtol=0.0)
+    assert int(res.iterations) <= 3
+    # best f must be the minimum of the recorded history
+    hist = np.asarray(res.f_history)
+    assert np.nanmin(hist) >= float(res.f) - 1e-12
+
+
+def test_vmlmb_jittable():
+    fun, x_star = _quadratic(seed=4)
+    jitted = jax.jit(lambda x0: minimize_vmlmb(fun, x0, maxiter=150, maxeval=400, grtol=1e-10).x)
+    np.testing.assert_allclose(np.asarray(jitted(jnp.zeros(20))), np.asarray(x_star), atol=1e-5)
+
+
+def test_vmlmb_history_monotone_best():
+    fun, _ = _quadratic(seed=5)
+    res = minimize_vmlmb(fun, jnp.zeros(20), maxiter=50, grtol=1e-10)
+    hist = np.asarray(res.f_history)
+    valid = hist[~np.isnan(hist)]
+    # L-BFGS with Wolfe line search strictly decreases f.
+    assert np.all(np.diff(valid) <= 1e-12)
