@@ -54,6 +54,7 @@ class DeconvolutionConfig:
     grtol: float = 1e-3
     mem: int = 5
     var_shape: tuple[int, ...] | None = None  # padded object grid (>= data shape)
+    fused_tv: bool | None = None  # None = auto: Pallas kernel on TPU, jnp elsewhere
 
 
 class DeconvolutionResult(NamedTuple):
@@ -83,10 +84,21 @@ def make_objective(
     kernel = pad_fft_kernel(psf, var_shape)
     cost = WeightedConvolutionCost.build(kernel, data, weights, var_shape)
 
+    use_fused = config.fused_tv
+    if use_fused is None:
+        # axon = the remote-attached TPU platform; same Mosaic lowering.
+        use_fused = jax.default_backend() in ("tpu", "axon") and len(var_shape) == 3
+
     def objective(x):
         f = cost.cost(x)
         if config.mu > 0:
-            f = f + config.mu * hyperbolic_tv(x, config.epsilon, config.scales)
+            if use_fused:
+                from microtipi_tpu.ops.pallas.hyperbolic_tv import hyperbolic_tv_value
+
+                tv = hyperbolic_tv_value(x, config.epsilon, config.scales)
+            else:
+                tv = hyperbolic_tv(x, config.epsilon, config.scales)
+            f = f + config.mu * tv
         return f
 
     return jax.value_and_grad(objective)

@@ -1,0 +1,149 @@
+"""Fused Pallas TPU kernel: hyperbolic-TV cost *and* gradient in one pass.
+
+Every VMLMB evaluation needs both f and grad f. XLA's autodiff of the jnp
+reference (``ops.regularization``) runs a forward pass (3 shifted diffs +
+sqrt) and a separate backward pass (re-reads the diffs, scatters three shifted
+terms) — several full sweeps of HBM for a purely bandwidth-bound op. This
+kernel computes both in a single sweep.
+
+Math (forward differences, per-axis scale s_a, D(v) = sqrt(sum_a d_a(v)^2 + eps^2)):
+
+    cost    = sum_v (D(v) - eps)
+    w_a(v)  = d_a(v) / (s_a * D(v))
+    grad(u) = sum_a (w_a(u - e_a) - w_a(u))
+
+Plane decomposition: grad at plane iz needs d/D on planes iz-1 (for the
+incoming w_z term) and iz (everything else), which in turn touch x planes
+iz-1, iz, iz+1. The grid runs over z with three input views of x whose index
+maps are the clamped iz-1 / iz / iz+1 planes — three streaming reads of x and
+one write of grad, no intermediate arrays. Per-plane cost partials land in a
+(Nz,) output and are summed by XLA.
+
+Wrapped in ``jax.custom_vjp`` so ``jax.value_and_grad`` over an objective
+containing this TV runs the kernel exactly once per evaluation: the gradient
+is a forward-pass byproduct; the backward rule is a single scale.
+
+Exactness: matches ``ops.regularization.hyperbolic_tv`` to float32 round-off
+(tested in tests/test_pallas_tv.py); the CPU/interpret path keeps tests
+runnable without a TPU.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["hyperbolic_tv_fused", "hyperbolic_tv_value"]
+
+
+def _shift_minus(a: jax.Array, axis: int) -> jax.Array:
+    """a(u - e_axis) with zero fill at the leading face (2D plane ops)."""
+    pad = [(0, 0), (0, 0)]
+    pad[axis] = (1, 0)
+    sl = [slice(None), slice(None)]
+    sl[axis] = slice(0, a.shape[axis])
+    return jnp.pad(a, pad)[tuple(sl)]
+
+
+def _plane_dw(x0, x1, inv_sz, inv_sy, inv_sx, eps, is_last_z):
+    """Per-plane diffs d_a, denominator D and weights w_a for plane x0,
+    with x1 the next plane (d_z masked on the last plane)."""
+    dz = (x1 - x0) * inv_sz
+    dz = jnp.where(is_last_z, 0.0, dz)
+    # Replicate-pad construction: the trailing-face difference is x-x = 0
+    # by itself, so no masking (and no Mosaic-unfriendly scatter) is needed.
+    dy = (jnp.concatenate([x0[1:, :], x0[-1:, :]], axis=0) - x0) * inv_sy
+    dx = (jnp.concatenate([x0[:, 1:], x0[:, -1:]], axis=1) - x0) * inv_sx
+    denom = jnp.sqrt(dz * dz + dy * dy + dx * dx + eps * eps)
+    inv_d = 1.0 / denom
+    return denom, dz * inv_d * inv_sz, dy * inv_d * inv_sy, dx * inv_d * inv_sx
+
+
+def _tv_kernel(xm_ref, x0_ref, xp_ref, grad_ref, cost_ref, *, inv_scales, eps, nz):
+    iz = pl.program_id(0)
+    inv_sz, inv_sy, inv_sx = inv_scales
+    x0 = x0_ref[0]
+    xp = xp_ref[0]
+    xm = xm_ref[0]
+    is_last = iz == nz - 1
+    is_first = iz == 0
+
+    denom, wz, wy, wx = _plane_dw(x0, xp, inv_sz, inv_sy, inv_sx, eps, is_last)
+    # Incoming z-term: w_z of the previous plane (recomputed from xm, x0).
+    _, wz_prev, _, _ = _plane_dw(xm, x0, inv_sz, inv_sy, inv_sx, eps, False)
+    wz_prev = jnp.where(is_first, jnp.zeros_like(wz_prev), wz_prev)
+
+    grad = (
+        wz_prev - wz
+        + _shift_minus(wy, 0) - wy
+        + _shift_minus(wx, 1) - wx
+    )
+    grad_ref[0] = grad
+
+    # Single SMEM accumulator revisited by every grid step (TPU grid is
+    # sequential per core, so read-modify-write is race-free).
+    @pl.when(is_first)
+    def _():
+        cost_ref[0, 0] = 0.0
+
+    cost_ref[0, 0] += jnp.sum(denom - eps, dtype=jnp.float32)
+
+
+def _tv_pallas(x: jax.Array, epsilon: float, scales, interpret: bool):
+    nz, ny, nx = x.shape
+    inv_scales = tuple(1.0 / s for s in (scales or (1.0, 1.0, 1.0)))
+    eps = float(epsilon)
+
+    kernel = partial(_tv_kernel, inv_scales=inv_scales, eps=eps, nz=nz)
+    plane = lambda f: pl.BlockSpec((1, ny, nx), f, memory_space=pltpu.VMEM)
+    grad, cost_partials = pl.pallas_call(
+        kernel,
+        grid=(nz,),
+        in_specs=[
+            plane(lambda k: (jnp.maximum(k - 1, 0), 0, 0)),  # x[iz-1] (clamped)
+            plane(lambda k: (k, 0, 0)),                      # x[iz]
+            plane(lambda k: (jnp.minimum(k + 1, nz - 1), 0, 0)),  # x[iz+1] (clamped)
+        ],
+        out_specs=[
+            pl.BlockSpec((1, ny, nx), lambda k: (k, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda k: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(x.shape, x.dtype),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x, x, x)
+    return cost_partials[0, 0].astype(x.dtype), grad
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def hyperbolic_tv_value(x, epsilon: float, scales=None, interpret: bool = False):
+    """Differentiable hyperbolic-TV cost backed by the fused kernel.
+
+    Drop-in for ``ops.regularization.hyperbolic_tv`` on 3D volumes; under
+    ``jax.value_and_grad`` the kernel runs once and the gradient is reused.
+    """
+    return _tv_pallas(x, epsilon, scales, interpret)[0]
+
+
+def _tv_fwd(x, epsilon, scales, interpret):
+    cost, grad = _tv_pallas(x, epsilon, scales, interpret)
+    return cost, grad
+
+
+def _tv_bwd(epsilon, scales, interpret, grad, g):
+    return (g * grad,)
+
+
+hyperbolic_tv_value.defvjp(_tv_fwd, _tv_bwd)
+
+
+def hyperbolic_tv_fused(x, epsilon: float, scales=None, interpret: bool = False):
+    """(cost, gradient) from one kernel sweep — the fused primitive itself."""
+    return _tv_pallas(x, epsilon, scales, interpret)
