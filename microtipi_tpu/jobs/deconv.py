@@ -54,7 +54,12 @@ class DeconvolutionConfig:
     grtol: float = 1e-3
     mem: int = 5
     var_shape: tuple[int, ...] | None = None  # padded object grid (>= data shape)
-    fused_tv: bool | None = None  # None = auto: Pallas kernel on TPU, jnp elsewhere
+    # Opt-in Pallas fused TV. Measured on v5e at 256^3: same speed as the XLA
+    # autodiff version (the FFT data term dominates), and its sequential f32
+    # plane-partial accumulation is noisier than XLA's pairwise reduction —
+    # enough to trip the Wolfe test near convergence. Kept for volumes where
+    # TV dominates (small kernels / many TV-only iterations).
+    fused_tv: bool = False
 
 
 class DeconvolutionResult(NamedTuple):
@@ -84,10 +89,7 @@ def make_objective(
     kernel = pad_fft_kernel(psf, var_shape)
     cost = WeightedConvolutionCost.build(kernel, data, weights, var_shape)
 
-    use_fused = config.fused_tv
-    if use_fused is None:
-        # axon = the remote-attached TPU platform; same Mosaic lowering.
-        use_fused = jax.default_backend() in ("tpu", "axon") and len(var_shape) == 3
+    use_fused = config.fused_tv and len(var_shape) == 3
 
     def objective(x):
         f = cost.cost(x)

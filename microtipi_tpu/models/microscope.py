@@ -26,8 +26,10 @@ __all__ = ["DEFOCUS", "PHASE", "MODULUS", "PARAMETER_FLAGS", "FAMILY_NAMES", "Ps
 DEFOCUS = 0
 PHASE = 1
 MODULUS = 2
+#: extension family (Gibson-Lanni depth aberration; not in the reference).
+DEPTH = 3
 PARAMETER_FLAGS = (DEFOCUS, PHASE, MODULUS)
-FAMILY_NAMES = {DEFOCUS: "defocus", PHASE: "phase", MODULUS: "modulus"}
+FAMILY_NAMES = {DEFOCUS: "defocus", PHASE: "phase", MODULUS: "modulus", DEPTH: "depth"}
 
 
 @runtime_checkable

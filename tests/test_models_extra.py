@@ -1,0 +1,78 @@
+"""Gibson-Lanni depth model + 2D deconvolution (BASELINE configs 1-2)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from microtipi_tpu.jobs.deconv import DeconvolutionConfig, deconvolve
+from microtipi_tpu.jobs.psf_fit import PsfFitConfig, fit_psf
+from microtipi_tpu.models.gibson_lanni import DEPTH, GibsonLanniConfig
+from microtipi_tpu.models.widefield import WideFieldConfig
+from microtipi_tpu.ops.convolution import convolve, convolve_spectrum
+
+KW = dict(na=1.3, wavelength=520e-9, ni=1.518, dxy=90e-9, dz=220e-9)
+
+
+def test_gl_reduces_to_widefield_at_zero_depth():
+    shape = (8, 32, 32)
+    wf = WideFieldConfig(shape=shape, n_phase=4, dtype=jnp.float64, **KW)
+    gl = GibsonLanniConfig(shape=shape, n_phase=4, dtype=jnp.float64, ns=1.38, depth=0.0, **KW)
+    p_wf = wf.init_params()._replace(phase=jnp.asarray([0.2, -0.1, 0.3, 0.05]))
+    p_gl = gl.init_params()._replace(phase=jnp.asarray([0.2, -0.1, 0.3, 0.05]))
+    np.testing.assert_allclose(
+        np.asarray(wf.compute_psf(p_wf)), np.asarray(gl.compute_psf(p_gl)), atol=1e-14
+    )
+
+
+def test_gl_depth_breaks_axial_symmetry():
+    """Index mismatch at depth introduces spherical aberration: the PSF is no
+    longer symmetric in +z/-z."""
+    shape = (8, 32, 32)
+    gl = GibsonLanniConfig(shape=shape, n_phase=0, dtype=jnp.float64, ns=1.33, depth=10e-6, **KW)
+    psf = np.asarray(gl.compute_psf(gl.init_params()))
+    asym = max(np.abs(psf[iz] - psf[8 - iz]).max() for iz in range(1, 4))
+    assert asym > 1e-6
+    # still a valid PSF
+    assert psf.min() >= 0 and np.isfinite(psf).all()
+
+
+def test_gl_depth_family_is_fittable():
+    shape = (8, 32, 32)
+    gl = GibsonLanniConfig(shape=shape, n_phase=0, dtype=jnp.float64, ns=1.36, depth=8e-6, **KW)
+    true = gl.init_params()
+    rng = np.random.default_rng(0)
+    obj = jnp.asarray(rng.random(shape) * (rng.random(shape) > 0.99) * 100)
+    data = convolve(obj, convolve_spectrum(gl.compute_psf(true)), shape)
+
+    start = true._replace(depth=true.depth.at[1].set(4e-6))  # wrong depth
+    res = fit_psf(gl, start, DEPTH, data, obj, config=PsfFitConfig(max_iter=60, grtol=1e-12))
+    got_d = float(res.params.depth[1])
+    assert abs(got_d - 8e-6) < 0.1 * abs(4e-6 - 8e-6)
+
+
+def test_2d_nonblind_deconvolution():
+    """BASELINE config 1: 2D deconvolution with a known PSF — every op in the
+    chain (rfftn, TV, VMLMB) is rank-agnostic."""
+    shape = (64, 64)
+    rng = np.random.default_rng(0)
+    # Piecewise-constant scene — the regime hyperbolic TV is built for.
+    obj = np.zeros(shape)
+    obj[10:25, 12:30] = 80.0
+    obj[35:50, 40:55] = 120.0
+    obj[40:46, 8:20] = 60.0
+    obj = jnp.asarray(obj)
+    # Gaussian corner-origin PSF
+    yy, xx = np.meshgrid(np.arange(64), np.arange(64), indexing="ij")
+    yy = np.minimum(yy, 64 - yy)
+    xx = np.minimum(xx, 64 - xx)
+    psf = np.exp(-(yy**2 + xx**2) / (2 * 2.5**2))
+    psf = jnp.asarray(psf / psf.sum())
+    data = convolve(obj, convolve_spectrum(psf), shape)
+    data = data + 0.02 * jnp.asarray(rng.standard_normal(shape))
+
+    res = deconvolve(data, psf, config=DeconvolutionConfig(mu=0.01, epsilon=1.0, max_iter=150, grtol=1e-9))
+    # TV deconvolution recovers piecewise-constant structure ~6x better than
+    # the blurred data (899 -> ~152 L2 on this scene).
+    assert float(jnp.linalg.norm(res.x - obj)) < 0.25 * float(jnp.linalg.norm(data - obj))
+    assert float(res.x.min()) >= 0.0

@@ -1,0 +1,82 @@
+"""Sharded jobs on the virtual 8-device mesh: deconv, PSF fit, blind loop."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from microtipi_tpu.jobs.blind import BlindDeconvConfig
+from microtipi_tpu.jobs.deconv import DeconvolutionConfig, deconvolve
+from microtipi_tpu.jobs.psf_fit import PsfFitConfig, fit_psf
+from microtipi_tpu.models.microscope import PHASE
+from microtipi_tpu.models.widefield import WideFieldConfig
+from microtipi_tpu.ops.convolution import convolve, convolve_spectrum
+from microtipi_tpu.parallel.blind import sharded_blind_deconvolve
+from microtipi_tpu.parallel.deconv import sharded_deconvolve
+from microtipi_tpu.parallel.mesh import make_mesh, volume_sharding
+from microtipi_tpu.parallel.psf_fit import sharded_fit_psf
+
+SHAPE = (16, 32, 32)
+KW = dict(na=1.2, wavelength=500e-9, ni=1.33, dxy=100e-9, dz=250e-9)
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    return make_mesh(batch=1, z=8)
+
+
+@pytest.fixture(scope="module")
+def scene():
+    model = WideFieldConfig(shape=SHAPE, n_phase=3, radial=True, dtype=jnp.float64, **KW)
+    true = model.init_params()._replace(phase=jnp.asarray([0.4, -0.2, 0.1]))
+    rng = np.random.default_rng(0)
+    obj = np.zeros(SHAPE)
+    obj[4:10, 8:20, 8:20] = 60.0
+    obj[10:14, 20:28, 4:12] = 90.0
+    obj = jnp.asarray(obj)
+    psf = model.compute_psf(true)
+    data = convolve(obj, convolve_spectrum(psf), SHAPE)
+    data = data + 0.01 * jnp.asarray(rng.standard_normal(SHAPE))
+    return model, true, obj, psf, data
+
+
+def test_sharded_deconvolve_matches_single_device(mesh8, scene):
+    model, true, obj, psf, data = scene
+    cfg = DeconvolutionConfig(mu=0.002, epsilon=1.0, max_iter=15, grtol=0.0)
+    ref = deconvolve(data, psf, config=cfg)
+    data_sh = jax.device_put(data, volume_sharding(mesh8, batched=False))
+    got = sharded_deconvolve(data_sh, psf, mesh8, config=cfg)
+    # Same math, same iterations -> near-identical result (fp reduction order
+    # differs across the mesh).
+    np.testing.assert_allclose(float(got.f), float(ref.f), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(got.x), np.asarray(ref.x), atol=1e-6)
+
+
+def test_sharded_fit_psf_matches_single_device(mesh8, scene):
+    model, true, obj, psf, data = scene
+    start = model.init_params()
+    cfg = PsfFitConfig(max_iter=15, grtol=0.0)
+    ref = fit_psf(model, start, PHASE, data, obj, config=cfg)
+    data_sh = jax.device_put(data, volume_sharding(mesh8, batched=False))
+    obj_sh = jax.device_put(obj, volume_sharding(mesh8, batched=False))
+    got = sharded_fit_psf(model, start, PHASE, data_sh, obj_sh, mesh8, config=cfg)
+    np.testing.assert_allclose(
+        np.asarray(got.params.phase), np.asarray(ref.params.phase), atol=1e-7
+    )
+
+
+def test_sharded_blind_deconvolve_batched(mesh8, scene):
+    model, true, obj, psf, data = scene
+    mesh = make_mesh(batch=2, z=4)
+    batched = jnp.stack([data, data * 1.1])
+    batched = jax.device_put(batched, volume_sharding(mesh, batched=True))
+    cfg = BlindDeconvConfig(
+        loops=2, families=(PHASE,), psf_max_iter=(5,),
+        deconv=DeconvolutionConfig(mu=0.002, epsilon=1.0, max_iter=5),
+    )
+    res = sharded_blind_deconvolve(batched, model, mesh, config=cfg)
+    assert res.obj.shape == (2,) + SHAPE
+    assert np.isfinite(np.asarray(res.deconv_f)).all()
+    df = np.asarray(res.deconv_f)
+    assert df[1] <= df[0]
+    assert np.isnan(np.asarray(res.fit_f)[-1]).all()  # last round skips refit
