@@ -313,15 +313,33 @@ class PSF_Estimation:
     def abort(self):
         self._run = False
 
+    def _fit_jitted(self, flag: int):
+        key = (id(self.pupil.config), flag, self._cfg, self._weights is not None)
+        cache = getattr(self, "_fit_cache", None)
+        if cache is None:
+            cache = {}
+            self._fit_cache = cache
+        if key not in cache:
+            cfg = self.pupil.config
+            fit_cfg = self._cfg
+
+            @jax.jit
+            def run(params, data, obj, weights):
+                return fit_psf(cfg, params, flag, data, obj, weights=weights, config=fit_cfg)
+
+            cache[key] = run
+        return cache[key]
+
     def fit_psf(self, flag: int):
         if self._data is None:
             raise ValueError("Input data not specified.")
         if self._obj is None:
             raise ValueError("Object not specified.")
         self._run = True
-        res = fit_psf(
-            self.pupil.config, self.pupil.params, flag,
-            self._data, self._obj, weights=self._weights, config=self._cfg,
+        # One compiled program per (model config, family, fit config, shapes);
+        # cached across rounds of the blind loop.
+        res = self._fit_jitted(flag)(
+            self.pupil.params, self._data, self._obj, self._weights
         )
         self.pupil.params = res.params
         self._fcost = float(res.f)
@@ -385,7 +403,19 @@ class DeconvolutionJob:
         if self._psf is None:
             raise ValueError("PSF not set; call update_psf first")
         self._run = True
-        res = deconvolve(self._data, self._psf, weights=self._weights, x0=obj, config=self._cfg)
+        key = (self._cfg, self._weights is not None, obj is None)
+        cache = getattr(self, "_deconv_cache", None)
+        if cache is None:
+            cache = {}
+            self._deconv_cache = cache
+        if key not in cache:
+            cfg = self._cfg
+            cache[key] = jax.jit(
+                lambda data, psf, weights, x0: deconvolve(
+                    data, psf, weights=weights, x0=x0, config=cfg
+                )
+            )
+        res = cache[key](self._data, self._psf, self._weights, obj)
         self._result = res
         self._run = False
         return res.x

@@ -1,0 +1,72 @@
+"""Single-chip batched solves: vmap over time-lapse frames / channels.
+
+The mesh path (``parallel/``) scales one big problem across chips; this module
+is the complementary throughput path — many small volumes on one chip, where
+``vmap`` turns the per-volume VMLMB solves into one lockstep batched program
+(batched FFTs keep the chip saturated far better than solving sequentially).
+
+Lockstep semantics: all lane solves share iteration structure; a lane that
+converges early keeps iterating harmlessly until the batch finishes (standard
+vmap-over-while behavior). Costs/histories come back per lane.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from microtipi_tpu.jobs.blind import BlindDeconvConfig, blind_deconvolve
+from microtipi_tpu.jobs.deconv import DeconvolutionConfig, DeconvolutionResult, deconvolve
+
+__all__ = ["batched_deconvolve", "batched_blind_deconvolve"]
+
+
+def batched_deconvolve(
+    data: jax.Array,
+    psf: jax.Array,
+    weights: jax.Array | None = None,
+    x0: jax.Array | None = None,
+    config: DeconvolutionConfig = DeconvolutionConfig(),
+) -> DeconvolutionResult:
+    """Object update over a (B, ...) stack sharing one PSF.
+
+    ``weights``/``x0`` may be batched or None. Returns per-lane results
+    (leading batch axis on every field).
+    """
+    in_axes = (0, None, 0 if weights is not None else None, 0 if x0 is not None else None)
+    fn = jax.vmap(
+        lambda d, p, w, x: deconvolve(d, p, weights=w, x0=x, config=config),
+        in_axes=in_axes,
+    )
+    return fn(data, psf, weights, x0)
+
+
+def batched_blind_deconvolve(
+    data: jax.Array,
+    model,
+    params0=None,
+    weights: jax.Array | None = None,
+    config: BlindDeconvConfig = BlindDeconvConfig(),
+    joint_psf: bool = False,
+):
+    """Blind deconvolution over a (B, ...) stack.
+
+    ``joint_psf=False`` (default): each frame gets its own independent PSF
+    parameter estimate (vmapped solves). For one optical system constrained by
+    all frames jointly, use ``parallel.blind.sharded_blind_deconvolve`` on a
+    (batch, z) mesh instead (``joint_psf=True`` raises with that pointer).
+    """
+    if joint_psf:
+        raise NotImplementedError(
+            "joint multi-frame PSF estimation lives in "
+            "parallel.blind.sharded_blind_deconvolve (mesh path)"
+        )
+    if params0 is None:
+        params0 = model.init_params()
+        params0 = jax.tree.map(lambda l: jnp.broadcast_to(l, (data.shape[0],) + l.shape), params0)
+    in_axes = (0, 0, 0 if weights is not None else None)
+    fn = jax.vmap(
+        lambda d, p, w: blind_deconvolve(d, model, params0=p, weights=w, config=config),
+        in_axes=in_axes,
+    )
+    return fn(data, params0, weights)

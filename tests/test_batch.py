@@ -1,0 +1,57 @@
+"""Single-chip batched (vmapped) solves."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from microtipi_tpu.jobs.batch import batched_blind_deconvolve, batched_deconvolve
+from microtipi_tpu.jobs.blind import BlindDeconvConfig
+from microtipi_tpu.jobs.deconv import DeconvolutionConfig, deconvolve
+from microtipi_tpu.models.microscope import PHASE
+from microtipi_tpu.models.widefield import WideFieldConfig
+from microtipi_tpu.ops.convolution import convolve, convolve_spectrum
+
+SHAPE = (8, 32, 32)
+KW = dict(na=1.2, wavelength=500e-9, ni=1.33, dxy=100e-9, dz=250e-9)
+
+
+def _scene(b=3):
+    model = WideFieldConfig(shape=SHAPE, n_phase=3, radial=True, dtype=jnp.float64, **KW)
+    psf = model.compute_psf(model.init_params())
+    rng = np.random.default_rng(0)
+    objs, datas = [], []
+    for i in range(b):
+        o = np.zeros(SHAPE)
+        o[2 + i : 6 + i, 8:24, 8:24] = 50.0 + 10 * i
+        o = jnp.asarray(o)
+        d = convolve(o, convolve_spectrum(psf), SHAPE)
+        d = d + 0.01 * jnp.asarray(rng.standard_normal(SHAPE))
+        objs.append(o)
+        datas.append(d)
+    return model, psf, jnp.stack(objs), jnp.stack(datas)
+
+
+def test_batched_deconvolve_matches_per_lane():
+    model, psf, objs, datas = _scene()
+    cfg = DeconvolutionConfig(mu=0.002, epsilon=1.0, max_iter=10, grtol=0.0)
+    batched = batched_deconvolve(datas, psf, config=cfg)
+    assert batched.x.shape == datas.shape
+    for b in range(3):
+        ref = deconvolve(datas[b], psf, config=cfg)
+        # vmapped while_loop runs the max lane count of iterations, but with
+        # grtol=0 every lane runs exactly max_iter -> identical trajectories.
+        np.testing.assert_allclose(np.asarray(batched.x[b]), np.asarray(ref.x), atol=1e-8)
+
+
+def test_batched_blind_shapes_and_progress():
+    model, psf, objs, datas = _scene()
+    cfg = BlindDeconvConfig(
+        loops=2, families=(PHASE,), psf_max_iter=(4,),
+        deconv=DeconvolutionConfig(mu=0.002, epsilon=1.0, max_iter=5),
+    )
+    res = batched_blind_deconvolve(datas, model, config=cfg)
+    assert res.obj.shape == datas.shape
+    assert res.params.phase.shape == (3, 3)  # independent per-frame estimates
+    df = np.asarray(res.deconv_f)
+    assert df.shape == (3, 2) and np.isfinite(df).all()
+    assert (df[:, 1] <= df[:, 0] + 1e-9).all()
