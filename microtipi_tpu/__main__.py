@@ -1,0 +1,205 @@
+"""Command-line interface: ``python -m microtipi_tpu <command>``.
+
+The reference ships no CLI (SURVEY.md §1: GUI plugins sat above it); a
+production framework needs one. Four commands over the TIFF IO layer:
+
+  info    print stack geometry
+  psf     synthesize a widefield PSF to a TIFF stack
+  deconv  non-blind deconvolution (known PSF)
+  blind   blind deconvolution (PSF parameters estimated)
+
+All compute paths are single jitted programs; volumes are float32.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def _model_args(p: argparse.ArgumentParser):
+    g = p.add_argument_group("optics")
+    g.add_argument("--na", type=float, default=1.4, help="numerical aperture")
+    g.add_argument("--wavelength", type=float, default=561e-9, help="emission wavelength [m]")
+    g.add_argument("--ni", type=float, default=1.518, help="immersion refractive index")
+    g.add_argument("--dxy", type=float, default=80e-9, help="lateral pixel size [m]")
+    g.add_argument("--dz", type=float, default=200e-9, help="axial step [m]")
+    g.add_argument("--n-phase", type=int, default=8, help="Zernike phase modes")
+    g.add_argument("--n-modulus", type=int, default=1, help="Zernike modulus modes")
+    g.add_argument("--radial", action="store_true", help="radially symmetric pupil")
+
+
+def _deconv_args(p: argparse.ArgumentParser):
+    g = p.add_argument_group("object step")
+    g.add_argument("--mu", type=float, default=0.01, help="TV weight")
+    g.add_argument("--epsilon", type=float, default=1.0, help="TV edge threshold")
+    g.add_argument("--iters", type=int, default=50, help="VMLMB iterations")
+    g.add_argument("--no-positivity", action="store_true")
+    g.add_argument("--pad", type=int, default=0, help="pad object grid by this many voxels per side")
+    g.add_argument("--gain", type=float, default=0.0, help="camera gain e-/ADU for variance weights (0 = uniform)")
+    g.add_argument("--readout", type=float, default=1.0, help="readout variance [ADU^2]")
+
+
+def _build_model(args, shape):
+    from microtipi_tpu.models.widefield import WideFieldConfig
+
+    return WideFieldConfig(
+        shape=shape, na=args.na, wavelength=args.wavelength, ni=args.ni,
+        dxy=args.dxy, dz=args.dz, n_phase=args.n_phase, n_modulus=args.n_modulus,
+        radial=args.radial,
+    )
+
+
+def _deconv_config(args, shape):
+    from microtipi_tpu.jobs.deconv import DeconvolutionConfig
+
+    var_shape = None
+    if args.pad:
+        var_shape = tuple(s + 2 * args.pad for s in shape)
+    return DeconvolutionConfig(
+        mu=args.mu, epsilon=args.epsilon, max_iter=args.iters,
+        positivity=not args.no_positivity, var_shape=var_shape,
+    )
+
+
+def _weights(args, data):
+    if args.gain <= 0:
+        return None
+    from microtipi_tpu.weights.updaters import InverseVarianceWeights
+
+    return InverseVarianceWeights(gain=args.gain, readout_variance=args.readout).from_data(data)
+
+
+def cmd_info(args):
+    from microtipi_tpu.io.tiffstack import stack_info
+
+    nz, ny, nx = stack_info(args.stack)
+    print(f"{args.stack}: Nz={nz} Ny={ny} Nx={nx} ({nz*ny*nx/1e6:.1f} Mvox)")
+
+
+def cmd_psf(args):
+    import numpy as np
+    import jax.numpy as jnp
+    from microtipi_tpu.io.tiffstack import write_stack
+    from microtipi_tpu.utils.arrays import roll
+    import jax
+
+    shape = tuple(args.shape)
+    model = _build_model(args, shape)
+    params = model.init_params()
+    if args.phase:
+        if len(args.phase) != args.n_phase:
+            sys.exit(f"--phase needs {args.n_phase} coefficients")
+        params = params._replace(phase=jnp.asarray(args.phase, jnp.float32))
+    psf = jax.jit(model.compute_psf)(params)
+    if args.centered:
+        psf = roll(psf)
+    write_stack(args.out, np.asarray(psf))
+    print(f"wrote {args.out} (sum={float(psf.sum()):.4g})")
+
+
+def cmd_deconv(args):
+    import numpy as np
+    import jax
+    from microtipi_tpu.io.tiffstack import read_stack, write_stack
+    from microtipi_tpu.jobs.deconv import deconvolve
+    from microtipi_tpu.utils.arrays import unroll
+    import jax.numpy as jnp
+
+    data = jnp.asarray(read_stack(args.data))
+    psf = jnp.asarray(read_stack(args.psf))
+    if args.psf_centered:
+        psf = unroll(psf)
+    cfg = _deconv_config(args, data.shape)
+    w = _weights(args, data)
+
+    run = jax.jit(lambda d, p, w: deconvolve(d, p, weights=w, config=cfg))
+    t0 = time.time()
+    res = run(data, psf, w)
+    f = float(res.f)
+    print(f"deconv: {int(res.iterations)} iters, cost {f:.6g}, {time.time()-t0:.1f}s (incl. compile)")
+    write_stack(args.out, np.asarray(res.x))
+    print("wrote", args.out)
+
+
+def cmd_blind(args):
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from microtipi_tpu.io.tiffstack import read_stack, write_stack
+    from microtipi_tpu.jobs.blind import BlindDeconvConfig, blind_deconvolve
+    from microtipi_tpu.jobs.psf_fit import PsfFitConfig
+    from microtipi_tpu.models.microscope import DEFOCUS, MODULUS, PHASE
+
+    data = jnp.asarray(read_stack(args.data))
+    model = _build_model(args, data.shape)
+    fam_map = {"defocus": DEFOCUS, "phase": PHASE, "modulus": MODULUS}
+    families = tuple(fam_map[f] for f in args.families)
+    cfg = BlindDeconvConfig(
+        loops=args.loops,
+        families=families,
+        psf_max_iter=tuple(args.psf_iters for _ in families),
+        deconv=_deconv_config(args, data.shape),
+        fit=PsfFitConfig(),
+    )
+    w = _weights(args, data)
+    run = jax.jit(lambda d, w: blind_deconvolve(d, model, weights=w, config=cfg))
+    t0 = time.time()
+    res = run(data, w)
+    df = np.asarray(res.deconv_f)
+    print(f"blind: {args.loops} rounds in {time.time()-t0:.1f}s (incl. compile); "
+          f"object cost {df[0]:.6g} -> {df[-1]:.6g}")
+    print("defocus:", np.asarray(res.params.defocus))
+    if model.n_phase:
+        print("phase:", np.round(np.asarray(res.params.phase), 4))
+    print("modulus:", np.round(np.asarray(res.params.modulus), 4))
+    write_stack(args.out, np.asarray(res.obj))
+    print("wrote", args.out)
+    if args.psf_out:
+        write_stack(args.psf_out, np.asarray(res.psf))
+        print("wrote", args.psf_out)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="microtipi_tpu", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("info", help="print TIFF stack geometry")
+    p.add_argument("stack")
+    p.set_defaults(fn=cmd_info)
+
+    p = sub.add_parser("psf", help="synthesize a widefield PSF stack")
+    p.add_argument("out")
+    p.add_argument("--shape", type=int, nargs=3, required=True, metavar=("NZ", "NY", "NX"))
+    p.add_argument("--phase", type=float, nargs="*", default=[], help="Zernike phase coefficients")
+    p.add_argument("--centered", action="store_true", help="write centered layout instead of FFT layout")
+    _model_args(p)
+    p.set_defaults(fn=cmd_psf)
+
+    p = sub.add_parser("deconv", help="non-blind deconvolution")
+    p.add_argument("data")
+    p.add_argument("--psf", required=True)
+    p.add_argument("--psf-centered", action="store_true", help="PSF file is centered; unroll it")
+    p.add_argument("--out", required=True)
+    _deconv_args(p)
+    p.set_defaults(fn=cmd_deconv)
+
+    p = sub.add_parser("blind", help="blind deconvolution")
+    p.add_argument("data")
+    p.add_argument("--out", required=True)
+    p.add_argument("--psf-out", default=None)
+    p.add_argument("--loops", type=int, default=5)
+    p.add_argument("--psf-iters", type=int, default=20)
+    p.add_argument("--families", nargs="+", default=["defocus", "phase"],
+                   choices=["defocus", "phase", "modulus"])
+    _model_args(p)
+    _deconv_args(p)
+    p.set_defaults(fn=cmd_blind)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
