@@ -87,7 +87,17 @@ def make_objective(
     """
     var_shape = tuple(config.var_shape) if config.var_shape is not None else data.shape
     kernel = pad_fft_kernel(psf, var_shape)
-    cost = WeightedConvolutionCost.build(kernel, data, weights, var_shape)
+
+    # Uniform weights on the un-padded grid: circulant quadratic form — cost
+    # AND gradient from one rfftn/irfftn pair (half the FFTs of the general
+    # weighted path, whose residual must be formed in real space).
+    quadratic = weights is None and var_shape == data.shape
+    if quadratic:
+        from microtipi_tpu.ops.convolution import QuadraticConvCost
+
+        cost = QuadraticConvCost.build(kernel, data)
+    else:
+        cost = WeightedConvolutionCost.build(kernel, data, weights, var_shape)
 
     use_fused = config.fused_tv and len(var_shape) == 3
 

@@ -110,3 +110,73 @@ class WeightedConvolutionCost(NamedTuple):
     def cost_and_gradient(self, x: jax.Array, alpha: float = 1.0):
         """Fused (f, grad f) — TiPi ``computeCostAndGradient`` equivalent."""
         return jax.value_and_grad(partial(self.cost, alpha=alpha))(x)
+
+
+# ---------------------------------------------------------------------------
+# Uniform-weight fast path: the data term is a circulant quadratic form.
+#
+#   0.5*||K(*)x - d||^2 = 0.5*<x, A x> - <x, b> + 0.5*||d||^2,
+#   A = H^T H  (diagonal |K_hat|^2 in Fourier),  b = H^T d  (precomputed).
+#
+# One rfftn/irfftn pair yields BOTH the cost and the exact gradient
+# (g = A x - b), halving the FFT count of the generic weighted path (whose
+# residual must be formed in real space). The custom VJP below makes
+# jax.value_and_grad reuse A x instead of differentiating through the FFTs
+# (which would add the second FFT pair right back).
+# ---------------------------------------------------------------------------
+
+
+class QuadraticConvCost(NamedTuple):
+    """Uniform-weight data term with the 2-FFT fused cost+gradient.
+
+    Only valid when the variable grid equals the data grid (no crop: a crop
+    operator breaks circulant structure). ``c`` is the 0.5*||d||^2 constant so
+    cost values match ``WeightedConvolutionCost.cost`` exactly.
+    """
+
+    kernel_sq: jax.Array  # |K_hat|^2, real, rfftn layout
+    b: jax.Array  # H^T d, real space
+    c: jax.Array  # 0.5 * sum(d^2)
+    shape: tuple[int, ...]
+
+    @classmethod
+    def build(cls, kernel: jax.Array, data: jax.Array) -> "QuadraticConvCost":
+        if kernel.shape != data.shape:
+            raise ValueError("quadratic fast path requires kernel shape == data shape")
+        k_hat = jnp.fft.rfftn(kernel)
+        kernel_sq = jnp.real(k_hat) ** 2 + jnp.imag(k_hat) ** 2
+        b = jnp.fft.irfftn(jnp.conj(k_hat) * jnp.fft.rfftn(data), s=data.shape)
+        c = 0.5 * jnp.sum(data * data)
+        return cls(kernel_sq, b, c, tuple(data.shape))
+
+    def cost(self, x: jax.Array) -> jax.Array:
+        """Differentiable cost; under value_and_grad the gradient is the
+        byproduct A x - b (no extra FFTs)."""
+        return _quadratic_cost(x, self.kernel_sq, self.b, self.c, self.shape)
+
+    def cost_and_gradient(self, x: jax.Array):
+        ax = jnp.fft.irfftn(self.kernel_sq * jnp.fft.rfftn(x), s=self.shape)
+        f = 0.5 * jnp.vdot(x, ax) - jnp.vdot(x, self.b) + self.c
+        return f.real.astype(x.dtype), ax - self.b
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _quadratic_cost(x, kernel_sq, b, c, shape):
+    ax = jnp.fft.irfftn(kernel_sq * jnp.fft.rfftn(x), s=shape)
+    return (0.5 * jnp.vdot(x, ax) - jnp.vdot(x, b) + c).real.astype(x.dtype)
+
+
+def _quadratic_cost_fwd(x, kernel_sq, b, c, shape):
+    ax = jnp.fft.irfftn(kernel_sq * jnp.fft.rfftn(x), s=shape)
+    f = (0.5 * jnp.vdot(x, ax) - jnp.vdot(x, b) + c).real.astype(x.dtype)
+    return f, (ax - b)
+
+
+def _quadratic_cost_bwd(shape, res, g):
+    grad = res
+    # cotangents for (x, kernel_sq, b, c): only x is differentiated here —
+    # the kernel spectrum/b/c are per-round constants in the object step.
+    return (g * grad, None, None, None)
+
+
+_quadratic_cost.defvjp(_quadratic_cost_fwd, _quadratic_cost_bwd)
