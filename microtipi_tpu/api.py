@@ -30,7 +30,6 @@ supported on all TPU runtimes).
 from __future__ import annotations
 
 import dataclasses
-from functools import cached_property
 
 import numpy as np
 import jax
@@ -38,7 +37,7 @@ import jax.numpy as jnp
 
 from microtipi_tpu.jobs.deconv import DeconvolutionConfig, deconvolve
 from microtipi_tpu.jobs.psf_fit import PsfFitConfig, fit_psf
-from microtipi_tpu.models.microscope import DEFOCUS, MODULUS, PHASE, PARAMETER_FLAGS
+from microtipi_tpu.models.microscope import DEFOCUS, MODULUS, PHASE
 from microtipi_tpu.models.widefield import WideFieldConfig, WideFieldParams
 
 __all__ = [

@@ -28,7 +28,6 @@ import dataclasses
 from typing import NamedTuple
 
 import jax
-import jax.numpy as jnp
 
 from microtipi_tpu.models.microscope import FAMILY_NAMES
 from microtipi_tpu.ops.convolution import WeightedConvolutionCost

@@ -29,7 +29,6 @@ there is no dynamic shape anywhere.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable, NamedTuple
 
 import jax

@@ -23,13 +23,13 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 from microtipi_tpu.jobs.deconv import DeconvolutionConfig, DeconvolutionResult
 from microtipi_tpu.ops.regularization import hyperbolic_tv
 from microtipi_tpu.optim.vmlmb import minimize_vmlmb
 from microtipi_tpu.parallel.fft import sharded_convolve, sharded_spectrum
-from microtipi_tpu.parallel.mesh import BATCH_AXIS, Z_AXIS, volume_sharding
+from microtipi_tpu.parallel.mesh import volume_sharding
 
 __all__ = ["make_sharded_objective", "sharded_deconvolve"]
 

@@ -17,8 +17,6 @@ are sharded.
 
 from __future__ import annotations
 
-import dataclasses
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh
