@@ -79,8 +79,16 @@ def fit_psf(
     if weights is not None and weights.shape != data.shape:
         weights = pad_to_shape(weights, data.shape)
 
-    # Object as kernel, built once: one rfftn for the whole fit.
-    cost = WeightedConvolutionCost.build(obj, data, weights)
+    # Object as kernel, built once: one rfftn for the whole fit. With uniform
+    # weights the data term is the circulant quadratic form (2 FFTs per
+    # evaluation for cost AND psf-space gradient; the chain rule into the
+    # pupil parameters rides the custom VJP).
+    if weights is None:
+        from microtipi_tpu.ops.convolution import QuadraticConvCost
+
+        cost = QuadraticConvCost.build(obj, data)
+    else:
+        cost = WeightedConvolutionCost.build(obj, data, weights)
 
     def objective(v):
         p = params._replace(**{family: v})
