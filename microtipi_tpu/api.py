@@ -90,19 +90,18 @@ class WideFieldModel:
         return self._jits[key]
 
     def _rebuild(self, **changes):
-        """Config change (e.g. mode-count resize): rebuild, re-init the
-        affected coefficient vectors like setNPhase/setNModulus
-        (``WideFieldModel.java:1899-1961``)."""
+        """Config change (mode-count resize): rebuild the basis and re-init
+        ONLY the resized family, exactly like the reference —
+        ``setNPhase`` zeroes the phase coefficients and leaves modulus alone
+        (``WideFieldModel.java:1899-1914``); ``setNModulus`` re-inits modulus
+        to [1, 0, ...] and leaves phase alone (``:1939-1961``)."""
         old = self._params
         self._cfg = dataclasses.replace(self._cfg, **changes)
         self._jits = {}
         fresh = self._cfg.init_params()
-        defocus = old.defocus
-        phase = fresh.phase.at[: min(old.phase.shape[0], fresh.phase.shape[0])].set(
-            old.phase[: fresh.phase.shape[0]]
-        )
-        modulus = fresh.modulus
-        self._params = WideFieldParams(defocus, phase, modulus)
+        phase = fresh.phase if "n_phase" in changes else old.phase
+        modulus = fresh.modulus if "n_modulus" in changes else old.modulus
+        self._params = WideFieldParams(old.defocus, phase, modulus)
 
     # -- setters (setParam dispatch, WideFieldModel.java:411-422) -----------
 
@@ -421,15 +420,23 @@ class DeconvolutionJob:
 
     def get_model(self):
         """Convolved current object H*x at the data window
-        (TiPi ``getModel``, used by weight updaters)."""
-        from microtipi_tpu.ops.convolution import WeightedConvolutionCost
-        from microtipi_tpu.utils.arrays import pad_fft_kernel
-
+        (TiPi ``getModel``, used by weight updaters). Jit-cached — eager
+        dispatch is pathological on remote TPU runtimes."""
         if self._result is None:
             return None
-        var_shape = self._result.x.shape
-        kern = pad_fft_kernel(self._psf, var_shape)
-        return WeightedConvolutionCost.build(kern, self._data, None, var_shape).model(self._result.x)
+        cache = getattr(self, "_model_cache", None)
+        if cache is None:
+
+            @jax.jit
+            def model_fn(psf, data, x):
+                from microtipi_tpu.ops.convolution import WeightedConvolutionCost
+                from microtipi_tpu.utils.arrays import pad_fft_kernel
+
+                kern = pad_fft_kernel(psf, x.shape)
+                return WeightedConvolutionCost.build(kern, data, None, x.shape).model(x)
+
+            cache = self._model_cache = model_fn
+        return cache(self._psf, self._data, self._result.x)
 
     def get_cost(self):
         return None if self._result is None else float(self._result.f)

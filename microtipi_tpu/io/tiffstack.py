@@ -34,6 +34,12 @@ _LIB = None
 
 
 def _build() -> None:
+    if not _SRC_PATH.exists():
+        raise RuntimeError(
+            "native IO library not built and its source is not present "
+            f"(expected {_SRC_PATH}); build it from a source checkout with "
+            "`make -C native`, or ship the prebuilt _native/*.so with the package"
+        )
     _NATIVE_DIR.mkdir(parents=True, exist_ok=True)
     cmd = [
         os.environ.get("CXX", "g++"), "-O3", "-fPIC", "-std=c++17", "-shared",
@@ -119,10 +125,12 @@ class StackPrefetcher:
 
     def __init__(self, paths: Iterable[str | os.PathLike], depth: int = 2):
         self._paths = [str(p) for p in paths]
-        self._pool = ThreadPoolExecutor(max_workers=max(1, depth))
         self._depth = max(1, depth)
 
     def __iter__(self) -> Iterator[tuple[str, np.ndarray]]:
+        # A fresh executor per iteration keeps the prefetcher reusable
+        # (re-iterating or breaking out mid-stream must not poison the next pass).
+        pool = ThreadPoolExecutor(max_workers=self._depth)
         pending = []
         it = iter(self._paths)
         try:
@@ -130,12 +138,12 @@ class StackPrefetcher:
                 p = next(it, None)
                 if p is None:
                     break
-                pending.append((p, self._pool.submit(read_stack, p)))
+                pending.append((p, pool.submit(read_stack, p)))
             while pending:
                 path, fut = pending.pop(0)
                 nxt = next(it, None)
                 if nxt is not None:
-                    pending.append((nxt, self._pool.submit(read_stack, nxt)))
+                    pending.append((nxt, pool.submit(read_stack, nxt)))
                 yield path, fut.result()
         finally:
-            self._pool.shutdown(wait=False, cancel_futures=True)
+            pool.shutdown(wait=False, cancel_futures=True)

@@ -100,19 +100,26 @@ def blind_deconvolve(
     fit_cfg = dataclasses.replace(config.fit, grtol=0.0)  # BlindDeconvJob.java:124
 
     def round_body(i, carry):
-        x, params, w, deconv_f, fit_f = carry
+        x, params, deconv_f, fit_f = carry
 
         psf = model.compute_psf(params)
-        dres = deconvolve(data, psf, weights=w, x0=x, config=config.deconv)
+        # Object step always sees the user-supplied weights: the reference
+        # deliberately disables the pre-deconv weight update
+        # (BlindDeconvJob.java:105-107). Keeping weights=None here also
+        # preserves the uniform-weight quadratic fast path.
+        dres = deconvolve(data, psf, weights=weights, x0=x, config=config.deconv)
         x = dres.x
         deconv_f = deconv_f.at[i].set(dres.f)
 
         if weight_updater is not None:
-            # Model prediction H*x at the data window, from the updated object
-            # — deconvolver.getModel() in the reference (BlindDeconvJob.java:109-111).
+            # Model prediction H*x at the data window from the updated object
+            # — deconvolver.getModel(); the re-estimated weights feed ONLY the
+            # PSF step of this round (BlindDeconvJob.java:109-111).
             kern = pad_fft_kernel(psf, var_shape)
             full_cost = WeightedConvolutionCost.build(kern, data, None, var_shape)
-            w = weight_updater(full_cost.model(x), data)
+            w_fit = weight_updater(full_cost.model(x), data)
+        else:
+            w_fit = weights
 
         obj_at_data = crop_to_shape(x, data.shape) if x.shape != data.shape else x
 
@@ -122,7 +129,7 @@ def blind_deconvolve(
                 if config.psf_max_iter[j] <= 0:  # BlindDeconvJob.java:126
                     continue
                 fres = fit_psf(
-                    model, params, flag, data, obj_at_data, weights=w,
+                    model, params, flag, data, obj_at_data, weights=w_fit,
                     config=dataclasses.replace(fit_cfg, max_iter=config.psf_max_iter[j]),
                 )
                 params = fres.params
@@ -134,15 +141,14 @@ def blind_deconvolve(
 
         params, ff = lax.cond(i < config.loops - 1, run_fits, skip_fits, params)
         fit_f = fit_f.at[i].set(ff)
-        return x, params, w, deconv_f, fit_f
+        return x, params, deconv_f, fit_f
 
     f_dtype = data.dtype
     carry0 = (
         x0,
         params0,
-        weights if weights is not None else jnp.ones_like(data),
         jnp.full((config.loops,), jnp.nan, f_dtype),
         jnp.full((config.loops, nfam), jnp.nan, f_dtype),
     )
-    x, params, _, deconv_f, fit_f = lax.fori_loop(0, config.loops, round_body, carry0)
+    x, params, deconv_f, fit_f = lax.fori_loop(0, config.loops, round_body, carry0)
     return BlindDeconvResult(x, params, model.compute_psf(params), deconv_f, fit_f)

@@ -25,13 +25,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from microtipi_tpu.models.microscope import DEPTH
 from microtipi_tpu.models.widefield import WideFieldConfig
 from microtipi_tpu.utils.grids import fft_index
 
 __all__ = ["GibsonLanniParams", "GibsonLanniConfig", "DEPTH"]
-
-#: parameter-family flag for the depth family (extends the reference's 0..2).
-DEPTH = 3
 
 
 class GibsonLanniParams(NamedTuple):

@@ -143,3 +143,23 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(params.phase), np.asarray(params2.phase))
     assert rnd == 7
     assert float(extra["cost"]) == 1.25
+
+
+def test_rebuild_family_isolation():
+    """Resizing one family must not clobber the other — and the resized one
+    re-initializes exactly like the reference (setNPhase zeroes phase,
+    setNModulus re-inits modulus; WideFieldModel.java:1899-1961)."""
+    m = WideFieldModel(SHAPE, n_phase=3, n_modulus=2, single=False, **KW)
+    m.set_modulus([0.9, 0.1])
+    m.set_n_phase(5)  # resize phase only
+    np.testing.assert_allclose(m.get_modulus_coefs(), [0.9, 0.1])
+    np.testing.assert_allclose(m.get_phase_coefs(), np.zeros(5))
+    m.set_phase([0.1, 0.2, 0.3, 0.4, 0.5])
+    m.set_n_modulus(3)  # resize modulus only
+    np.testing.assert_allclose(m.get_modulus_coefs(), [1.0, 0.0, 0.0])
+    np.testing.assert_allclose(m.get_phase_coefs(), [0.1, 0.2, 0.3, 0.4, 0.5])
+    # set_phase with a new length resizes then installs the given coefficients
+    m.set_modulus([0.8, 0.2, 0.0])
+    m.set_phase([0.4, -0.2])
+    np.testing.assert_allclose(m.get_phase_coefs(), [0.4, -0.2])
+    np.testing.assert_allclose(m.get_modulus_coefs(), [0.8, 0.2, 0.0])

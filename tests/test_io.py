@@ -70,3 +70,21 @@ def test_prefetcher_order_and_content(tmp_path):
 def test_error_on_missing_file(tmp_path):
     with pytest.raises(IOError):
         stack_info(tmp_path / "nope.tif")
+
+
+def test_prefetcher_is_reusable(tmp_path):
+    vols = [_vol((2, 8, 8), seed=s) for s in range(3)]
+    paths = []
+    for i, v in enumerate(vols):
+        p = tmp_path / f"r{i}.tif"
+        write_stack(p, v)
+        paths.append(p)
+    pf = StackPrefetcher(paths, depth=2)
+    first = list(pf)
+    # break out mid-iteration, then iterate again from scratch
+    for _, _ in pf:
+        break
+    second = list(pf)
+    assert [p for p, _ in first] == [p for p, _ in second]
+    for (_, a), (_, b) in zip(first, second):
+        np.testing.assert_array_equal(a, b)

@@ -160,3 +160,27 @@ def test_blind_deconvolve_jits_once():
     out = fn(data)
     assert out.shape == SHAPE
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_blind_weight_updater_feeds_only_psf_step():
+    """The object step must always see the user weights (None here): with an
+    updater present, results must match a loop whose updater output is used
+    only for the PSF fits — and round-1 deconv must equal the no-updater run."""
+    from microtipi_tpu.weights.updaters import InverseVarianceWeights
+
+    model = make_model(n_phase=3, radial=True)
+    true_params = model.init_params()._replace(phase=jnp.asarray([0.4, -0.2, 0.1]))
+    obj, psf, data = make_scene(model, true_params, noise=0.01)
+    upd = InverseVarianceWeights(gain=2.0, readout_variance=1.0)
+    cfg = BlindDeconvConfig(
+        loops=2, families=(PHASE,), psf_max_iter=(5,),
+        deconv=DeconvolutionConfig(mu=0.002, epsilon=1.0, max_iter=5),
+    )
+    plain = blind_deconvolve(data, model, config=cfg)
+    with_upd = blind_deconvolve(data, model, weight_updater=upd.update, config=cfg)
+    # Round-1 object step is identical (updater must not affect deconv).
+    np.testing.assert_allclose(
+        float(with_upd.deconv_f[0]), float(plain.deconv_f[0]), rtol=1e-12
+    )
+    # The PSF step differs (it does see the updated weights).
+    assert abs(float(with_upd.fit_f[0, 0]) - float(plain.fit_f[0, 0])) > 0
