@@ -60,10 +60,19 @@ class BlindDeconvConfig:
     psf_max_iter: tuple[int, ...] = (20, 20, 20)
     deconv: DeconvolutionConfig = dataclasses.field(default_factory=DeconvolutionConfig)
     fit: PsfFitConfig = dataclasses.field(default_factory=PsfFitConfig)
+    #: Graduated optimization: number of *active* phase modes per round
+    #: (length ``loops``); low-order aberrations are fitted first, higher
+    #: orders unlock in later rounds — the standard stabilizer for the
+    #: object-absorbs-aberration failure mode of alternating blind deconv.
+    #: None = all modes every round (reference behavior). With a schedule the
+    #: rounds are unrolled (static per-round shapes) instead of a fori_loop.
+    phase_schedule: tuple[int, ...] | None = None
 
     def __post_init__(self):
         if len(self.families) != len(self.psf_max_iter):
             raise ValueError("families and psf_max_iter must have the same length")
+        if self.phase_schedule is not None and len(self.phase_schedule) != self.loops:
+            raise ValueError("phase_schedule must have one entry per loop")
 
 
 class BlindDeconvResult(NamedTuple):
@@ -99,7 +108,7 @@ def blind_deconvolve(
     nfam = len(config.families)
     fit_cfg = dataclasses.replace(config.fit, grtol=0.0)  # BlindDeconvJob.java:124
 
-    def round_body(i, carry):
+    def round_body(i, carry, phase_active=None, unrolled=False):
         x, params, deconv_f, fit_f = carry
 
         psf = model.compute_psf(params)
@@ -131,6 +140,7 @@ def blind_deconvolve(
                 fres = fit_psf(
                     model, params, flag, data, obj_at_data, weights=w_fit,
                     config=dataclasses.replace(fit_cfg, max_iter=config.psf_max_iter[j]),
+                    active=phase_active if flag == PHASE else None,
                 )
                 params = fres.params
                 ff = ff.at[j].set(fres.f)
@@ -139,7 +149,10 @@ def blind_deconvolve(
         def skip_fits(params):
             return params, jnp.full((nfam,), jnp.nan, dres.f.dtype)
 
-        params, ff = lax.cond(i < config.loops - 1, run_fits, skip_fits, params)
+        if unrolled:  # i is a python int: last-round skip resolves statically
+            params, ff = run_fits(params) if i < config.loops - 1 else skip_fits(params)
+        else:
+            params, ff = lax.cond(i < config.loops - 1, run_fits, skip_fits, params)
         fit_f = fit_f.at[i].set(ff)
         return x, params, deconv_f, fit_f
 
@@ -150,5 +163,11 @@ def blind_deconvolve(
         jnp.full((config.loops,), jnp.nan, f_dtype),
         jnp.full((config.loops, nfam), jnp.nan, f_dtype),
     )
-    x, params, deconv_f, fit_f = lax.fori_loop(0, config.loops, round_body, carry0)
+    if config.phase_schedule is None:
+        x, params, deconv_f, fit_f = lax.fori_loop(0, config.loops, round_body, carry0)
+    else:
+        carry = carry0
+        for i in range(config.loops):
+            carry = round_body(i, carry, phase_active=config.phase_schedule[i], unrolled=True)
+        x, params, deconv_f, fit_f = carry
     return BlindDeconvResult(x, params, model.compute_psf(params), deconv_f, fit_f)

@@ -63,6 +63,7 @@ def fit_psf(
     obj: jax.Array,
     weights: jax.Array | None = None,
     config: PsfFitConfig = PsfFitConfig(),
+    active: int | None = None,
 ) -> PsfFitResult:
     """Fit the parameter family selected by ``flag`` (DEFOCUS/PHASE/MODULUS).
 
@@ -70,11 +71,18 @@ def fit_psf(
     current object estimate at the data shape (the reference pads weights to
     the PSF shape, ``PSF_Estimation.java:322-324`` — here data/obj/PSF share
     one grid, and a larger obj is center-cropped upstream).
+
+    ``active`` (static) fits only the family's first ``active`` coefficients,
+    freezing the rest — the graduated/mode-scheduled optimization used to
+    stabilize blind estimation (fit low-order aberrations first).
     """
     family = FAMILY_NAMES[flag]
-    x0 = getattr(params, family)
-    if x0.shape[0] == 0:
+    full0 = getattr(params, family)
+    if full0.shape[0] == 0:
         raise ValueError(f"family {family!r} has no coefficients to fit")
+    if active is None or active >= full0.shape[0]:
+        active = full0.shape[0]
+    x0 = full0[:active]
 
     if weights is not None and weights.shape != data.shape:
         weights = pad_to_shape(weights, data.shape)
@@ -91,7 +99,7 @@ def fit_psf(
         cost = WeightedConvolutionCost.build(obj, data, weights)
 
     def objective(v):
-        p = params._replace(**{family: v})
+        p = params._replace(**{family: full0.at[: v.shape[0]].set(v)})
         psf = model.compute_psf(p)
         return cost.cost(psf)
 
@@ -106,7 +114,7 @@ def fit_psf(
         grtol=config.grtol,
     )
     return PsfFitResult(
-        params._replace(**{family: res.x}),
+        params._replace(**{family: full0.at[:active].set(res.x)}),
         res.f,
         res.iterations,
         res.evaluations,

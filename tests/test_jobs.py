@@ -184,3 +184,30 @@ def test_blind_weight_updater_feeds_only_psf_step():
     )
     # The PSF step differs (it does see the updated weights).
     assert abs(float(with_upd.fit_f[0, 0]) - float(plain.fit_f[0, 0])) > 0
+
+
+def test_fit_psf_active_subset():
+    """active=k fits only the first k phase modes and freezes the rest."""
+    model = make_model(n_phase=4)
+    true_params = model.init_params()._replace(phase=jnp.asarray([0.5, -0.3, 0.0, 0.0]))
+    obj, psf, data = make_scene(model, true_params, noise=0.0)
+    start = model.init_params()._replace(phase=jnp.asarray([0.0, 0.0, 0.123, -0.456]))
+    res = fit_psf(model, start, PHASE, data, obj,
+                  config=PsfFitConfig(max_iter=60, grtol=1e-12), active=2)
+    got = np.asarray(res.params.phase)
+    np.testing.assert_allclose(got[2:], [0.123, -0.456])  # frozen tail untouched
+    assert abs(got[0] - 0.5) < 0.2 and abs(got[1] + 0.3) < 0.2
+
+
+def test_blind_phase_schedule_runs():
+    model = make_model(n_phase=3, radial=True)
+    true_params = model.init_params()._replace(phase=jnp.asarray([0.4, -0.2, 0.1]))
+    obj, psf, data = make_scene(model, true_params, noise=0.01)
+    cfg = BlindDeconvConfig(
+        loops=3, families=(PHASE,), psf_max_iter=(5,),
+        deconv=DeconvolutionConfig(mu=0.002, epsilon=1.0, max_iter=5),
+        phase_schedule=(1, 2, 3),
+    )
+    res = blind_deconvolve(data, model, config=cfg)
+    assert np.isfinite(np.asarray(res.deconv_f)).all()
+    assert np.isnan(np.asarray(res.fit_f)[-1]).all()
