@@ -21,6 +21,8 @@ from microtipi_tpu.models.widefield import WideFieldConfig, WideFieldParams
 from microtipi_tpu.jobs.blind import BlindDeconvConfig, BlindDeconvResult, blind_deconvolve
 from microtipi_tpu.jobs.deconv import DeconvolutionConfig, DeconvolutionResult, deconvolve
 from microtipi_tpu.jobs.psf_fit import PsfFitConfig, PsfFitResult, fit_psf
+from microtipi_tpu.jobs.richardson_lucy import richardson_lucy
+from microtipi_tpu.jobs.wiener import wiener
 from microtipi_tpu.ops.convolution import WeightedConvolutionCost, convolve, convolve_spectrum
 from microtipi_tpu.ops.regularization import hyperbolic_tv, hyperbolic_tv_and_gradient
 from microtipi_tpu.optim.vmlmb import VMLMBResult, VMLMBStatus, minimize_vmlmb
@@ -34,6 +36,7 @@ __all__ = [
     "BlindDeconvConfig", "BlindDeconvResult", "blind_deconvolve",
     "DeconvolutionConfig", "DeconvolutionResult", "deconvolve",
     "PsfFitConfig", "PsfFitResult", "fit_psf",
+    "richardson_lucy", "wiener",
     "WeightedConvolutionCost", "convolve", "convolve_spectrum",
     "hyperbolic_tv", "hyperbolic_tv_and_gradient",
     "VMLMBResult", "VMLMBStatus", "minimize_vmlmb",

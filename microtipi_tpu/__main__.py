@@ -39,6 +39,8 @@ def _deconv_args(p: argparse.ArgumentParser):
     g.add_argument("--pad", type=int, default=0, help="pad object grid by this many voxels per side")
     g.add_argument("--gain", type=float, default=0.0, help="camera gain e-/ADU for variance weights (0 = uniform)")
     g.add_argument("--readout", type=float, default=1.0, help="readout variance [ADU^2]")
+    g.add_argument("--method", choices=["vmlmb", "rl"], default="vmlmb",
+                   help="object solver: VMLMB+TV (default) or Richardson-Lucy")
 
 
 def _build_model(args, shape):
@@ -111,6 +113,17 @@ def cmd_deconv(args):
     psf = jnp.asarray(read_stack(args.psf))
     if args.psf_centered:
         psf = unroll(psf)
+    if args.method == "rl":
+        from microtipi_tpu.jobs.richardson_lucy import richardson_lucy
+
+        run = jax.jit(lambda d, p: richardson_lucy(d, p, iterations=args.iters, mu=args.mu))
+        t0 = time.time()
+        x = run(data, psf)
+        x.block_until_ready()
+        print(f"rl: {args.iters} iters, {time.time()-t0:.1f}s (incl. compile)")
+        write_stack(args.out, np.asarray(x))
+        print("wrote", args.out)
+        return
     cfg = _deconv_config(args, data.shape)
     w = _weights(args, data)
 
