@@ -80,3 +80,30 @@ def test_sharded_blind_deconvolve_batched(mesh8, scene):
     df = np.asarray(res.deconv_f)
     assert df[1] <= df[0]
     assert np.isnan(np.asarray(res.fit_f)[-1]).all()  # last round skips refit
+
+
+def test_sharded_blind_matches_dense(mesh8, scene):
+    """Full sharded blind loop == dense blind loop on one volume (same math,
+    modulo cross-device reduction order)."""
+    from microtipi_tpu.jobs.blind import blind_deconvolve
+    from microtipi_tpu.parallel.blind import sharded_blind_deconvolve
+
+    model, true, obj, psf, data = scene
+    cfg = BlindDeconvConfig(
+        loops=2, families=(PHASE,), psf_max_iter=(5,),
+        deconv=DeconvolutionConfig(mu=0.002, epsilon=1.0, max_iter=5),
+    )
+    # Dense path with explicit ones weights (the sharded path has no
+    # quadratic fast path, so match the generic-weighted trajectory).
+    dense = blind_deconvolve(data, model, weights=jnp.ones_like(data), config=cfg)
+    data_sh = jax.device_put(data, volume_sharding(mesh8, batched=False))
+    shard = sharded_blind_deconvolve(
+        data_sh, model, mesh8, weights=jnp.ones_like(data), config=cfg
+    )
+    np.testing.assert_allclose(
+        np.asarray(shard.deconv_f), np.asarray(dense.deconv_f), rtol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(shard.params.phase), np.asarray(dense.params.phase), atol=1e-7
+    )
+    np.testing.assert_allclose(np.asarray(shard.obj), np.asarray(dense.obj), atol=1e-6)
