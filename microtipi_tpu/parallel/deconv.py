@@ -21,6 +21,8 @@ system), matching the reference's single-pupil model.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh
@@ -28,10 +30,39 @@ from jax.sharding import Mesh
 from microtipi_tpu.jobs.deconv import DeconvolutionConfig, DeconvolutionResult
 from microtipi_tpu.ops.regularization import hyperbolic_tv
 from microtipi_tpu.optim.vmlmb import minimize_vmlmb
-from microtipi_tpu.parallel.fft import sharded_convolve, sharded_spectrum
+from microtipi_tpu.parallel.fft import (
+    sharded_convolve,
+    sharded_irfftn,
+    sharded_rfftn,
+    sharded_spectrum,
+)
 from microtipi_tpu.parallel.mesh import volume_sharding
 
 __all__ = ["make_sharded_objective", "sharded_deconvolve"]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _sharded_quadratic_cost(x, kernel_sq, b, c, vol_shape, mesh):
+    """Distributed analogue of ops.convolution._quadratic_cost: cost and
+    gradient of the uniform-weight data term from ONE distributed FFT pair.
+    Only ``x`` carries a gradient (kernel/b/c are per-round constants)."""
+    y = sharded_rfftn(x, mesh)
+    ax = sharded_irfftn(y * kernel_sq, vol_shape, mesh)
+    return (0.5 * jnp.vdot(x, ax) - jnp.vdot(x, b) + c).real.astype(x.dtype)
+
+
+def _sq_fwd(x, kernel_sq, b, c, vol_shape, mesh):
+    y = sharded_rfftn(x, mesh)
+    ax = sharded_irfftn(y * kernel_sq, vol_shape, mesh)
+    f = (0.5 * jnp.vdot(x, ax) - jnp.vdot(x, b) + c).real.astype(x.dtype)
+    return f, ax - b
+
+
+def _sq_bwd(vol_shape, mesh, res, g):
+    return (g * res, None, None, None)
+
+
+_sharded_quadratic_cost.defvjp(_sq_fwd, _sq_bwd)
 
 
 def make_sharded_objective(
@@ -45,7 +76,9 @@ def make_sharded_objective(
 
     ``data`` is (Nz, Ny, Nx) or batched (B, Nz, Ny, Nx), z-sharded; ``psf``
     is one unbatched volume at the data shape (padded-variable mode is a
-    single-device feature; keep var_shape == data shape here).
+    single-device feature; keep var_shape == data shape here). Uniform
+    weights take the circulant-quadratic fast path (one distributed FFT pair
+    per evaluation for cost AND gradient), like the single-device step.
     """
     vol_shape = data.shape[-3:]
     if psf.shape != vol_shape:
@@ -54,10 +87,22 @@ def make_sharded_objective(
     batched = data.ndim == 4
     tv_axes = (-3, -2, -1)
 
+    if weights is None:
+        kernel_sq = jnp.real(k_hat) ** 2 + jnp.imag(k_hat) ** 2
+        b = sharded_irfftn(jnp.conj(k_hat) * sharded_rfftn(data, mesh), vol_shape, mesh)
+        c = 0.5 * jnp.sum(data * data)
+
+        def data_term(x):
+            return _sharded_quadratic_cost(x, kernel_sq, b, c, vol_shape, mesh)
+
+    else:
+
+        def data_term(x):
+            r = sharded_convolve(x, k_hat, vol_shape, mesh) - data
+            return 0.5 * jnp.sum(weights * r * r)
+
     def objective(x):
-        r = sharded_convolve(x, k_hat, vol_shape, mesh) - data
-        wr2 = r * r if weights is None else weights * r * r
-        f = 0.5 * jnp.sum(wr2)
+        f = data_term(x)
         if config.mu > 0:
             f = f + config.mu * hyperbolic_tv(
                 x, config.epsilon, config.scales, axes=tv_axes if batched else None
