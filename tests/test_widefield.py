@@ -146,3 +146,70 @@ def test_phase_jacobian_matches_analytic_adjoint():
         [(j_img * z_np[offset + k] * np.asarray(mask)).sum() for k in range(cfg.n_phase)]
     )
     np.testing.assert_allclose(np.asarray(g_auto), g_analytic, rtol=1e-8, atol=1e-20)
+
+
+def test_modulus_jacobian_exact_projection_vs_reference_diagonal():
+    """The modulus gradient through rho = Z beta/||beta||.
+
+    Exact chain rule: d rho/d beta_k = (Z_k - rho * beta_k/||beta||) / ||beta||.
+    The reference's hand-written adjoint keeps only the diagonal term
+    Z_k (1 - (beta_k/||beta||)^2) / ||beta|| (WideFieldModel.java:487-491) —
+    an approximation. jax.grad must equal the exact form everywhere, and the
+    two coincide at the canonical init beta = [1, 0, ..., 0]."""
+    cfg = make_cfg(n_phase=0, n_modulus=3)
+    rng = np.random.default_rng(2)
+    q = jnp.asarray(rng.standard_normal(cfg.shape))
+    f = _loss(cfg, q)
+
+    def analytic_exact(params):
+        rho, phi, psi, mask = cfg.compute_pupil(params)
+        zern, _, zw = cfg._static()
+        nz, ny, nx = cfg.shape
+        norm = 1.0 / (nx * ny * nz)
+        defoc = 2 * np.pi * cfg.dz * np.asarray(zw)
+        a = np.asarray(cfg.compute_pupil_field(params))
+        j_img = np.zeros((ny, nx))
+        for iz in range(nz):
+            a_hat = np.fft.fft2(a[iz])
+            aq = np.fft.fft2(np.conj(a_hat) * np.asarray(q)[iz])
+            ph = np.asarray(phi) + defoc[iz] * np.asarray(psi)
+            # dL/drho(pix) = 2*norm*(Re(aq) cos(ph) - Im(aq) sin(ph))
+            j_img += 2 * norm * (aq.real * np.cos(ph) - aq.imag * np.sin(ph))
+        beta = np.asarray(params.modulus)
+        nb = np.linalg.norm(beta)
+        z_np = np.asarray(zern) * np.asarray(mask)
+        g = np.zeros(beta.shape)
+        rho_np = np.asarray(rho)
+        for k in range(beta.shape[0]):
+            drho = (z_np[k] - rho_np * (beta[k] / nb)) / nb
+            g[k] = (j_img * drho).sum()
+        return g
+
+    # Generic beta: jax.grad == exact projection.
+    p = cfg.init_params()._replace(modulus=jnp.asarray([1.0, 0.4, -0.3]))
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(f)(p).modulus), analytic_exact(p), rtol=1e-8
+    )
+
+    # Canonical init beta = [1, 0, 0]: exact == the reference's diagonal form.
+    p0 = cfg.init_params()
+    g_auto = np.asarray(jax.grad(f)(p0).modulus)
+    rho, phi, psi, mask = cfg.compute_pupil(p0)
+    zern, _, zw = cfg._static()
+    nz, ny, nx = cfg.shape
+    norm = 1.0 / (nx * ny * nz)
+    a = np.asarray(cfg.compute_pupil_field(p0))
+    j_img = np.zeros((ny, nx))
+    for iz in range(nz):
+        a_hat = np.fft.fft2(a[iz])
+        aq = np.fft.fft2(np.conj(a_hat) * np.asarray(q)[iz])
+        ph = np.asarray(phi) + 2 * np.pi * cfg.dz * np.asarray(zw)[iz] * np.asarray(psi)
+        j_img += aq.real * np.cos(ph) - aq.imag * np.sin(ph)
+    beta = np.asarray(p0.modulus)
+    nb = np.linalg.norm(beta)
+    z_np = np.asarray(zern) * np.asarray(mask)
+    g_ref_diag = np.array(
+        [2 * norm * (j_img * z_np[k]).sum() * (1 - (beta[k] / nb) ** 2) / nb
+         for k in range(3)]
+    )
+    np.testing.assert_allclose(g_auto, g_ref_diag, rtol=1e-8, atol=1e-20)
