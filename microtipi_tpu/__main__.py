@@ -155,6 +155,7 @@ def cmd_blind(args):
         psf_max_iter=tuple(args.psf_iters for _ in families),
         deconv=_deconv_config(args, data.shape),
         fit=PsfFitConfig(),
+        phase_schedule=tuple(args.phase_schedule) if args.phase_schedule else None,
     )
     w = _weights(args, data)
     run = jax.jit(lambda d, w: blind_deconvolve(d, model, weights=w, config=cfg))
@@ -204,6 +205,8 @@ def main(argv=None):
     p.add_argument("--psf-out", default=None)
     p.add_argument("--loops", type=int, default=5)
     p.add_argument("--psf-iters", type=int, default=20)
+    p.add_argument("--phase-schedule", type=int, nargs="*", default=None,
+                   help="active phase modes per round (graduated optimization)")
     p.add_argument("--families", nargs="+", default=["defocus", "phase"],
                    choices=["defocus", "phase", "modulus"])
     _model_args(p)

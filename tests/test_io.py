@@ -88,3 +88,15 @@ def test_prefetcher_is_reusable(tmp_path):
     assert [p for p, _ in first] == [p for p, _ in second]
     for (_, a), (_, b) in zip(first, second):
         np.testing.assert_array_equal(a, b)
+
+
+def test_hdf5_roundtrip(tmp_path):
+    pytest.importorskip("h5py")
+    from microtipi_tpu.io.hdf5stack import list_datasets, read_h5, write_h5
+
+    v = _vol((6, 12, 14), 7)
+    p = tmp_path / "v.h5"
+    write_h5(p, v, dataset="stack")
+    assert list_datasets(p) == ["stack"]
+    np.testing.assert_array_equal(read_h5(p), v)
+    np.testing.assert_array_equal(read_h5(p, "stack", z0=2, nz=3), v[2:5])
