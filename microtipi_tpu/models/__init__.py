@@ -1,0 +1,19 @@
+"""PSF model families."""
+from microtipi_tpu.models.gibson_lanni import GibsonLanniConfig, GibsonLanniParams
+from microtipi_tpu.models.microscope import (
+    DEFOCUS,
+    DEPTH,
+    FAMILY_NAMES,
+    MODULUS,
+    PARAMETER_FLAGS,
+    PHASE,
+    PsfModel,
+)
+from microtipi_tpu.models.widefield import WideFieldConfig, WideFieldParams
+
+__all__ = [
+    "WideFieldConfig", "WideFieldParams",
+    "GibsonLanniConfig", "GibsonLanniParams",
+    "PsfModel", "DEFOCUS", "PHASE", "MODULUS", "DEPTH",
+    "PARAMETER_FLAGS", "FAMILY_NAMES",
+]

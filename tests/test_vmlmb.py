@@ -140,3 +140,46 @@ def test_vmlmb_history_monotone_best():
     valid = hist[~np.isnan(hist)]
     # L-BFGS with Wolfe line search strictly decreases f.
     assert np.all(np.diff(valid) <= 1e-12)
+
+
+def test_vmlmb_matches_scipy_lbfgsb():
+    """Cross-validate against an independent implementation: on smooth
+    problems both solvers must reach the same minimum (values, not paths)."""
+    import numpy as onp
+    from scipy.optimize import minimize as sp_minimize
+
+    fun, x_star = _quadratic(n=15, seed=7, kappa=30.0)
+
+    def sp_fun(z):
+        f, g = fun(jnp.asarray(z))
+        return float(f), onp.asarray(g)
+
+    sp = sp_minimize(sp_fun, onp.zeros(15), jac=True, method="L-BFGS-B",
+                     options={"maxiter": 200, "gtol": 1e-10})
+    ours = minimize_vmlmb(fun, jnp.zeros(15), maxiter=200, maxeval=500,
+                          grtol=0.0, gatol=1e-8)
+    np.testing.assert_allclose(np.asarray(ours.x), sp.x, atol=5e-5)
+    assert abs(float(ours.f) - sp.fun) < 1e-8
+
+
+def test_vmlmb_bounded_matches_scipy_lbfgsb():
+    import numpy as onp
+    from scipy.optimize import minimize as sp_minimize
+
+    rng = np.random.default_rng(9)
+    a = jnp.asarray(rng.standard_normal((12, 12)))
+    a = a @ a.T + 12 * jnp.eye(12)
+    b = jnp.asarray(rng.standard_normal(12)) * 5
+
+    def fun(x):
+        return jax.value_and_grad(lambda z: 0.5 * z @ a @ z - b @ z)(x)
+
+    def sp_fun(z):
+        f, g = fun(jnp.asarray(z))
+        return float(f), onp.asarray(g)
+
+    sp = sp_minimize(sp_fun, onp.zeros(12), jac=True, method="L-BFGS-B",
+                     bounds=[(0.0, None)] * 12, options={"maxiter": 300, "gtol": 1e-12})
+    ours = minimize_vmlmb(fun, jnp.zeros(12), lower=0.0, maxiter=300, maxeval=900,
+                          grtol=0.0, gatol=1e-10)
+    np.testing.assert_allclose(np.asarray(ours.x), sp.x, atol=1e-6)
