@@ -213,3 +213,52 @@ def test_modulus_jacobian_exact_projection_vs_reference_diagonal():
          for k in range(3)]
     )
     np.testing.assert_allclose(g_auto, g_ref_diag, rtol=1e-8, atol=1e-20)
+
+
+def test_defocus_jacobian_matches_analytic_adjoint():
+    """Analytic oracle for the defocus family (WideFieldModel.java:1029-1369):
+    per plane, tmpvar = -2*PSFNorm*rho*(Re(aq) sin(ph) + Im(aq) cos(ph)) and
+
+        dL/d(ni/l) += tmpvar * defoc_scale_z * (ni/l)/psi
+        dL/d(dx)   += tmpvar * defoc_scale_z * (kx-dx)/psi   (same for dy;
+        the reference's -= at :1109-1116 pairs with its own rx convention)
+
+    on the non-evanescent support (the mask is constant w.r.t. the
+    parameters — stop_gradient semantics)."""
+    cfg = make_cfg(n_phase=4, n_modulus=1)
+    p = cfg.init_params()._replace(
+        phase=jnp.array([0.1, -0.05, 0.2, 0.02]),
+        defocus=jnp.array([cfg.ni / cfg.wavelength, 2e4, -1e4]),
+    )
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.standard_normal(cfg.shape))
+    g_auto = np.asarray(jax.grad(_loss(cfg, q))(p).defocus)
+
+    from microtipi_tpu.utils.grids import fft_index
+
+    nz, ny, nx = cfg.shape
+    rho, phi, psi, mask = (np.asarray(v) for v in cfg.compute_pupil(p))
+    _, _, zw = cfg._static()
+    norm = 1.0 / (nx * ny * nz)
+    a = np.asarray(cfg.compute_pupil_field(p))
+    lambda_ni, dx, dy = (float(v) for v in p.defocus)
+    kx = fft_index(nx) / (nx * cfg.dxy)
+    ky = fft_index(ny) / (ny * cfg.dxy)
+    rx = kx[None, :] - dx
+    ry = ky[:, None] - dy
+    on = mask > 0
+    safe_psi = np.where(on, psi, 1.0)
+
+    g = np.zeros(3)
+    for iz in range(nz):
+        a_hat = np.fft.fft2(a[iz])
+        aq = np.fft.fft2(np.conj(a_hat) * np.asarray(q)[iz])
+        defoc = 2 * np.pi * cfg.dz * float(np.asarray(zw)[iz])
+        ph = phi + defoc * psi
+        tmp = -2 * norm * rho * (aq.real * np.sin(ph) + aq.imag * np.cos(ph))
+        tmp = np.where(on, tmp, 0.0)
+        g[0] += (tmp * defoc * lambda_ni / safe_psi).sum()
+        g[1] += (tmp * defoc * rx / safe_psi).sum()
+        g[2] += (tmp * defoc * ry / safe_psi).sum()
+
+    np.testing.assert_allclose(g_auto, g, rtol=1e-8)
