@@ -1,0 +1,95 @@
+"""Property-style randomized tests over shapes/configs (fixed seeds).
+
+Catches convention bugs that only appear off the happy path: odd sizes,
+minimum mode counts, radial/full bases, f32/f64, tiny volumes.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from microtipi_tpu.jobs.deconv import DeconvolutionConfig, deconvolve
+from microtipi_tpu.models.widefield import WideFieldConfig
+from microtipi_tpu.ops.convolution import WeightedConvolutionCost, convolve, convolve_spectrum
+from microtipi_tpu.ops.regularization import hyperbolic_tv_and_gradient
+
+KW = dict(na=1.25, wavelength=520e-9, ni=1.4, dxy=110e-9, dz=240e-9)
+
+CASES = [
+    # (shape, n_phase, n_modulus, radial, dtype)
+    ((4, 16, 16), 0, 1, False, jnp.float64),
+    ((5, 16, 16), 1, 1, True, jnp.float64),
+    ((7, 24, 24), 3, 2, False, jnp.float32),
+    ((6, 18, 18), 2, 4, True, jnp.float32),
+    ((3, 32, 32), 8, 1, False, jnp.float64),
+]
+
+
+@pytest.mark.parametrize("shape,n_phase,n_modulus,radial,dtype", CASES)
+def test_psf_model_fuzz(shape, n_phase, n_modulus, radial, dtype):
+    cfg = WideFieldConfig(shape=shape, n_phase=n_phase, n_modulus=n_modulus,
+                          radial=radial, dtype=dtype, **KW)
+    rng = np.random.default_rng(hash(shape) % 2**31)
+    p = cfg.init_params()
+    if n_phase:
+        p = p._replace(phase=jnp.asarray(0.3 * rng.standard_normal(n_phase), dtype))
+    if n_modulus > 1:
+        beta = np.zeros(n_modulus)
+        beta[0] = 1.0
+        beta[1:] = 0.2 * rng.standard_normal(n_modulus - 1)
+        p = p._replace(modulus=jnp.asarray(beta, dtype))
+
+    psf = cfg.compute_psf(p)
+    assert psf.shape == shape and psf.dtype == dtype
+    arr = np.asarray(psf)
+    assert np.isfinite(arr).all() and arr.min() >= 0
+    # Parseval energy identity holds for every configuration.
+    rho = cfg.compute_pupil(p)[0]
+    np.testing.assert_allclose(arr.sum(), float((rho**2).sum()),
+                               rtol=1e-4 if dtype == jnp.float32 else 1e-10)
+    # Gradients exist and are finite for every family with coefficients.
+    g = jax.grad(lambda q: jnp.sum(cfg.compute_psf(q) ** 2))(p)
+    for leaf in jax.tree.leaves(g):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
+@pytest.mark.parametrize("shape", [(3, 5, 7), (4, 6, 6), (2, 9, 4), (8, 8, 8)])
+def test_convolution_adjoint_fuzz(shape):
+    rng = np.random.default_rng(sum(shape))
+    k = jnp.asarray(rng.standard_normal(shape))
+    v = jnp.asarray(rng.standard_normal(shape))
+    q = jnp.asarray(rng.standard_normal(shape))
+    cost = WeightedConvolutionCost(convolve_spectrum(k), jnp.zeros(shape), None, shape)
+    hv = cost.model(v)
+    _, vjp = jax.vjp(cost.model, jnp.zeros_like(v))
+    htq = vjp(q)[0]
+    np.testing.assert_allclose(float(jnp.vdot(hv, q)), float(jnp.vdot(v, htq)), rtol=1e-10)
+
+
+@pytest.mark.parametrize("shape", [(5,), (4, 6), (3, 5, 7), (2, 3, 4, 5)])
+def test_tv_gradient_fuzz_any_rank(shape):
+    rng = np.random.default_rng(len(shape))
+    x = jnp.asarray(rng.standard_normal(shape))
+    f, g = hyperbolic_tv_and_gradient(x, 0.1)
+    v = jnp.asarray(rng.standard_normal(shape))
+    eps = 1e-6
+    from microtipi_tpu.ops.regularization import hyperbolic_tv
+
+    fd = (hyperbolic_tv(x + eps * v, 0.1) - hyperbolic_tv(x - eps * v, 0.1)) / (2 * eps)
+    np.testing.assert_allclose(float(jnp.vdot(g, v)), float(fd), rtol=1e-5)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_deconvolve_random_kernels_stay_finite(seed):
+    """Sign-indefinite random kernels (worst case for the quadratic form):
+    the solver must stay finite and decrease the cost."""
+    shape = (4, 12, 12)
+    rng = np.random.default_rng(seed)
+    k = jnp.asarray(rng.standard_normal(shape))
+    d = jnp.asarray(rng.standard_normal(shape))
+    res = deconvolve(d, k, config=DeconvolutionConfig(mu=0.01, epsilon=1.0, max_iter=10, grtol=0.0))
+    hist = np.asarray(res.f_history)
+    valid = hist[~np.isnan(hist)]
+    assert np.isfinite(valid).all()
+    assert valid[-1] <= valid[0] + 1e-9
