@@ -67,6 +67,10 @@ class BlindDeconvConfig:
     #: None = all modes every round (reference behavior). With a schedule the
     #: rounds are unrolled (static per-round shapes) instead of a fori_loop.
     phase_schedule: tuple[int, ...] | None = None
+    #: Fit all configured families *jointly* in one VMLMB run per round
+    #: (budget = max(psf_max_iter)) instead of the reference's sequential
+    #: per-family coordinate descent. Helps coupled families (defocus/Z4).
+    joint_fit: bool = False
 
     def __post_init__(self):
         if len(self.families) != len(self.psf_max_iter):
@@ -134,6 +138,14 @@ def blind_deconvolve(
 
         def run_fits(params):
             ff = jnp.zeros((nfam,), dres.f.dtype)
+            if config.joint_fit:
+                from microtipi_tpu.jobs.psf_fit import fit_psf_joint
+
+                fres = fit_psf_joint(
+                    model, params, config.families, data, obj_at_data, weights=w_fit,
+                    config=dataclasses.replace(fit_cfg, max_iter=max(config.psf_max_iter)),
+                )
+                return fres.params, ff.at[0].set(fres.f)
             for j, flag in enumerate(config.families):
                 if config.psf_max_iter[j] <= 0:  # BlindDeconvJob.java:126
                     continue

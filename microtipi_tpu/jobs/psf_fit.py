@@ -121,3 +121,56 @@ def fit_psf(
         res.status,
         res.f_history,
     )
+
+
+def fit_psf_joint(
+    model,
+    params,
+    flags: tuple[int, ...],
+    data: jax.Array,
+    obj: jax.Array,
+    weights: jax.Array | None = None,
+    config: PsfFitConfig = PsfFitConfig(),
+) -> PsfFitResult:
+    """Fit several parameter families *simultaneously* in one VMLMB run.
+
+    Beyond-parity: the reference alternates per-family fits because its
+    optimizer is bound to one typed vector space at a time
+    (``PSF_Estimation.java:117,144``); coupled families (defocus <-> phase
+    Z4) zig-zag under that coordinate descent. Here the variable is simply
+    the sub-pytree of the selected families.
+
+    Per-family scale note: defocus lives in 1/m (~1e6) while Zernike
+    coefficients are O(1); each family is optimized in units of its
+    initial-value scale so the shared L-BFGS metric is sane.
+    """
+    names = tuple(FAMILY_NAMES[f] for f in flags)
+    if weights is not None and weights.shape != data.shape:
+        weights = pad_to_shape(weights, data.shape)
+    if weights is None:
+        from microtipi_tpu.ops.convolution import QuadraticConvCost
+
+        cost = QuadraticConvCost.build(obj, data)
+    else:
+        cost = WeightedConvolutionCost.build(obj, data, weights)
+
+    import jax.numpy as jnp
+
+    scales = {
+        n: jnp.maximum(jnp.max(jnp.abs(getattr(params, n))), 1.0) for n in names
+    }
+    x0 = {n: getattr(params, n) / scales[n] for n in names}
+
+    def objective(v):
+        p = params._replace(**{n: v[n] * scales[n] for n in names})
+        return cost.cost(model.compute_psf(p))
+
+    res = minimize_vmlmb(
+        jax.value_and_grad(objective), x0,
+        mem=config.mem, maxiter=config.max_iter, maxeval=config.max_eval,
+        gatol=config.gatol, grtol=config.grtol,
+    )
+    return PsfFitResult(
+        params._replace(**{n: res.x[n] * scales[n] for n in names}),
+        res.f, res.iterations, res.evaluations, res.status, res.f_history,
+    )

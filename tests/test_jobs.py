@@ -211,3 +211,39 @@ def test_blind_phase_schedule_runs():
     res = blind_deconvolve(data, model, config=cfg)
     assert np.isfinite(np.asarray(res.deconv_f)).all()
     assert np.isnan(np.asarray(res.fit_f)[-1]).all()
+
+
+def test_fit_psf_joint_recovers_coupled_families():
+    """Joint defocus+phase fit: both families recovered in one VMLMB run."""
+    from microtipi_tpu.jobs.psf_fit import fit_psf_joint
+
+    model = make_model(n_phase=3)
+    true_params = model.init_params()
+    true_params = true_params._replace(
+        defocus=true_params.defocus + jnp.asarray([0.05e6, 0.0, 0.0]),
+        phase=jnp.asarray([0.3, -0.2, 0.1]),
+    )
+    obj, psf, data = make_scene(model, true_params, noise=0.0)
+    start = model.init_params()
+    res = fit_psf_joint(model, start, (DEFOCUS, PHASE), data, obj,
+                        config=PsfFitConfig(max_iter=120, grtol=1e-12))
+    np.testing.assert_allclose(
+        float(res.params.defocus[0]), float(true_params.defocus[0]), rtol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.params.phase), np.asarray(true_params.phase), atol=0.06
+    )
+
+
+def test_blind_joint_fit_runs():
+    model = make_model(n_phase=3, radial=True)
+    true_params = model.init_params()._replace(phase=jnp.asarray([0.4, -0.2, 0.1]))
+    obj, psf, data = make_scene(model, true_params, noise=0.01)
+    cfg = BlindDeconvConfig(
+        loops=2, families=(DEFOCUS, PHASE), psf_max_iter=(5, 5),
+        deconv=DeconvolutionConfig(mu=0.002, epsilon=1.0, max_iter=5),
+        joint_fit=True,
+    )
+    res = blind_deconvolve(data, model, config=cfg)
+    assert np.isfinite(np.asarray(res.deconv_f)).all()
+    assert np.asarray(res.deconv_f)[1] <= np.asarray(res.deconv_f)[0] + 1e-9
