@@ -156,6 +156,8 @@ def cmd_blind(args):
         deconv=_deconv_config(args, data.shape),
         fit=PsfFitConfig(),
         phase_schedule=tuple(args.phase_schedule) if args.phase_schedule else None,
+        joint_fit=args.joint_fit,
+        init="wiener" if args.wiener_init else "data",
     )
     w = _weights(args, data)
     run = jax.jit(lambda d, w: blind_deconvolve(d, model, weights=w, config=cfg))
@@ -207,6 +209,10 @@ def main(argv=None):
     p.add_argument("--psf-iters", type=int, default=20)
     p.add_argument("--phase-schedule", type=int, nargs="*", default=None,
                    help="active phase modes per round (graduated optimization)")
+    p.add_argument("--joint-fit", action="store_true",
+                   help="fit all families jointly per round (one VMLMB run)")
+    p.add_argument("--wiener-init", action="store_true",
+                   help="round-1 object warm start from the regularized inverse")
     p.add_argument("--families", nargs="+", default=["defocus", "phase"],
                    choices=["defocus", "phase", "modulus"])
     _model_args(p)

@@ -71,6 +71,10 @@ class BlindDeconvConfig:
     #: (budget = max(psf_max_iter)) instead of the reference's sequential
     #: per-family coordinate descent. Helps coupled families (defocus/Z4).
     joint_fit: bool = False
+    #: Round-1 object warm start: "data" (reference behavior) or "wiener"
+    #: (clamped regularized inverse; ~2x fewer object iterations to a given
+    #: cost — see docs/TUNING.md). Later rounds warm-start from the previous.
+    init: str = "data"
 
     def __post_init__(self):
         if len(self.families) != len(self.psf_max_iter):
@@ -107,7 +111,13 @@ def blind_deconvolve(
         tuple(config.deconv.var_shape) if config.deconv.var_shape is not None else data.shape
     )
     if x0 is None:
-        x0 = jnp.maximum(pad_to_shape(data, var_shape), 0.0)
+        if config.init == "wiener":
+            from microtipi_tpu.jobs.wiener import wiener
+
+            x0 = pad_to_shape(wiener(data, model.compute_psf(params0)), var_shape)
+        else:
+            x0 = pad_to_shape(data, var_shape)
+        x0 = jnp.maximum(x0, 0.0)
 
     nfam = len(config.families)
     fit_cfg = dataclasses.replace(config.fit, grtol=0.0)  # BlindDeconvJob.java:124
