@@ -2,14 +2,14 @@
 from microtipi_tpu.jobs.batch import batched_blind_deconvolve, batched_deconvolve
 from microtipi_tpu.jobs.blind import BlindDeconvConfig, BlindDeconvResult, blind_deconvolve
 from microtipi_tpu.jobs.deconv import DeconvolutionConfig, DeconvolutionResult, deconvolve
-from microtipi_tpu.jobs.psf_fit import PsfFitConfig, PsfFitResult, fit_psf
+from microtipi_tpu.jobs.psf_fit import PsfFitConfig, PsfFitResult, fit_psf, fit_psf_joint
 from microtipi_tpu.jobs.richardson_lucy import richardson_lucy
 from microtipi_tpu.jobs.wiener import wiener
 
 __all__ = [
     "BlindDeconvConfig", "BlindDeconvResult", "blind_deconvolve",
     "DeconvolutionConfig", "DeconvolutionResult", "deconvolve",
-    "PsfFitConfig", "PsfFitResult", "fit_psf",
+    "PsfFitConfig", "PsfFitResult", "fit_psf", "fit_psf_joint",
     "batched_deconvolve", "batched_blind_deconvolve",
     "richardson_lucy", "wiener",
 ]
