@@ -116,7 +116,7 @@ def cmd_deconv(args):
     if args.method == "rl":
         from microtipi_tpu.jobs.richardson_lucy import richardson_lucy
 
-        run = jax.jit(lambda d, p: richardson_lucy(d, p, iterations=args.iters, mu=args.mu))
+        run = jax.jit(lambda d, p: richardson_lucy(d, p, iterations=args.iters, mu=args.mu, epsilon=args.epsilon))
         t0 = time.time()
         x = run(data, psf)
         x.block_until_ready()

@@ -54,6 +54,10 @@ def read_h5(path: str | os.PathLike, dataset: str | None = None,
         if d.ndim != 3:
             raise ValueError(f"dataset {dataset!r} is {d.ndim}D, expected 3D")
         stop = d.shape[0] if nz is None else z0 + nz
+        if z0 < 0 or stop > d.shape[0]:
+            raise ValueError(
+                f"z-range [{z0}, {stop}) out of bounds for depth {d.shape[0]}"
+            )
         return np.asarray(d[z0:stop], dtype=np.float32)
 
 

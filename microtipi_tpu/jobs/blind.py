@@ -81,6 +81,10 @@ class BlindDeconvConfig:
             raise ValueError("families and psf_max_iter must have the same length")
         if self.phase_schedule is not None and len(self.phase_schedule) != self.loops:
             raise ValueError("phase_schedule must have one entry per loop")
+        if self.joint_fit and self.phase_schedule is not None:
+            raise ValueError("phase_schedule is not supported with joint_fit")
+        if self.init not in ("data", "wiener"):
+            raise ValueError(f"unknown init {self.init!r}")
 
 
 class BlindDeconvResult(NamedTuple):
@@ -151,11 +155,21 @@ def blind_deconvolve(
             if config.joint_fit:
                 from microtipi_tpu.jobs.psf_fit import fit_psf_joint
 
+                # Honor the zero-budget skip semantics (BlindDeconvJob.java:126)
+                # by excluding those families from the joint variable.
+                jfams = tuple(
+                    f for f, it in zip(config.families, config.psf_max_iter) if it > 0
+                )
                 fres = fit_psf_joint(
-                    model, params, config.families, data, obj_at_data, weights=w_fit,
+                    model, params, jfams, data, obj_at_data, weights=w_fit,
                     config=dataclasses.replace(fit_cfg, max_iter=max(config.psf_max_iter)),
                 )
-                return fres.params, ff.at[0].set(fres.f)
+                # One shared cost: report it in every participating slot
+                # (NaN-vs-0 ambiguity in fit_f would read as "converged to 0").
+                ff = jnp.where(
+                    jnp.asarray([it > 0 for it in config.psf_max_iter]), fres.f, jnp.nan
+                ).astype(ff.dtype)
+                return fres.params, ff
             for j, flag in enumerate(config.families):
                 if config.psf_max_iter[j] <= 0:  # BlindDeconvJob.java:126
                     continue

@@ -34,7 +34,7 @@ from microtipi_tpu.ops.convolution import WeightedConvolutionCost
 from microtipi_tpu.optim.vmlmb import minimize_vmlmb
 from microtipi_tpu.utils.arrays import pad_to_shape
 
-__all__ = ["PsfFitConfig", "PsfFitResult", "fit_psf"]
+__all__ = ["PsfFitConfig", "PsfFitResult", "fit_psf", "fit_psf_joint"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -145,6 +145,9 @@ def fit_psf_joint(
     initial-value scale so the shared L-BFGS metric is sane.
     """
     names = tuple(FAMILY_NAMES[f] for f in flags)
+    for n in names:
+        if getattr(params, n).shape[0] == 0:
+            raise ValueError(f"family {n!r} has no coefficients to fit")
     if weights is not None and weights.shape != data.shape:
         weights = pad_to_shape(weights, data.shape)
     if weights is None:

@@ -38,6 +38,12 @@ def sharded_blind_deconvolve(
     ``data``: (Nz, Ny, Nx) or batched (B, Nz, Ny, Nx), z-sharded over the
     mesh. No padded-variable mode (var grid == data grid).
     """
+    if config.joint_fit or config.phase_schedule is not None or config.init != "data":
+        raise NotImplementedError(
+            "joint_fit/phase_schedule/init are dense-loop features "
+            "(jobs.blind.blind_deconvolve); the sharded loop does not support "
+            "them yet — results would silently differ otherwise"
+        )
     if params0 is None:
         params0 = model.init_params()
     sharding = volume_sharding(mesh, batched=data.ndim == 4)

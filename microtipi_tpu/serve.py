@@ -7,10 +7,13 @@ output directory, and keep going. Host IO (native parallel TIFF decode via
 the prefetcher) overlaps device compute; the solver is compiled once per
 volume geometry and reused across files.
 
-Failure semantics: a file that errors is logged and skipped (service keeps
-running); partially-written inputs are retried next scan (files are claimed
-only once their size is stable across scans). Outputs are written atomically
-(tmp + rename) so downstream watchers never see partial volumes.
+Failure semantics: files are claimed only once their size is stable across
+scans; a file that errors is retried (it may have been a partial write whose
+size happened to look stable) and only given up on after ``max_retries``
+attempts *at the same size* — a file that grows after a failure is treated as
+new. Outputs are written atomically (tmp + rename) so downstream watchers
+never see partial volumes. A vanishing input between scan and claim is
+skipped, never fatal.
 """
 
 from __future__ import annotations
@@ -25,12 +28,17 @@ __all__ = ["watch"]
 
 
 def _stable_files(indir: Path, seen: dict, exts=(".tif", ".tiff")) -> list[Path]:
-    """Files whose size is unchanged since the previous scan and not yet done."""
+    """Files whose size is unchanged since the previous scan."""
     ready = []
     for p in sorted(indir.iterdir()):
-        if p.suffix.lower() not in exts or not p.is_file():
+        if p.suffix.lower() not in exts:
             continue
-        size = p.stat().st_size
+        try:
+            if not p.is_file():
+                continue
+            size = p.stat().st_size
+        except OSError:
+            continue  # vanished or unreadable between iterdir and stat
         prev = seen.get(p.name)
         seen[p.name] = size
         if prev == size and size > 0:
@@ -47,6 +55,7 @@ def watch(
     rl_iterations: int = 50,
     poll_seconds: float = 2.0,
     max_files: int | None = None,
+    max_retries: int = 3,
     log=print,
 ):
     """Run the service loop. ``max_files`` bounds the run (None = forever).
@@ -69,28 +78,44 @@ def watch(
     solvers: dict[tuple, object] = {}
 
     def solver_for(shape):
+        # Kernel embedding happens INSIDE the jit: eager dispatch is
+        # pathological on remote TPU runtimes (CLAUDE.md platform rules).
         if shape not in solvers:
-            kern = pad_fft_kernel(psf, shape) if psf.shape != shape else psf
             if method == "rl":
-                solvers[shape] = jax.jit(
-                    lambda d, k=kern: richardson_lucy(d, k, iterations=rl_iterations, mu=config.mu)
-                )
+
+                @jax.jit
+                def run(d, psf=psf):
+                    kern = pad_fft_kernel(psf, d.shape)
+                    return richardson_lucy(
+                        d, kern, iterations=rl_iterations, mu=config.mu, epsilon=config.epsilon
+                    )
+
             else:
-                solvers[shape] = jax.jit(
-                    lambda d, k=kern: deconvolve(d, k, config=config).x
-                )
+
+                @jax.jit
+                def run(d, psf=psf):
+                    kern = pad_fft_kernel(psf, d.shape)
+                    return deconvolve(d, kern, config=config).x
+
+            solvers[shape] = run
         return solvers[shape]
 
     seen: dict[str, int] = {}
-    done: set[str] = set()
+    done: set[tuple[str, int]] = set()  # (name, size): re-process if it grows
+    attempts: dict[tuple[str, int], int] = {}
     processed: list[Path] = []
 
     while max_files is None or len(processed) < max_files:
-        ready = [p for p in _stable_files(indir, seen) if p.name not in done]
+        ready = [
+            p for p in _stable_files(indir, seen)
+            if (p.name, seen[p.name]) not in done
+            and attempts.get((p.name, seen[p.name]), 0) < max_retries
+        ]
         if not ready:
             time.sleep(poll_seconds)
             continue
         for p in ready:
+            key = (p.name, seen[p.name])
             try:
                 t0 = time.time()
                 data = jnp.asarray(read_stack(p))
@@ -99,12 +124,15 @@ def watch(
                 tmp = out.with_suffix(out.suffix + ".tmp")
                 write_stack(tmp, x)
                 os.replace(tmp, out)
-                done.add(p.name)
+                done.add(key)
                 processed.append(out)
                 log(f"[watch] {p.name}: {data.shape} done in {time.time()-t0:.2f}s -> {out}")
-            except Exception as e:  # keep serving
-                done.add(p.name)
-                log(f"[watch] {p.name}: FAILED ({type(e).__name__}: {e})")
+            except Exception as e:  # keep serving; retry (bounded) next scan
+                attempts[key] = attempts.get(key, 0) + 1
+                log(
+                    f"[watch] {p.name}: FAILED attempt {attempts[key]}/{max_retries} "
+                    f"({type(e).__name__}: {e})"
+                )
             if max_files is not None and len(processed) >= max_files:
                 break
     return processed
