@@ -157,6 +157,7 @@ def cmd_blind(args):
         fit=PsfFitConfig(),
         phase_schedule=tuple(args.phase_schedule) if args.phase_schedule else None,
         joint_fit=args.joint_fit,
+        phase_freeze_head=1 if args.pin_z4 else 0,
         init="wiener" if args.wiener_init else "data",
     )
     w = _weights(args, data)
@@ -221,6 +222,8 @@ def main(argv=None):
     p.add_argument("--psf-iters", type=int, default=20)
     p.add_argument("--phase-schedule", type=int, nargs="*", default=None,
                    help="active phase modes per round (graduated optimization)")
+    p.add_argument("--pin-z4", action="store_true",
+                   help="freeze the first phase mode (Z4, gauge-degenerate with object z-shift)")
     p.add_argument("--joint-fit", action="store_true",
                    help="fit all families jointly per round (one VMLMB run)")
     p.add_argument("--wiener-init", action="store_true",

@@ -71,6 +71,10 @@ class BlindDeconvConfig:
     #: (budget = max(psf_max_iter)) instead of the reference's sequential
     #: per-family coordinate descent. Helps coupled families (defocus/Z4).
     joint_fit: bool = False
+    #: Freeze the first k phase coefficients during fits (0 = none). With the
+    #: full basis, k=1 pins Zernike Z4 — gauge-degenerate with an object
+    #: z-shift, the main blind drift mode (BASELINE.md quality notes).
+    phase_freeze_head: int = 0
     #: Round-1 object warm start: "data" (reference behavior) or "wiener"
     #: (clamped regularized inverse; ~2x fewer object iterations to a given
     #: cost — see docs/TUNING.md). Later rounds warm-start from the previous.
@@ -177,6 +181,7 @@ def blind_deconvolve(
                     model, params, flag, data, obj_at_data, weights=w_fit,
                     config=dataclasses.replace(fit_cfg, max_iter=config.psf_max_iter[j]),
                     active=phase_active if flag == PHASE else None,
+                    freeze_head=config.phase_freeze_head if flag == PHASE else 0,
                 )
                 params = fres.params
                 ff = ff.at[j].set(fres.f)

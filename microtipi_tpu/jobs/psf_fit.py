@@ -64,6 +64,7 @@ def fit_psf(
     weights: jax.Array | None = None,
     config: PsfFitConfig = PsfFitConfig(),
     active: int | None = None,
+    freeze_head: int = 0,
 ) -> PsfFitResult:
     """Fit the parameter family selected by ``flag`` (DEFOCUS/PHASE/MODULUS).
 
@@ -75,6 +76,10 @@ def fit_psf(
     ``active`` (static) fits only the family's first ``active`` coefficients,
     freezing the rest — the graduated/mode-scheduled optimization used to
     stabilize blind estimation (fit low-order aberrations first).
+    ``freeze_head`` (static) additionally freezes the first k coefficients —
+    e.g. ``freeze_head=1`` on the full-basis PHASE family pins Zernike Z4,
+    whose gauge degeneracy with an object z-shift lets blind alternation
+    drift (BASELINE.md quality notes).
     """
     family = FAMILY_NAMES[flag]
     full0 = getattr(params, family)
@@ -82,7 +87,9 @@ def fit_psf(
         raise ValueError(f"family {family!r} has no coefficients to fit")
     if active is None or active >= full0.shape[0]:
         active = full0.shape[0]
-    x0 = full0[:active]
+    if not 0 <= freeze_head < active:
+        raise ValueError(f"freeze_head={freeze_head} must be in [0, active={active})")
+    x0 = full0[freeze_head:active]
 
     if weights is not None and weights.shape != data.shape:
         weights = pad_to_shape(weights, data.shape)
@@ -99,7 +106,7 @@ def fit_psf(
         cost = WeightedConvolutionCost.build(obj, data, weights)
 
     def objective(v):
-        p = params._replace(**{family: full0.at[: v.shape[0]].set(v)})
+        p = params._replace(**{family: full0.at[freeze_head : freeze_head + v.shape[0]].set(v)})
         psf = model.compute_psf(p)
         return cost.cost(psf)
 
@@ -114,7 +121,7 @@ def fit_psf(
         grtol=config.grtol,
     )
     return PsfFitResult(
-        params._replace(**{family: full0.at[:active].set(res.x)}),
+        params._replace(**{family: full0.at[freeze_head:active].set(res.x)}),
         res.f,
         res.iterations,
         res.evaluations,

@@ -247,3 +247,15 @@ def test_blind_joint_fit_runs():
     res = blind_deconvolve(data, model, config=cfg)
     assert np.isfinite(np.asarray(res.deconv_f)).all()
     assert np.asarray(res.deconv_f)[1] <= np.asarray(res.deconv_f)[0] + 1e-9
+
+
+def test_fit_psf_freeze_head_pins_z4():
+    model = make_model(n_phase=3)
+    true_params = model.init_params()._replace(phase=jnp.asarray([0.0, -0.3, 0.2]))
+    obj, psf, data = make_scene(model, true_params, noise=0.0)
+    start = model.init_params()._replace(phase=jnp.asarray([0.77, 0.0, 0.0]))
+    res = fit_psf(model, start, PHASE, data, obj,
+                  config=PsfFitConfig(max_iter=60, grtol=1e-12), freeze_head=1)
+    got = np.asarray(res.params.phase)
+    assert got[0] == 0.77  # pinned
+    np.testing.assert_allclose(got[1:], [-0.3, 0.2], atol=0.08)
