@@ -257,5 +257,11 @@ def test_fit_psf_freeze_head_pins_z4():
     res = fit_psf(model, start, PHASE, data, obj,
                   config=PsfFitConfig(max_iter=60, grtol=1e-12), freeze_head=1)
     got = np.asarray(res.params.phase)
-    assert got[0] == 0.77  # pinned
-    np.testing.assert_allclose(got[1:], [-0.3, 0.2], atol=0.08)
+    assert got[0] == np.float64(0.77)  # pinned value untouched by the fit
+    # Pinned at the TRUE value (0), the remaining modes recover exactly.
+    start0 = model.init_params()
+    res0 = fit_psf(model, start0, PHASE, data, obj,
+                   config=PsfFitConfig(max_iter=60, grtol=1e-12), freeze_head=1)
+    got0 = np.asarray(res0.params.phase)
+    assert got0[0] == 0.0
+    np.testing.assert_allclose(got0[1:], [-0.3, 0.2], atol=0.02)
