@@ -129,6 +129,13 @@ class LineSearchResult(NamedTuple):
     aux: Any
     evals: jax.Array
     status: jax.Array  # 0 converged, 1 warning (best point), 2 eval budget
+    # Best *trial* seen across every evaluation, Wolfe-accepted or not — the
+    # reference tracks best-x at every cost evaluation inside its
+    # reverse-communication loop (PSF_Estimation.java:208-216), so a
+    # maxeval-truncated fit can still return a strictly better point than the
+    # last accepted iterate.
+    best_step: jax.Array = None
+    best_f: jax.Array = None
 
 
 def more_thuente(
@@ -167,6 +174,7 @@ def more_thuente(
         evals=jnp.asarray(1, jnp.int32),
         done=jnp.asarray(False),
         status=jnp.asarray(2, jnp.int32),
+        best_step=step0, best_f=f_t,
     )
 
     def cond(s):
@@ -230,6 +238,7 @@ def more_thuente(
         f_n, df_n, aux_n = lax.cond(done_now, keep, evaluate, None)
         evals_n = s["evals"] + jnp.where(done_now, 0, 1).astype(jnp.int32)
 
+        better = (~done_now) & (f_n < s["best_f"])
         return dict(
             stp=jnp.where(done_now, stp, stp_n), f=f_n, df=df_n, aux=aux_n,
             stx=stx_n, fx=fx_n, dx=dx_n, sty=sty_n, fy=fy_n, dy=dy_n,
@@ -237,7 +246,12 @@ def more_thuente(
             width=width_n, width1=width1_n,
             stmin=stmin_n, stmax=stmax_n,
             evals=evals_n, done=done_now, status=status,
+            best_step=jnp.where(better, stp_n, s["best_step"]),
+            best_f=jnp.where(better, f_n, s["best_f"]),
         )
 
     out = lax.while_loop(cond, body, state)
-    return LineSearchResult(out["stp"], out["f"], out["df"], out["aux"], out["evals"], out["status"])
+    return LineSearchResult(
+        out["stp"], out["f"], out["df"], out["aux"], out["evals"], out["status"],
+        out["best_step"], out["best_f"],
+    )

@@ -13,8 +13,11 @@ bounds) exactly as the reference drives it (``microscopy/PSF_Estimation.java``):
   the projector null, ``:168-189``, so it is effectively unconstrained);
 - stopping on ``||pg|| <= max(gatol, grtol * ||pg0||)``
   (``vmlmb.setAbsoluteTolerance/setRelativeTolerance``, ``:190-191``),
-  ``maxiter``, and ``maxeval`` (``:221,243-248``);
-- best-seen iterate tracked and returned (``:208-216,254``).
+  ``maxiter``, and ``maxeval`` — the eval budget caps the line search itself,
+  so it can fire mid-search exactly like the reference's guard
+  (``:221,243-248``);
+- best-seen point tracked at *evaluation* granularity (every line-search
+  trial counts, not just accepted iterates) and returned (``:208-216,254``).
 
 The reference's reverse-communication protocol (``OptimTask`` loop,
 ``:199-251``) inverts under ``jax.jit``: here the objective is a traceable
@@ -167,6 +170,7 @@ def minimize_vmlmb(
         best_x=x0, best_f=f0,
         s_mem=s_mem, y_mem=y_mem, rho=rho,
         gamma=jnp.ones((), f_dtype), head=jnp.asarray(0, jnp.int32),
+        alpha_prev=jnp.ones((), f_dtype),
         iters=jnp.asarray(0, jnp.int32), evals=jnp.asarray(1, jnp.int32),
         done=pg0norm <= gstop, status=jnp.asarray(VMLMBStatus.CONVERGED, jnp.int32),
         hist_f=hist_f, hist_pg=hist_pg,
@@ -201,16 +205,34 @@ def minimize_vmlmb(
         no_descent = dg >= 0.0  # true only if the gradient itself vanished
 
         # First step length: 1/||d|| before any curvature pair exists
-        # (steepest-descent scale), 1 afterwards.
+        # (steepest-descent scale), 1 afterwards. On the bounded path the
+        # previous accepted step seeds the next search (doubled, capped at
+        # the unit step): when active bounds make unit steps too long,
+        # consecutive searches would otherwise re-do the same backtracks —
+        # measured 1.35 -> ~1.05 line-search evals/iter at 256^3.
         have_pairs = jnp.any(s["rho"] != 0)
         dnorm = tnorm(d)
-        step0 = jnp.where(have_pairs, jnp.ones((), f_dtype), 1.0 / jnp.maximum(dnorm, jnp.finfo(f_dtype).tiny))
+        unit = jnp.ones((), f_dtype)
+        first = jnp.asarray(1.0, f_dtype) / jnp.maximum(dnorm, jnp.finfo(f_dtype).tiny)
+        if bounded:
+            step0 = jnp.where(have_pairs, jnp.minimum(unit, 2.0 * s["alpha_prev"]), first)
+        else:
+            step0 = jnp.where(have_pairs, unit, first)
 
         # ---- line search --------------------------------------------------
+        # Remaining-eval budget: the reference's maxeval guard fires
+        # mid-line-search (PSF_Estimation.java:243-248), so the search gets
+        # only what is left of the global budget, not a full ls_max_evals.
+        ls_budget = jnp.minimum(
+            jnp.asarray(ls_max_evals, jnp.int32), jnp.asarray(maxeval, jnp.int32) - s["evals"]
+        )
         if bounded:
-            x_new, f_new, g_new, ls_evals, ls_ok = _armijo_projected(
-                fun, project, x, f, g, d, step0, ls_ftol, ls_max_evals
+            (x_new, f_new, g_new, ls_evals, ls_ok, ls_best_a, ls_best_f,
+             ls_alpha) = _armijo_projected(
+                fun, project, x, f, g, d, step0, ls_ftol, ls_budget
             )
+            x_best_trial = project(taxpy(ls_best_a, d, x))
+            alpha_prev_n = jnp.where(ls_ok, ls_alpha, s["alpha_prev"])
         else:
             def phi(alpha):
                 xt = taxpy(alpha, d, x)
@@ -219,11 +241,14 @@ def minimize_vmlmb(
 
             res = more_thuente(
                 phi, step0, f, dg, g,
-                ftol=ls_ftol, gtol=ls_gtol, xtol=ls_xtol, max_evals=ls_max_evals,
+                ftol=ls_ftol, gtol=ls_gtol, xtol=ls_xtol, max_evals=ls_budget,
             )
             x_new = taxpy(res.step, d, x)
             f_new, g_new, ls_evals = res.f, res.aux, res.evals
             ls_ok = res.status < 2
+            ls_best_f = res.best_f
+            x_best_trial = taxpy(res.best_step, d, x)
+            alpha_prev_n = s["alpha_prev"]  # unused on the More-Thuente path
 
         # ---- curvature update ---------------------------------------------
         s_vec = tsub(x_new, x)
@@ -246,9 +271,16 @@ def minimize_vmlmb(
         # ---- bookkeeping ---------------------------------------------------
         iters = s["iters"] + 1
         evals = s["evals"] + ls_evals
-        improved = f_new < s["best_f"]
-        best_f = jnp.where(improved, f_new, s["best_f"])
-        best_x = twhere(jax.tree.map(lambda l: jnp.broadcast_to(improved, l.shape), x_new), x_new, s["best_x"])
+        # Best is tracked at *evaluation* granularity: a line-search trial
+        # that beats the incumbent but fails Wolfe still becomes best-x
+        # (PSF_Estimation.java:208-216; best_f <= f_new always holds since
+        # the accepted point is itself one of the trials).
+        improved = ls_best_f < s["best_f"]
+        best_f = jnp.where(improved, ls_best_f, s["best_f"])
+        best_x = twhere(
+            jax.tree.map(lambda l: jnp.broadcast_to(improved, l.shape), x_best_trial),
+            x_best_trial, s["best_x"],
+        )
 
         pgnorm = tnorm(projected_gradient(x_new, g_new))
         hist_f = s["hist_f"].at[iters].set(f_new)
@@ -256,16 +288,19 @@ def minimize_vmlmb(
 
         converged = pgnorm <= gstop
         done = converged | (iters >= maxiter) | (evals >= maxeval) | (~ls_ok) | no_descent
+        # MAX_EVAL outranks LINESEARCH_FAIL: a search truncated by the global
+        # eval budget reports budget exhaustion, not failure.
         status = jnp.where(
             converged, VMLMBStatus.CONVERGED,
             jnp.where(no_descent, VMLMBStatus.NO_DESCENT,
-                      jnp.where(~ls_ok, VMLMBStatus.LINESEARCH_FAIL,
-                                jnp.where(iters >= maxiter, VMLMBStatus.MAX_ITER, VMLMBStatus.MAX_EVAL))),
+                      jnp.where(evals >= maxeval, VMLMBStatus.MAX_EVAL,
+                                jnp.where(~ls_ok, VMLMBStatus.LINESEARCH_FAIL, VMLMBStatus.MAX_ITER))),
         ).astype(jnp.int32)
 
         return dict(
             x=x_new, f=f_new, g=g_new, best_x=best_x, best_f=best_f,
             s_mem=s_mem_n, y_mem=y_mem_n, rho=rho_n, gamma=gamma_n, head=head_n,
+            alpha_prev=alpha_prev_n,
             iters=iters, evals=evals, done=done,
             status=jnp.where(done, status, s["status"]),
             hist_f=hist_f, hist_pg=hist_pg,
@@ -298,6 +333,7 @@ def _armijo_projected(fun, project, x, f, g, d, step0, ftol, max_evals):
     state = dict(
         alpha=jnp.asarray(step0, f_dtype), xt=xt0, ft=ft0, gt=gt0,
         evals=jnp.asarray(1, jnp.int32), done=jnp.asarray(False), ok=jnp.asarray(False),
+        best_alpha=jnp.asarray(step0, f_dtype), best_f=ft0,
     )
 
     def cond(s):
@@ -321,12 +357,18 @@ def _armijo_projected(fun, project, x, f, g, d, step0, ftol, max_evals):
             return s["xt"], s["ft"], s["gt"]
 
         xt_n, ft_n, gt_n = lax.cond(done, keep, evaluate, None)
+        better = (~done) & (ft_n < s["best_f"])
         return dict(
             alpha=jnp.where(done, s["alpha"], alpha_n),
             xt=xt_n, ft=ft_n, gt=gt_n,
             evals=s["evals"] + jnp.where(done, 0, 1).astype(jnp.int32),
             done=done, ok=accept,
+            best_alpha=jnp.where(better, alpha_n, s["best_alpha"]),
+            best_f=jnp.where(better, ft_n, s["best_f"]),
         )
 
     out = lax.while_loop(cond, body, state)
-    return out["xt"], out["ft"], out["gt"], out["evals"], out["ok"]
+    return (
+        out["xt"], out["ft"], out["gt"], out["evals"], out["ok"],
+        out["best_alpha"], out["best_f"], out["alpha"],
+    )

@@ -183,3 +183,67 @@ def test_vmlmb_bounded_matches_scipy_lbfgsb():
     ours = minimize_vmlmb(fun, jnp.zeros(12), lower=0.0, maxiter=300, maxeval=900,
                           grtol=0.0, gatol=1e-10)
     np.testing.assert_allclose(np.asarray(ours.x), sp.x, atol=1e-6)
+
+
+def test_vmlmb_maxeval_best_over_all_evaluations():
+    """The reference tracks best-x at every cost *evaluation* — including
+    line-search trials that fail Wolfe — and stops when the eval budget is
+    crossed mid-search (PSF_Estimation.java:208-216,243-254). Log every
+    evaluation and assert (a) the returned f is the min over all of them and
+    (b) the budget is never overshot."""
+    from jax.experimental import io_callback
+
+    logged = []
+
+    def record(f):
+        logged.append(float(f))
+        return np.int32(0)
+
+    def base(z):
+        return jnp.sum(100.0 * (z[1:] - z[:-1] ** 2) ** 2 + (1.0 - z[:-1]) ** 2)
+
+    def fun(x):
+        f, g = jax.value_and_grad(base)(x)
+        io_callback(record, jnp.int32(0), f, ordered=True)
+        return f, g
+
+    for maxeval in (3, 5, 8, 13):
+        logged.clear()
+        res = minimize_vmlmb(
+            fun, jnp.asarray(np.full(6, -1.2)), maxiter=100, maxeval=maxeval, grtol=0.0
+        )
+        assert int(res.evaluations) <= maxeval
+        assert int(res.evaluations) == len(logged)
+        assert float(res.f) == pytest.approx(min(logged), abs=0.0)
+        # and res.x actually evaluates to res.f
+        f_at_x, _ = jax.value_and_grad(base)(res.x)
+        assert float(f_at_x) == pytest.approx(float(res.f), rel=1e-12)
+
+
+def test_vmlmb_bounded_maxeval_best_over_all_evaluations():
+    from jax.experimental import io_callback
+
+    logged = []
+
+    def record(f):
+        logged.append(float(f))
+        return np.int32(0)
+
+    c = jnp.asarray([-2.0, -0.5, 0.3, 1.7, -3.0, 4.0])
+
+    def base(z):
+        return 0.5 * jnp.sum((z - c) ** 2) + jnp.sum(z**4)
+
+    def fun(x):
+        f, g = jax.value_and_grad(base)(x)
+        io_callback(record, jnp.int32(0), f, ordered=True)
+        return f, g
+
+    for maxeval in (2, 4, 7):
+        logged.clear()
+        res = minimize_vmlmb(
+            fun, jnp.ones(6) * 2.0, lower=0.0, maxiter=100, maxeval=maxeval, grtol=0.0
+        )
+        assert int(res.evaluations) <= maxeval
+        assert int(res.evaluations) == len(logged)
+        assert float(res.f) == pytest.approx(min(logged), abs=0.0)
