@@ -56,9 +56,8 @@ class DeconvolutionConfig:
     var_shape: tuple[int, ...] | None = None  # padded object grid (>= data shape)
     # Pallas fused TV (one-sweep cost+grad). None = auto: on for TPU backends
     # with 3D volumes, off elsewhere. Measured on v5e at 256^3 with the
-    # quadratic data term: 941 -> 1145 Mvox*iter/s (+22%). Its plane-partial
-    # f32 accumulation orders sums differently than XLA's pairwise reduction;
-    # if a run's Wolfe test gets twitchy near convergence, set False.
+    # quadratic data term: 941 -> 1145 Mvox*iter/s (+22%). Cost partials are
+    # per-plane and pairwise-summed by XLA, so accuracy matches the jnp path.
     fused_tv: bool | None = None
 
 

@@ -84,13 +84,14 @@ def _tv_kernel(xm_ref, x0_ref, xp_ref, grad_ref, cost_ref, *, inv_scales, eps, n
     )
     grad_ref[0] = grad
 
-    # Single SMEM accumulator revisited by every grid step (TPU grid is
-    # sequential per core, so read-modify-write is race-free).
-    @pl.when(is_first)
-    def _():
-        cost_ref[0, 0] = 0.0
-
-    cost_ref[0, 0] += jnp.sum(denom - eps, dtype=jnp.float32)
+    # Per-plane cost partial: each grid step owns its own slot of the (Nz,)
+    # SMEM buffer (Mosaic requires rank-1 blocks to span the array, so the
+    # whole buffer is mapped and indexed by iz; the grid is sequential per
+    # core so the writes are race-free). The final reduction happens outside
+    # the kernel as an XLA pairwise sum — sequentially accumulating Nz
+    # plane-sums in one f32 cell loses ~3-4 digits at 512^3 and made the
+    # Wolfe test twitchy near convergence.
+    cost_ref[iz] = jnp.sum(denom - eps, dtype=jnp.float32)
 
 
 def _tv_pallas(x: jax.Array, epsilon: float, scales, interpret: bool):
@@ -110,15 +111,15 @@ def _tv_pallas(x: jax.Array, epsilon: float, scales, interpret: bool):
         ],
         out_specs=[
             pl.BlockSpec((1, ny, nx), lambda k: (k, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda k: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((nz,), lambda k: (0,), memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct(x.shape, x.dtype),
-            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((nz,), jnp.float32),
         ],
         interpret=interpret,
     )(x, x, x)
-    return cost_partials[0, 0].astype(x.dtype), grad
+    return jnp.sum(cost_partials).astype(x.dtype), grad
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))

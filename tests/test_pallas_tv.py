@@ -45,3 +45,13 @@ def test_zero_on_constant_volume():
     f, g = hyperbolic_tv_fused(x, 0.1, interpret=True)
     assert abs(float(f)) < 1e-5
     np.testing.assert_allclose(np.asarray(g), 0.0, atol=1e-6)
+
+
+def test_deep_stack_accumulation_accuracy():
+    """256 z-planes: per-plane partials + XLA pairwise sum must stay at f32
+    round-off vs the f64 reference (a sequential single-cell accumulator
+    loses ~3-4 digits at this depth and fails this bound)."""
+    x = _rand((256, 8, 128), 7)
+    f64 = float(hyperbolic_tv(x.astype(jnp.float64), 0.1))
+    f, _ = hyperbolic_tv_fused(x, 0.1, interpret=True)
+    assert abs(float(f) - f64) / abs(f64) < 5e-7
