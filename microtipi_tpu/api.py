@@ -312,7 +312,10 @@ class PSF_Estimation:
         self._run = False
 
     def _fit_jitted(self, flag: int):
-        key = (id(self.pupil.config), flag, self._cfg, self._weights is not None)
+        # Keyed on the config *value* (hashable frozen dataclass) — an id()
+        # key can be recycled after GC and serve a compiled fit for a
+        # different geometry.
+        key = (self.pupil.config, flag, self._cfg, self._weights is not None)
         cache = getattr(self, "_fit_cache", None)
         if cache is None:
             cache = {}
