@@ -42,7 +42,7 @@ from microtipi_tpu.models.microscope import DEFOCUS, MODULUS, PHASE
 from microtipi_tpu.ops.convolution import WeightedConvolutionCost
 from microtipi_tpu.utils.arrays import crop_to_shape, pad_fft_kernel, pad_to_shape
 
-__all__ = ["BlindDeconvConfig", "BlindDeconvResult", "blind_deconvolve"]
+__all__ = ["BlindDeconvConfig", "BlindDeconvResult", "blind_deconvolve", "run_blind_loop"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -97,6 +97,80 @@ class BlindDeconvResult(NamedTuple):
     psf: jax.Array  # final synthesized PSF (corner-origin)
     deconv_f: jax.Array  # per-round final object-step cost, shape (loops,)
     fit_f: jax.Array  # per-round per-family final PSF-step cost (loops, nfam)
+    deconv_iters: jax.Array = None  # per-round object-step VMLMB iterations (loops,)
+
+
+def run_blind_loop(config, f_dtype, x0, params0, object_step, fit_weights, fit_one, fit_joint):
+    """Shared driver of the alternating loop (dense and mesh-sharded paths).
+
+    Keeps the reference's loop semantics in exactly one place — round order,
+    skip-refit-on-last-round (``BlindDeconvJob.java:116``), zero-budget family
+    skip (``:126``), phase-schedule unrolling, joint-fit dispatch. The backend
+    supplies four callables:
+
+    - ``object_step(x, params) -> (x_new, f, iterations, psf)``
+    - ``fit_weights(x, psf) -> weights-or-None`` (the post-deconv update
+      feeding only the PSF step, ``:109-111``)
+    - ``fit_one(params, x, w_fit, j, phase_active) -> (params, f)`` for family
+      index ``j`` of ``config.families``
+    - ``fit_joint(params, x, w_fit, jfams) -> (params, f)`` fitting the
+      families ``jfams`` simultaneously
+    """
+    nfam = len(config.families)
+
+    def round_body(i, carry, phase_active=None, unrolled=False):
+        x, params, deconv_f, fit_f, deconv_iters = carry
+        x, df, dit, psf = object_step(x, params)
+        deconv_f = deconv_f.at[i].set(df)
+        deconv_iters = deconv_iters.at[i].set(dit)
+        w_fit = fit_weights(x, psf)
+
+        def run_fits(params):
+            ff = jnp.zeros((nfam,), f_dtype)
+            if config.joint_fit:
+                # Honor the zero-budget skip semantics (BlindDeconvJob.java:126)
+                # by excluding those families from the joint variable.
+                jfams = tuple(
+                    f for f, it in zip(config.families, config.psf_max_iter) if it > 0
+                )
+                params, jf = fit_joint(params, x, w_fit, jfams)
+                # One shared cost: report it in every participating slot
+                # (NaN-vs-0 ambiguity in fit_f would read as "converged to 0").
+                ff = jnp.where(
+                    jnp.asarray([it > 0 for it in config.psf_max_iter]), jf, jnp.nan
+                ).astype(ff.dtype)
+                return params, ff
+            for j, flag in enumerate(config.families):
+                if config.psf_max_iter[j] <= 0:  # BlindDeconvJob.java:126
+                    continue
+                params, fj = fit_one(
+                    params, x, w_fit, j, phase_active if flag == PHASE else None
+                )
+                ff = ff.at[j].set(fj)
+            return params, ff
+
+        def skip_fits(params):
+            return params, jnp.full((nfam,), jnp.nan, f_dtype)
+
+        if unrolled:  # i is a python int: last-round skip resolves statically
+            params, ff = run_fits(params) if i < config.loops - 1 else skip_fits(params)
+        else:
+            params, ff = lax.cond(i < config.loops - 1, run_fits, skip_fits, params)
+        return x, params, deconv_f, fit_f.at[i].set(ff), deconv_iters
+
+    carry0 = (
+        x0,
+        params0,
+        jnp.full((config.loops,), jnp.nan, f_dtype),
+        jnp.full((config.loops, nfam), jnp.nan, f_dtype),
+        jnp.zeros((config.loops,), jnp.int32),
+    )
+    if config.phase_schedule is None:
+        return lax.fori_loop(0, config.loops, round_body, carry0)
+    carry = carry0
+    for i in range(config.loops):
+        carry = round_body(i, carry, phase_active=config.phase_schedule[i], unrolled=True)
+    return carry
 
 
 def blind_deconvolve(
@@ -127,88 +201,53 @@ def blind_deconvolve(
             x0 = pad_to_shape(data, var_shape)
         x0 = jnp.maximum(x0, 0.0)
 
-    nfam = len(config.families)
     fit_cfg = dataclasses.replace(config.fit, grtol=0.0)  # BlindDeconvJob.java:124
 
-    def round_body(i, carry, phase_active=None, unrolled=False):
-        x, params, deconv_f, fit_f = carry
-
+    def object_step(x, params):
         psf = model.compute_psf(params)
         # Object step always sees the user-supplied weights: the reference
         # deliberately disables the pre-deconv weight update
         # (BlindDeconvJob.java:105-107). Keeping weights=None here also
         # preserves the uniform-weight quadratic fast path.
         dres = deconvolve(data, psf, weights=weights, x0=x, config=config.deconv)
-        x = dres.x
-        deconv_f = deconv_f.at[i].set(dres.f)
+        return dres.x, dres.f, dres.iterations, psf
 
-        if weight_updater is not None:
-            # Model prediction H*x at the data window from the updated object
-            # — deconvolver.getModel(); the re-estimated weights feed ONLY the
-            # PSF step of this round (BlindDeconvJob.java:109-111).
-            kern = pad_fft_kernel(psf, var_shape)
-            full_cost = WeightedConvolutionCost.build(kern, data, None, var_shape)
-            w_fit = weight_updater(full_cost.model(x), data)
-        else:
-            w_fit = weights
+    def fit_weights(x, psf):
+        if weight_updater is None:
+            return weights
+        # Model prediction H*x at the data window from the updated object
+        # — deconvolver.getModel(); the re-estimated weights feed ONLY the
+        # PSF step of this round (BlindDeconvJob.java:109-111).
+        kern = pad_fft_kernel(psf, var_shape)
+        full_cost = WeightedConvolutionCost.build(kern, data, None, var_shape)
+        return weight_updater(full_cost.model(x), data)
 
-        obj_at_data = crop_to_shape(x, data.shape) if x.shape != data.shape else x
+    def _obj_at_data(x):
+        return crop_to_shape(x, data.shape) if x.shape != data.shape else x
 
-        def run_fits(params):
-            ff = jnp.zeros((nfam,), dres.f.dtype)
-            if config.joint_fit:
-                from microtipi_tpu.jobs.psf_fit import fit_psf_joint
+    def fit_one(params, x, w_fit, j, phase_active):
+        flag = config.families[j]
+        fres = fit_psf(
+            model, params, flag, data, _obj_at_data(x), weights=w_fit,
+            config=dataclasses.replace(fit_cfg, max_iter=config.psf_max_iter[j]),
+            active=phase_active,
+            freeze_head=config.phase_freeze_head if flag == PHASE else 0,
+        )
+        return fres.params, fres.f
 
-                # Honor the zero-budget skip semantics (BlindDeconvJob.java:126)
-                # by excluding those families from the joint variable.
-                jfams = tuple(
-                    f for f, it in zip(config.families, config.psf_max_iter) if it > 0
-                )
-                fres = fit_psf_joint(
-                    model, params, jfams, data, obj_at_data, weights=w_fit,
-                    config=dataclasses.replace(fit_cfg, max_iter=max(config.psf_max_iter)),
-                )
-                # One shared cost: report it in every participating slot
-                # (NaN-vs-0 ambiguity in fit_f would read as "converged to 0").
-                ff = jnp.where(
-                    jnp.asarray([it > 0 for it in config.psf_max_iter]), fres.f, jnp.nan
-                ).astype(ff.dtype)
-                return fres.params, ff
-            for j, flag in enumerate(config.families):
-                if config.psf_max_iter[j] <= 0:  # BlindDeconvJob.java:126
-                    continue
-                fres = fit_psf(
-                    model, params, flag, data, obj_at_data, weights=w_fit,
-                    config=dataclasses.replace(fit_cfg, max_iter=config.psf_max_iter[j]),
-                    active=phase_active if flag == PHASE else None,
-                    freeze_head=config.phase_freeze_head if flag == PHASE else 0,
-                )
-                params = fres.params
-                ff = ff.at[j].set(fres.f)
-            return params, ff
+    def fit_joint(params, x, w_fit, jfams):
+        from microtipi_tpu.jobs.psf_fit import fit_psf_joint
 
-        def skip_fits(params):
-            return params, jnp.full((nfam,), jnp.nan, dres.f.dtype)
+        fres = fit_psf_joint(
+            model, params, jfams, data, _obj_at_data(x), weights=w_fit,
+            config=dataclasses.replace(fit_cfg, max_iter=max(config.psf_max_iter)),
+            phase_freeze_head=config.phase_freeze_head,
+        )
+        return fres.params, fres.f
 
-        if unrolled:  # i is a python int: last-round skip resolves statically
-            params, ff = run_fits(params) if i < config.loops - 1 else skip_fits(params)
-        else:
-            params, ff = lax.cond(i < config.loops - 1, run_fits, skip_fits, params)
-        fit_f = fit_f.at[i].set(ff)
-        return x, params, deconv_f, fit_f
-
-    f_dtype = data.dtype
-    carry0 = (
-        x0,
-        params0,
-        jnp.full((config.loops,), jnp.nan, f_dtype),
-        jnp.full((config.loops, nfam), jnp.nan, f_dtype),
+    x, params, deconv_f, fit_f, deconv_iters = run_blind_loop(
+        config, data.dtype, x0, params0, object_step, fit_weights, fit_one, fit_joint
     )
-    if config.phase_schedule is None:
-        x, params, deconv_f, fit_f = lax.fori_loop(0, config.loops, round_body, carry0)
-    else:
-        carry = carry0
-        for i in range(config.loops):
-            carry = round_body(i, carry, phase_active=config.phase_schedule[i], unrolled=True)
-        x, params, deconv_f, fit_f = carry
-    return BlindDeconvResult(x, params, model.compute_psf(params), deconv_f, fit_f)
+    return BlindDeconvResult(
+        x, params, model.compute_psf(params), deconv_f, fit_f, deconv_iters
+    )

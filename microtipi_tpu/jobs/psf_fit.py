@@ -34,7 +34,7 @@ from microtipi_tpu.ops.convolution import WeightedConvolutionCost
 from microtipi_tpu.optim.vmlmb import minimize_vmlmb
 from microtipi_tpu.utils.arrays import pad_to_shape
 
-__all__ = ["PsfFitConfig", "PsfFitResult", "fit_psf", "fit_psf_joint"]
+__all__ = ["PsfFitConfig", "PsfFitResult", "fit_psf", "fit_psf_joint", "joint_variable"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -130,6 +130,36 @@ def fit_psf(
     )
 
 
+def joint_variable(params, names: tuple[str, ...], phase_freeze_head: int = 0):
+    """(x0, rebuild) for a multi-family fit: each family is optimized in units
+    of its initial-value scale (defocus is ~1e6 1/m, Zernike O(1)) so the
+    shared L-BFGS metric is sane, and the first ``phase_freeze_head``
+    coefficients of the PHASE family are frozen (pin-Z4 composes with the
+    joint fit). Shared by the dense and mesh-sharded joint fits."""
+    import jax.numpy as jnp
+
+    scales = {n: jnp.maximum(jnp.max(jnp.abs(getattr(params, n))), 1.0) for n in names}
+    k = phase_freeze_head
+
+    def var_of(n):
+        full = getattr(params, n) / scales[n]
+        return full[k:] if (n == "phase" and k > 0) else full
+
+    x0 = {n: var_of(n) for n in names}
+
+    def rebuild(v):
+        out = {}
+        for n in names:
+            if n == "phase" and k > 0:
+                full = getattr(params, n)
+                out[n] = full.at[k:].set(v[n] * scales[n])
+            else:
+                out[n] = v[n] * scales[n]
+        return params._replace(**out)
+
+    return x0, rebuild
+
+
 def fit_psf_joint(
     model,
     params,
@@ -138,6 +168,7 @@ def fit_psf_joint(
     obj: jax.Array,
     weights: jax.Array | None = None,
     config: PsfFitConfig = PsfFitConfig(),
+    phase_freeze_head: int = 0,
 ) -> PsfFitResult:
     """Fit several parameter families *simultaneously* in one VMLMB run.
 
@@ -145,11 +176,8 @@ def fit_psf_joint(
     optimizer is bound to one typed vector space at a time
     (``PSF_Estimation.java:117,144``); coupled families (defocus <-> phase
     Z4) zig-zag under that coordinate descent. Here the variable is simply
-    the sub-pytree of the selected families.
-
-    Per-family scale note: defocus lives in 1/m (~1e6) while Zernike
-    coefficients are O(1); each family is optimized in units of its
-    initial-value scale so the shared L-BFGS metric is sane.
+    the sub-pytree of the selected families (see :func:`joint_variable` for
+    the per-family scaling and the pin-Z4 freeze).
     """
     names = tuple(FAMILY_NAMES[f] for f in flags)
     for n in names:
@@ -164,16 +192,10 @@ def fit_psf_joint(
     else:
         cost = WeightedConvolutionCost.build(obj, data, weights)
 
-    import jax.numpy as jnp
-
-    scales = {
-        n: jnp.maximum(jnp.max(jnp.abs(getattr(params, n))), 1.0) for n in names
-    }
-    x0 = {n: getattr(params, n) / scales[n] for n in names}
+    x0, rebuild = joint_variable(params, names, phase_freeze_head)
 
     def objective(v):
-        p = params._replace(**{n: v[n] * scales[n] for n in names})
-        return cost.cost(model.compute_psf(p))
+        return cost.cost(model.compute_psf(rebuild(v)))
 
     res = minimize_vmlmb(
         jax.value_and_grad(objective), x0,
@@ -181,6 +203,6 @@ def fit_psf_joint(
         gatol=config.gatol, grtol=config.grtol,
     )
     return PsfFitResult(
-        params._replace(**{n: res.x[n] * scales[n] for n in names}),
+        rebuild(res.x),
         res.f, res.iterations, res.evaluations, res.status, res.f_history,
     )

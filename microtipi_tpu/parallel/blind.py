@@ -2,9 +2,19 @@
 
 BASELINE.json config 5 end-to-end: batched time-lapse / multi-channel stacks
 on a (batch, z) mesh, alternating the sharded object update
-(``parallel.deconv``) with the sharded joint PSF fit (``parallel.psf_fit``) —
-one optical system constrained by every frame. Same loop semantics as
-``jobs.blind`` (skip-refit-on-last-round etc.); one jitted program.
+(``parallel.deconv``) with the sharded PSF fits (``parallel.psf_fit``) —
+one optical system constrained by every frame. Loop semantics live in
+``jobs.blind.run_blind_loop`` (shared with the dense path), so
+skip-refit-on-last-round, zero-budget skips, graduated phase scheduling,
+``joint_fit``, ``phase_freeze_head`` and the wiener warm start behave
+identically on the mesh; one jitted program.
+
+Arbitrary stack sizes: when Nz or Ny is not a multiple of the mesh z-axis
+(the divisibility the transpose-based distributed FFT needs), the loop
+switches to padded-variable mode — the object lives on the rounded-up grid
+and the padding carries zero weight, the same semantics as the dense
+crop-operator mode (and as TiPi's pad-weights-to-PSF-shape convention,
+``PSF_Estimation.java:322-324``).
 """
 
 from __future__ import annotations
@@ -13,16 +23,26 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
-from jax import lax
 from jax.sharding import Mesh
 
-from microtipi_tpu.jobs.blind import BlindDeconvConfig, BlindDeconvResult
-from microtipi_tpu.optim.vmlmb import minimize_vmlmb
-from microtipi_tpu.parallel.deconv import make_sharded_objective
-from microtipi_tpu.parallel.mesh import volume_sharding
-from microtipi_tpu.parallel.psf_fit import sharded_fit_psf
+from microtipi_tpu.jobs.blind import BlindDeconvConfig, BlindDeconvResult, run_blind_loop
+from microtipi_tpu.models.microscope import PHASE
+from microtipi_tpu.parallel.deconv import (
+    crop_trailing,
+    pad_trailing,
+    sharded_deconvolve,
+    sharded_wiener,
+)
+from microtipi_tpu.parallel.fft import sharded_convolve, sharded_spectrum
+from microtipi_tpu.parallel.mesh import Z_AXIS, constrain_volume
+from microtipi_tpu.parallel.psf_fit import sharded_fit_psf, sharded_fit_psf_joint
+from microtipi_tpu.utils.arrays import pad_fft_kernel
 
 __all__ = ["sharded_blind_deconvolve"]
+
+
+def _round_up(v: int, m: int) -> int:
+    return v + (-v) % m
 
 
 def sharded_blind_deconvolve(
@@ -31,65 +51,92 @@ def sharded_blind_deconvolve(
     mesh: Mesh,
     params0=None,
     weights: jax.Array | None = None,
+    weight_updater=None,
     config: BlindDeconvConfig = BlindDeconvConfig(),
 ) -> BlindDeconvResult:
     """Sharded analogue of ``jobs.blind.blind_deconvolve``.
 
     ``data``: (Nz, Ny, Nx) or batched (B, Nz, Ny, Nx), z-sharded over the
-    mesh. No padded-variable mode (var grid == data grid).
+    mesh. Nz/Ny need not divide the mesh z-axis — the grid is padded up
+    internally (zero-weight padding; the returned object lives on the padded
+    grid, ``crop_trailing`` recovers the data window).
     """
-    if config.joint_fit or config.phase_schedule is not None or config.init != "data":
-        raise NotImplementedError(
-            "joint_fit/phase_schedule/init are dense-loop features "
-            "(jobs.blind.blind_deconvolve); the sharded loop does not support "
-            "them yet — results would silently differ otherwise"
-        )
     if params0 is None:
         params0 = model.init_params()
-    sharding = volume_sharding(mesh, batched=data.ndim == 4)
-    data = jax.lax.with_sharding_constraint(data, sharding)
-    x0 = jnp.maximum(data, 0.0) if config.deconv.positivity else data
+    batched = data.ndim == 4
+    data = constrain_volume(data, mesh)
+    vol = data.shape[-3:]
+    zp = mesh.shape[Z_AXIS]
 
-    nfam = len(config.families)
-    fit_cfg = dataclasses.replace(config.fit, grtol=0.0)
-    dcfg = config.deconv
+    base_var = tuple(config.deconv.var_shape) if config.deconv.var_shape is not None else vol
+    var_shape = (_round_up(base_var[0], zp), _round_up(base_var[1], zp), base_var[2])
+    padded = var_shape != vol
+    dcfg = dataclasses.replace(config.deconv, var_shape=var_shape if padded else None)
+    fit_cfg = dataclasses.replace(config.fit, grtol=0.0)  # BlindDeconvJob.java:124
 
-    def round_body(i, carry):
-        x, params, deconv_f, fit_f = carry
-        psf = model.compute_psf(params)
-        fun = make_sharded_objective(psf, data, weights, dcfg, mesh)
-        res = minimize_vmlmb(
-            fun, x,
-            lower=0.0 if dcfg.positivity else None,
-            mem=dcfg.mem, maxiter=dcfg.max_iter, maxeval=dcfg.max_eval,
-            gatol=dcfg.gatol, grtol=dcfg.grtol,
+    # Fit-step grid: the var grid when padded (zero weight outside the data
+    # window), the data grid otherwise.
+    if padded:
+        d_fit = constrain_volume(pad_trailing(data, var_shape), mesh)
+        w_base = jnp.ones(vol, data.dtype) if weights is None else weights
+        w_fit_base = constrain_volume(pad_trailing(w_base, var_shape), mesh)
+        window = constrain_volume(
+            pad_trailing(jnp.ones(vol, data.dtype), var_shape), mesh, batched=False
         )
-        x = res.x
-        deconv_f = deconv_f.at[i].set(res.f)
+    else:
+        d_fit, w_fit_base, window = data, weights, None
 
-        def run_fits(params):
-            ff = jnp.zeros((nfam,), res.f.dtype)
-            for j, flag in enumerate(config.families):
-                if config.psf_max_iter[j] <= 0:
-                    continue
-                fres = sharded_fit_psf(
-                    model, params, flag, data, x, mesh, weights=weights,
-                    config=dataclasses.replace(fit_cfg, max_iter=config.psf_max_iter[j]),
-                )
-                params = fres.params
-                ff = ff.at[j].set(fres.f)
-            return params, ff
+    def _mask(x):
+        # The dense loop crops the object to the data window before using it
+        # as the fit kernel; masking is the padded-grid equivalent.
+        return x * window if padded else x
 
-        def skip_fits(params):
-            return params, jnp.full((nfam,), jnp.nan, res.f.dtype)
+    if config.init == "wiener":
+        psf0 = model.compute_psf(params0)
+        if padded:
+            x0 = sharded_wiener(d_fit, pad_fft_kernel(psf0, var_shape), mesh)
+        else:
+            x0 = sharded_wiener(data, psf0, mesh)
+    else:
+        x0 = pad_trailing(data, var_shape)
+    x0 = jnp.maximum(x0, 0.0)
 
-        params, ff = lax.cond(i < config.loops - 1, run_fits, skip_fits, params)
-        return x, params, deconv_f, fit_f.at[i].set(ff)
+    def object_step(x, params):
+        psf = model.compute_psf(params)
+        res = sharded_deconvolve(data, psf, mesh, weights=weights, x0=x, config=dcfg)
+        return res.x, res.f, res.iterations, psf
 
-    carry0 = (
-        x0, params0,
-        jnp.full((config.loops,), jnp.nan, data.dtype),
-        jnp.full((config.loops, nfam), jnp.nan, data.dtype),
+    def fit_weights(x, psf):
+        if weight_updater is None:
+            return w_fit_base
+        # Model prediction H*x at the data window (deconvolver.getModel());
+        # re-estimated weights feed ONLY the PSF step (BlindDeconvJob.java:109-111).
+        k_hat = sharded_spectrum(pad_fft_kernel(psf, var_shape), mesh)
+        pred = crop_trailing(sharded_convolve(x, k_hat, var_shape, mesh), vol)
+        w = weight_updater(pred, data)
+        return pad_trailing(w, var_shape) if padded else w
+
+    def fit_one(params, x, w_fit, j, phase_active):
+        flag = config.families[j]
+        fres = sharded_fit_psf(
+            model, params, flag, d_fit, _mask(x), mesh, weights=w_fit,
+            config=dataclasses.replace(fit_cfg, max_iter=config.psf_max_iter[j]),
+            active=phase_active,
+            freeze_head=config.phase_freeze_head if flag == PHASE else 0,
+        )
+        return fres.params, fres.f
+
+    def fit_joint(params, x, w_fit, jfams):
+        fres = sharded_fit_psf_joint(
+            model, params, jfams, d_fit, _mask(x), mesh, weights=w_fit,
+            config=dataclasses.replace(fit_cfg, max_iter=max(config.psf_max_iter)),
+            phase_freeze_head=config.phase_freeze_head,
+        )
+        return fres.params, fres.f
+
+    x, params, deconv_f, fit_f, deconv_iters = run_blind_loop(
+        config, data.dtype, x0, params0, object_step, fit_weights, fit_one, fit_joint
     )
-    x, params, deconv_f, fit_f = lax.fori_loop(0, config.loops, round_body, carry0)
-    return BlindDeconvResult(x, params, model.compute_psf(params), deconv_f, fit_f)
+    return BlindDeconvResult(
+        x, params, model.compute_psf(params), deconv_f, fit_f, deconv_iters
+    )

@@ -36,9 +36,43 @@ from microtipi_tpu.parallel.fft import (
     sharded_rfftn,
     sharded_spectrum,
 )
-from microtipi_tpu.parallel.mesh import volume_sharding
+from microtipi_tpu.parallel.mesh import constrain_volume
+from microtipi_tpu.utils.arrays import pad_fft_kernel
 
-__all__ = ["make_sharded_objective", "sharded_deconvolve"]
+__all__ = [
+    "make_sharded_objective",
+    "sharded_deconvolve",
+    "sharded_wiener",
+    "pad_trailing",
+    "crop_trailing",
+]
+
+
+def pad_trailing(a: jax.Array, vol_shape: tuple[int, int, int], value: float = 0.0) -> jax.Array:
+    """Center-pad the trailing 3 (volume) dims of ``a`` to ``vol_shape``,
+    leaving any leading batch dims alone (``utils.arrays.pad_to_shape`` for
+    batched stacks). Works on global sharded arrays — GSPMD handles the
+    boundary resharding."""
+    small = a.shape[-3:]
+    if tuple(small) == tuple(vol_shape):
+        return a
+    offs = tuple((b - s) // 2 for s, b in zip(small, vol_shape))
+    pads = [(0, 0)] * (a.ndim - 3) + [
+        (o, b - s - o) for o, s, b in zip(offs, small, vol_shape)
+    ]
+    return jnp.pad(a, pads, constant_values=value)
+
+
+def crop_trailing(a: jax.Array, vol_shape: tuple[int, int, int]) -> jax.Array:
+    """Inverse of :func:`pad_trailing`: centered crop of the trailing 3 dims."""
+    big = a.shape[-3:]
+    if tuple(big) == tuple(vol_shape):
+        return a
+    offs = tuple((b - s) // 2 for s, b in zip(vol_shape, big))
+    idx = (slice(None),) * (a.ndim - 3) + tuple(
+        slice(o, o + s) for o, s in zip(offs, vol_shape)
+    )
+    return a[idx]
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(4, 5))
@@ -75,17 +109,47 @@ def make_sharded_objective(
     """Fused sharded cost+gradient for the object step.
 
     ``data`` is (Nz, Ny, Nx) or batched (B, Nz, Ny, Nx), z-sharded; ``psf``
-    is one unbatched volume at the data shape (padded-variable mode is a
-    single-device feature; keep var_shape == data shape here). Uniform
-    weights take the circulant-quadratic fast path (one distributed FFT pair
-    per evaluation for cost AND gradient), like the single-device step.
+    is one unbatched volume at the data shape. Uniform weights take the
+    circulant-quadratic fast path (one distributed FFT pair per evaluation
+    for cost AND gradient), like the single-device step.
+
+    ``config.var_shape`` > data shape enables padded-variable mode on the
+    mesh: the object lives on the larger grid and the padded region carries
+    zero weight — numerically the same data term as the dense crop-operator
+    form (``ops.convolution.WeightedConvolutionCost`` with R), and the route
+    to mesh-divisible grids for arbitrary-sized stacks (pad Nz/Ny up to a
+    multiple of the mesh z-axis).
     """
     vol_shape = data.shape[-3:]
     if psf.shape != vol_shape:
         raise ValueError("sharded mode requires psf shape == volume shape")
-    k_hat = sharded_spectrum(psf, mesh)
+    var_shape = tuple(config.var_shape) if config.var_shape is not None else vol_shape
     batched = data.ndim == 4
     tv_axes = (-3, -2, -1)
+
+    if var_shape != vol_shape:
+        # Padded-variable mode: zero weight outside the centered data window.
+        kernel = pad_fft_kernel(psf, var_shape)
+        k_hat = sharded_spectrum(kernel, mesh)
+        d_pad = constrain_volume(pad_trailing(data, var_shape), mesh)
+        w = jnp.ones(vol_shape, data.dtype) if weights is None else weights
+        w_pad = constrain_volume(pad_trailing(w, var_shape), mesh)
+
+        def data_term(x):
+            r = sharded_convolve(x, k_hat, var_shape, mesh) - d_pad
+            return 0.5 * jnp.sum(w_pad * r * r)
+
+        def objective(x):
+            f = data_term(x)
+            if config.mu > 0:
+                f = f + config.mu * hyperbolic_tv(
+                    x, config.epsilon, config.scales, axes=tv_axes if batched else None
+                )
+            return f
+
+        return jax.value_and_grad(objective)
+
+    k_hat = sharded_spectrum(psf, mesh)
 
     if weights is None:
         kernel_sq = jnp.real(k_hat) ** 2 + jnp.imag(k_hat) ** 2
@@ -121,12 +185,15 @@ def sharded_deconvolve(
     config: DeconvolutionConfig = DeconvolutionConfig(),
 ) -> DeconvolutionResult:
     """Object update on the mesh; drop-in sharded analogue of
-    ``jobs.deconv.deconvolve`` (no padded-variable mode)."""
-    sharding = volume_sharding(mesh, batched=data.ndim == 4)
-    data = jax.lax.with_sharding_constraint(data, sharding)
+    ``jobs.deconv.deconvolve`` incl. padded-variable mode
+    (``config.var_shape``; the returned object lives on the padded grid)."""
+    data = constrain_volume(data, mesh)
+    var_shape = tuple(config.var_shape) if config.var_shape is not None else data.shape[-3:]
     if x0 is None:
-        x0 = jnp.maximum(data, 0.0) if config.positivity else data
-    x0 = jax.lax.with_sharding_constraint(x0, sharding)
+        x0 = pad_trailing(data, var_shape)
+        if config.positivity:
+            x0 = jnp.maximum(x0, 0.0)
+    x0 = constrain_volume(x0, mesh)
     fun = make_sharded_objective(psf, data, weights, config, mesh)
     res = minimize_vmlmb(
         fun,
@@ -141,3 +208,20 @@ def sharded_deconvolve(
     return DeconvolutionResult(
         res.x, res.f, res.iterations, res.evaluations, res.status, res.f_history, res.pg_history
     )
+
+
+def sharded_wiener(data: jax.Array, psf: jax.Array, mesh: Mesh, reg: float = 1e-3) -> jax.Array:
+    """Distributed analogue of ``jobs.wiener.wiener`` (2 distributed FFTs).
+
+    ``psf`` is corner-origin at the volume grid; batched data broadcasts over
+    one kernel spectrum. Used as the mesh-path warm start (config.init ==
+    "wiener") and as a standalone linear deconvolver at scale.
+    """
+    vol_shape = data.shape[-3:]
+    if psf.shape != vol_shape:
+        raise ValueError("sharded wiener requires psf shape == volume shape")
+    k_hat = sharded_spectrum(psf, mesh)
+    k2 = jnp.real(k_hat) ** 2 + jnp.imag(k_hat) ** 2
+    lam = reg * jnp.max(k2)
+    d_hat = sharded_rfftn(data, mesh)
+    return sharded_irfftn(jnp.conj(k_hat) * d_hat / (k2 + lam), vol_shape, mesh)

@@ -19,7 +19,7 @@ import numpy as np
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "BATCH_AXIS", "Z_AXIS", "volume_sharding"]
+__all__ = ["make_mesh", "BATCH_AXIS", "Z_AXIS", "volume_sharding", "constrain_volume"]
 
 BATCH_AXIS = "batch"
 Z_AXIS = "z"
@@ -45,3 +45,18 @@ def volume_sharding(mesh: Mesh, batched: bool = True) -> NamedSharding:
     batch over ``batch``, z over ``z``, (y, x) replicated locally."""
     spec = P(BATCH_AXIS, Z_AXIS) if batched else P(Z_AXIS)
     return NamedSharding(mesh, spec)
+
+
+def constrain_volume(a, mesh: Mesh, batched: bool | None = None):
+    """``with_sharding_constraint(a, volume_sharding(...))`` when the shape
+    divides the mesh; identity otherwise (NamedSharding rejects uneven
+    shards — odd-sized arrays stay unconstrained and GSPMD lays them out)."""
+    import jax
+
+    if batched is None:
+        batched = a.ndim == 4
+    if a.shape[-3] % mesh.shape[Z_AXIS]:
+        return a
+    if batched and a.shape[0] % mesh.shape[BATCH_AXIS]:
+        return a
+    return jax.lax.with_sharding_constraint(a, volume_sharding(mesh, batched=batched))

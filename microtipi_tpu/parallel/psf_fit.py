@@ -13,6 +13,12 @@ For batched stacks (time-lapse / channels) all frames share one optical
 system, so the joint fit minimizes the *sum* of per-frame costs over a single
 parameter vector — the parameters are tiny and replicated; only the volumes
 are sharded.
+
+Feature parity with the dense fits (``jobs.psf_fit``): graduated ``active``
+mode scheduling, ``freeze_head`` (pin-Z4), multi-family ``fit_psf_joint``,
+and fitting on a grid larger than the model's (the PSF kernel is zero-padded
+in FFT layout) — the grid the sharded blind loop uses when Nz/Ny are not
+multiples of the mesh z-axis.
 """
 
 from __future__ import annotations
@@ -25,9 +31,34 @@ from microtipi_tpu.jobs.psf_fit import PsfFitConfig, PsfFitResult
 from microtipi_tpu.models.microscope import FAMILY_NAMES
 from microtipi_tpu.optim.vmlmb import minimize_vmlmb
 from microtipi_tpu.parallel.fft import sharded_convolve, sharded_spectrum
-from microtipi_tpu.parallel.mesh import volume_sharding
+from microtipi_tpu.parallel.mesh import constrain_volume
+from microtipi_tpu.utils.arrays import pad_fft_kernel
 
-__all__ = ["sharded_fit_psf"]
+__all__ = ["sharded_fit_psf", "sharded_fit_psf_joint"]
+
+
+def _sharded_data_term(model, data, obj, weights, mesh):
+    """Build ``cost(params) = 0.5*sum w*(obj (*) psf(params) - data)^2`` on the
+    mesh. ``data``/``obj`` share one (possibly padded) grid; the synthesized
+    PSF is z-sharded (communication-free synthesis) and zero-padded to the
+    grid if the model grid is smaller."""
+    vol_shape = data.shape[-3:]
+    obj_hat = sharded_spectrum(constrain_volume(obj, mesh), mesh)
+
+    def cost(p):
+        psf = model.compute_psf(p)
+        # z-sharded synthesis: per-plane pupil + fft2 are communication-free
+        # (skipped when the model grid does not divide the mesh — the padded
+        # kernel below is the sharded one then).
+        psf = constrain_volume(psf, mesh, batched=False)
+        if psf.shape != vol_shape:
+            psf = pad_fft_kernel(psf, vol_shape)
+            psf = constrain_volume(psf, mesh, batched=False)
+        r = sharded_convolve(psf, obj_hat, vol_shape, mesh) - data
+        wr2 = r * r if weights is None else weights * r * r
+        return 0.5 * jnp.sum(wr2)
+
+    return cost
 
 
 def sharded_fit_psf(
@@ -39,30 +70,31 @@ def sharded_fit_psf(
     mesh: Mesh,
     weights: jax.Array | None = None,
     config: PsfFitConfig = PsfFitConfig(),
+    active: int | None = None,
+    freeze_head: int = 0,
 ) -> PsfFitResult:
     """Sharded analogue of ``jobs.psf_fit.fit_psf``.
 
     ``data``/``obj`` are (Nz, Ny, Nx) or batched (B, Nz, Ny, Nx), z-sharded;
-    batched inputs produce one jointly-fitted parameter vector.
+    batched inputs produce one jointly-fitted parameter vector. ``active``
+    and ``freeze_head`` slice the coefficient vector exactly like the dense
+    fit (graduated scheduling / pin-Z4).
     """
     family = FAMILY_NAMES[flag]
-    x0 = getattr(params, family)
-    vol_shape = data.shape[-3:]
-    vol_sh = volume_sharding(mesh, batched=False)
+    full0 = getattr(params, family)
+    if full0.shape[0] == 0:
+        raise ValueError(f"family {family!r} has no coefficients to fit")
+    if active is None or active >= full0.shape[0]:
+        active = full0.shape[0]
+    if not 0 <= freeze_head < active:
+        raise ValueError(f"freeze_head={freeze_head} must be in [0, active={active})")
+    x0 = full0[freeze_head:active]
 
-    obj_hat = sharded_spectrum(
-        jax.lax.with_sharding_constraint(obj, volume_sharding(mesh, batched=obj.ndim == 4)),
-        mesh,
-    )
+    cost = _sharded_data_term(model, data, obj, weights, mesh)
 
     def objective(v):
-        p = params._replace(**{family: v})
-        psf = model.compute_psf(p)
-        # z-sharded synthesis: per-plane pupil + fft2 are communication-free.
-        psf = jax.lax.with_sharding_constraint(psf, vol_sh)
-        r = sharded_convolve(psf, obj_hat, vol_shape, mesh) - data
-        wr2 = r * r if weights is None else weights * r * r
-        return 0.5 * jnp.sum(wr2)
+        p = params._replace(**{family: full0.at[freeze_head : freeze_head + v.shape[0]].set(v)})
+        return cost(p)
 
     fun = jax.value_and_grad(objective)
     res = minimize_vmlmb(
@@ -70,6 +102,44 @@ def sharded_fit_psf(
         gatol=config.gatol, grtol=config.grtol,
     )
     return PsfFitResult(
-        params._replace(**{family: res.x}),
+        params._replace(**{family: full0.at[freeze_head:active].set(res.x)}),
+        res.f, res.iterations, res.evaluations, res.status, res.f_history,
+    )
+
+
+def sharded_fit_psf_joint(
+    model,
+    params,
+    flags: tuple[int, ...],
+    data: jax.Array,
+    obj: jax.Array,
+    mesh: Mesh,
+    weights: jax.Array | None = None,
+    config: PsfFitConfig = PsfFitConfig(),
+    phase_freeze_head: int = 0,
+) -> PsfFitResult:
+    """Sharded analogue of ``jobs.psf_fit.fit_psf_joint``: fit several
+    parameter families simultaneously in one VMLMB run (per-family scaling
+    and pin-Z4 freeze via ``jobs.psf_fit.joint_variable``)."""
+    from microtipi_tpu.jobs.psf_fit import joint_variable
+
+    names = tuple(FAMILY_NAMES[f] for f in flags)
+    for n in names:
+        if getattr(params, n).shape[0] == 0:
+            raise ValueError(f"family {n!r} has no coefficients to fit")
+
+    cost = _sharded_data_term(model, data, obj, weights, mesh)
+    x0, rebuild = joint_variable(params, names, phase_freeze_head)
+
+    def objective(v):
+        return cost(rebuild(v))
+
+    res = minimize_vmlmb(
+        jax.value_and_grad(objective), x0,
+        mem=config.mem, maxiter=config.max_iter, maxeval=config.max_eval,
+        gatol=config.gatol, grtol=config.grtol,
+    )
+    return PsfFitResult(
+        rebuild(res.x),
         res.f, res.iterations, res.evaluations, res.status, res.f_history,
     )

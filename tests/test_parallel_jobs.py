@@ -107,3 +107,90 @@ def test_sharded_blind_matches_dense(mesh8, scene):
         np.asarray(shard.params.phase), np.asarray(dense.params.phase), atol=1e-7
     )
     np.testing.assert_allclose(np.asarray(shard.obj), np.asarray(dense.obj), atol=1e-6)
+
+
+def test_sharded_blind_matches_dense_quality_recipe(mesh8, scene):
+    """Feature parity of the sharded loop with the dense quality recipe:
+    joint_fit + pin-Z4 (phase_freeze_head) + wiener warm start must produce
+    the dense trajectory on the mesh (same math, modulo reduction order)."""
+    from microtipi_tpu.jobs.blind import blind_deconvolve
+    from microtipi_tpu.models.microscope import DEFOCUS
+
+    model, true, obj, psf, data = scene
+    cfg = BlindDeconvConfig(
+        loops=2, families=(DEFOCUS, PHASE), psf_max_iter=(4, 4),
+        deconv=DeconvolutionConfig(mu=0.002, epsilon=1.0, max_iter=5),
+        joint_fit=True, phase_freeze_head=1, init="wiener",
+    )
+    dense = blind_deconvolve(data, model, weights=jnp.ones_like(data), config=cfg)
+    data_sh = jax.device_put(data, volume_sharding(mesh8, batched=False))
+    shard = sharded_blind_deconvolve(
+        data_sh, model, mesh8, weights=jnp.ones_like(data), config=cfg
+    )
+    np.testing.assert_allclose(
+        np.asarray(shard.deconv_f), np.asarray(dense.deconv_f), rtol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(shard.params.phase), np.asarray(dense.params.phase), atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(shard.params.defocus), np.asarray(dense.params.defocus), rtol=1e-9
+    )
+    # pin-Z4: the frozen head coefficient must not have moved
+    assert float(shard.params.phase[0]) == float(true.phase[0] * 0)
+
+
+def test_sharded_blind_phase_schedule_matches_dense(mesh8, scene):
+    from microtipi_tpu.jobs.blind import blind_deconvolve
+
+    model, true, obj, psf, data = scene
+    cfg = BlindDeconvConfig(
+        loops=3, families=(PHASE,), psf_max_iter=(4,),
+        deconv=DeconvolutionConfig(mu=0.002, epsilon=1.0, max_iter=4),
+        phase_schedule=(1, 2, 3),
+    )
+    dense = blind_deconvolve(data, model, weights=jnp.ones_like(data), config=cfg)
+    data_sh = jax.device_put(data, volume_sharding(mesh8, batched=False))
+    shard = sharded_blind_deconvolve(
+        data_sh, model, mesh8, weights=jnp.ones_like(data), config=cfg
+    )
+    np.testing.assert_allclose(
+        np.asarray(shard.params.phase), np.asarray(dense.params.phase), atol=1e-7
+    )
+
+
+def test_sharded_deconvolve_padded_matches_dense_crop(mesh8, scene):
+    """Odd-sized stack (Nz=12 on an 8-way z axis): the mesh's zero-weight
+    padded-variable mode must equal the dense crop-operator mode exactly."""
+    model, true, obj, psf, data = scene
+    data_odd = data[:12, :16, :16]
+    model_odd = WideFieldConfig(shape=(12, 16, 16), n_phase=3, radial=True,
+                                dtype=jnp.float64, **KW)
+    psf_odd = model_odd.compute_psf(true)
+    cfg = DeconvolutionConfig(
+        mu=0.002, epsilon=1.0, max_iter=10, grtol=0.0, var_shape=(16, 16, 16)
+    )
+    ref = deconvolve(data_odd, psf_odd, config=cfg)
+    got = sharded_deconvolve(data_odd, psf_odd, mesh8, config=cfg)
+    assert got.x.shape == (16, 16, 16)
+    np.testing.assert_allclose(float(got.f), float(ref.f), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(got.x), np.asarray(ref.x), atol=1e-6)
+
+
+def test_sharded_blind_odd_shape_autopads(mesh8, scene):
+    """Nz=12, Ny=16 on an 8-way z mesh: the blind loop pads internally and
+    still runs the full recipe (no manual padding required)."""
+    model, true, obj, psf, data = scene
+    data_odd = data[:12, :16, :16]
+    model_odd = WideFieldConfig(shape=(12, 16, 16), n_phase=3, radial=True,
+                                dtype=jnp.float64, **KW)
+    cfg = BlindDeconvConfig(
+        loops=2, families=(PHASE,), psf_max_iter=(4,),
+        deconv=DeconvolutionConfig(mu=0.002, epsilon=1.0, max_iter=5),
+        joint_fit=True, init="wiener",
+    )
+    res = sharded_blind_deconvolve(data_odd, model_odd, mesh8, config=cfg)
+    assert res.obj.shape == (16, 16, 16)
+    df = np.asarray(res.deconv_f)
+    assert np.isfinite(df).all() and df[1] <= df[0]
+    assert np.isfinite(np.asarray(res.params.phase)).all()
