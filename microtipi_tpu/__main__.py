@@ -23,8 +23,10 @@ def _model_args(p: argparse.ArgumentParser):
     g.add_argument("--na", type=float, default=1.4, help="numerical aperture")
     g.add_argument("--wavelength", type=float, default=561e-9, help="emission wavelength [m]")
     g.add_argument("--ni", type=float, default=1.518, help="immersion refractive index")
-    g.add_argument("--dxy", type=float, default=80e-9, help="lateral pixel size [m]")
-    g.add_argument("--dz", type=float, default=200e-9, help="axial step [m]")
+    g.add_argument("--dxy", type=float, default=None,
+                   help="lateral pixel size [m] (default: input TIFF metadata, else 80e-9)")
+    g.add_argument("--dz", type=float, default=None,
+                   help="axial step [m] (default: input TIFF metadata, else 200e-9)")
     g.add_argument("--n-phase", type=int, default=8, help="Zernike phase modes")
     g.add_argument("--n-modulus", type=int, default=1, help="Zernike modulus modes")
     g.add_argument("--radial", action="store_true", help="radially symmetric pupil")
@@ -41,6 +43,26 @@ def _deconv_args(p: argparse.ArgumentParser):
     g.add_argument("--readout", type=float, default=1.0, help="readout variance [ADU^2]")
     g.add_argument("--method", choices=["vmlmb", "rl"], default="vmlmb",
                    help="object solver: VMLMB+TV (default) or Richardson-Lucy")
+
+
+def _resolve_geometry(args, stack_path=None, log=print):
+    """Fill missing --dxy/--dz from the input TIFF's pixel-size metadata
+    (OME-XML / ImageJ / resolution tags via the native reader), falling back
+    to the historical defaults."""
+    meta_dxy = meta_dz = None
+    if stack_path is not None and (args.dxy is None or args.dz is None):
+        from microtipi_tpu.io.tiffstack import read_pixel_size
+
+        try:
+            meta_dxy, meta_dz = read_pixel_size(stack_path)
+        except Exception:
+            pass
+    if args.dxy is None:
+        args.dxy = meta_dxy or 80e-9
+        log(f"dxy = {args.dxy*1e9:.4g} nm ({'TIFF metadata' if meta_dxy else 'default'})")
+    if args.dz is None:
+        args.dz = meta_dz or 200e-9
+        log(f"dz = {args.dz*1e9:.4g} nm ({'TIFF metadata' if meta_dz else 'default'})")
 
 
 def _build_model(args, shape):
@@ -74,10 +96,16 @@ def _weights(args, data):
 
 
 def cmd_info(args):
-    from microtipi_tpu.io.tiffstack import stack_info
+    from microtipi_tpu.io.tiffstack import read_pixel_size, stack_info
 
     nz, ny, nx = stack_info(args.stack)
-    print(f"{args.stack}: Nz={nz} Ny={ny} Nx={nx} ({nz*ny*nx/1e6:.1f} Mvox)")
+    line = f"{args.stack}: Nz={nz} Ny={ny} Nx={nx} ({nz*ny*nx/1e6:.1f} Mvox)"
+    dxy, dz = read_pixel_size(args.stack)
+    if dxy:
+        line += f" dxy={dxy*1e9:.4g}nm"
+    if dz:
+        line += f" dz={dz*1e9:.4g}nm"
+    print(line)
 
 
 def cmd_psf(args):
@@ -88,6 +116,7 @@ def cmd_psf(args):
     import jax
 
     shape = tuple(args.shape)
+    _resolve_geometry(args)  # no input stack: fall back to defaults
     model = _build_model(args, shape)
     params = model.init_params()
     if args.phase:
@@ -97,7 +126,7 @@ def cmd_psf(args):
     psf = jax.jit(model.compute_psf)(params)
     if args.centered:
         psf = roll(psf)
-    write_stack(args.out, np.asarray(psf))
+    write_stack(args.out, np.asarray(psf), dxy=args.dxy, dz=args.dz)
     print(f"wrote {args.out} (sum={float(psf.sum()):.4g})")
 
 
@@ -146,6 +175,7 @@ def cmd_blind(args):
     from microtipi_tpu.models.microscope import DEFOCUS, MODULUS, PHASE
 
     data = jnp.asarray(read_stack(args.data))
+    _resolve_geometry(args, args.data)
     model = _build_model(args, data.shape)
     fam_map = {"defocus": DEFOCUS, "phase": PHASE, "modulus": MODULUS}
     families = tuple(fam_map[f] for f in args.families)
@@ -171,10 +201,10 @@ def cmd_blind(args):
     if model.n_phase:
         print("phase:", np.round(np.asarray(res.params.phase), 4))
     print("modulus:", np.round(np.asarray(res.params.modulus), 4))
-    write_stack(args.out, np.asarray(res.obj))
+    write_stack(args.out, np.asarray(res.obj), dxy=args.dxy, dz=args.dz)
     print("wrote", args.out)
     if args.psf_out:
-        write_stack(args.psf_out, np.asarray(res.psf))
+        write_stack(args.psf_out, np.asarray(res.psf), dxy=args.dxy, dz=args.dz)
         print("wrote", args.psf_out)
 
 

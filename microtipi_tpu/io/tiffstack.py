@@ -23,7 +23,13 @@ from typing import Iterable, Iterator
 
 import numpy as np
 
-__all__ = ["read_stack", "write_stack", "stack_info", "StackPrefetcher"]
+__all__ = [
+    "read_stack",
+    "write_stack",
+    "stack_info",
+    "read_pixel_size",
+    "StackPrefetcher",
+]
 
 _PKG_DIR = Path(__file__).resolve().parent
 _NATIVE_DIR = _PKG_DIR / "_native"
@@ -73,6 +79,17 @@ def _lib() -> ctypes.CDLL:
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ]
         lib.mt_tiff_write.restype = ctypes.c_int
+        lib.mt_tiff_write_opts.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_double, ctypes.c_double,
+            ctypes.c_char_p,
+        ]
+        lib.mt_tiff_write_opts.restype = ctypes.c_int
+        lib.mt_tiff_pixel_size.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ]
+        lib.mt_tiff_pixel_size.restype = ctypes.c_int
         lib.mt_last_error.restype = ctypes.c_char_p
         _LIB = lib
     return _LIB
@@ -104,15 +121,49 @@ def read_stack(path: str | os.PathLike, z0: int = 0, nz: int | None = None) -> n
     return out
 
 
-def write_stack(path: str | os.PathLike, volume: np.ndarray) -> None:
-    """Write a (Nz, Ny, Nx) volume as a float32 multi-page TIFF."""
+def write_stack(
+    path: str | os.PathLike,
+    volume: np.ndarray,
+    compression: str = "none",
+    tile: int = 0,
+    dxy: float | None = None,
+    dz: float | None = None,
+    description: str | None = None,
+) -> None:
+    """Write a (Nz, Ny, Nx) volume as a float32 multi-page TIFF.
+
+    ``compression``: "none" / "lzw" / "deflate". ``tile``: 0 = strip layout,
+    else square tile edge (multiple of 16). ``dxy``/``dz`` pixel sizes in
+    meters are stamped as resolution tags + an ImageJ-style description so
+    :func:`read_pixel_size` (and ImageJ/Fiji) recover the geometry;
+    ``description`` overrides the auto description (e.g. OME-XML).
+    """
     vol = np.ascontiguousarray(volume, np.float32)
     if vol.ndim != 3:
         raise ValueError("expected a 3D (Nz, Ny, Nx) volume")
     lib = _lib()
     ptr = vol.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
-    if lib.mt_tiff_write(str(path).encode(), ptr, *map(int, vol.shape)) != 0:
+    rc = lib.mt_tiff_write_opts(
+        str(path).encode(), ptr, *map(int, vol.shape),
+        compression.encode(), int(tile), float(dxy or 0.0), float(dz or 0.0),
+        description.encode() if description else None,
+    )
+    if rc != 0:
         _raise(lib)
+
+
+def read_pixel_size(path: str | os.PathLike) -> tuple[float | None, float | None]:
+    """(dxy, dz) in meters from TIFF metadata, None where absent.
+
+    Sources, in priority order: OME-XML ``PhysicalSize{X,Z}(Unit)``
+    attributes, ImageJ description (``spacing``/``unit`` + XResolution),
+    plain XResolution + ResolutionUnit tags.
+    """
+    lib = _lib()
+    dxy, dz = ctypes.c_double(), ctypes.c_double()
+    if lib.mt_tiff_pixel_size(str(path).encode(), dxy, dz) != 0:
+        _raise(lib)
+    return (dxy.value or None), (dz.value or None)
 
 
 class StackPrefetcher:

@@ -100,3 +100,95 @@ def test_hdf5_roundtrip(tmp_path):
     assert list_datasets(p) == ["stack"]
     np.testing.assert_array_equal(read_h5(p), v)
     np.testing.assert_array_equal(read_h5(p, "stack", z0=2, nz=3), v[2:5])
+
+
+# ---- tiled / compressed / pixel-size metadata (round-2 native features) ----
+
+def test_tiled_roundtrip(tmp_path):
+    """Tile-layout TIFFs (incl. non-multiple-of-tile edges) decode exactly."""
+    from microtipi_tpu.io.tiffstack import read_stack, write_stack
+
+    rng = np.random.default_rng(3)
+    vol = rng.standard_normal((3, 40, 56)).astype(np.float32)  # edges < tile
+    p = tmp_path / "tiled.tif"
+    write_stack(p, vol, tile=32)
+    got = read_stack(p)
+    np.testing.assert_array_equal(got, vol)
+
+
+def test_lzw_and_deflate_roundtrip(tmp_path):
+    from microtipi_tpu.io.tiffstack import read_stack, write_stack
+
+    rng = np.random.default_rng(4)
+    vol = np.round(rng.standard_normal((4, 32, 48)).astype(np.float32), 2)
+    for comp in ("lzw", "deflate"):
+        p = tmp_path / f"{comp}.tif"
+        write_stack(p, vol, compression=comp)
+        np.testing.assert_array_equal(read_stack(p), vol)
+
+
+def test_tiled_compressed_roundtrip(tmp_path):
+    from microtipi_tpu.io.tiffstack import read_stack, write_stack
+
+    rng = np.random.default_rng(5)
+    vol = rng.standard_normal((2, 33, 47)).astype(np.float32)
+    p = tmp_path / "tc.tif"
+    write_stack(p, vol, compression="deflate", tile=16)
+    np.testing.assert_array_equal(read_stack(p), vol)
+
+
+def test_pixel_size_imagej_roundtrip(tmp_path):
+    from microtipi_tpu.io.tiffstack import read_pixel_size, write_stack
+
+    vol = np.zeros((2, 16, 16), np.float32)
+    p = tmp_path / "geom.tif"
+    write_stack(p, vol, dxy=80e-9, dz=200e-9)
+    dxy, dz = read_pixel_size(p)
+    assert dxy == pytest.approx(80e-9, rel=1e-6)
+    assert dz == pytest.approx(200e-9, rel=1e-6)
+
+
+def test_pixel_size_ome_description(tmp_path):
+    """OME-XML PhysicalSize* attributes take priority (default unit um)."""
+    from microtipi_tpu.io.tiffstack import read_pixel_size, write_stack
+
+    ome = ('<?xml version="1.0"?><OME><Image><Pixels '
+           'PhysicalSizeX="0.065" PhysicalSizeXUnit="µm" '
+           'PhysicalSizeZ="150.0" PhysicalSizeZUnit="nm" '
+           '/></Image></OME>')
+    vol = np.zeros((2, 16, 16), np.float32)
+    p = tmp_path / "ome.tif"
+    write_stack(p, vol, description=ome)
+    dxy, dz = read_pixel_size(p)
+    assert dxy == pytest.approx(65e-9, rel=1e-6)
+    assert dz == pytest.approx(150e-9, rel=1e-6)
+
+
+def test_pixel_size_absent_is_none(tmp_path):
+    from microtipi_tpu.io.tiffstack import read_pixel_size, write_stack
+
+    p = tmp_path / "plain.tif"
+    write_stack(p, np.zeros((1, 8, 8), np.float32))
+    assert read_pixel_size(p) == (None, None)
+
+
+def test_deconv_cli_on_tiled_lzw_input(tmp_path):
+    """__main__ deconv must work on tiled/compressed inputs unmodified."""
+    import jax.numpy as jnp
+    from microtipi_tpu.__main__ import main
+    from microtipi_tpu.io.tiffstack import read_stack, write_stack
+    from microtipi_tpu.ops.convolution import convolve, convolve_spectrum
+
+    shape = (4, 32, 32)
+    rng = np.random.default_rng(6)
+    obj = np.abs(rng.standard_normal(shape)).astype(np.float32)
+    psf = np.zeros(shape, np.float32)
+    psf[0, 0, 0] = 0.7
+    psf[0, 1, 0] = 0.3
+    data = np.asarray(convolve(jnp.asarray(obj), convolve_spectrum(jnp.asarray(psf)), shape))
+    write_stack(tmp_path / "data.tif", data, compression="lzw", tile=16)
+    write_stack(tmp_path / "psf.tif", psf)
+    main(["deconv", str(tmp_path / "data.tif"), "--psf", str(tmp_path / "psf.tif"),
+          "--out", str(tmp_path / "out.tif"), "--iters", "5"])
+    rec = read_stack(tmp_path / "out.tif")
+    assert rec.shape == shape and np.isfinite(rec).all()
