@@ -40,3 +40,85 @@ def test_watch_processes_files_and_survives_bad_input(tmp_path):
         assert rec.shape == shape and np.isfinite(rec).all()
     # the broken file was logged as failed, not fatal
     assert any("broken.tif" in m and "FAILED" in m for m in logs)
+
+
+def _mini_scene(tmp_path, shape=(4, 16, 16)):
+    psf = np.zeros(shape, np.float32)
+    psf[0, 0, 0] = 0.6
+    psf[0, 0, 1] = 0.4
+    write_stack(tmp_path / "psf.tif", psf)
+    rng = np.random.default_rng(1)
+    o = np.abs(rng.standard_normal(shape)).astype(np.float32) * 10
+    d = np.asarray(convolve(jnp.asarray(o), convolve_spectrum(jnp.asarray(psf)), shape))
+    return psf, d
+
+
+def test_watch_grows_after_failure_is_reclaimed(tmp_path):
+    """serve.py failure semantics: a file that fails and then GROWS is
+    treated as new (fresh retry budget) — the partial-write-then-finished
+    scenario."""
+    indir = tmp_path / "in"
+    outdir = tmp_path / "out"
+    indir.mkdir()
+    psf, d = _mini_scene(tmp_path)
+
+    # A corrupt file that looks size-stable: claimed, fails.
+    (indir / "a.tif").write_bytes(b"garbage that is not a tiff")
+
+    state = {"replaced": False}
+
+    def log(msg):
+        if "FAILED" in msg and not state["replaced"]:
+            # Simulate the writer finishing: replace with a valid, LARGER stack.
+            state["replaced"] = True
+            write_stack(indir / "a.tif", d)
+
+    out = watch(indir, outdir, tmp_path / "psf.tif",
+                config=DeconvolutionConfig(mu=0.001, epsilon=1.0, max_iter=5),
+                poll_seconds=0.02, max_files=1, max_retries=1, log=log)
+    assert len(out) == 1 and out[0].name == "a.tif"
+    assert state["replaced"]
+    rec = read_stack(outdir / "a.tif")
+    assert rec.shape == d.shape and np.isfinite(rec).all()
+
+
+def test_watch_retries_bounded_at_same_size(tmp_path):
+    """A persistently corrupt file is attempted at most max_retries times at
+    one size, then ignored while the service keeps going."""
+    indir = tmp_path / "in"
+    outdir = tmp_path / "out"
+    indir.mkdir()
+    psf, d = _mini_scene(tmp_path)
+    (indir / "0broken.tif").write_bytes(b"still not a tiff")
+
+    fails = []
+    state = {"released": False}
+
+    def log(msg):
+        if "FAILED" in msg:
+            fails.append(msg)
+        # After the retry budget is spent, give the loop an exit path.
+        if len(fails) >= 2 and not state["released"]:
+            state["released"] = True
+            write_stack(indir / "zz.tif", d)
+
+    out = watch(indir, outdir, tmp_path / "psf.tif",
+                config=DeconvolutionConfig(mu=0.001, epsilon=1.0, max_iter=5),
+                poll_seconds=0.02, max_files=1, max_retries=2, log=log)
+    assert len(out) == 1 and out[0].name == "zz.tif"
+    # exactly max_retries attempts on the corrupt file, despite extra scans
+    # while zz.tif was stabilizing
+    assert len([m for m in fails if "0broken.tif" in m]) == 2
+
+
+def test_watch_rl_method(tmp_path):
+    indir = tmp_path / "in"
+    outdir = tmp_path / "out"
+    indir.mkdir()
+    psf, d = _mini_scene(tmp_path)
+    write_stack(indir / "t.tif", d)
+    out = watch(indir, outdir, tmp_path / "psf.tif", method="rl", rl_iterations=5,
+                poll_seconds=0.02, max_files=1, log=lambda m: None)
+    assert len(out) == 1
+    rec = read_stack(outdir / "t.tif")
+    assert rec.shape == d.shape and np.isfinite(rec).all() and (rec >= 0).all()
