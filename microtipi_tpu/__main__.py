@@ -179,7 +179,7 @@ def cmd_blind(args):
     model = _build_model(args, data.shape)
     fam_map = {"defocus": DEFOCUS, "phase": PHASE, "modulus": MODULUS}
     families = tuple(fam_map[f] for f in args.families)
-    cfg = BlindDeconvConfig(
+    kw = dict(
         loops=args.loops,
         families=families,
         psf_max_iter=tuple(args.psf_iters for _ in families),
@@ -190,11 +190,50 @@ def cmd_blind(args):
         phase_freeze_head=1 if args.pin_z4 else 0,
         init="wiener" if args.wiener_init else "data",
     )
+    if args.recipe == "quality":
+        # One flag for the measured-best recipe (BlindDeconvConfig.recommended).
+        kw["joint_fit"] = True
+        kw["phase_freeze_head"] = max(1, kw["phase_freeze_head"])
+        kw["init"] = "wiener"
+        kw["phase_schedule"] = None  # joint_fit excludes it
+    cfg = BlindDeconvConfig(**kw)
     w = _weights(args, data)
-    run = jax.jit(lambda d, w: blind_deconvolve(d, model, weights=w, config=cfg))
     t0 = time.time()
-    res = run(data, w)
-    df = np.asarray(res.deconv_f)
+    if args.checkpoint:
+        # Host-driven rounds with atomic npz checkpoints: a preempted run
+        # resumes with --resume instead of restarting (utils.checkpoint).
+        import dataclasses
+        import os
+
+        from microtipi_tpu.utils.checkpoint import load_state, save_state
+
+        x0, params0, start = None, None, 0
+        if args.resume and os.path.exists(args.checkpoint):
+            x0, params0, start, _ = load_state(args.checkpoint)
+            print(f"resumed {args.checkpoint} at round {start}")
+        mid_cfg = dataclasses.replace(cfg, loops=1, skip_last_fit=False)
+        last_cfg = dataclasses.replace(cfg, loops=1, skip_last_fit=True)
+        run1 = jax.jit(
+            lambda d, w, x0, p0, c: blind_deconvolve(
+                d, model, params0=p0, x0=x0, weights=w, config=c
+            ),
+            static_argnums=4,
+        )
+        res = None
+        for i in range(start, args.loops):
+            c = last_cfg if i == args.loops - 1 else mid_cfg
+            res = run1(data, w, x0, params0, c)
+            x0, params0 = res.obj, res.params
+            save_state(args.checkpoint, np.asarray(res.obj), res.params, i + 1)
+            print(f"round {i+1}/{args.loops}: object cost "
+                  f"{float(res.deconv_f[0]):.6g} (checkpointed)")
+        if res is None:
+            sys.exit("nothing to do: checkpoint is already at the final round")
+        df = np.asarray(res.deconv_f)[-1:]
+    else:
+        run = jax.jit(lambda d, w: blind_deconvolve(d, model, weights=w, config=cfg))
+        res = run(data, w)
+        df = np.asarray(res.deconv_f)
     print(f"blind: {args.loops} rounds in {time.time()-t0:.1f}s (incl. compile); "
           f"object cost {df[0]:.6g} -> {df[-1]:.6g}")
     print("defocus:", np.asarray(res.params.defocus))
@@ -258,6 +297,14 @@ def main(argv=None):
                    help="fit all families jointly per round (one VMLMB run)")
     p.add_argument("--wiener-init", action="store_true",
                    help="round-1 object warm start from the regularized inverse")
+    p.add_argument("--checkpoint", default=None,
+                   help="checkpoint path: run host-driven rounds, saving state after each")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from --checkpoint if it exists")
+    p.add_argument("--recipe", choices=["parity", "quality"], default="parity",
+                   help="'quality' switches on the measured-best recipe in one flag "
+                        "(joint fit + pin-Z4 + wiener init); 'parity' (default) keeps "
+                        "the reference's sequential per-family semantics")
     p.add_argument("--families", nargs="+", default=["defocus", "phase"],
                    choices=["defocus", "phase", "modulus"])
     _model_args(p)

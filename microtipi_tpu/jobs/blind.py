@@ -79,6 +79,11 @@ class BlindDeconvConfig:
     #: (clamped regularized inverse; ~2x fewer object iterations to a given
     #: cost — see docs/TUNING.md). Later rounds warm-start from the previous.
     init: str = "data"
+    #: Reference semantics skip the PSF refit on the final round
+    #: (BlindDeconvJob.java:116). Set False when composing per-round
+    #: dispatches on the host (checkpointed runs): every round then fits,
+    #: and the composer applies the skip on the true last round itself.
+    skip_last_fit: bool = True
 
     def __post_init__(self):
         if len(self.families) != len(self.psf_max_iter):
@@ -89,6 +94,18 @@ class BlindDeconvConfig:
             raise ValueError("phase_schedule is not supported with joint_fit")
         if self.init not in ("data", "wiener"):
             raise ValueError(f"unknown init {self.init!r}")
+
+    @classmethod
+    def recommended(cls, **overrides) -> "BlindDeconvConfig":
+        """The measured-best quality recipe as ONE call (docs/TUNING.md):
+        joint defocus+phase fit (prevents the sequential loop's defocus
+        degradation), pin-Z4 (halves blind phase error by removing the
+        object-z-shift gauge mode), and the wiener warm start (~2x fewer
+        object iterations to a given cost). Defaults elsewhere stay at
+        reference parity; pass overrides for loops/budgets/etc."""
+        base = dict(joint_fit=True, phase_freeze_head=1, init="wiener")
+        base.update(overrides)
+        return cls(**base)
 
 
 class BlindDeconvResult(NamedTuple):
@@ -152,10 +169,11 @@ def run_blind_loop(config, f_dtype, x0, params0, object_step, fit_weights, fit_o
         def skip_fits(params):
             return params, jnp.full((nfam,), jnp.nan, f_dtype)
 
+        fits_this_round = (lambda i: i < config.loops - 1) if config.skip_last_fit else (lambda i: i >= 0)
         if unrolled:  # i is a python int: last-round skip resolves statically
-            params, ff = run_fits(params) if i < config.loops - 1 else skip_fits(params)
+            params, ff = run_fits(params) if fits_this_round(i) else skip_fits(params)
         else:
-            params, ff = lax.cond(i < config.loops - 1, run_fits, skip_fits, params)
+            params, ff = lax.cond(fits_this_round(i), run_fits, skip_fits, params)
         return x, params, deconv_f, fit_f.at[i].set(ff), deconv_iters
 
     carry0 = (

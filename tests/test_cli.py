@@ -59,3 +59,87 @@ def test_cli_bad_family_rejected(tmp_path):
     r = _run(["blind", "x.tif", "--out", "y.tif", "--families", "bogus"], tmp_path)
     assert r.returncode != 0
     assert "invalid choice" in r.stderr
+
+
+def test_blind_cli_quality_recipe(tmp_path):
+    """--recipe quality runs the one-flag recommended recipe."""
+    import jax.numpy as jnp
+    from microtipi_tpu.__main__ import main
+    from microtipi_tpu.io.tiffstack import read_stack, write_stack
+    from microtipi_tpu.models.widefield import WideFieldConfig
+    from microtipi_tpu.ops.convolution import convolve, convolve_spectrum
+
+    shape = (8, 32, 32)
+    model = WideFieldConfig(shape=shape, na=1.2, wavelength=500e-9, ni=1.33,
+                            dxy=100e-9, dz=250e-9, n_phase=3, radial=True)
+    true = model.init_params()._replace(phase=jnp.asarray([0.3, -0.15, 0.1]))
+    rng = np.random.default_rng(0)
+    obj = np.abs(rng.standard_normal(shape)).astype(np.float32) * 20
+    d = convolve(jnp.asarray(obj), convolve_spectrum(model.compute_psf(true)), shape)
+    write_stack(tmp_path / "d.tif", np.asarray(d), dxy=100e-9, dz=250e-9)
+    main(["blind", str(tmp_path / "d.tif"), "--out", str(tmp_path / "o.tif"),
+          "--recipe", "quality", "--loops", "2", "--iters", "5", "--psf-iters", "4",
+          "--na", "1.2", "--wavelength", "500e-9", "--ni", "1.33",
+          "--n-phase", "3", "--radial"])
+    rec = read_stack(tmp_path / "o.tif")
+    assert rec.shape == shape and np.isfinite(rec).all()
+
+
+def test_recommended_config_classmethod():
+    from microtipi_tpu.jobs.blind import BlindDeconvConfig
+
+    cfg = BlindDeconvConfig.recommended(loops=3)
+    assert cfg.joint_fit and cfg.phase_freeze_head == 1 and cfg.init == "wiener"
+    assert cfg.loops == 3
+
+
+def test_blind_cli_checkpoint_resume(tmp_path):
+    """Checkpointed host-driven rounds resume mid-run and finish identically
+    structured output."""
+    import jax.numpy as jnp
+    from microtipi_tpu.__main__ import main
+    from microtipi_tpu.io.tiffstack import read_stack, write_stack
+    from microtipi_tpu.models.widefield import WideFieldConfig
+    from microtipi_tpu.ops.convolution import convolve, convolve_spectrum
+    from microtipi_tpu.utils.checkpoint import load_state
+
+    shape = (8, 32, 32)
+    model = WideFieldConfig(shape=shape, na=1.2, wavelength=500e-9, ni=1.33,
+                            dxy=100e-9, dz=250e-9, n_phase=3, radial=True)
+    true = model.init_params()._replace(phase=jnp.asarray([0.3, -0.15, 0.1]))
+    rng = np.random.default_rng(1)
+    obj = np.abs(rng.standard_normal(shape)).astype(np.float32) * 20
+    d = convolve(jnp.asarray(obj), convolve_spectrum(model.compute_psf(true)), shape)
+    # Stamp the geometry so the CLI resolves dxy/dz from metadata and its
+    # model matches the hand-built one below.
+    write_stack(tmp_path / "d.tif", np.asarray(d), dxy=100e-9, dz=250e-9)
+    ckpt = str(tmp_path / "state.npz")
+    base = ["blind", str(tmp_path / "d.tif"), "--out", str(tmp_path / "o.tif"),
+            "--loops", "3", "--iters", "4", "--psf-iters", "3",
+            "--na", "1.2", "--wavelength", "500e-9", "--ni", "1.33",
+            "--n-phase", "3", "--radial", "--checkpoint", ckpt]
+    main(base)
+    _, params_full, rnd, _ = load_state(ckpt)
+    assert rnd == 3
+    full_phase = np.asarray(params_full.phase)
+
+    # Simulate preemption: rewind the checkpoint to after round 1, resume.
+    import jax
+    from microtipi_tpu.utils.checkpoint import save_state
+    from microtipi_tpu.jobs.blind import BlindDeconvConfig, blind_deconvolve
+    from microtipi_tpu.jobs.deconv import DeconvolutionConfig
+    from microtipi_tpu.models.microscope import DEFOCUS, PHASE
+    import dataclasses
+    cfg1 = BlindDeconvConfig(
+        loops=1, families=(DEFOCUS, PHASE), psf_max_iter=(3, 3),
+        deconv=DeconvolutionConfig(mu=0.01, epsilon=1.0, max_iter=4),
+        skip_last_fit=False,
+    )
+    r1 = blind_deconvolve(jnp.asarray(read_stack(tmp_path / "d.tif")), model, config=cfg1)
+    save_state(ckpt, np.asarray(r1.obj), r1.params, 1)
+    main(base + ["--resume"])
+    _, params_resumed, rnd2, _ = load_state(ckpt)
+    assert rnd2 == 3
+    # f32: the fused 3-round program and the per-round dispatches partition
+    # differently, so agreement is to accumulated round-off, not bitwise.
+    np.testing.assert_allclose(np.asarray(params_resumed.phase), full_phase, atol=1e-3)
