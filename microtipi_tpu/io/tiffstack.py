@@ -83,7 +83,7 @@ def _lib() -> ctypes.CDLL:
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_char_p, ctypes.c_int, ctypes.c_double, ctypes.c_double,
-            ctypes.c_char_p,
+            ctypes.c_char_p, ctypes.c_int,
         ]
         lib.mt_tiff_write_opts.restype = ctypes.c_int
         lib.mt_tiff_pixel_size.argtypes = [
@@ -129,6 +129,7 @@ def write_stack(
     dxy: float | None = None,
     dz: float | None = None,
     description: str | None = None,
+    bigtiff: bool = False,
 ) -> None:
     """Write a (Nz, Ny, Nx) volume as a float32 multi-page TIFF.
 
@@ -137,6 +138,8 @@ def write_stack(
     meters are stamped as resolution tags + an ImageJ-style description so
     :func:`read_pixel_size` (and ImageJ/Fiji) recover the geometry;
     ``description`` overrides the auto description (e.g. OME-XML).
+    ``bigtiff`` forces 64-bit offsets (automatic for payloads near the
+    classic 4 GiB limit); reads handle both formats transparently.
     """
     vol = np.ascontiguousarray(volume, np.float32)
     if vol.ndim != 3:
@@ -146,7 +149,7 @@ def write_stack(
     rc = lib.mt_tiff_write_opts(
         str(path).encode(), ptr, *map(int, vol.shape),
         compression.encode(), int(tile), float(dxy or 0.0), float(dz or 0.0),
-        description.encode() if description else None,
+        description.encode() if description else None, int(bool(bigtiff)),
     )
     if rc != 0:
         _raise(lib)

@@ -354,7 +354,7 @@ int mt_tiff_pixel_size(const char* path, double* dxy_m, double* dz_m) {
 // mt_tiff_pixel_size and the ecosystem's readers round-trip the geometry.
 int mt_tiff_write_opts(const char* path, const float* data, int nz, int ny, int nx,
                        const char* compression, int tile, double dxy_m, double dz_m,
-                       const char* description) {
+                       const char* description, int bigtiff) {
   uint16_t comp = COMPRESSION_NONE;
   if (compression && std::string(compression) == "lzw") comp = COMPRESSION_LZW;
   else if (compression && std::string(compression) == "deflate") comp = COMPRESSION_ADOBE_DEFLATE;
@@ -367,7 +367,11 @@ int mt_tiff_write_opts(const char* path, const float* data, int nz, int ny, int 
     return -1;
   }
 
-  TIFF* tif = TIFFOpen(path, "w");
+  // BigTIFF (64-bit offsets) on request or automatically when the payload
+  // approaches the classic 4 GiB limit; libtiff reads both transparently.
+  const size_t total_bytes = static_cast<size_t>(nz) * ny * nx * sizeof(float);
+  const bool big = bigtiff || total_bytes > (size_t{1} << 31);
+  TIFF* tif = TIFFOpen(path, big ? "w8" : "w");
   if (!tif) {
     set_err(std::string("cannot create ") + path);
     return -1;
@@ -452,7 +456,7 @@ int mt_tiff_write_opts(const char* path, const float* data, int nz, int ny, int 
 }
 
 int mt_tiff_write(const char* path, const float* data, int nz, int ny, int nx) {
-  return mt_tiff_write_opts(path, data, nz, ny, nx, "none", 0, 0.0, 0.0, nullptr);
+  return mt_tiff_write_opts(path, data, nz, ny, nx, "none", 0, 0.0, 0.0, nullptr, 0);
 }
 
 }  // extern "C"

@@ -192,3 +192,18 @@ def test_deconv_cli_on_tiled_lzw_input(tmp_path):
           "--out", str(tmp_path / "out.tif"), "--iters", "5"])
     rec = read_stack(tmp_path / "out.tif")
     assert rec.shape == shape and np.isfinite(rec).all()
+
+
+def test_bigtiff_roundtrip(tmp_path):
+    """BigTIFF (64-bit offsets, 'w8') round-trips through the same reader."""
+    from microtipi_tpu.io.tiffstack import read_stack, stack_info, write_stack
+
+    rng = np.random.default_rng(7)
+    vol = rng.standard_normal((3, 24, 24)).astype(np.float32)
+    p = tmp_path / "big.tif"
+    write_stack(p, vol, bigtiff=True, compression="lzw")
+    # BigTIFF magic is 43 (classic is 42)
+    magic = int.from_bytes(p.read_bytes()[2:4], "little")
+    assert magic == 43
+    assert stack_info(p) == (3, 24, 24)
+    np.testing.assert_array_equal(read_stack(p), vol)
