@@ -163,3 +163,47 @@ def test_rebuild_family_isolation():
     m.set_phase([0.4, -0.2])
     np.testing.assert_allclose(m.get_phase_coefs(), [0.4, -0.2])
     np.testing.assert_allclose(m.get_modulus_coefs(), [0.8, 0.2, 0.0])
+
+
+def test_fit_cache_not_stale_after_config_replacement():
+    """The jit cache must key on the config VALUE: replacing a model's config
+    (old one garbage-collected) must not serve a compiled fit for the old
+    geometry (the id()-keyed cache bug class)."""
+    import gc
+
+    m = WideFieldModel(SHAPE, n_phase=3, n_modulus=1, single=False, **KW)
+    obj, data = make_scene(m)
+    est = PSF_Estimation(m)
+    est.set_data(data)
+    est.set_obj(obj)
+    est.set_maximum_iterations(3)
+    est.fit_psf(PHASE)
+    f_before = est.get_cost()
+
+    # Replace the config with a different geometry (same shapes, different
+    # physics), drop the old one, force GC so its id() can be recycled.
+    old_cfg = m.config
+    m._cfg = WideFieldConfig(
+        shape=SHAPE, na=1.0, wavelength=600e-9, ni=1.0, dxy=150e-9, dz=400e-9,
+        n_phase=3, radial=old_cfg.radial, dtype=old_cfg.dtype,
+    )
+    m._jits = {}
+    m.params = m.config.init_params()
+    del old_cfg
+    gc.collect()
+
+    est.fit_psf(PHASE)
+    f_after = est.get_cost()
+    # Different optics on the same scene -> a genuinely different fit; a
+    # stale cached program would reproduce the old trajectory instead.
+    assert f_after != pytest.approx(f_before, rel=1e-9)
+
+    # And re-fitting with the ORIGINAL config (fresh object, same value)
+    # must hit the same compiled program without error.
+    m2 = WideFieldModel(SHAPE, n_phase=3, n_modulus=1, single=False, **KW)
+    est2 = PSF_Estimation(m2)
+    est2.set_data(data)
+    est2.set_obj(obj)
+    est2.set_maximum_iterations(3)
+    est2.fit_psf(PHASE)
+    assert est2.get_cost() == pytest.approx(f_before, rel=1e-6)
