@@ -194,3 +194,26 @@ def test_sharded_blind_odd_shape_autopads(mesh8, scene):
     df = np.asarray(res.deconv_f)
     assert np.isfinite(df).all() and df[1] <= df[0]
     assert np.isfinite(np.asarray(res.params.phase)).all()
+
+
+def test_sharded_richardson_lucy_matches_dense(mesh8, scene):
+    from microtipi_tpu.jobs.richardson_lucy import richardson_lucy
+    from microtipi_tpu.parallel.richardson_lucy import sharded_richardson_lucy
+
+    model, true, obj, psf, data = scene
+    ref = richardson_lucy(data, psf, iterations=10, mu=0.01, epsilon=0.5)
+    data_sh = jax.device_put(data, volume_sharding(mesh8, batched=False))
+    got = sharded_richardson_lucy(data_sh, psf, mesh8, iterations=10, mu=0.01, epsilon=0.5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-8, atol=1e-10)
+
+
+def test_sharded_richardson_lucy_batched(mesh8, scene):
+    from microtipi_tpu.parallel.richardson_lucy import sharded_richardson_lucy
+
+    model, true, obj, psf, data = scene
+    mesh = make_mesh(batch=2, z=4)
+    batched = jnp.stack([data, data * 1.2])
+    batched = jax.device_put(batched, volume_sharding(mesh, batched=True))
+    got = sharded_richardson_lucy(batched, psf, mesh, iterations=5)
+    assert got.shape == (2,) + SHAPE
+    assert np.isfinite(np.asarray(got)).all() and (np.asarray(got) >= 0).all()
