@@ -165,6 +165,16 @@ def cmd_deconv(args):
     print("wrote", args.out)
 
 
+def _make_mesh(args):
+    """(mesh, run_sharded) from --mesh BATCH Z; None when single-device."""
+    if not getattr(args, "mesh", None):
+        return None
+    from microtipi_tpu.parallel.mesh import make_mesh
+
+    batch, z = args.mesh
+    return make_mesh(batch=batch, z=z)
+
+
 def cmd_blind(args):
     import numpy as np
     import jax
@@ -256,7 +266,7 @@ def cmd_watch(args):
                               positivity=not args.no_positivity)
     watch(args.indir, args.outdir, args.psf, config=cfg, method=args.method,
           rl_iterations=args.iters, poll_seconds=args.poll,
-          max_files=args.max_files)
+          max_files=args.max_files, metrics_path=args.metrics)
 
 
 def main(argv=None):
@@ -317,6 +327,8 @@ def main(argv=None):
     p.add_argument("--psf", required=True)
     p.add_argument("--poll", type=float, default=2.0)
     p.add_argument("--max-files", type=int, default=None, help="stop after N files (default: run forever)")
+    p.add_argument("--metrics", default=None,
+                   help="path of an atomically-updated JSON metrics snapshot")
     _deconv_args(p)
     p.set_defaults(fn=cmd_watch)
 

@@ -14,12 +14,19 @@ attempts *at the same size* — a file that grows after a failure is treated as
 new. Outputs are written atomically (tmp + rename) so downstream watchers
 never see partial volumes. A vanishing input between scan and claim is
 skipped, never fatal.
+
+Pipelining: host decode of the next ready stack overlaps device compute of
+the current one (a small thread pool feeds decoded volumes ahead of the
+solver). Observability: ``metrics_path`` atomically maintains a JSON
+snapshot (counts, wall/compute seconds, throughput) after every scan.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import time
+from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 
 import numpy as np
@@ -57,10 +64,14 @@ def watch(
     max_files: int | None = None,
     max_retries: int = 3,
     log=print,
+    metrics_path: str | os.PathLike | None = None,
+    prefetch: int = 2,
 ):
     """Run the service loop. ``max_files`` bounds the run (None = forever).
 
     Returns the list of processed output paths (useful under ``max_files``).
+    ``metrics_path`` maintains an atomic JSON metrics snapshot; ``prefetch``
+    sizes the decode thread pool that overlaps host IO with device compute.
     """
     import jax
     import jax.numpy as jnp
@@ -104,35 +115,66 @@ def watch(
     done: set[tuple[str, int]] = set()  # (name, size): re-process if it grows
     attempts: dict[tuple[str, int], int] = {}
     processed: list[Path] = []
+    stats = {
+        "started_at": time.time(), "processed": 0, "failed_attempts": 0,
+        "compute_seconds": 0.0, "voxels": 0, "scans": 0,
+    }
 
-    while max_files is None or len(processed) < max_files:
-        ready = [
-            p for p in _stable_files(indir, seen)
-            if (p.name, seen[p.name]) not in done
-            and attempts.get((p.name, seen[p.name]), 0) < max_retries
-        ]
-        if not ready:
-            time.sleep(poll_seconds)
-            continue
-        for p in ready:
-            key = (p.name, seen[p.name])
-            try:
-                t0 = time.time()
-                data = jnp.asarray(read_stack(p))
-                x = np.asarray(solver_for(data.shape)(data))
-                out = outdir / p.name
-                tmp = out.with_suffix(out.suffix + ".tmp")
-                write_stack(tmp, x)
-                os.replace(tmp, out)
-                done.add(key)
-                processed.append(out)
-                log(f"[watch] {p.name}: {data.shape} done in {time.time()-t0:.2f}s -> {out}")
-            except Exception as e:  # keep serving; retry (bounded) next scan
-                attempts[key] = attempts.get(key, 0) + 1
-                log(
-                    f"[watch] {p.name}: FAILED attempt {attempts[key]}/{max_retries} "
-                    f"({type(e).__name__}: {e})"
-                )
-            if max_files is not None and len(processed) >= max_files:
-                break
+    def write_metrics():
+        if metrics_path is None:
+            return
+        snap = dict(stats)
+        wall = max(time.time() - snap.pop("started_at"), 1e-9)
+        snap["uptime_seconds"] = round(wall, 3)
+        snap["mvox_per_second"] = round(snap["voxels"] / wall / 1e6, 6)
+        tmp = str(metrics_path) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(snap, f)
+        os.replace(tmp, str(metrics_path))
+
+    pool = ThreadPoolExecutor(max_workers=max(1, prefetch))
+    try:
+        while max_files is None or len(processed) < max_files:
+            ready = [
+                p for p in _stable_files(indir, seen)
+                if (p.name, seen[p.name]) not in done
+                and attempts.get((p.name, seen[p.name]), 0) < max_retries
+            ]
+            stats["scans"] += 1
+            if not ready:
+                write_metrics()
+                time.sleep(poll_seconds)
+                continue
+            # Decode ahead: file i+1 parses on host threads while the device
+            # solves file i.
+            futs = [(p, seen[p.name], pool.submit(read_stack, p)) for p in ready]
+            for p, size, fut in futs:
+                key = (p.name, size)
+                try:
+                    t0 = time.time()
+                    data = jnp.asarray(fut.result())
+                    x = np.asarray(solver_for(data.shape)(data))
+                    out = outdir / p.name
+                    tmp = out.with_suffix(out.suffix + ".tmp")
+                    write_stack(tmp, x)
+                    os.replace(tmp, out)
+                    done.add(key)
+                    processed.append(out)
+                    dt = time.time() - t0
+                    stats["processed"] += 1
+                    stats["compute_seconds"] += dt
+                    stats["voxels"] += int(np.prod(data.shape))
+                    log(f"[watch] {p.name}: {data.shape} done in {dt:.2f}s -> {out}")
+                except Exception as e:  # keep serving; retry (bounded) next scan
+                    attempts[key] = attempts.get(key, 0) + 1
+                    stats["failed_attempts"] += 1
+                    log(
+                        f"[watch] {p.name}: FAILED attempt {attempts[key]}/{max_retries} "
+                        f"({type(e).__name__}: {e})"
+                    )
+                if max_files is not None and len(processed) >= max_files:
+                    break
+            write_metrics()
+    finally:
+        pool.shutdown(wait=False, cancel_futures=True)
     return processed

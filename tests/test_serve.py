@@ -122,3 +122,26 @@ def test_watch_rl_method(tmp_path):
     assert len(out) == 1
     rec = read_stack(outdir / "t.tif")
     assert rec.shape == d.shape and np.isfinite(rec).all() and (rec >= 0).all()
+
+
+def test_watch_metrics_snapshot(tmp_path):
+    import json
+
+    indir = tmp_path / "in"
+    outdir = tmp_path / "out"
+    indir.mkdir()
+    psf, d = _mini_scene(tmp_path)
+    write_stack(indir / "a.tif", d)
+    write_stack(indir / "b.tif", d * 1.5)
+    (indir / "0bad.tif").write_bytes(b"nope")  # sorts first: attempted before max_files hits
+    metrics = tmp_path / "metrics.json"
+    out = watch(indir, outdir, tmp_path / "psf.tif",
+                config=DeconvolutionConfig(mu=0.001, epsilon=1.0, max_iter=4),
+                poll_seconds=0.02, max_files=2, log=lambda m: None,
+                metrics_path=metrics)
+    assert len(out) == 2
+    snap = json.loads(metrics.read_text())
+    assert snap["processed"] == 2
+    assert snap["failed_attempts"] >= 1  # 0bad.tif
+    assert snap["voxels"] == 2 * int(np.prod(d.shape))
+    assert snap["mvox_per_second"] > 0 and snap["uptime_seconds"] > 0
