@@ -196,6 +196,7 @@ def cmd_blind(args):
         deconv=_deconv_config(args, data.shape),
         fit=PsfFitConfig(),
         phase_schedule=tuple(args.phase_schedule) if args.phase_schedule else None,
+        mu_schedule=tuple(args.mu_schedule) if args.mu_schedule else None,
         joint_fit=args.joint_fit,
         phase_freeze_head=1 if args.pin_z4 else 0,
         init="wiener" if args.wiener_init else "data",
@@ -301,6 +302,8 @@ def main(argv=None):
     p.add_argument("--psf-iters", type=int, default=20)
     p.add_argument("--phase-schedule", type=int, nargs="*", default=None,
                    help="active phase modes per round (graduated optimization)")
+    p.add_argument("--mu-schedule", type=float, nargs="*", default=None,
+                   help="per-round TV weight (object-prior annealing: strong early, relax late)")
     p.add_argument("--pin-z4", action="store_true",
                    help="freeze the first phase mode (Z4, gauge-degenerate with object z-shift)")
     p.add_argument("--joint-fit", action="store_true",

@@ -84,12 +84,20 @@ class BlindDeconvConfig:
     #: dispatches on the host (checkpointed runs): every round then fits,
     #: and the composer applies the skip on the true last round itself.
     skip_last_fit: bool = True
+    #: Object-prior annealing: per-round TV weight (length ``loops``),
+    #: overriding ``deconv.mu``. Strong TV early keeps the object smooth so
+    #: aberrations land in the PSF estimate instead of being absorbed by the
+    #: object; relax in later rounds to recover detail. Like phase_schedule,
+    #: a schedule unrolls the rounds (static per-round numerics).
+    mu_schedule: tuple[float, ...] | None = None
 
     def __post_init__(self):
         if len(self.families) != len(self.psf_max_iter):
             raise ValueError("families and psf_max_iter must have the same length")
         if self.phase_schedule is not None and len(self.phase_schedule) != self.loops:
             raise ValueError("phase_schedule must have one entry per loop")
+        if self.mu_schedule is not None and len(self.mu_schedule) != self.loops:
+            raise ValueError("mu_schedule must have one entry per loop")
         if self.joint_fit and self.phase_schedule is not None:
             raise ValueError("phase_schedule is not supported with joint_fit")
         if self.init not in ("data", "wiener"):
@@ -125,7 +133,8 @@ def run_blind_loop(config, f_dtype, x0, params0, object_step, fit_weights, fit_o
     skip (``:126``), phase-schedule unrolling, joint-fit dispatch. The backend
     supplies four callables:
 
-    - ``object_step(x, params) -> (x_new, f, iterations, psf)``
+    - ``object_step(x, params, mu) -> (x_new, f, iterations, psf)`` (``mu``
+      is the per-round TV weight from ``mu_schedule``, or None = config)
     - ``fit_weights(x, psf) -> weights-or-None`` (the post-deconv update
       feeding only the PSF step, ``:109-111``)
     - ``fit_one(params, x, w_fit, j, phase_active) -> (params, f)`` for family
@@ -135,9 +144,9 @@ def run_blind_loop(config, f_dtype, x0, params0, object_step, fit_weights, fit_o
     """
     nfam = len(config.families)
 
-    def round_body(i, carry, phase_active=None, unrolled=False):
+    def round_body(i, carry, phase_active=None, mu=None, unrolled=False):
         x, params, deconv_f, fit_f, deconv_iters = carry
-        x, df, dit, psf = object_step(x, params)
+        x, df, dit, psf = object_step(x, params, mu)
         deconv_f = deconv_f.at[i].set(df)
         deconv_iters = deconv_iters.at[i].set(dit)
         w_fit = fit_weights(x, psf)
@@ -183,11 +192,16 @@ def run_blind_loop(config, f_dtype, x0, params0, object_step, fit_weights, fit_o
         jnp.full((config.loops, nfam), jnp.nan, f_dtype),
         jnp.zeros((config.loops,), jnp.int32),
     )
-    if config.phase_schedule is None:
+    if config.phase_schedule is None and config.mu_schedule is None:
         return lax.fori_loop(0, config.loops, round_body, carry0)
     carry = carry0
     for i in range(config.loops):
-        carry = round_body(i, carry, phase_active=config.phase_schedule[i], unrolled=True)
+        carry = round_body(
+            i, carry,
+            phase_active=config.phase_schedule[i] if config.phase_schedule else None,
+            mu=config.mu_schedule[i] if config.mu_schedule else None,
+            unrolled=True,
+        )
     return carry
 
 
@@ -221,13 +235,14 @@ def blind_deconvolve(
 
     fit_cfg = dataclasses.replace(config.fit, grtol=0.0)  # BlindDeconvJob.java:124
 
-    def object_step(x, params):
+    def object_step(x, params, mu):
         psf = model.compute_psf(params)
+        dcfg = config.deconv if mu is None else dataclasses.replace(config.deconv, mu=mu)
         # Object step always sees the user-supplied weights: the reference
         # deliberately disables the pre-deconv weight update
         # (BlindDeconvJob.java:105-107). Keeping weights=None here also
         # preserves the uniform-weight quadratic fast path.
-        dres = deconvolve(data, psf, weights=weights, x0=x, config=config.deconv)
+        dres = deconvolve(data, psf, weights=weights, x0=x, config=dcfg)
         return dres.x, dres.f, dres.iterations, psf
 
     def fit_weights(x, psf):

@@ -101,9 +101,10 @@ def sharded_blind_deconvolve(
         x0 = pad_trailing(data, var_shape)
     x0 = jnp.maximum(x0, 0.0)
 
-    def object_step(x, params):
+    def object_step(x, params, mu):
         psf = model.compute_psf(params)
-        res = sharded_deconvolve(data, psf, mesh, weights=weights, x0=x, config=dcfg)
+        cfg_i = dcfg if mu is None else dataclasses.replace(dcfg, mu=mu)
+        res = sharded_deconvolve(data, psf, mesh, weights=weights, x0=x, config=cfg_i)
         return res.x, res.f, res.iterations, psf
 
     def fit_weights(x, psf):

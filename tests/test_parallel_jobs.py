@@ -217,3 +217,29 @@ def test_sharded_richardson_lucy_batched(mesh8, scene):
     got = sharded_richardson_lucy(batched, psf, mesh, iterations=5)
     assert got.shape == (2,) + SHAPE
     assert np.isfinite(np.asarray(got)).all() and (np.asarray(got) >= 0).all()
+
+
+def test_sharded_blind_mu_schedule_matches_dense(mesh8, scene):
+    from microtipi_tpu.jobs.blind import blind_deconvolve
+
+    model, true, obj, psf, data = scene
+    cfg = BlindDeconvConfig(
+        loops=2, families=(PHASE,), psf_max_iter=(4,),
+        deconv=DeconvolutionConfig(mu=0.002, epsilon=1.0, max_iter=4),
+        mu_schedule=(0.02, 0.002),
+    )
+    dense = blind_deconvolve(data, model, weights=jnp.ones_like(data), config=cfg)
+    data_sh = jax.device_put(data, volume_sharding(mesh8, batched=False))
+    shard = sharded_blind_deconvolve(
+        data_sh, model, mesh8, weights=jnp.ones_like(data), config=cfg
+    )
+    np.testing.assert_allclose(
+        np.asarray(shard.params.phase), np.asarray(dense.params.phase), atol=1e-7
+    )
+    # annealed first round actually used the stronger mu
+    cfg_const = BlindDeconvConfig(
+        loops=2, families=(PHASE,), psf_max_iter=(4,),
+        deconv=DeconvolutionConfig(mu=0.002, epsilon=1.0, max_iter=4),
+    )
+    const = blind_deconvolve(data, model, weights=jnp.ones_like(data), config=cfg_const)
+    assert abs(float(dense.deconv_f[0]) - float(const.deconv_f[0])) > 1e-6
