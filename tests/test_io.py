@@ -207,3 +207,27 @@ def test_bigtiff_roundtrip(tmp_path):
     assert magic == 43
     assert stack_info(p) == (3, 24, 24)
     np.testing.assert_array_equal(read_stack(p), vol)
+
+
+def test_bdv_pyramid_roundtrip(tmp_path):
+    """BigDataViewer-layout HDF5 pyramid: exact level-0 round-trip, correct
+    group structure and 2x mean-downsampled levels."""
+    h5py = pytest.importorskip("h5py")
+    from microtipi_tpu.io.hdf5stack import bdv_info, read_bdv, write_bdv
+
+    rng = np.random.default_rng(8)
+    vol = rng.standard_normal((9, 33, 40)).astype(np.float32)
+    p = tmp_path / "bdv.h5"
+    write_bdv(p, vol, levels=3)
+    np.testing.assert_array_equal(read_bdv(p, level=0), vol)
+    l1 = read_bdv(p, level=1)
+    assert l1.shape == (4, 16, 20)
+    # level 1 is the 2x mean of the even-cropped level 0
+    ref = vol[:8, :32, :40].reshape(4, 2, 16, 2, 20, 2).mean(axis=(1, 3, 5))
+    np.testing.assert_allclose(l1, ref, rtol=1e-6)
+    res, shapes = bdv_info(p)
+    assert res.shape[1] == 3 and len(shapes) >= 2
+    with h5py.File(p) as f:   # spec group layout
+        assert "t00000/s00/0/cells" in f and "s00/resolutions" in f
+    # z-range read
+    np.testing.assert_array_equal(read_bdv(p, z0=2, nz=3), vol[2:5])
