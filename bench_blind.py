@@ -41,9 +41,11 @@ from microtipi_tpu.ops.convolution import convolve, convolve_spectrum
 SHAPE = (256, 256, 256)
 LOOPS = 5
 OBJ_ITERS = 20
-# Measured 2026-08-16 on this host (96.4 s for 7 object iterations at 256^3,
-# 2-loop/5-iter probe; per-iteration throughput transfers): see BASELINE.md.
-CPU_BASELINE_MVOX_ITER_S = 1.22
+# Measured 2026-08-16 on this host with the SAME code revision (45.8 s for 7
+# object iterations at 256^3, 2-loop/5-iter probe; per-iteration throughput
+# transfers). Both sides benefit from optimizer improvements — the stand-in
+# is re-measured whenever the solver changes. See BASELINE.md.
+CPU_BASELINE_MVOX_ITER_S = 2.56
 
 
 def main():

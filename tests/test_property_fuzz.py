@@ -93,3 +93,26 @@ def test_deconvolve_random_kernels_stay_finite(seed):
     valid = hist[~np.isnan(hist)]
     assert np.isfinite(valid).all()
     assert valid[-1] <= valid[0] + 1e-9
+
+
+@pytest.mark.parametrize("vol", [(5, 24, 24), (9, 16, 16), (11, 40, 40), (13, 8, 8)])
+def test_sharded_padded_deconv_fuzz_odd_shapes(vol):
+    """Random mesh-odd volumes: the sharded zero-weight padded mode must
+    equal the dense crop-operator mode for every shape (both axes padded)."""
+    from microtipi_tpu.parallel.deconv import sharded_deconvolve
+    from microtipi_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(batch=1, z=8)
+
+    def up(v, m=8):
+        return v + (-v) % m
+
+    var = (up(vol[0]), up(vol[1]), vol[2])
+    rng = np.random.default_rng(hash(vol) % 2**31)
+    data = jnp.asarray(rng.random(vol))
+    psf = jnp.zeros(vol).at[0, 0, 0].set(0.5).at[0, 1, 0].set(0.3).at[1, 0, 1].set(0.2)
+    cfg = DeconvolutionConfig(mu=0.003, epsilon=1.0, max_iter=6, grtol=0.0, var_shape=var)
+    ref = deconvolve(data, psf, config=cfg)
+    got = sharded_deconvolve(data, psf, mesh, config=cfg)
+    np.testing.assert_allclose(float(got.f), float(ref.f), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(got.x), np.asarray(ref.x), atol=1e-7)
