@@ -210,7 +210,16 @@ def cmd_blind(args):
     cfg = BlindDeconvConfig(**kw)
     w = _weights(args, data)
     t0 = time.time()
-    if args.checkpoint:
+    mesh = _make_mesh(args)
+    if mesh is not None:
+        if args.checkpoint:
+            sys.exit("--checkpoint is not supported together with --mesh yet")
+        from microtipi_tpu.parallel.blind import sharded_blind_deconvolve
+
+        run = jax.jit(lambda d, w: sharded_blind_deconvolve(d, model, mesh, weights=w, config=cfg))
+        res = run(data, w)
+        df = np.asarray(res.deconv_f)
+    elif args.checkpoint:
         # Host-driven rounds with atomic npz checkpoints: a preempted run
         # resumes with --resume instead of restarting (utils.checkpoint).
         import dataclasses
@@ -310,6 +319,9 @@ def main(argv=None):
                    help="fit all families jointly per round (one VMLMB run)")
     p.add_argument("--wiener-init", action="store_true",
                    help="round-1 object warm start from the regularized inverse")
+    p.add_argument("--mesh", type=int, nargs=2, default=None, metavar=("BATCH", "Z"),
+                   help="run on a (batch, z) device mesh (sharded loop; needs "
+                        "BATCH*Z devices; odd Nz/Ny auto-pad)")
     p.add_argument("--checkpoint", default=None,
                    help="checkpoint path: run host-driven rounds, saving state after each")
     p.add_argument("--resume", action="store_true",

@@ -143,3 +143,27 @@ def test_blind_cli_checkpoint_resume(tmp_path):
     # f32: the fused 3-round program and the per-round dispatches partition
     # differently, so agreement is to accumulated round-off, not bitwise.
     np.testing.assert_allclose(np.asarray(params_resumed.phase), full_phase, atol=1e-3)
+
+
+def test_blind_cli_mesh(tmp_path):
+    """--mesh runs the sharded loop (on the 8-device virtual CPU mesh here)."""
+    import jax.numpy as jnp
+    from microtipi_tpu.__main__ import main
+    from microtipi_tpu.io.tiffstack import read_stack, write_stack
+    from microtipi_tpu.models.widefield import WideFieldConfig
+    from microtipi_tpu.ops.convolution import convolve, convolve_spectrum
+
+    shape = (8, 32, 32)
+    model = WideFieldConfig(shape=shape, na=1.2, wavelength=500e-9, ni=1.33,
+                            dxy=100e-9, dz=250e-9, n_phase=3, radial=True)
+    true = model.init_params()._replace(phase=jnp.asarray([0.3, -0.15, 0.1]))
+    rng = np.random.default_rng(2)
+    obj = np.abs(rng.standard_normal(shape)).astype(np.float32) * 20
+    d = convolve(jnp.asarray(obj), convolve_spectrum(model.compute_psf(true)), shape)
+    write_stack(tmp_path / "d.tif", np.asarray(d), dxy=100e-9, dz=250e-9)
+    main(["blind", str(tmp_path / "d.tif"), "--out", str(tmp_path / "o.tif"),
+          "--mesh", "1", "8", "--loops", "2", "--iters", "4", "--psf-iters", "3",
+          "--na", "1.2", "--wavelength", "500e-9", "--ni", "1.33",
+          "--n-phase", "3", "--radial"])
+    rec = read_stack(tmp_path / "o.tif")
+    assert rec.shape == shape and np.isfinite(rec).all()
