@@ -52,14 +52,19 @@ def batched_blind_deconvolve(
     """Blind deconvolution over a (B, ...) stack.
 
     ``joint_psf=False`` (default): each frame gets its own independent PSF
-    parameter estimate (vmapped solves). For one optical system constrained by
-    all frames jointly, use ``parallel.blind.sharded_blind_deconvolve`` on a
-    (batch, z) mesh instead (``joint_psf=True`` raises with that pointer).
+    parameter estimate (vmapped solves; ``params0`` may be batched).
+    ``joint_psf=True``: ONE optical system constrained by all frames — the
+    sum-over-frames joint fit runs through the mesh implementation on a
+    trivial single-device mesh (``params0`` is a single pytree; the result's
+    ``params`` is too).
     """
     if joint_psf:
-        raise NotImplementedError(
-            "joint multi-frame PSF estimation lives in "
-            "parallel.blind.sharded_blind_deconvolve (mesh path)"
+        from microtipi_tpu.parallel.blind import sharded_blind_deconvolve
+        from microtipi_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(batch=1, z=1, devices=jax.devices()[:1])
+        return sharded_blind_deconvolve(
+            data, model, mesh, params0=params0, weights=weights, config=config
         )
     if params0 is None:
         params0 = model.init_params()

@@ -55,3 +55,37 @@ def test_batched_blind_shapes_and_progress():
     df = np.asarray(res.deconv_f)
     assert df.shape == (3, 2) and np.isfinite(df).all()
     assert (df[:, 1] <= df[:, 0] + 1e-9).all()
+
+
+def test_batched_blind_joint_psf_single_chip():
+    """joint_psf=True: one parameter vector fitted against all frames, on a
+    trivial single-device mesh — and it matches the 8-device mesh result."""
+    import jax
+
+    from microtipi_tpu.parallel.blind import sharded_blind_deconvolve
+    from microtipi_tpu.parallel.mesh import make_mesh, volume_sharding
+
+    shape = (8, 16, 16)
+    model = WideFieldConfig(shape=shape, n_phase=3, radial=True,
+                            dtype=jnp.float64, **KW)
+    true = model.init_params()._replace(phase=jnp.asarray([0.3, -0.15, 0.1]))
+    psf = model.compute_psf(true)
+    rng = np.random.default_rng(0)
+    objs = jnp.asarray(np.abs(rng.standard_normal((2,) + shape)) * 30)
+    frames = jax.vmap(lambda o: convolve(o, convolve_spectrum(psf), shape))(objs)
+
+    cfg = BlindDeconvConfig(
+        loops=2, families=(PHASE,), psf_max_iter=(4,),
+        deconv=DeconvolutionConfig(mu=0.002, epsilon=1.0, max_iter=4),
+        joint_fit=True,
+    )
+    res = batched_blind_deconvolve(frames, model, config=cfg, joint_psf=True)
+    assert res.params.phase.shape == (3,)  # ONE parameter vector
+    assert res.obj.shape == (2,) + shape
+
+    mesh = make_mesh(batch=2, z=4)
+    frames_sh = jax.device_put(frames, volume_sharding(mesh, batched=True))
+    ref = sharded_blind_deconvolve(frames_sh, model, mesh, config=cfg)
+    np.testing.assert_allclose(
+        np.asarray(res.params.phase), np.asarray(ref.params.phase), atol=1e-7
+    )
