@@ -68,6 +68,10 @@ config = BlindDeconvConfig(
     fit=PsfFitConfig(),
     joint_fit=True,     # one VMLMB over defocus+phase per round (stabilizes coupled families)
     init="wiener",      # regularized-inverse warm start (~2x fewer early object iterations)
+    # Object-prior annealing: strong TV early stops the object absorbing the
+    # aberration (measured -31% phase error; docs/TUNING.md). One-flag
+    # alternative: BlindDeconvConfig.recommended(...).
+    mu_schedule=(0.64, 0.16, 0.04, 0.01),
 )
 
 run = jax.jit(lambda d, w: blind_deconvolve(d, model, weights=w, config=config))

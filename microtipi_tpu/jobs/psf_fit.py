@@ -130,15 +130,36 @@ def fit_psf(
     )
 
 
-def joint_variable(params, names: tuple[str, ...], phase_freeze_head: int = 0):
-    """(x0, rebuild) for a multi-family fit: each family is optimized in units
-    of its initial-value scale (defocus is ~1e6 1/m, Zernike O(1)) so the
-    shared L-BFGS metric is sane, and the first ``phase_freeze_head``
-    coefficients of the PHASE family are frozen (pin-Z4 composes with the
-    joint fit). Shared by the dense and mesh-sharded joint fits."""
+def joint_variable(params, names: tuple[str, ...], phase_freeze_head: int = 0,
+                   grads=None):
+    """(x0, rebuild) for a multi-family fit, with per-family preconditioning
+    so no family dominates the shared L-BFGS metric; the first
+    ``phase_freeze_head`` coefficients of the PHASE family are frozen
+    (pin-Z4 composes with the joint fit). Shared by the dense and
+    mesh-sharded joint fits.
+
+    ``grads`` (dict family -> initial raw gradient) selects
+    *gradient-balanced* scaling: each family's scaled initial gradient gets
+    unit inf-norm. This matters: defocus lives in 1/m (~1e6) with gradients
+    orders of magnitude above the Zernike coefficients', and the older
+    initial-VALUE scaling left the first steepest-descent step moving only
+    defocus — the phase coordinates of a joint fit stalled at zero (measured
+    on the flagship example). Falls back to value scaling without ``grads``."""
     import jax.numpy as jnp
 
-    scales = {n: jnp.maximum(jnp.max(jnp.abs(getattr(params, n))), 1.0) for n in names}
+    if grads is not None:
+        gmax = {n: jnp.max(jnp.abs(grads[n])) for n in names}
+        leaves = list(gmax.values())
+        global_max = leaves[0]
+        for l in leaves[1:]:
+            global_max = jnp.maximum(global_max, l)
+        tiny = jnp.asarray(jnp.finfo(global_max.dtype).tiny, global_max.dtype)
+        scales = {
+            n: 1.0 / jnp.maximum(gmax[n], jnp.maximum(1e-12 * global_max, tiny))
+            for n in names
+        }
+    else:
+        scales = {n: jnp.maximum(jnp.max(jnp.abs(getattr(params, n))), 1.0) for n in names}
     k = phase_freeze_head
 
     def var_of(n):
@@ -192,7 +213,11 @@ def fit_psf_joint(
     else:
         cost = WeightedConvolutionCost.build(obj, data, weights)
 
-    x0, rebuild = joint_variable(params, names, phase_freeze_head)
+    # One extra gradient evaluation seeds the gradient-balanced scaling.
+    g0 = jax.grad(
+        lambda sub: cost.cost(model.compute_psf(params._replace(**sub)))
+    )({n: getattr(params, n) for n in names})
+    x0, rebuild = joint_variable(params, names, phase_freeze_head, grads=g0)
 
     def objective(v):
         return cost.cost(model.compute_psf(rebuild(v)))

@@ -129,7 +129,12 @@ def sharded_fit_psf_joint(
             raise ValueError(f"family {n!r} has no coefficients to fit")
 
     cost = _sharded_data_term(model, data, obj, weights, mesh)
-    x0, rebuild = joint_variable(params, names, phase_freeze_head)
+    # One extra gradient evaluation seeds the gradient-balanced scaling
+    # (see jobs.psf_fit.joint_variable).
+    g0 = jax.grad(
+        lambda sub: cost(params._replace(**sub))
+    )({n: getattr(params, n) for n in names})
+    x0, rebuild = joint_variable(params, names, phase_freeze_head, grads=g0)
 
     def objective(v):
         return cost(rebuild(v))
