@@ -38,7 +38,7 @@ from jax import lax
 
 from microtipi_tpu.jobs.deconv import DeconvolutionConfig, deconvolve
 from microtipi_tpu.jobs.psf_fit import PsfFitConfig, fit_psf
-from microtipi_tpu.models.microscope import DEFOCUS, MODULUS, PHASE
+from microtipi_tpu.models.microscope import DEFOCUS, DEPTH, MODULUS, PHASE
 from microtipi_tpu.ops.convolution import WeightedConvolutionCost
 from microtipi_tpu.utils.arrays import crop_to_shape, pad_fft_kernel, pad_to_shape
 
@@ -265,6 +265,9 @@ def blind_deconvolve(
             config=dataclasses.replace(fit_cfg, max_iter=config.psf_max_iter[j]),
             active=phase_active,
             freeze_head=config.phase_freeze_head if flag == PHASE else 0,
+            # DEPTH is a beyond-parity family whose components span ~12
+            # orders of magnitude; unpreconditioned it stalls (psf_fit.py).
+            precondition=flag == DEPTH,
         )
         return fres.params, fres.f
 

@@ -65,8 +65,9 @@ def fit_psf(
     config: PsfFitConfig = PsfFitConfig(),
     active: int | None = None,
     freeze_head: int = 0,
+    precondition: bool = False,
 ) -> PsfFitResult:
-    """Fit the parameter family selected by ``flag`` (DEFOCUS/PHASE/MODULUS).
+    """Fit the parameter family selected by ``flag`` (DEFOCUS/PHASE/MODULUS/DEPTH).
 
     ``model`` is a PSF model config (e.g. ``WideFieldConfig``); ``obj`` is the
     current object estimate at the data shape (the reference pads weights to
@@ -80,6 +81,14 @@ def fit_psf(
     e.g. ``freeze_head=1`` on the full-basis PHASE family pins Zernike Z4,
     whose gauge degeneracy with an object z-shift lets blind alternation
     drift (BASELINE.md quality notes).
+
+    ``precondition`` rescales each coefficient by its initial gradient
+    magnitude (one extra gradient evaluation) — needed for families whose
+    components live on wildly different physical scales, like the GL DEPTH
+    family's (ns/lambda ~ 1e6 1/m, d ~ 1e-6 m): unpreconditioned, the
+    first steepest-descent step is meters of depth, the search collapses to
+    nothing, and the fit stalls (measured). Off by default — the
+    reference-parity families match the reference's unscaled behavior.
     """
     family = FAMILY_NAMES[flag]
     full0 = getattr(params, family)
@@ -110,18 +119,34 @@ def fit_psf(
         psf = model.compute_psf(p)
         return cost.cost(psf)
 
-    fun = jax.value_and_grad(objective)
-    res = minimize_vmlmb(
-        fun,
-        x0,
-        mem=config.mem,
-        maxiter=config.max_iter,
-        maxeval=config.max_eval,
-        gatol=config.gatol,
-        grtol=config.grtol,
-    )
+    if precondition:
+        import jax.numpy as jnp
+
+        g0 = jax.grad(objective)(x0)
+        gmax = jnp.max(jnp.abs(g0))
+        tiny = jnp.asarray(jnp.finfo(gmax.dtype).tiny, gmax.dtype)
+        scale = 1.0 / jnp.maximum(jnp.abs(g0), jnp.maximum(1e-12 * gmax, tiny))
+        fun = jax.value_and_grad(lambda u: objective(u * scale))
+        res = minimize_vmlmb(
+            fun, x0 / scale,
+            mem=config.mem, maxiter=config.max_iter, maxeval=config.max_eval,
+            gatol=config.gatol, grtol=config.grtol,
+        )
+        x_fit = res.x * scale
+    else:
+        fun = jax.value_and_grad(objective)
+        res = minimize_vmlmb(
+            fun,
+            x0,
+            mem=config.mem,
+            maxiter=config.max_iter,
+            maxeval=config.max_eval,
+            gatol=config.gatol,
+            grtol=config.grtol,
+        )
+        x_fit = res.x
     return PsfFitResult(
-        params._replace(**{family: full0.at[freeze_head:active].set(res.x)}),
+        params._replace(**{family: full0.at[freeze_head:active].set(x_fit)}),
         res.f,
         res.iterations,
         res.evaluations,

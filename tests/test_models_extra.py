@@ -76,3 +76,41 @@ def test_2d_nonblind_deconvolution():
     # the blurred data (899 -> ~152 L2 on this scene).
     assert float(jnp.linalg.norm(res.x - obj)) < 0.25 * float(jnp.linalg.norm(data - obj))
     assert float(res.x.min()) >= 0.0
+
+
+def test_gl_depth_in_blind_loop():
+    """Full blind loop with the Gibson-Lanni DEPTH family as a fitted
+    parameter (BASELINE config 2/3 composition): a known imaging depth is
+    recovered while the object deconvolves."""
+    from microtipi_tpu.jobs.blind import BlindDeconvConfig, blind_deconvolve
+    from microtipi_tpu.jobs.deconv import DeconvolutionConfig
+    from microtipi_tpu.ops.convolution import convolve, convolve_spectrum
+
+    shape = (12, 24, 24)
+    model = GibsonLanniConfig(shape=shape, na=1.2, wavelength=500e-9, ni=1.33,
+                              dxy=100e-9, dz=250e-9, n_phase=0, ns=1.4,
+                              dtype=jnp.float64)
+    true = model.init_params()
+    true = true._replace(depth=true.depth.at[1].set(3e-6))  # 3 um deep
+    psf = model.compute_psf(true)
+    rng = np.random.default_rng(0)
+    obj = np.zeros(shape)
+    obj[3:6, 6:18, 6:18] = 60.0
+    obj[8:10, 12:20, 4:12] = 90.0
+    data = convolve(jnp.asarray(obj), convolve_spectrum(psf), shape)
+    data = data + 1e-4 * float(data.max()) * jnp.asarray(rng.standard_normal(shape))
+
+    # Blind depth needs the measured levers: per-component preconditioning of
+    # the DEPTH fit (automatic) and TV annealing — without the strong early
+    # prior the object absorbs the depth aberration and d stalls ~1e-7
+    # (measured; with the true object the fit recovers d exactly from 0).
+    cfg = BlindDeconvConfig(
+        loops=4, families=(DEPTH,), psf_max_iter=(20,),
+        deconv=DeconvolutionConfig(mu=0.002, epsilon=1.0, max_iter=8),
+        mu_schedule=(0.5, 0.1, 0.02, 0.002),
+    )
+    res = blind_deconvolve(data, model, config=cfg)
+    assert np.isfinite(np.asarray(res.deconv_f)).all()
+    # right order of magnitude recovered (blind identifiability is partial)
+    d_hat = float(res.params.depth[1])
+    assert 1e-6 < d_hat < 6e-6, d_hat
