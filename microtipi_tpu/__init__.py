@@ -16,11 +16,12 @@ Two API levels:
   / ``api.DeconvolutionJob`` / ``api.BlindDeconvJob``.
 """
 
-from microtipi_tpu.models.microscope import DEFOCUS, MODULUS, PARAMETER_FLAGS, PHASE
+from microtipi_tpu.models.microscope import DEFOCUS, DEPTH, MODULUS, PARAMETER_FLAGS, PHASE
 from microtipi_tpu.models.widefield import WideFieldConfig, WideFieldParams
+from microtipi_tpu.models.gibson_lanni import GibsonLanniConfig, GibsonLanniParams
 from microtipi_tpu.jobs.blind import BlindDeconvConfig, BlindDeconvResult, blind_deconvolve
 from microtipi_tpu.jobs.deconv import DeconvolutionConfig, DeconvolutionResult, deconvolve
-from microtipi_tpu.jobs.psf_fit import PsfFitConfig, PsfFitResult, fit_psf
+from microtipi_tpu.jobs.psf_fit import PsfFitConfig, PsfFitResult, fit_psf, fit_psf_joint
 from microtipi_tpu.jobs.richardson_lucy import richardson_lucy
 from microtipi_tpu.jobs.wiener import wiener
 from microtipi_tpu.ops.convolution import WeightedConvolutionCost, convolve, convolve_spectrum
@@ -31,11 +32,12 @@ from microtipi_tpu.weights.updaters import InverseVarianceWeights
 __version__ = "0.1.0"
 
 __all__ = [
-    "DEFOCUS", "PHASE", "MODULUS", "PARAMETER_FLAGS",
+    "DEFOCUS", "PHASE", "MODULUS", "DEPTH", "PARAMETER_FLAGS",
     "WideFieldConfig", "WideFieldParams",
+    "GibsonLanniConfig", "GibsonLanniParams",
     "BlindDeconvConfig", "BlindDeconvResult", "blind_deconvolve",
     "DeconvolutionConfig", "DeconvolutionResult", "deconvolve",
-    "PsfFitConfig", "PsfFitResult", "fit_psf",
+    "PsfFitConfig", "PsfFitResult", "fit_psf", "fit_psf_joint",
     "richardson_lucy", "wiener",
     "WeightedConvolutionCost", "convolve", "convolve_spectrum",
     "hyperbolic_tv", "hyperbolic_tv_and_gradient",
