@@ -202,11 +202,16 @@ def cmd_blind(args):
         init="wiener" if args.wiener_init else "data",
     )
     if args.recipe == "quality":
-        # One flag for the measured-best recipe (BlindDeconvConfig.recommended).
+        # One flag for the measured-best recipe (BlindDeconvConfig.recommended):
+        # joint fit + wiener warm start + TV annealing; pin-Z4 stays the
+        # user's explicit --pin-z4 call (it assumes the true Z4 is ~0).
         kw["joint_fit"] = True
-        kw["phase_freeze_head"] = max(1, kw["phase_freeze_head"])
         kw["init"] = "wiener"
         kw["phase_schedule"] = None  # joint_fit excludes it
+        if kw["mu_schedule"] is None and args.mu > 0:
+            kw["mu_schedule"] = tuple(
+                args.mu * max(1.0, 64.0 / 4.0**i) for i in range(args.loops)
+            )
     cfg = BlindDeconvConfig(**kw)
     w = _weights(args, data)
     t0 = time.time()

@@ -104,16 +104,28 @@ class BlindDeconvConfig:
             raise ValueError(f"unknown init {self.init!r}")
 
     @classmethod
-    def recommended(cls, **overrides) -> "BlindDeconvConfig":
-        """The measured-best quality recipe as ONE call (docs/TUNING.md):
-        joint defocus+phase fit (prevents the sequential loop's defocus
-        degradation), pin-Z4 (halves blind phase error by removing the
-        object-z-shift gauge mode), and the wiener warm start (~2x fewer
-        object iterations to a given cost). Defaults elsewhere stay at
+    def recommended(cls, pin_z4: bool = False, **overrides) -> "BlindDeconvConfig":
+        """The measured-best quality recipe as ONE call (docs/TUNING.md,
+        BASELINE.md round-2 tables): joint multi-family fit (prevents the
+        sequential loop's defocus degradation; gradient-balanced), the
+        wiener warm start (~2x fewer object iterations to a given cost),
+        and object-prior annealing (strong TV early, relaxing to the base
+        ``mu`` — measured -31% blind phase error). ``pin_z4`` additionally
+        freezes the first phase mode; measured to HELP when the true Z4 is
+        ~0 and to HURT when it is not — enable it only when absolute focus
+        position is not itself of interest. Defaults elsewhere stay at
         reference parity; pass overrides for loops/budgets/etc."""
-        base = dict(joint_fit=True, phase_freeze_head=1, init="wiener")
+        base = dict(joint_fit=True, init="wiener",
+                    phase_freeze_head=1 if pin_z4 else 0)
         base.update(overrides)
-        return cls(**base)
+        cfg = cls(**base)
+        if cfg.mu_schedule is None and cfg.deconv.mu > 0:
+            # x64 early prior decaying by 4x per round down to the base mu.
+            sched = tuple(
+                cfg.deconv.mu * max(1.0, 64.0 / 4.0**i) for i in range(cfg.loops)
+            )
+            cfg = dataclasses.replace(cfg, mu_schedule=sched)
+        return cfg
 
 
 class BlindDeconvResult(NamedTuple):

@@ -89,8 +89,14 @@ def test_recommended_config_classmethod():
     from microtipi_tpu.jobs.blind import BlindDeconvConfig
 
     cfg = BlindDeconvConfig.recommended(loops=3)
-    assert cfg.joint_fit and cfg.phase_freeze_head == 1 and cfg.init == "wiener"
+    assert cfg.joint_fit and cfg.init == "wiener"
+    assert cfg.phase_freeze_head == 0  # pin-Z4 is an assumption, opt-in
     assert cfg.loops == 3
+    # annealing schedule: strong early, base mu late
+    assert cfg.mu_schedule is not None and len(cfg.mu_schedule) == 3
+    assert cfg.mu_schedule[0] > cfg.mu_schedule[-1] >= cfg.deconv.mu
+    pinned = BlindDeconvConfig.recommended(loops=2, pin_z4=True)
+    assert pinned.phase_freeze_head == 1
 
 
 def test_blind_cli_checkpoint_resume(tmp_path):
