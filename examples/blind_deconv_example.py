@@ -78,9 +78,20 @@ run = jax.jit(lambda d, w: blind_deconvolve(d, model, weights=w, config=config))
 t0 = time.time()
 res = run(data, weights)
 err = float(jnp.linalg.norm(res.obj - obj) / jnp.linalg.norm(data - obj))
+psf_true = model.compute_psf(truth)
+psf_err = float(jnp.linalg.norm(res.psf - psf_true) / jnp.linalg.norm(psf_true))
 print(f"solve (incl. compile on first call): {time.time() - t0:.1f}s")
 print(f"object error vs raw data: {err:.3f} (lower is better, 1.0 = no gain)")
 print("object-step cost per round:", np.asarray(res.deconv_f))
+# Compare PSFs, not raw coefficients: Z4/defocus share a gauge with an
+# object z-shift, so coefficient vectors are not directly comparable. Honest
+# expectation (measured, BASELINE.md): at this NA/noise the pupil phase
+# perturbs the volume-L2 of the PSF by only a few percent, blind phase
+# estimates contract toward the truth slowly, and the restoration gain comes
+# mostly from the object step — the reference's algorithm shares this
+# landscape. tests/ + BASELINE.md quantify the regimes where phase IS
+# recovered (low noise, low mode count, TV annealing).
+print(f"PSF relative L2 error after blind fit: {psf_err:.3f}")
 print("estimated pupil phase:", np.round(np.asarray(res.params.phase), 3))
 print("true pupil phase:     ", np.asarray(truth.phase))
 
