@@ -156,7 +156,13 @@ def cmd_deconv(args):
     cfg = _deconv_config(args, data.shape)
     w = _weights(args, data)
 
-    run = jax.jit(lambda d, p, w: deconvolve(d, p, weights=w, config=cfg))
+    mesh = _make_mesh(args)
+    if mesh is not None:
+        from microtipi_tpu.parallel.deconv import sharded_deconvolve
+
+        run = jax.jit(lambda d, p, w: sharded_deconvolve(d, p, mesh, weights=w, config=cfg))
+    else:
+        run = jax.jit(lambda d, p, w: deconvolve(d, p, weights=w, config=cfg))
     t0 = time.time()
     res = run(data, psf, w)
     f = float(res.f)
@@ -305,6 +311,8 @@ def main(argv=None):
     p.add_argument("--psf", required=True)
     p.add_argument("--psf-centered", action="store_true", help="PSF file is centered; unroll it")
     p.add_argument("--out", required=True)
+    p.add_argument("--mesh", type=int, nargs=2, default=None, metavar=("BATCH", "Z"),
+                   help="run sharded on a (batch, z) device mesh (needs BATCH*Z devices)")
     _deconv_args(p)
     p.set_defaults(fn=cmd_deconv)
 

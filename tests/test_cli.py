@@ -173,3 +173,24 @@ def test_blind_cli_mesh(tmp_path):
           "--n-phase", "3", "--radial"])
     rec = read_stack(tmp_path / "o.tif")
     assert rec.shape == shape and np.isfinite(rec).all()
+
+
+def test_deconv_cli_mesh(tmp_path):
+    import jax.numpy as jnp
+    from microtipi_tpu.__main__ import main
+    from microtipi_tpu.io.tiffstack import read_stack, write_stack
+    from microtipi_tpu.ops.convolution import convolve, convolve_spectrum
+
+    shape = (8, 32, 32)
+    rng = np.random.default_rng(3)
+    obj = np.abs(rng.standard_normal(shape)).astype(np.float32) * 10
+    psf = np.zeros(shape, np.float32)
+    psf[0, 0, 0] = 0.7
+    psf[1, 0, 0] = 0.3
+    d = convolve(jnp.asarray(obj), convolve_spectrum(jnp.asarray(psf)), shape)
+    write_stack(tmp_path / "d.tif", np.asarray(d))
+    write_stack(tmp_path / "p.tif", psf)
+    main(["deconv", str(tmp_path / "d.tif"), "--psf", str(tmp_path / "p.tif"),
+          "--out", str(tmp_path / "o.tif"), "--mesh", "1", "8", "--iters", "5"])
+    rec = read_stack(tmp_path / "o.tif")
+    assert rec.shape == shape and np.isfinite(rec).all()
