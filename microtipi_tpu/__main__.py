@@ -87,6 +87,18 @@ def _deconv_config(args, shape):
     )
 
 
+def _write_out(args, path, volume, dxy=None, dz=None):
+    """Write an output volume, as OME-TIFF when --ome is set."""
+    if getattr(args, "ome", False):
+        from microtipi_tpu.io.ome import write_ome_stack
+
+        write_ome_stack(path, volume, dxy=dxy, dz=dz)
+    else:
+        from microtipi_tpu.io.tiffstack import write_stack
+
+        write_stack(path, volume, dxy=dxy, dz=dz)
+
+
 def _weights(args, data):
     if args.gain <= 0:
         return None
@@ -126,7 +138,7 @@ def cmd_psf(args):
     psf = jax.jit(model.compute_psf)(params)
     if args.centered:
         psf = roll(psf)
-    write_stack(args.out, np.asarray(psf), dxy=args.dxy, dz=args.dz)
+    _write_out(args, args.out, np.asarray(psf), dxy=args.dxy, dz=args.dz)
     print(f"wrote {args.out} (sum={float(psf.sum()):.4g})")
 
 
@@ -150,7 +162,7 @@ def cmd_deconv(args):
         x = run(data, psf)
         x.block_until_ready()
         print(f"rl: {args.iters} iters, {time.time()-t0:.1f}s (incl. compile)")
-        write_stack(args.out, np.asarray(x))
+        _write_out(args, args.out, np.asarray(x))
         print("wrote", args.out)
         return
     cfg = _deconv_config(args, data.shape)
@@ -167,7 +179,7 @@ def cmd_deconv(args):
     res = run(data, psf, w)
     f = float(res.f)
     print(f"deconv: {int(res.iterations)} iters, cost {f:.6g}, {time.time()-t0:.1f}s (incl. compile)")
-    write_stack(args.out, np.asarray(res.x))
+    _write_out(args, args.out, np.asarray(res.x))
     print("wrote", args.out)
 
 
@@ -271,10 +283,10 @@ def cmd_blind(args):
     if model.n_phase:
         print("phase:", np.round(np.asarray(res.params.phase), 4))
     print("modulus:", np.round(np.asarray(res.params.modulus), 4))
-    write_stack(args.out, np.asarray(res.obj), dxy=args.dxy, dz=args.dz)
+    _write_out(args, args.out, np.asarray(res.obj), dxy=args.dxy, dz=args.dz)
     print("wrote", args.out)
     if args.psf_out:
-        write_stack(args.psf_out, np.asarray(res.psf), dxy=args.dxy, dz=args.dz)
+        _write_out(args, args.psf_out, np.asarray(res.psf), dxy=args.dxy, dz=args.dz)
         print("wrote", args.psf_out)
 
 
@@ -287,7 +299,8 @@ def cmd_watch(args):
                               positivity=not args.no_positivity)
     watch(args.indir, args.outdir, args.psf, config=cfg, method=args.method,
           rl_iterations=args.iters, poll_seconds=args.poll,
-          max_files=args.max_files, metrics_path=args.metrics)
+          max_files=args.max_files, metrics_path=args.metrics,
+          metrics_port=args.metrics_port)
 
 
 def main(argv=None):
@@ -303,6 +316,8 @@ def main(argv=None):
     p.add_argument("--shape", type=int, nargs=3, required=True, metavar=("NZ", "NY", "NX"))
     p.add_argument("--phase", type=float, nargs="*", default=[], help="Zernike phase coefficients")
     p.add_argument("--centered", action="store_true", help="write centered layout instead of FFT layout")
+    p.add_argument("--ome", action="store_true",
+                   help="write outputs as OME-TIFF (OME-XML geometry in the description)")
     _model_args(p)
     p.set_defaults(fn=cmd_psf)
 
@@ -313,6 +328,8 @@ def main(argv=None):
     p.add_argument("--out", required=True)
     p.add_argument("--mesh", type=int, nargs=2, default=None, metavar=("BATCH", "Z"),
                    help="run sharded on a (batch, z) device mesh (needs BATCH*Z devices)")
+    p.add_argument("--ome", action="store_true",
+                   help="write outputs as OME-TIFF (OME-XML geometry in the description)")
     _deconv_args(p)
     p.set_defaults(fn=cmd_deconv)
 
@@ -320,6 +337,8 @@ def main(argv=None):
     p.add_argument("data")
     p.add_argument("--out", required=True)
     p.add_argument("--psf-out", default=None)
+    p.add_argument("--ome", action="store_true",
+                   help="write outputs as OME-TIFF (OME-XML geometry in the description)")
     p.add_argument("--loops", type=int, default=5)
     p.add_argument("--psf-iters", type=int, default=20)
     p.add_argument("--phase-schedule", type=int, nargs="*", default=None,
@@ -357,6 +376,8 @@ def main(argv=None):
     p.add_argument("--max-files", type=int, default=None, help="stop after N files (default: run forever)")
     p.add_argument("--metrics", default=None,
                    help="path of an atomically-updated JSON metrics snapshot")
+    p.add_argument("--metrics-port", type=int, default=None,
+                   help="serve the metrics snapshot at http://127.0.0.1:PORT/metrics")
     _deconv_args(p)
     p.set_defaults(fn=cmd_watch)
 

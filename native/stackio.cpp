@@ -28,6 +28,13 @@
 //                                                   ImageJ desc (spacing/
 //                                                   unit + XResolution),
 //                                                   plain XResolution tag
+//   mt_tiff_description(path, buf, cap)          -> length of the first
+//                                                   page's ImageDescription
+//                                                   (0 if absent, -1 on
+//                                                   error); copies up to
+//                                                   cap-1 bytes + NUL so the
+//                                                   OME-XML block is
+//                                                   retrievable from Python
 //   mt_last_error()                              -> thread-local message
 //
 // Build: make -C native   (links the system libtiff)
@@ -346,6 +353,27 @@ int mt_tiff_pixel_size(const char* path, double* dxy_m, double* dz_m) {
   }
   TIFFClose(tif);
   return 0;
+}
+
+// First-page ImageDescription (where OME-TIFF keeps its XML). Returns the
+// full description length (0 = absent) and copies min(len, cap-1) bytes +
+// NUL into buf; callers retry with a larger buffer when len >= cap.
+int mt_tiff_description(const char* path, char* buf, int cap) {
+  TIFF* tif = TIFFOpen(path, "r");
+  if (!tif) {
+    set_err(std::string("cannot open ") + path);
+    return -1;
+  }
+  char* raw = nullptr;
+  std::string desc;
+  if (TIFFGetField(tif, TIFFTAG_IMAGEDESCRIPTION, &raw) && raw) desc = raw;
+  TIFFClose(tif);
+  if (buf && cap > 0) {
+    const size_t n = std::min(desc.size(), static_cast<size_t>(cap - 1));
+    std::memcpy(buf, desc.data(), n);
+    buf[n] = '\0';
+  }
+  return static_cast<int>(desc.size());
 }
 
 // Options writer: compression "none"/"lzw"/"deflate"; tile 0 = strip layout,

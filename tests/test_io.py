@@ -231,3 +231,70 @@ def test_bdv_pyramid_roundtrip(tmp_path):
         assert "t00000/s00/0/cells" in f and "s00/resolutions" in f
     # z-range read
     np.testing.assert_array_equal(read_bdv(p, z0=2, nz=3), vol[2:5])
+
+
+def test_ome_write_read_roundtrip(tmp_path):
+    """write_ome_stack stamps a schema-shaped OME-XML document that both the
+    Python parser and the native pixel-size fast path read back exactly."""
+    from microtipi_tpu.io.ome import ome_xml, parse_ome, read_description, read_ome, write_ome_stack
+    from microtipi_tpu.io.tiffstack import read_pixel_size
+
+    vol = _vol((4, 17, 23), seed=5)
+    p = tmp_path / "v.ome.tif"
+    write_ome_stack(p, vol, dxy=65e-9, dz=150e-9, compression="deflate", name="stack&<7>")
+    np.testing.assert_array_equal(read_stack(p), vol)
+    meta = read_ome(p)
+    assert meta["shape"] == (4, 17, 23)
+    assert meta["dtype"] == "float"
+    assert meta["name"] == "stack&<7>"  # attribute escaping survives
+    np.testing.assert_allclose([meta["dxy"], meta["dz"]], [65e-9, 150e-9], rtol=1e-12)
+    # native reader agrees (it is what the CLI geometry resolution uses)
+    dxy, dz = read_pixel_size(p)
+    np.testing.assert_allclose([dxy, dz], [65e-9, 150e-9], rtol=1e-6)
+    # the stored description is well-formed XML with the OME namespace
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(read_description(p))
+    assert root.tag.endswith("}OME")
+    # generator output parses standalone too (no file round-trip needed)
+    d = parse_ome(ome_xml((2, 3, 4), dxy=1e-7))
+    assert d["shape"] == (2, 3, 4) and d["dz"] is None
+
+
+def test_ome_absent_returns_none(tmp_path):
+    from microtipi_tpu.io.ome import read_ome
+
+    p = tmp_path / "plain.tif"
+    write_stack(p, _vol((2, 8, 8)))
+    assert read_ome(p) is None
+
+
+def test_ome_unit_conversion():
+    """Non-default OME units (nm) convert to meters on parse."""
+    from microtipi_tpu.io.ome import parse_ome
+
+    xml = (
+        '<OME xmlns="http://www.openmicroscopy.org/Schemas/OME/2016-06">'
+        '<Image ID="Image:0"><Pixels ID="Pixels:0" DimensionOrder="XYZCT" Type="uint16"'
+        ' SizeX="10" SizeY="11" SizeZ="12" SizeC="1" SizeT="1"'
+        ' PhysicalSizeX="65" PhysicalSizeXUnit="nm"'
+        ' PhysicalSizeZ="0.2"></Pixels></Image></OME>'
+    )
+    d = parse_ome(xml)
+    assert d["shape"] == (12, 11, 10)
+    np.testing.assert_allclose(d["dxy"], 65e-9)
+    np.testing.assert_allclose(d["dz"], 0.2e-6)  # default unit is micrometer
+    assert d["dtype"] == "uint16"
+
+
+def test_cli_ome_output(tmp_path):
+    """psf --ome writes an OME-TIFF whose geometry round-trips."""
+    from microtipi_tpu.__main__ import main
+    from microtipi_tpu.io.ome import read_ome
+
+    out = tmp_path / "psf.ome.tif"
+    main(["psf", str(out), "--shape", "4", "16", "16", "--ome",
+          "--dxy", "80e-9", "--dz", "200e-9", "--n-phase", "3"])
+    meta = read_ome(out)
+    assert meta["shape"] == (4, 16, 16)
+    np.testing.assert_allclose([meta["dxy"], meta["dz"]], [80e-9, 200e-9], rtol=1e-12)
