@@ -19,6 +19,7 @@ Two API levels:
 from microtipi_tpu.models.microscope import DEFOCUS, DEPTH, MODULUS, PARAMETER_FLAGS, PHASE
 from microtipi_tpu.models.widefield import WideFieldConfig, WideFieldParams
 from microtipi_tpu.models.gibson_lanni import GibsonLanniConfig, GibsonLanniParams
+from microtipi_tpu.models.confocal import ConfocalConfig, TwoPhotonConfig
 from microtipi_tpu.jobs.blind import BlindDeconvConfig, BlindDeconvResult, blind_deconvolve
 from microtipi_tpu.jobs.deconv import DeconvolutionConfig, DeconvolutionResult, deconvolve
 from microtipi_tpu.jobs.psf_fit import PsfFitConfig, PsfFitResult, fit_psf, fit_psf_joint
@@ -35,6 +36,7 @@ __all__ = [
     "DEFOCUS", "PHASE", "MODULUS", "DEPTH", "PARAMETER_FLAGS",
     "WideFieldConfig", "WideFieldParams",
     "GibsonLanniConfig", "GibsonLanniParams",
+    "ConfocalConfig", "TwoPhotonConfig",
     "BlindDeconvConfig", "BlindDeconvResult", "blind_deconvolve",
     "DeconvolutionConfig", "DeconvolutionResult", "deconvolve",
     "PsfFitConfig", "PsfFitResult", "fit_psf", "fit_psf_joint",

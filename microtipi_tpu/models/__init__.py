@@ -1,4 +1,5 @@
 """PSF model families."""
+from microtipi_tpu.models.confocal import ConfocalConfig, TwoPhotonConfig
 from microtipi_tpu.models.gibson_lanni import GibsonLanniConfig, GibsonLanniParams
 from microtipi_tpu.models.microscope import (
     DEFOCUS,
@@ -14,6 +15,7 @@ from microtipi_tpu.models.widefield import WideFieldConfig, WideFieldParams
 __all__ = [
     "WideFieldConfig", "WideFieldParams",
     "GibsonLanniConfig", "GibsonLanniParams",
+    "ConfocalConfig", "TwoPhotonConfig",
     "PsfModel", "DEFOCUS", "PHASE", "MODULUS", "DEPTH",
     "PARAMETER_FLAGS", "FAMILY_NAMES",
 ]

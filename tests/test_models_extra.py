@@ -114,3 +114,106 @@ def test_gl_depth_in_blind_loop():
     # right order of magnitude recovered (blind identifiability is partial)
     d_hat = float(res.params.depth[1])
     assert 1e-6 < d_hat < 6e-6, d_hat
+
+
+# ---- confocal / two-photon families (models/confocal.py) -------------------
+
+
+def test_confocal_matched_wavelength_ideal_pinhole():
+    """lambda_exc == lambda_em, pinhole = 0: h is the normalized square of
+    the widefield PSF (excitation and detection pupils coincide)."""
+    from microtipi_tpu.models.confocal import ConfocalConfig
+
+    shape = (6, 32, 32)
+    wf = WideFieldConfig(shape=shape, n_phase=4, dtype=jnp.float64, **KW)
+    cf = ConfocalConfig(shape=shape, n_phase=4, dtype=jnp.float64, **KW)
+    phase = jnp.asarray([0.15, -0.2, 0.1, 0.05])
+    h_wf = np.asarray(wf.compute_psf(wf.init_params()._replace(phase=phase)))
+    h_cf = np.asarray(cf.compute_psf(cf.init_params()._replace(phase=phase)))
+    ref = h_wf**2
+    np.testing.assert_allclose(h_cf, ref / ref.sum(), rtol=1e-10, atol=1e-18)
+    np.testing.assert_allclose(h_cf.sum(), 1.0, rtol=1e-12)
+
+
+def test_two_photon_is_normalized_square():
+    from microtipi_tpu.models.confocal import TwoPhotonConfig
+
+    shape = (6, 32, 32)
+    wf = WideFieldConfig(shape=shape, dtype=jnp.float64, **KW)
+    tp = TwoPhotonConfig(shape=shape, dtype=jnp.float64, **KW)
+    h = np.asarray(wf.compute_psf(wf.init_params()))
+    ref = h**2
+    np.testing.assert_allclose(
+        np.asarray(tp.compute_psf(tp.init_params())), ref / ref.sum(), rtol=1e-12
+    )
+
+
+def test_confocal_is_sharper_than_widefield():
+    """The headline property: lateral FWHM shrinks vs widefield (the product
+    of two intensity PSFs narrows the central lobe)."""
+    from microtipi_tpu.models.confocal import ConfocalConfig
+
+    shape = (1, 64, 64)
+    wf = WideFieldConfig(shape=shape, dtype=jnp.float64, **KW)
+    cf = ConfocalConfig(shape=shape, wavelength_exc=488e-9, dtype=jnp.float64, **KW)
+
+    def lateral_second_moment(h):
+        h0 = np.fft.fftshift(h[0])
+        h0 /= h0.sum()
+        iy, ix = np.mgrid[: h0.shape[0], : h0.shape[1]]
+        cy, cx = h0.shape[0] // 2, h0.shape[1] // 2
+        return (h0 * ((iy - cy) ** 2 + (ix - cx) ** 2)).sum()
+
+    m_wf = lateral_second_moment(np.asarray(wf.compute_psf(wf.init_params())))
+    m_cf = lateral_second_moment(np.asarray(cf.compute_psf(cf.init_params())))
+    assert m_cf < m_wf
+
+
+def test_confocal_pinhole_widens_psf_monotonically():
+    """Opening the pinhole re-admits out-of-focus detection light: the
+    composite PSF's lateral spread grows with pinhole radius and approaches
+    the excitation-only (two-photon-like) limit from below."""
+    from microtipi_tpu.models.confocal import ConfocalConfig
+
+    shape = (4, 48, 48)
+
+    def spread(pinhole):
+        cf = ConfocalConfig(shape=shape, pinhole=pinhole, dtype=jnp.float64, **KW)
+        h = np.asarray(cf.compute_psf(cf.init_params()))
+        h0 = np.fft.fftshift(h[0]) / h[0].sum()
+        iy, ix = np.mgrid[:48, :48]
+        return (h0 * ((iy - 24) ** 2 + (ix - 24) ** 2)).sum()
+
+    s0, s1, s2 = spread(0.0), spread(200e-9), spread(600e-9)
+    assert s0 < s1 < s2
+
+
+def test_confocal_gradients_flow_and_fit_works():
+    """The whole point of the shared-pupil design: autodiff drives the same
+    PSF-fit machinery as widefield (PsfModel protocol)."""
+    from microtipi_tpu.models.confocal import ConfocalConfig
+    from microtipi_tpu.models.microscope import PHASE
+
+    shape = (6, 24, 24)
+    cf = ConfocalConfig(
+        shape=shape, wavelength_exc=488e-9, pinhole=150e-9, n_phase=3,
+        dtype=jnp.float64, **KW
+    )
+    true_phase = jnp.asarray([0.25, -0.15, 0.1])
+    p_true = cf.init_params()._replace(phase=true_phase)
+    psf_true = cf.compute_psf(p_true)
+
+    # gradient of a scalar loss w.r.t. phase is finite and nonzero
+    g = jax.grad(lambda p: jnp.sum(cf.compute_psf(p) ** 2))(p_true)
+    assert np.isfinite(np.asarray(g.phase)).all()
+    assert np.abs(np.asarray(g.phase)).max() > 0
+
+    # blind-style fit: true object, recover injected coefficients
+    rng = np.random.default_rng(3)
+    obj = jnp.asarray(rng.random(shape), jnp.float64)
+    data = convolve(obj, convolve_spectrum(psf_true), shape)
+    res = fit_psf(
+        cf, cf.init_params(), PHASE, data, obj,
+        config=PsfFitConfig(max_iter=80),
+    )
+    np.testing.assert_allclose(np.asarray(res.params.phase), true_phase, atol=8e-3)
