@@ -145,3 +145,77 @@ def test_watch_metrics_snapshot(tmp_path):
     assert snap["failed_attempts"] >= 1  # 0bad.tif
     assert snap["voxels"] == 2 * int(np.prod(d.shape))
     assert snap["mvox_per_second"] > 0 and snap["uptime_seconds"] > 0
+
+
+def test_dir_waiter_wakes_on_change(tmp_path):
+    """inotify-backed idle wait returns early when the directory changes and
+    times out otherwise (falls back to plain sleep where inotify is absent)."""
+    import threading
+    import time
+
+    from microtipi_tpu.serve import _DirWaiter
+
+    w = _DirWaiter(tmp_path)
+    try:
+        # no change: waits out (close to) the timeout
+        t0 = time.time()
+        w.wait(0.25)
+        assert time.time() - t0 >= 0.2
+
+        if w._fd is None:
+            pytest.skip("inotify unavailable; polling fallback already exercised")
+
+        def touch():
+            time.sleep(0.05)
+            (tmp_path / "new.tif").write_bytes(b"x")
+
+        threading.Thread(target=touch).start()
+        t0 = time.time()
+        w.wait(5.0)
+        assert time.time() - t0 < 2.0  # woke on the event, not the timeout
+    finally:
+        w.close()
+
+
+def test_watch_metrics_http_endpoint(tmp_path):
+    """GET /metrics serves the live snapshot while the service runs."""
+    import json
+    import urllib.error
+    import urllib.request
+
+    from microtipi_tpu.serve import _serve_metrics
+
+    indir = tmp_path / "in"
+    outdir = tmp_path / "out"
+    indir.mkdir()
+    psf, d = _mini_scene(tmp_path)
+    write_stack(indir / "a.tif", d)
+
+    # endpoint unit: port 0 auto-assigns; snapshot callable is live
+    state = {"processed": 0}
+    srv = _serve_metrics(0, lambda: state)
+    try:
+        port = srv.server_address[1]
+        got = json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/metrics", timeout=5).read())
+        assert got == {"processed": 0}
+        state["processed"] = 3
+        got = json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/metrics", timeout=5).read())
+        assert got["processed"] == 3
+        # unknown path -> 404
+        try:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/nope", timeout=5)
+            assert False, "expected 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        srv.shutdown()
+
+    # integration: watch() with metrics_port spins the endpoint up and down
+    logs = []
+    out = watch(indir, outdir, tmp_path / "psf.tif",
+                config=DeconvolutionConfig(mu=0.001, epsilon=1.0, max_iter=4),
+                poll_seconds=0.02, max_files=1, log=logs.append, metrics_port=0)
+    assert len(out) == 1
+    assert any("metrics at http" in m for m in logs)
