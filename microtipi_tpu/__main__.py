@@ -20,6 +20,18 @@ import time
 
 def _model_args(p: argparse.ArgumentParser):
     g = p.add_argument_group("optics")
+    g.add_argument("--model", choices=["widefield", "gl", "confocal", "2p"],
+                   default="widefield",
+                   help="PSF model family: widefield (reference parity), "
+                        "gl (Gibson-Lanni depth aberration), confocal, 2p (two-photon)")
+    g.add_argument("--ns", type=float, default=1.38,
+                   help="[gl] sample refractive index")
+    g.add_argument("--depth", type=float, default=0.0,
+                   help="[gl] nominal imaging depth [m]")
+    g.add_argument("--wavelength-exc", type=float, default=0.0,
+                   help="[confocal] excitation wavelength [m] (0 = same as emission)")
+    g.add_argument("--pinhole", type=float, default=0.0,
+                   help="[confocal] object-space pinhole radius [m] (0 = ideal)")
     g.add_argument("--na", type=float, default=1.4, help="numerical aperture")
     g.add_argument("--wavelength", type=float, default=561e-9, help="emission wavelength [m]")
     g.add_argument("--ni", type=float, default=1.518, help="immersion refractive index")
@@ -66,13 +78,29 @@ def _resolve_geometry(args, stack_path=None, log=print):
 
 
 def _build_model(args, shape):
-    from microtipi_tpu.models.widefield import WideFieldConfig
-
-    return WideFieldConfig(
+    common = dict(
         shape=shape, na=args.na, wavelength=args.wavelength, ni=args.ni,
         dxy=args.dxy, dz=args.dz, n_phase=args.n_phase, n_modulus=args.n_modulus,
         radial=args.radial,
     )
+    kind = getattr(args, "model", "widefield")
+    if kind == "gl":
+        from microtipi_tpu.models.gibson_lanni import GibsonLanniConfig
+
+        return GibsonLanniConfig(ns=args.ns, depth=args.depth, **common)
+    if kind == "confocal":
+        from microtipi_tpu.models.confocal import ConfocalConfig
+
+        return ConfocalConfig(
+            wavelength_exc=args.wavelength_exc, pinhole=args.pinhole, **common
+        )
+    if kind == "2p":
+        from microtipi_tpu.models.confocal import TwoPhotonConfig
+
+        return TwoPhotonConfig(**common)
+    from microtipi_tpu.models.widefield import WideFieldConfig
+
+    return WideFieldConfig(**common)
 
 
 def _deconv_config(args, shape):
@@ -200,12 +228,14 @@ def cmd_blind(args):
     from microtipi_tpu.io.tiffstack import read_stack, write_stack
     from microtipi_tpu.jobs.blind import BlindDeconvConfig, blind_deconvolve
     from microtipi_tpu.jobs.psf_fit import PsfFitConfig
-    from microtipi_tpu.models.microscope import DEFOCUS, MODULUS, PHASE
+    from microtipi_tpu.models.microscope import DEFOCUS, DEPTH, MODULUS, PHASE
 
     data = jnp.asarray(read_stack(args.data))
     _resolve_geometry(args, args.data)
     model = _build_model(args, data.shape)
-    fam_map = {"defocus": DEFOCUS, "phase": PHASE, "modulus": MODULUS}
+    fam_map = {"defocus": DEFOCUS, "phase": PHASE, "modulus": MODULUS, "depth": DEPTH}
+    if "depth" in args.families and args.model != "gl":
+        sys.exit("--families depth requires --model gl (the DEPTH family lives on the Gibson-Lanni model)")
     families = tuple(fam_map[f] for f in args.families)
     kw = dict(
         loops=args.loops,
@@ -363,7 +393,7 @@ def main(argv=None):
                         "(joint fit + pin-Z4 + wiener init); 'parity' (default) keeps "
                         "the reference's sequential per-family semantics")
     p.add_argument("--families", nargs="+", default=["defocus", "phase"],
-                   choices=["defocus", "phase", "modulus"])
+                   choices=["defocus", "phase", "modulus", "depth"])
     _model_args(p)
     _deconv_args(p)
     p.set_defaults(fn=cmd_blind)
