@@ -59,6 +59,9 @@ class DeconvolutionConfig:
     # quadratic data term: 941 -> 1145 Mvox*iter/s (+22%). Cost partials are
     # per-plane and pairwise-summed by XLA, so accuracy matches the jnp path.
     fused_tv: bool | None = None
+    # L-BFGS s/y history storage dtype ("bfloat16" halves the two-loop's HBM
+    # traffic; curvature scalars stay full precision). None = iterate dtype.
+    mem_dtype: str | None = None
 
 
 class DeconvolutionResult(NamedTuple):
@@ -154,6 +157,7 @@ def deconvolve(
         maxeval=config.max_eval,
         gatol=config.gatol,
         grtol=config.grtol,
+        mem_dtype=jnp.dtype(config.mem_dtype) if config.mem_dtype else None,
     )
     return DeconvolutionResult(
         res.x, res.f, res.iterations, res.evaluations, res.status, res.f_history, res.pg_history

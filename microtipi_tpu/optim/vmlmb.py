@@ -122,12 +122,20 @@ def minimize_vmlmb(
     ls_gtol: float = 0.1,
     ls_xtol: float = 1e-17,
     ls_max_evals: int = 20,
+    mem_dtype=None,
 ) -> VMLMBResult:
     """Minimize ``fun`` from ``x0``; see module docstring for semantics.
 
     ``maxeval`` defaults to ``2 * maxiter`` like the reference's
     ``setMaximumIterations`` (``PSF_Estimation.java:270-273``). ``mem`` and the
     iteration caps are static (they size buffers / bound loops).
+
+    ``mem_dtype`` (e.g. ``jnp.bfloat16``) stores the L-BFGS ``s``/``y``
+    history in a narrower dtype than the iterate: halves the two-loop's HBM
+    traffic at ~3 decimal digits of direction precision (the curvature
+    *scalars* rho/gamma are always computed from the full-precision pair
+    before the down-cast, so the metric scale stays exact). None (default)
+    keeps the iterate dtype — the reference-faithful setting.
     """
     if maxeval is None:
         maxeval = 2 * maxiter
@@ -158,8 +166,8 @@ def minimize_vmlmb(
     pg0norm = tnorm(projected_gradient(x0, g0))
     gstop = jnp.maximum(jnp.asarray(gatol, f_dtype), jnp.asarray(grtol, f_dtype) * pg0norm)
 
-    s_mem = jax.tree.map(lambda l: jnp.zeros((mem,) + l.shape, l.dtype), x0)
-    y_mem = jax.tree.map(lambda l: jnp.zeros((mem,) + l.shape, l.dtype), x0)
+    s_mem = jax.tree.map(lambda l: jnp.zeros((mem,) + l.shape, mem_dtype or l.dtype), x0)
+    y_mem = jax.tree.map(lambda l: jnp.zeros((mem,) + l.shape, mem_dtype or l.dtype), x0)
     rho = jnp.zeros((mem,), f_dtype)
 
     hist_f = jnp.full((maxiter + 1,), jnp.nan, f_dtype).at[0].set(f0)
