@@ -59,8 +59,12 @@ class DeconvolutionConfig:
     # quadratic data term: 941 -> 1145 Mvox*iter/s (+22%). Cost partials are
     # per-plane and pairwise-summed by XLA, so accuracy matches the jnp path.
     fused_tv: bool | None = None
-    # L-BFGS s/y history storage dtype ("bfloat16" halves the two-loop's HBM
-    # traffic; curvature scalars stay full precision). None = iterate dtype.
+    # L-BFGS s/y history storage dtype. None = auto: "bfloat16" on TPU
+    # backends with an f32 iterate (halves the two-loop's HBM traffic;
+    # curvature scalars stay full precision — measured at 256^3 on v5e:
+    # 1143 -> 1273 / 1063 -> 1215 Mvox*iter/s across two seeds with
+    # equal-or-better final cost), iterate dtype elsewhere (CPU/f64
+    # validation paths stay bit-identical). Explicit value forces.
     mem_dtype: str | None = None
 
 
@@ -148,6 +152,12 @@ def deconvolve(
         if config.positivity:
             x0 = jnp.maximum(x0, 0.0)
     fun = make_objective(psf, data, weights, config)
+    if config.mem_dtype is not None:
+        mem_dtype = jnp.dtype(config.mem_dtype)
+    elif jax.default_backend() in ("tpu", "axon") and jnp.asarray(x0).dtype == jnp.float32:
+        mem_dtype = jnp.bfloat16  # auto: the measured TPU production setting
+    else:
+        mem_dtype = None
     res: VMLMBResult = minimize_vmlmb(
         fun,
         x0,
@@ -157,7 +167,7 @@ def deconvolve(
         maxeval=config.max_eval,
         gatol=config.gatol,
         grtol=config.grtol,
-        mem_dtype=jnp.dtype(config.mem_dtype) if config.mem_dtype else None,
+        mem_dtype=mem_dtype,
     )
     return DeconvolutionResult(
         res.x, res.f, res.iterations, res.evaluations, res.status, res.f_history, res.pg_history

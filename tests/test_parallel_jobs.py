@@ -243,3 +243,29 @@ def test_sharded_blind_mu_schedule_matches_dense(mesh8, scene):
     )
     const = blind_deconvolve(data, model, weights=jnp.ones_like(data), config=cfg_const)
     assert abs(float(dense.deconv_f[0]) - float(const.deconv_f[0])) > 1e-6
+
+
+def test_sharded_fit_psf_generic_over_model_families(mesh8):
+    """The mesh paths consume only the PsfModel protocol: a confocal model
+    (extra internal FFTs, product composition) fits on the mesh and matches
+    the dense fit_psf result."""
+    from microtipi_tpu.models.confocal import ConfocalConfig
+
+    model = ConfocalConfig(
+        shape=SHAPE, n_phase=3, radial=True, dtype=jnp.float64,
+        wavelength_exc=488e-9, pinhole=150e-9, **KW
+    )
+    true = model.init_params()._replace(phase=jnp.asarray([0.3, -0.15, 0.1]))
+    rng = np.random.default_rng(1)
+    obj = jnp.asarray(rng.random(SHAPE))
+    data = convolve(obj, convolve_spectrum(model.compute_psf(true)), SHAPE)
+
+    cfg = PsfFitConfig(max_iter=12)
+    ref = fit_psf(model, model.init_params(), PHASE, data, obj, config=cfg)
+    data_sh = jax.device_put(data, volume_sharding(mesh8, batched=False))
+    obj_sh = jax.device_put(obj, volume_sharding(mesh8, batched=False))
+    got = sharded_fit_psf(model, model.init_params(), PHASE, data_sh, obj_sh, mesh8, config=cfg)
+    # mesh FFT decomposition reorders reductions; through 12 VMLMB
+    # iterations the trajectories agree to fit-level precision only
+    np.testing.assert_allclose(np.asarray(got.params.phase), np.asarray(ref.params.phase),
+                               atol=5e-4)
