@@ -44,7 +44,9 @@ OBJ_ITERS = 20
 # Measured 2026-08-16 on this host with the SAME code revision (45.8 s for 7
 # object iterations at 256^3, 2-loop/5-iter probe; per-iteration throughput
 # transfers). Both sides benefit from optimizer improvements — the stand-in
-# is re-measured whenever the solver changes. See BASELINE.md.
+# is re-measured whenever the solver changes. The bf16 L-BFGS-history lever
+# is TPU-auto only (the CPU path keeps f32 history by design), so it does
+# not move the stand-in. See BASELINE.md.
 CPU_BASELINE_MVOX_ITER_S = 2.56
 
 
