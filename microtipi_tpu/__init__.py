@@ -20,6 +20,7 @@ from microtipi_tpu.models.microscope import DEFOCUS, DEPTH, MODULUS, PARAMETER_F
 from microtipi_tpu.models.widefield import WideFieldConfig, WideFieldParams
 from microtipi_tpu.models.gibson_lanni import GibsonLanniConfig, GibsonLanniParams
 from microtipi_tpu.models.confocal import ConfocalConfig, TwoPhotonConfig
+from microtipi_tpu.models.vectorial import VectorialConfig
 from microtipi_tpu.jobs.blind import BlindDeconvConfig, BlindDeconvResult, blind_deconvolve
 from microtipi_tpu.jobs.deconv import DeconvolutionConfig, DeconvolutionResult, deconvolve
 from microtipi_tpu.jobs.psf_fit import PsfFitConfig, PsfFitResult, fit_psf, fit_psf_joint
@@ -36,7 +37,7 @@ __all__ = [
     "DEFOCUS", "PHASE", "MODULUS", "DEPTH", "PARAMETER_FLAGS",
     "WideFieldConfig", "WideFieldParams",
     "GibsonLanniConfig", "GibsonLanniParams",
-    "ConfocalConfig", "TwoPhotonConfig",
+    "ConfocalConfig", "TwoPhotonConfig", "VectorialConfig",
     "BlindDeconvConfig", "BlindDeconvResult", "blind_deconvolve",
     "DeconvolutionConfig", "DeconvolutionResult", "deconvolve",
     "PsfFitConfig", "PsfFitResult", "fit_psf", "fit_psf_joint",

@@ -20,10 +20,12 @@ import time
 
 def _model_args(p: argparse.ArgumentParser):
     g = p.add_argument_group("optics")
-    g.add_argument("--model", choices=["widefield", "gl", "confocal", "2p"],
+    g.add_argument("--model",
+                   choices=["widefield", "gl", "confocal", "2p", "vectorial"],
                    default="widefield",
                    help="PSF model family: widefield (reference parity), "
-                        "gl (Gibson-Lanni depth aberration), confocal, 2p (two-photon)")
+                        "gl (Gibson-Lanni depth aberration), confocal, "
+                        "2p (two-photon), vectorial (Richards-Wolf high-NA)")
     g.add_argument("--ns", type=float, default=1.38,
                    help="[gl] sample refractive index")
     g.add_argument("--depth", type=float, default=0.0,
@@ -98,6 +100,10 @@ def _build_model(args, shape):
         from microtipi_tpu.models.confocal import TwoPhotonConfig
 
         return TwoPhotonConfig(**common)
+    if kind == "vectorial":
+        from microtipi_tpu.models.vectorial import VectorialConfig
+
+        return VectorialConfig(**common)
     from microtipi_tpu.models.widefield import WideFieldConfig
 
     return WideFieldConfig(**common)

@@ -78,6 +78,17 @@ class DeconvolutionResult(NamedTuple):
     pg_history: jax.Array
 
 
+def resolve_mem_dtype(config: DeconvolutionConfig, x0) -> jnp.dtype | None:
+    """The L-BFGS history dtype for an object solve (see ``mem_dtype`` on the
+    config): explicit value wins; auto = bfloat16 on TPU backends with an f32
+    iterate (measured win, BASELINE.md), full precision elsewhere."""
+    if config.mem_dtype is not None:
+        return jnp.dtype(config.mem_dtype)
+    if jax.default_backend() in ("tpu", "axon") and jnp.asarray(x0).dtype == jnp.float32:
+        return jnp.bfloat16
+    return None
+
+
 def make_objective(
     psf: jax.Array,
     data: jax.Array,
@@ -152,12 +163,6 @@ def deconvolve(
         if config.positivity:
             x0 = jnp.maximum(x0, 0.0)
     fun = make_objective(psf, data, weights, config)
-    if config.mem_dtype is not None:
-        mem_dtype = jnp.dtype(config.mem_dtype)
-    elif jax.default_backend() in ("tpu", "axon") and jnp.asarray(x0).dtype == jnp.float32:
-        mem_dtype = jnp.bfloat16  # auto: the measured TPU production setting
-    else:
-        mem_dtype = None
     res: VMLMBResult = minimize_vmlmb(
         fun,
         x0,
@@ -167,7 +172,7 @@ def deconvolve(
         maxeval=config.max_eval,
         gatol=config.gatol,
         grtol=config.grtol,
-        mem_dtype=mem_dtype,
+        mem_dtype=resolve_mem_dtype(config, x0),
     )
     return DeconvolutionResult(
         res.x, res.f, res.iterations, res.evaluations, res.status, res.f_history, res.pg_history

@@ -1,6 +1,7 @@
 """PSF model families."""
 from microtipi_tpu.models.confocal import ConfocalConfig, TwoPhotonConfig
 from microtipi_tpu.models.gibson_lanni import GibsonLanniConfig, GibsonLanniParams
+from microtipi_tpu.models.vectorial import VectorialConfig
 from microtipi_tpu.models.microscope import (
     DEFOCUS,
     DEPTH,
@@ -15,7 +16,7 @@ from microtipi_tpu.models.widefield import WideFieldConfig, WideFieldParams
 __all__ = [
     "WideFieldConfig", "WideFieldParams",
     "GibsonLanniConfig", "GibsonLanniParams",
-    "ConfocalConfig", "TwoPhotonConfig",
+    "ConfocalConfig", "TwoPhotonConfig", "VectorialConfig",
     "PsfModel", "DEFOCUS", "PHASE", "MODULUS", "DEPTH",
     "PARAMETER_FLAGS", "FAMILY_NAMES",
 ]

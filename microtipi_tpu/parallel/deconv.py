@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh
 
-from microtipi_tpu.jobs.deconv import DeconvolutionConfig, DeconvolutionResult
+from microtipi_tpu.jobs.deconv import DeconvolutionConfig, DeconvolutionResult, resolve_mem_dtype
 from microtipi_tpu.ops.regularization import hyperbolic_tv
 from microtipi_tpu.optim.vmlmb import minimize_vmlmb
 from microtipi_tpu.parallel.fft import (
@@ -204,6 +204,7 @@ def sharded_deconvolve(
         maxeval=config.max_eval,
         gatol=config.gatol,
         grtol=config.grtol,
+        mem_dtype=resolve_mem_dtype(config, x0),
     )
     return DeconvolutionResult(
         res.x, res.f, res.iterations, res.evaluations, res.status, res.f_history, res.pg_history

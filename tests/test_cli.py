@@ -206,6 +206,7 @@ def test_cli_psf_model_families(tmp_path):
         ("gl", ["--ns", "1.33", "--depth", "5e-6"]),
         ("confocal", ["--wavelength-exc", "488e-9", "--pinhole", "150e-9"]),
         ("2p", ["--wavelength", "900e-9"]),
+        ("vectorial", []),
     ]:
         out = tmp_path / f"{model}.tif"
         r = _run(

@@ -217,3 +217,66 @@ def test_confocal_gradients_flow_and_fit_works():
         config=PsfFitConfig(max_iter=80),
     )
     np.testing.assert_allclose(np.asarray(res.params.phase), true_phase, atol=8e-3)
+
+
+# ---- vectorial (Richards-Wolf) family (models/vectorial.py) ----------------
+
+
+def test_vectorial_reduces_to_scalar_at_low_na():
+    """Paraxial limit: cos(theta) -> 1 kills the cross/z terms and the
+    vectorial PSF converges to the scalar widefield PSF."""
+    from microtipi_tpu.models.vectorial import VectorialConfig
+
+    shape = (6, 48, 48)
+    kw = dict(na=0.2, wavelength=520e-9, ni=1.33, dxy=300e-9, dz=500e-9)
+    wf = WideFieldConfig(shape=shape, n_phase=3, dtype=jnp.float64, **kw)
+    ve = VectorialConfig(shape=shape, n_phase=3, dtype=jnp.float64, **kw)
+    phase = jnp.asarray([0.2, -0.1, 0.15])
+    h_s = np.asarray(wf.compute_psf(wf.init_params()._replace(phase=phase)))
+    h_v = np.asarray(ve.compute_psf(ve.init_params()._replace(phase=phase)))
+    h_s = h_s / h_s.sum()
+    corr = (h_s * h_v).sum() / np.sqrt((h_s**2).sum() * (h_v**2).sum())
+    assert corr > 0.9995
+    np.testing.assert_allclose(h_v.sum(), 1.0, rtol=1e-12)
+
+
+def test_vectorial_differs_at_high_na():
+    """At NA 1.4 the z-dipole and cross-polarization terms broaden the focal
+    spot measurably vs the scalar model."""
+    from microtipi_tpu.models.vectorial import VectorialConfig
+
+    shape = (1, 64, 64)
+    kw = dict(na=1.4, wavelength=520e-9, ni=1.518, dxy=60e-9, dz=150e-9)
+    wf = WideFieldConfig(shape=shape, dtype=jnp.float64, **kw)
+    ve = VectorialConfig(shape=shape, dtype=jnp.float64, **kw)
+    h_s = np.asarray(wf.compute_psf(wf.init_params()))
+    h_v = np.asarray(ve.compute_psf(ve.init_params()))
+    h_s = h_s / h_s.sum()
+    # normalized shapes differ beyond tolerance at high NA
+    assert np.abs(h_s - h_v).max() / h_s.max() > 0.01
+
+    def spread(h):
+        h0 = np.fft.fftshift(h[0]) / h[0].sum()
+        iy, ix = np.mgrid[:64, :64]
+        return (h0 * ((iy - 32) ** 2 + (ix - 32) ** 2)).sum()
+
+    assert spread(h_v) > spread(h_s)  # vectorial spot is broader
+
+
+def test_vectorial_fittable_through_psf_fit():
+    """Aberration families act on the vectorial model through the same
+    machinery (PsfModel protocol + autodiff)."""
+    from microtipi_tpu.models.microscope import PHASE
+    from microtipi_tpu.models.vectorial import VectorialConfig
+
+    shape = (6, 24, 24)
+    ve = VectorialConfig(shape=shape, n_phase=3, dtype=jnp.float64,
+                         na=1.3, wavelength=520e-9, ni=1.518, dxy=90e-9, dz=220e-9)
+    true_phase = jnp.asarray([0.3, -0.2, 0.12])
+    p_true = ve.init_params()._replace(phase=true_phase)
+    psf_true = ve.compute_psf(p_true)
+    rng = np.random.default_rng(5)
+    obj = jnp.asarray(rng.random(shape), jnp.float64)
+    data = convolve(obj, convolve_spectrum(psf_true), shape)
+    res = fit_psf(ve, ve.init_params(), PHASE, data, obj, config=PsfFitConfig(max_iter=60))
+    np.testing.assert_allclose(np.asarray(res.params.phase), true_phase, atol=1e-2)
