@@ -116,3 +116,46 @@ def test_sharded_padded_deconv_fuzz_odd_shapes(vol):
     got = sharded_deconvolve(data, psf, mesh, config=cfg)
     np.testing.assert_allclose(float(got.f), float(ref.f), rtol=1e-8)
     np.testing.assert_allclose(np.asarray(got.x), np.asarray(ref.x), atol=1e-7)
+
+
+FAMILY_CASES = [
+    # (family kind, shape, n_phase, radial, dtype)
+    ("confocal", (4, 16, 16), 2, True, jnp.float64),
+    ("confocal", (5, 24, 24), 3, False, jnp.float32),
+    ("2p", (6, 18, 18), 0, True, jnp.float64),
+    ("2p", (3, 16, 16), 4, False, jnp.float32),
+    ("vectorial", (4, 20, 20), 2, True, jnp.float64),
+    ("vectorial", (5, 16, 16), 3, False, jnp.float32),
+    ("gl", (4, 24, 24), 2, True, jnp.float64),
+]
+
+
+@pytest.mark.parametrize("kind,shape,n_phase,radial,dtype", FAMILY_CASES)
+def test_model_family_fuzz(kind, shape, n_phase, radial, dtype):
+    """Every beyond-parity family: valid normalized PSF + finite gradients
+    across random shapes/bases/dtypes."""
+    from microtipi_tpu.models.confocal import ConfocalConfig, TwoPhotonConfig
+    from microtipi_tpu.models.gibson_lanni import GibsonLanniConfig
+    from microtipi_tpu.models.vectorial import VectorialConfig
+
+    common = dict(shape=shape, n_phase=n_phase, radial=radial, dtype=dtype, **KW)
+    cfg = {
+        "confocal": lambda: ConfocalConfig(wavelength_exc=488e-9, pinhole=180e-9, **common),
+        "2p": lambda: TwoPhotonConfig(**common),
+        "vectorial": lambda: VectorialConfig(**common),
+        "gl": lambda: GibsonLanniConfig(ns=1.36, depth=3e-6, **common),
+    }[kind]()
+    rng = np.random.default_rng(abs(hash((kind,) + shape)) % 2**31)
+    p = cfg.init_params()
+    if n_phase:
+        p = p._replace(phase=jnp.asarray(0.3 * rng.standard_normal(n_phase), dtype))
+    psf = cfg.compute_psf(p)
+    assert psf.shape == shape and psf.dtype == dtype
+    arr = np.asarray(psf)
+    assert np.isfinite(arr).all() and arr.min() >= 0
+    if kind != "gl":  # unit-sum families
+        np.testing.assert_allclose(arr.sum(), 1.0,
+                                   rtol=1e-5 if dtype == jnp.float32 else 1e-12)
+    g = jax.grad(lambda q: jnp.sum(cfg.compute_psf(q) ** 2))(p)
+    for leaf in jax.tree.leaves(g):
+        assert np.isfinite(np.asarray(leaf)).all()
