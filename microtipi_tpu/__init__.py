@@ -23,7 +23,7 @@ from microtipi_tpu.models.confocal import ConfocalConfig, TwoPhotonConfig
 from microtipi_tpu.models.vectorial import VectorialConfig
 from microtipi_tpu.jobs.blind import BlindDeconvConfig, BlindDeconvResult, blind_deconvolve
 from microtipi_tpu.jobs.deconv import DeconvolutionConfig, DeconvolutionResult, deconvolve
-from microtipi_tpu.jobs.psf_fit import PsfFitConfig, PsfFitResult, fit_psf, fit_psf_joint
+from microtipi_tpu.jobs.psf_fit import PsfFitConfig, PsfFitResult, fit_psf, fit_psf_beads, fit_psf_joint
 from microtipi_tpu.jobs.richardson_lucy import richardson_lucy
 from microtipi_tpu.jobs.wiener import wiener
 from microtipi_tpu.ops.convolution import WeightedConvolutionCost, convolve, convolve_spectrum
@@ -40,7 +40,7 @@ __all__ = [
     "ConfocalConfig", "TwoPhotonConfig", "VectorialConfig",
     "BlindDeconvConfig", "BlindDeconvResult", "blind_deconvolve",
     "DeconvolutionConfig", "DeconvolutionResult", "deconvolve",
-    "PsfFitConfig", "PsfFitResult", "fit_psf", "fit_psf_joint",
+    "PsfFitConfig", "PsfFitResult", "fit_psf", "fit_psf_beads", "fit_psf_joint",
     "richardson_lucy", "wiener",
     "WeightedConvolutionCost", "convolve", "convolve_spectrum",
     "hyperbolic_tv", "hyperbolic_tv_and_gradient",

@@ -4,7 +4,8 @@ The reference ships no CLI (SURVEY.md §1: GUI plugins sat above it); a
 production framework needs one. Four commands over the TIFF IO layer:
 
   info    print stack geometry
-  psf     synthesize a widefield PSF to a TIFF stack
+  psf     synthesize a PSF to a TIFF stack (any model family)
+  fitpsf  calibrate PSF parameters from a bead stack
   deconv  non-blind deconvolution (known PSF)
   blind   blind deconvolution (PSF parameters estimated)
 
@@ -326,6 +327,59 @@ def cmd_blind(args):
         print("wrote", args.psf_out)
 
 
+def cmd_fitpsf(args):
+    import json
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from microtipi_tpu.io.tiffstack import read_stack
+    from microtipi_tpu.jobs.psf_fit import PsfFitConfig, fit_psf_beads
+    from microtipi_tpu.models.microscope import DEFOCUS, DEPTH, MODULUS, PHASE
+    from microtipi_tpu.utils.arrays import roll
+
+    data = jnp.asarray(read_stack(args.stack))
+    _resolve_geometry(args, args.stack)
+    model = _build_model(args, data.shape)
+    fam_map = {"defocus": DEFOCUS, "phase": PHASE, "modulus": MODULUS, "depth": DEPTH}
+    if "depth" in args.families and args.model != "gl":
+        sys.exit("--families depth requires --model gl")
+    families = tuple(fam_map[f] for f in args.families)
+
+    run = jax.jit(
+        lambda d: fit_psf_beads(
+            model, d, families,
+            config=PsfFitConfig(max_iter=args.iters, grtol=0.0),
+            phase_freeze_head=1 if args.pin_z4 else 0,
+        )
+    )
+    t0 = time.time()
+    res, amp = run(data)
+    f = float(res.f)
+    print(f"fitpsf: {int(res.iterations)} iters, cost {f:.6g}, bead amplitude "
+          f"{float(amp):.4g}, {time.time()-t0:.1f}s (incl. compile)")
+    params = {
+        name: np.asarray(getattr(res.params, name)).tolist()
+        for name in ("defocus", "phase", "modulus")
+        if hasattr(res.params, name)
+    }
+    if hasattr(res.params, "depth"):
+        params["depth"] = np.asarray(res.params.depth).tolist()
+    for name, vals in params.items():
+        print(f"{name}: {np.round(np.asarray(vals), 5)}")
+    if args.params_out:
+        with open(args.params_out, "w") as fh:
+            json.dump({"cost": f, "amplitude": float(amp), "model": args.model,
+                       "dxy": args.dxy, "dz": args.dz, **params}, fh, indent=1)
+        print("wrote", args.params_out)
+    if args.out:
+        psf = np.asarray(jax.jit(model.compute_psf)(res.params))
+        if args.centered:
+            psf = np.asarray(roll(jnp.asarray(psf)))
+        _write_out(args, args.out, psf, dxy=args.dxy, dz=args.dz)
+        print("wrote", args.out)
+
+
 def cmd_watch(args):
     from microtipi_tpu.serve import watch
 
@@ -356,6 +410,22 @@ def main(argv=None):
                    help="write outputs as OME-TIFF (OME-XML geometry in the description)")
     _model_args(p)
     p.set_defaults(fn=cmd_psf)
+
+    p = sub.add_parser("fitpsf", help="calibrate PSF parameters from a bead stack")
+    p.add_argument("stack", help="bead (point-source) TIFF stack")
+    p.add_argument("--out", default=None, help="write the fitted PSF stack here")
+    p.add_argument("--params-out", default=None, help="write fitted parameters as JSON")
+    p.add_argument("--centered", action="store_true",
+                   help="write the fitted PSF in centered layout")
+    p.add_argument("--ome", action="store_true",
+                   help="write outputs as OME-TIFF (OME-XML geometry in the description)")
+    p.add_argument("--iters", type=int, default=60, help="joint-fit VMLMB iterations")
+    p.add_argument("--pin-z4", action="store_true",
+                   help="freeze the first phase mode during the fit")
+    p.add_argument("--families", nargs="+", default=["defocus", "phase"],
+                   choices=["defocus", "phase", "modulus", "depth"])
+    _model_args(p)
+    p.set_defaults(fn=cmd_fitpsf)
 
     p = sub.add_parser("deconv", help="non-blind deconvolution")
     p.add_argument("data")

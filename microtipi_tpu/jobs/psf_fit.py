@@ -28,13 +28,14 @@ import dataclasses
 from typing import NamedTuple
 
 import jax
+import jax.numpy as jnp
 
 from microtipi_tpu.models.microscope import FAMILY_NAMES
 from microtipi_tpu.ops.convolution import WeightedConvolutionCost
 from microtipi_tpu.optim.vmlmb import minimize_vmlmb
 from microtipi_tpu.utils.arrays import pad_to_shape
 
-__all__ = ["PsfFitConfig", "PsfFitResult", "fit_psf", "fit_psf_joint", "joint_variable"]
+__all__ = ["PsfFitConfig", "PsfFitResult", "fit_psf", "fit_psf_beads", "fit_psf_joint", "joint_variable"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -256,3 +257,57 @@ def fit_psf_joint(
         rebuild(res.x),
         res.f, res.iterations, res.evaluations, res.status, res.f_history,
     )
+
+
+def fit_psf_beads(
+    model,
+    data: jax.Array,
+    families: tuple[int, ...] = (0, 1),  # (DEFOCUS, PHASE)
+    params0=None,
+    config: PsfFitConfig = PsfFitConfig(),
+    phase_freeze_head: int = 0,
+    rounds: int = 2,
+):
+    """Calibrate PSF parameters from a bead (point-source) stack.
+
+    The ecosystem's standard PSF-calibration workflow (the reference obtains
+    its pupils via Icy tooling; microTiPi itself assumes the fit harness
+    exists — ``PSF_Estimation.java`` fits against an arbitrary object): a
+    sub-resolution bead IS a delta object, so the measured stack equals the
+    shifted, scaled PSF. This builds that delta object at the stack's
+    brightest voxel and runs the joint multi-family fit against it.
+
+    The bead amplitude comes from a matched filter — the cross-correlation
+    of the model PSF with the background-subtracted data at the bead
+    position over the PSF's energy — NOT from a plain intensity sum, which
+    loses the PSF's diffuse tails under the background and biases every
+    fitted coefficient (measured: ~20% amplitude deficit -> phase modes
+    stall at half magnitude). ``rounds`` alternates amplitude refresh and
+    refit (2 is enough: the amplitude estimate is already unbiased once the
+    model PSF roughly matches).
+
+    Jit-friendly. Returns ``(PsfFitResult, amplitude)``; the fitted PSF is
+    ``model.compute_psf(result.params)``.
+    """
+    if params0 is None:
+        params0 = model.init_params()
+    bg = jnp.median(data)
+    d = data - bg
+    d_hat = jnp.fft.rfftn(d)
+    idx = jnp.argmax(d)
+
+    def matched_amplitude(params):
+        h = model.compute_psf(params)
+        corr = jnp.fft.irfftn(jnp.conj(jnp.fft.rfftn(h)) * d_hat, s=d.shape)
+        return corr.ravel()[idx] / jnp.sum(h * h)
+
+    params, res = params0, None
+    for _ in range(max(1, rounds)):
+        amp = matched_amplitude(params)
+        obj = jnp.zeros_like(d).ravel().at[idx].set(amp).reshape(d.shape)
+        res = fit_psf_joint(
+            model, params, families, d, obj,
+            config=config, phase_freeze_head=phase_freeze_head,
+        )
+        params = res.params
+    return res, matched_amplitude(params)

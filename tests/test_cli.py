@@ -259,3 +259,37 @@ def test_cli_depth_family_needs_gl_model(tmp_path):
     )
     assert r.returncode != 0
     assert "requires --model gl" in r.stderr + r.stdout
+
+
+def test_cli_fitpsf_recovers_bead_parameters(tmp_path):
+    """fitpsf on a synthetic bead stack recovers the injected phase and
+    writes params JSON + fitted PSF."""
+    import jax.numpy as jnp
+
+    from microtipi_tpu.io.tiffstack import read_stack, write_stack
+    from microtipi_tpu.models.widefield import WideFieldConfig
+    from microtipi_tpu.utils.arrays import roll
+
+    shape = (12, 32, 32)
+    model = WideFieldConfig(shape=shape, na=1.3, wavelength=520e-9, ni=1.518,
+                            dxy=90e-9, dz=220e-9, n_phase=3, dtype=jnp.float64)
+    true = model.init_params()._replace(phase=jnp.asarray([0.3, -0.2, 0.15]))
+    # a bead at the center of a centered stack = the rolled PSF, scaled
+    bead = 800.0 * np.asarray(roll(model.compute_psf(true)), np.float32)
+    rng = np.random.default_rng(0)
+    bead = bead + 0.5 + 0.002 * bead.max() * rng.standard_normal(shape).astype(np.float32)
+    write_stack(tmp_path / "beads.tif", bead, dxy=90e-9, dz=220e-9)
+
+    r = _run(
+        ["fitpsf", str(tmp_path / "beads.tif"), "--out", str(tmp_path / "psf.tif"),
+         "--params-out", str(tmp_path / "params.json"), "--n-phase", "3",
+         "--na", "1.3", "--wavelength", "520e-9", "--families", "phase",
+         "--iters", "80"],
+        tmp_path,
+    )
+    assert r.returncode == 0, r.stderr
+    params = json.loads((tmp_path / "params.json").read_text())
+    assert params["dxy"] == pytest.approx(90e-9)  # geometry from metadata
+    np.testing.assert_allclose(params["phase"], [0.3, -0.2, 0.15], atol=0.06)
+    psf = read_stack(tmp_path / "psf.tif")
+    assert psf.shape == shape and np.isfinite(psf).all()

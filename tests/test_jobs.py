@@ -265,3 +265,36 @@ def test_fit_psf_freeze_head_pins_z4():
     got0 = np.asarray(res0.params.phase)
     assert got0[0] == 0.0
     np.testing.assert_allclose(got0[1:], [-0.3, 0.2], atol=0.02)
+
+
+def test_fit_psf_beads_recovers_parameters_and_amplitude():
+    """Bead calibration: matched-filter amplitude + joint fit recover the
+    injected aberration from a realistic bead stack (background + noise);
+    a plain intensity-sum amplitude would lose the PSF tails under the
+    background and stall the fit (measured ~20% amplitude deficit)."""
+    from microtipi_tpu.jobs.psf_fit import fit_psf_beads
+    from microtipi_tpu.models.microscope import PHASE
+    from microtipi_tpu.utils.arrays import roll
+
+    shape = (12, 32, 32)
+    model = WideFieldConfig(shape=shape, na=1.3, wavelength=520e-9, ni=1.518,
+                            dxy=90e-9, dz=220e-9, n_phase=3, dtype=jnp.float64)
+    true_phase = jnp.asarray([0.3, -0.2, 0.15])
+    true = model.init_params()._replace(phase=true_phase)
+    bead = 800.0 * np.asarray(roll(model.compute_psf(true)))
+    rng = np.random.default_rng(0)
+    bead = bead + 0.5 + 0.002 * bead.max() * rng.standard_normal(shape)
+
+    res, amp = fit_psf_beads(
+        model, jnp.asarray(bead), (PHASE,),
+        config=PsfFitConfig(max_iter=80, grtol=0.0),
+    )
+    np.testing.assert_allclose(np.asarray(res.params.phase), true_phase, atol=0.01)
+    assert float(amp) == pytest.approx(800.0, rel=0.05)
+    # jit-compatible end to end (argmax/median/scatter all trace)
+    res2, _ = jax.jit(
+        lambda d: fit_psf_beads(model, d, (PHASE,),
+                                config=PsfFitConfig(max_iter=80, grtol=0.0))
+    )(jnp.asarray(bead))
+    np.testing.assert_allclose(np.asarray(res2.params.phase),
+                               np.asarray(res.params.phase), atol=1e-10)
