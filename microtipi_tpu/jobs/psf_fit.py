@@ -267,6 +267,7 @@ def fit_psf_beads(
     config: PsfFitConfig = PsfFitConfig(),
     phase_freeze_head: int = 0,
     rounds: int = 2,
+    subvoxel: bool = True,
 ):
     """Calibrate PSF parameters from a bead (point-source) stack.
 
@@ -274,39 +275,84 @@ def fit_psf_beads(
     its pupils via Icy tooling; microTiPi itself assumes the fit harness
     exists — ``PSF_Estimation.java`` fits against an arbitrary object): a
     sub-resolution bead IS a delta object, so the measured stack equals the
-    shifted, scaled PSF. This builds that delta object at the stack's
-    brightest voxel and runs the joint multi-family fit against it.
+    shifted, scaled PSF.
 
-    The bead amplitude comes from a matched filter — the cross-correlation
-    of the model PSF with the background-subtracted data at the bead
-    position over the PSF's energy — NOT from a plain intensity sum, which
-    loses the PSF's diffuse tails under the background and biases every
-    fitted coefficient (measured: ~20% amplitude deficit -> phase modes
-    stall at half magnitude). ``rounds`` alternates amplitude refresh and
-    refit (2 is enough: the amplitude estimate is already unbiased once the
-    model PSF roughly matches).
+    Two details make this robust on real data:
 
-    Jit-friendly. Returns ``(PsfFitResult, amplitude)``; the fitted PSF is
+    - **Subvoxel centering** (``subvoxel=True``): the bead position is
+      localized to a fraction of a voxel (parabolic peak interpolation) and
+      the *data* is Fourier-shifted so the bead sits exactly at the origin —
+      a half-voxel residual lateral shift would otherwise masquerade as tilt
+      in the fitted pupil. The object is then an exact integer delta.
+      Lateral (y, x) only: a fractional *z* shift is gauge-degenerate with
+      the defocus/Z4 phase mode, and pre-correcting it silently steals that
+      mode from the fit (measured here, and the same failure as the
+      rejected z-recentering lever in BASELINE.md) — the z position stays
+      integer and the pupil fit owns the axial gauge.
+    - **Matched-filter amplitude**: the bead brightness comes from
+      ``<h, d> / ||h||^2`` at the bead position, NOT from a plain intensity
+      sum, which loses the PSF's diffuse tails under the background and
+      biases every fitted coefficient (measured: ~20% amplitude deficit ->
+      phase modes stall at half magnitude). ``rounds`` alternates amplitude
+      refresh and refit (2 is enough).
+
+    Jit-friendly (argmax/median/scatter/Fourier shift all trace). Returns
+    ``(PsfFitResult, amplitude)``; the fitted PSF is
     ``model.compute_psf(result.params)``.
     """
+    import numpy as np
+
     if params0 is None:
         params0 = model.init_params()
     bg = jnp.median(data)
     d = data - bg
-    d_hat = jnp.fft.rfftn(d)
+    shape = d.shape
     idx = jnp.argmax(d)
+    iz, iy, ix = jnp.unravel_index(idx, shape)
+
+    def _frac(i, n, take_axis):
+        """Parabolic sub-voxel offset of the peak along one axis."""
+        f0 = d[iz, iy, ix]
+        fm = take_axis((i - 1) % n)
+        fp = take_axis((i + 1) % n)
+        denom = fm - 2.0 * f0 + fp
+        s = jnp.where(jnp.abs(denom) > 1e-30, 0.5 * (fm - fp) / denom, 0.0)
+        return jnp.clip(s, -0.5, 0.5)
+
+    nz, ny, nx = shape
+    pz = iz.astype(d.dtype)
+    py = iy.astype(d.dtype)
+    px = ix.astype(d.dtype)
+    if subvoxel:
+        # lateral only — see docstring for why z stays integer
+        py = py + _frac(iy, ny, lambda j: d[iz, j, ix])
+        px = px + _frac(ix, nx, lambda j: d[iz, iy, j])
+
+    # Fourier-shift the data by -p: the bead lands exactly at the corner
+    # origin, where the model PSF already lives.
+    fz = jnp.asarray(np.fft.fftfreq(nz), d.dtype)
+    fy = jnp.asarray(np.fft.fftfreq(ny), d.dtype)
+    fx = jnp.asarray(np.fft.rfftfreq(nx), d.dtype)
+    phase = (fz[:, None, None] * pz + fy[None, :, None] * py
+             + fx[None, None, :] * px)
+    ramp = jnp.exp((2j * jnp.pi) * phase.astype(
+        jnp.complex128 if d.dtype == jnp.float64 else jnp.complex64))
+    d0 = jnp.fft.irfftn(jnp.fft.rfftn(d) * ramp, s=shape).astype(d.dtype)
+    d0_hat = jnp.fft.rfftn(d0)
 
     def matched_amplitude(params):
         h = model.compute_psf(params)
-        corr = jnp.fft.irfftn(jnp.conj(jnp.fft.rfftn(h)) * d_hat, s=d.shape)
-        return corr.ravel()[idx] / jnp.sum(h * h)
+        corr = jnp.sum(jnp.fft.irfftn(
+            jnp.conj(jnp.fft.rfftn(h)) * d0_hat, s=shape
+        ).ravel()[0:1])
+        return corr / jnp.sum(h * h)
 
     params, res = params0, None
     for _ in range(max(1, rounds)):
         amp = matched_amplitude(params)
-        obj = jnp.zeros_like(d).ravel().at[idx].set(amp).reshape(d.shape)
+        obj = jnp.zeros_like(d).ravel().at[0].set(amp).reshape(shape)
         res = fit_psf_joint(
-            model, params, families, d, obj,
+            model, params, families, d0, obj,
             config=config, phase_freeze_head=phase_freeze_head,
         )
         params = res.params

@@ -298,3 +298,35 @@ def test_fit_psf_beads_recovers_parameters_and_amplitude():
     )(jnp.asarray(bead))
     np.testing.assert_allclose(np.asarray(res2.params.phase),
                                np.asarray(res.params.phase), atol=1e-10)
+
+
+def test_fit_psf_beads_subvoxel_lateral_centering():
+    """A bead at a fractional lateral position: subvoxel centering recovers
+    the aberration where the integer-voxel fit is polluted by the residual
+    shift (which masquerades as pupil tilt)."""
+    from microtipi_tpu.jobs.psf_fit import fit_psf_beads
+    from microtipi_tpu.models.microscope import PHASE
+
+    shape = (12, 32, 32)
+    nz, ny, nx = shape
+    model = WideFieldConfig(shape=shape, na=1.3, wavelength=520e-9, ni=1.518,
+                            dxy=90e-9, dz=220e-9, n_phase=3, dtype=jnp.float64)
+    true_phase = jnp.asarray([0.3, -0.2, 0.15])
+    psf = model.compute_psf(model.init_params()._replace(phase=true_phase))
+    # place the bead at an off-grid lateral position (z on-grid: the axial
+    # gauge belongs to the pupil fit)
+    fz = np.fft.fftfreq(nz)[:, None, None]
+    fy = np.fft.fftfreq(ny)[None, :, None]
+    fx = np.fft.rfftfreq(nx)[None, None, :]
+    shift = np.exp(-2j * np.pi * (fz * 6 + fy * (16 + 0.31) + fx * (16 - 0.42)))
+    bead = 700.0 * np.fft.irfftn(np.fft.rfftn(np.asarray(psf)) * shift, s=shape)
+    rng = np.random.default_rng(1)
+    bead = bead + 0.3 + 0.002 * bead.max() * rng.standard_normal(shape)
+
+    cfg = PsfFitConfig(max_iter=80, grtol=0.0)
+    good, _ = fit_psf_beads(model, jnp.asarray(bead), (PHASE,), config=cfg, subvoxel=True)
+    crude, _ = fit_psf_beads(model, jnp.asarray(bead), (PHASE,), config=cfg, subvoxel=False)
+    err_good = np.linalg.norm(np.asarray(good.params.phase) - np.asarray(true_phase))
+    err_crude = np.linalg.norm(np.asarray(crude.params.phase) - np.asarray(true_phase))
+    assert err_good < 0.05
+    assert err_good < err_crude
