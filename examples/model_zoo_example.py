@@ -42,8 +42,9 @@ from microtipi_tpu import (
 
 SHAPE = (16, 64, 64)
 # f64 on the CPU validation backend (near-exact recovery), f32 on TPU (the
-# production dtype; recovers the dominant modes — deep fits are limited by
-# f32 cost resolution in the Wolfe tests, see docs/TUNING.md "Precision").
+# production dtype; close recovery — f32 fits use the residual-form data
+# term to avoid the quadratic identity's catastrophic cancellation, see
+# jobs/psf_fit.py::_fit_data_term).
 DTYPE = jnp.float32 if jax.default_backend() in ("tpu", "axon") else jnp.float64
 KW = dict(shape=SHAPE, na=1.3, wavelength=520e-9, ni=1.518, dxy=90e-9,
           dz=220e-9, n_phase=3, n_modulus=1, dtype=DTYPE)

@@ -56,6 +56,27 @@ class PsfFitResult(NamedTuple):
     f_history: jax.Array
 
 
+
+def _fit_data_term(obj, data, weights):
+    """Data term for PSF fits: object as kernel (PSF_Estimation.java:147-150).
+
+    f64: the circulant quadratic form (2 FFTs/eval for cost AND psf-space
+    gradient via the custom VJP). f32: the residual form (4 FFTs/eval) —
+    the quadratic identity ``0.5<x,Ax> - <x,b> + c`` cancels catastrophically
+    near convergence (f << c, resolution eps*c), which stalls f32 fits after
+    the first mode; the residual sum of squares has no cancellation.
+    Measured (confocal 16x64x64, f32): quadratic recovers [0.295, -0.0005,
+    0.0007] of [0.3, -0.2, 0.1]; residual recovers [0.295, -0.118, 0.133].
+    """
+    import jax.numpy as jnp
+
+    if weights is None and jnp.asarray(data).dtype == jnp.float64:
+        from microtipi_tpu.ops.convolution import QuadraticConvCost
+
+        return QuadraticConvCost.build(obj, data)
+    return WeightedConvolutionCost.build(obj, data, weights)
+
+
 def fit_psf(
     model,
     params,
@@ -104,16 +125,7 @@ def fit_psf(
     if weights is not None and weights.shape != data.shape:
         weights = pad_to_shape(weights, data.shape)
 
-    # Object as kernel, built once: one rfftn for the whole fit. With uniform
-    # weights the data term is the circulant quadratic form (2 FFTs per
-    # evaluation for cost AND psf-space gradient; the chain rule into the
-    # pupil parameters rides the custom VJP).
-    if weights is None:
-        from microtipi_tpu.ops.convolution import QuadraticConvCost
-
-        cost = QuadraticConvCost.build(obj, data)
-    else:
-        cost = WeightedConvolutionCost.build(obj, data, weights)
+    cost = _fit_data_term(obj, data, weights)
 
     def objective(v):
         p = params._replace(**{family: full0.at[freeze_head : freeze_head + v.shape[0]].set(v)})
@@ -232,12 +244,7 @@ def fit_psf_joint(
             raise ValueError(f"family {n!r} has no coefficients to fit")
     if weights is not None and weights.shape != data.shape:
         weights = pad_to_shape(weights, data.shape)
-    if weights is None:
-        from microtipi_tpu.ops.convolution import QuadraticConvCost
-
-        cost = QuadraticConvCost.build(obj, data)
-    else:
-        cost = WeightedConvolutionCost.build(obj, data, weights)
+    cost = _fit_data_term(obj, data, weights)
 
     # One extra gradient evaluation seeds the gradient-balanced scaling.
     g0 = jax.grad(
