@@ -61,7 +61,7 @@ def _fit_data_term(obj, data, weights):
     """Data term for PSF fits: object as kernel (PSF_Estimation.java:147-150).
 
     f64: the circulant quadratic form (2 FFTs/eval for cost AND psf-space
-    gradient via the custom VJP). f32: the residual form (4 FFTs/eval) —
+    gradient via the custom VJP). f32: the residual form (3 FFTs/eval, UniformConvCost) —
     the quadratic identity ``0.5<x,Ax> - <x,b> + c`` cancels catastrophically
     near convergence (f << c, resolution eps*c), which stalls f32 fits after
     the first mode; the residual sum of squares has no cancellation.
@@ -70,10 +70,14 @@ def _fit_data_term(obj, data, weights):
     """
     import jax.numpy as jnp
 
-    if weights is None and jnp.asarray(data).dtype == jnp.float64:
-        from microtipi_tpu.ops.convolution import QuadraticConvCost
+    if weights is None:
+        if jnp.asarray(data).dtype == jnp.float64:
+            from microtipi_tpu.ops.convolution import QuadraticConvCost
 
-        return QuadraticConvCost.build(obj, data)
+            return QuadraticConvCost.build(obj, data)
+        from microtipi_tpu.ops.convolution import UniformConvCost
+
+        return UniformConvCost.build(obj, data)  # 3 FFTs, cancellation-free
     return WeightedConvolutionCost.build(obj, data, weights)
 
 

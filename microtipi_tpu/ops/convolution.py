@@ -180,3 +180,57 @@ def _quadratic_cost_bwd(shape, res, g):
 
 
 _quadratic_cost.defvjp(_quadratic_cost_fwd, _quadratic_cost_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Uniform-weight ACCURATE fast path (3 FFTs/eval): the cost comes from the
+# residual sum of squares (no cancellation — the quadratic identity's
+# 0.5<x,Ax> - <x,b> + c loses eps*c of resolution, which stalls f32 PSF
+# fits, see jobs/psf_fit.py::_fit_data_term), while the gradient reuses the
+# forward spectrum: g = irfftn(|K|^2 X) - b — one inverse FFT, not the
+# adjoint pair the generic weighted path pays. 2 FFTs (quadratic, f64 fits
+# and the object step) < 3 FFTs (this) < 4 FFTs (weighted path).
+# ---------------------------------------------------------------------------
+
+
+class UniformConvCost(NamedTuple):
+    """Residual-accurate uniform-weight data term, 3 FFTs per evaluation."""
+
+    kernel_hat: jax.Array  # rfftn spectrum of the kernel
+    kernel_sq: jax.Array  # |K_hat|^2
+    b: jax.Array  # H^T d
+    data: jax.Array
+    shape: tuple[int, ...]
+
+    @classmethod
+    def build(cls, kernel: jax.Array, data: jax.Array) -> "UniformConvCost":
+        if kernel.shape != data.shape:
+            raise ValueError("uniform fast path requires kernel shape == data shape")
+        k_hat = jnp.fft.rfftn(kernel)
+        kernel_sq = jnp.real(k_hat) ** 2 + jnp.imag(k_hat) ** 2
+        b = jnp.fft.irfftn(jnp.conj(k_hat) * jnp.fft.rfftn(data), s=data.shape)
+        return cls(k_hat, kernel_sq, b, data, tuple(data.shape))
+
+    def cost(self, x: jax.Array) -> jax.Array:
+        return _uniform_cost(x, self.kernel_hat, self.kernel_sq, self.b, self.data, self.shape)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _uniform_cost(x, kernel_hat, kernel_sq, b, data, shape):
+    r = jnp.fft.irfftn(kernel_hat * jnp.fft.rfftn(x), s=shape) - data
+    return 0.5 * jnp.sum(r * r)
+
+
+def _uniform_cost_fwd(x, kernel_hat, kernel_sq, b, data, shape):
+    x_hat = jnp.fft.rfftn(x)
+    r = jnp.fft.irfftn(kernel_hat * x_hat, s=shape) - data
+    f = 0.5 * jnp.sum(r * r)
+    grad = jnp.fft.irfftn(kernel_sq * x_hat, s=shape) - b
+    return f, grad
+
+
+def _uniform_cost_bwd(shape, grad, g):
+    return (g * grad, None, None, None, None)
+
+
+_uniform_cost.defvjp(_uniform_cost_fwd, _uniform_cost_bwd)
