@@ -107,7 +107,12 @@ def make_objective(
 
     # Uniform weights on the un-padded grid: circulant quadratic form — cost
     # AND gradient from one rfftn/irfftn pair (half the FFTs of the general
-    # weighted path, whose residual must be formed in real space).
+    # weighted path, whose residual must be formed in real space). The
+    # quadratic identity cancels catastrophically at machine-limited
+    # convergence (see psf_fit._fit_data_term, where f32 *fits* switch to
+    # the residual form) — harmless here: the object step runs tens of
+    # iterations, far from the eps*c resolution floor, and carries the
+    # throughput headline.
     quadratic = weights is None and var_shape == data.shape
     if quadratic:
         from microtipi_tpu.ops.convolution import QuadraticConvCost
