@@ -23,6 +23,7 @@ from microtipi_tpu.models.confocal import ConfocalConfig, TwoPhotonConfig
 from microtipi_tpu.models.vectorial import VectorialConfig
 from microtipi_tpu.jobs.blind import BlindDeconvConfig, BlindDeconvResult, blind_deconvolve
 from microtipi_tpu.jobs.deconv import DeconvolutionConfig, DeconvolutionResult, deconvolve
+from microtipi_tpu.jobs.depthvar import deconvolve_depthvar, depth_anchor_psfs
 from microtipi_tpu.jobs.psf_fit import PsfFitConfig, PsfFitResult, fit_psf, fit_psf_beads, fit_psf_joint
 from microtipi_tpu.jobs.richardson_lucy import richardson_lucy
 from microtipi_tpu.jobs.wiener import wiener
@@ -40,6 +41,7 @@ __all__ = [
     "ConfocalConfig", "TwoPhotonConfig", "VectorialConfig",
     "BlindDeconvConfig", "BlindDeconvResult", "blind_deconvolve",
     "DeconvolutionConfig", "DeconvolutionResult", "deconvolve",
+    "deconvolve_depthvar", "depth_anchor_psfs",
     "PsfFitConfig", "PsfFitResult", "fit_psf", "fit_psf_beads", "fit_psf_joint",
     "richardson_lucy", "wiener",
     "WeightedConvolutionCost", "convolve", "convolve_spectrum",

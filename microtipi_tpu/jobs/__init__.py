@@ -2,6 +2,7 @@
 from microtipi_tpu.jobs.batch import batched_blind_deconvolve, batched_deconvolve
 from microtipi_tpu.jobs.blind import BlindDeconvConfig, BlindDeconvResult, blind_deconvolve
 from microtipi_tpu.jobs.deconv import DeconvolutionConfig, DeconvolutionResult, deconvolve
+from microtipi_tpu.jobs.depthvar import deconvolve_depthvar, depth_anchor_psfs
 from microtipi_tpu.jobs.psf_fit import PsfFitConfig, PsfFitResult, fit_psf, fit_psf_joint
 from microtipi_tpu.jobs.richardson_lucy import richardson_lucy
 from microtipi_tpu.jobs.wiener import wiener
@@ -11,5 +12,6 @@ __all__ = [
     "DeconvolutionConfig", "DeconvolutionResult", "deconvolve",
     "PsfFitConfig", "PsfFitResult", "fit_psf", "fit_psf_joint",
     "batched_deconvolve", "batched_blind_deconvolve",
+    "deconvolve_depthvar", "depth_anchor_psfs",
     "richardson_lucy", "wiener",
 ]

@@ -31,7 +31,13 @@ from microtipi_tpu.ops.regularization import hyperbolic_tv
 from microtipi_tpu.optim.vmlmb import VMLMBResult, minimize_vmlmb
 from microtipi_tpu.utils.arrays import pad_fft_kernel, pad_to_shape
 
-__all__ = ["DeconvolutionConfig", "DeconvolutionResult", "deconvolve", "make_objective"]
+__all__ = [
+    "DeconvolutionConfig",
+    "DeconvolutionResult",
+    "deconvolve",
+    "make_objective",
+    "make_regularizer",
+]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -89,6 +95,29 @@ def resolve_mem_dtype(config: DeconvolutionConfig, x0) -> jnp.dtype | None:
     return None
 
 
+def make_regularizer(config: DeconvolutionConfig, var_shape: tuple[int, ...]):
+    """``x -> mu * TV_eps(x)`` for the configured regularizer (0 if mu == 0),
+    picking the fused Pallas kernel under the same auto rule as
+    :func:`make_objective`. Shared with the depth-varying solver."""
+    use_fused = config.fused_tv
+    if use_fused is None:
+        use_fused = jax.default_backend() in ("tpu", "axon") and len(var_shape) == 3
+    use_fused = use_fused and len(var_shape) == 3
+
+    def reg(x):
+        if config.mu <= 0:
+            return jnp.zeros((), x.dtype)
+        if use_fused:
+            from microtipi_tpu.ops.pallas.hyperbolic_tv import hyperbolic_tv_value
+
+            tv = hyperbolic_tv_value(x, config.epsilon, config.scales)
+        else:
+            tv = hyperbolic_tv(x, config.epsilon, config.scales)
+        return config.mu * tv
+
+    return reg
+
+
 def make_objective(
     psf: jax.Array,
     data: jax.Array,
@@ -121,21 +150,12 @@ def make_objective(
     else:
         cost = WeightedConvolutionCost.build(kernel, data, weights, var_shape)
 
-    use_fused = config.fused_tv
-    if use_fused is None:
-        use_fused = jax.default_backend() in ("tpu", "axon") and len(var_shape) == 3
-    use_fused = use_fused and len(var_shape) == 3
+    reg = make_regularizer(config, var_shape)
 
     def objective(x):
         f = cost.cost(x)
         if config.mu > 0:
-            if use_fused:
-                from microtipi_tpu.ops.pallas.hyperbolic_tv import hyperbolic_tv_value
-
-                tv = hyperbolic_tv_value(x, config.epsilon, config.scales)
-            else:
-                tv = hyperbolic_tv(x, config.epsilon, config.scales)
-            f = f + config.mu * tv
+            f = f + reg(x)
         return f
 
     return jax.value_and_grad(objective)

@@ -1,0 +1,99 @@
+"""Depth-variant deconvolution: object update under a z-varying PSF.
+
+Beyond-parity companion to ``jobs/deconv.py``: same solver (VMLMB +
+hyperbolic TV + positivity, reference semantics per ``PSF_Estimation.java``
+defaults), but the data term is the depth-varying blur of
+``ops/depthconv.py`` — K anchor PSFs blended along z — instead of one
+shift-invariant kernel. The natural pairing is the Gibson-Lanni model
+(``models/gibson_lanni.py``), whose DEPTH family makes "the PSF at depth d"
+a one-line parameter edit; :func:`depth_anchor_psfs` synthesizes the anchor
+stack with one vmapped call (a single batched FFT program on TPU).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from microtipi_tpu.jobs.deconv import (
+    DeconvolutionConfig,
+    DeconvolutionResult,
+    make_regularizer,
+)
+from microtipi_tpu.ops.depthconv import DepthVaryingConvCost
+from microtipi_tpu.optim.vmlmb import minimize_vmlmb
+from microtipi_tpu.utils.arrays import pad_fft_kernel, pad_to_shape
+
+__all__ = ["depth_anchor_psfs", "deconvolve_depthvar"]
+
+
+def depth_anchor_psfs(model, params, anchors, depth0: float | None = None) -> jax.Array:
+    """Synthesize the K anchor PSFs for a depth-varying solve, shape
+    ``(K, Nz, Ny, Nx)``.
+
+    ``model`` is a :class:`~microtipi_tpu.models.gibson_lanni.GibsonLanniConfig`
+    (or any model whose params carry a ``depth = (ns/lambda, d)`` family);
+    ``anchors`` are z indices of the data grid; the PSF for anchor ``a`` is
+    synthesized at physical depth ``depth0 + a * dz`` (``depth0`` defaults to
+    ``model.depth``, the nominal depth of plane z=0). One ``vmap`` over the
+    depth coordinate — on TPU the K syntheses run as a single batched FFT
+    program, not K dispatches.
+    """
+    if depth0 is None:
+        depth0 = getattr(model, "depth", 0.0)
+    anchors = np.asarray(anchors, np.float64)
+    depths = jnp.asarray(depth0 + anchors * model.dz, model.dtype)
+
+    def one(d):
+        p = params._replace(depth=params.depth.at[1].set(d))
+        return model.compute_psf(p)
+
+    return jax.vmap(one)(depths)
+
+
+def deconvolve_depthvar(
+    data: jax.Array,
+    psfs: jax.Array,
+    anchors=None,
+    weights: jax.Array | None = None,
+    x0: jax.Array | None = None,
+    config: DeconvolutionConfig = DeconvolutionConfig(),
+) -> DeconvolutionResult:
+    """Solve the object sub-problem under the depth-varying blur.
+
+    ``psfs`` is the (K, Nz, Ny, Nx) corner-origin anchor stack (e.g. from
+    :func:`depth_anchor_psfs`); ``anchors`` the matching z indices of the
+    data grid (default: K evenly spaced). Supports the padded-variable mode
+    (``config.var_shape``) like the shift-invariant solver.
+    """
+    var_shape = tuple(config.var_shape) if config.var_shape is not None else data.shape
+    if psfs.shape[1:] != var_shape:
+        psfs = jax.vmap(lambda h: pad_fft_kernel(h, var_shape))(psfs)
+    cost = DepthVaryingConvCost.build(psfs, data, weights, var_shape, anchors)
+    reg = make_regularizer(config, var_shape)
+
+    def objective(x):
+        return cost.cost(x) + reg(x)
+
+    if x0 is None:
+        x0 = pad_to_shape(data, var_shape)
+        if config.positivity:
+            x0 = jnp.maximum(x0, 0.0)
+    from microtipi_tpu.jobs.deconv import resolve_mem_dtype
+
+    res = minimize_vmlmb(
+        jax.value_and_grad(objective),
+        x0,
+        lower=0.0 if config.positivity else None,
+        mem=config.mem,
+        maxiter=config.max_iter,
+        maxeval=config.max_eval,
+        gatol=config.gatol,
+        grtol=config.grtol,
+        mem_dtype=resolve_mem_dtype(config, x0),
+    )
+    return DeconvolutionResult(
+        res.x, res.f, res.iterations, res.evaluations, res.status,
+        res.f_history, res.pg_history,
+    )
