@@ -36,7 +36,9 @@ def _model_args(p: argparse.ArgumentParser):
     g.add_argument("--pinhole", type=float, default=0.0,
                    help="[confocal] object-space pinhole radius [m] (0 = ideal)")
     g.add_argument("--na", type=float, default=1.4, help="numerical aperture")
-    g.add_argument("--wavelength", type=float, default=561e-9, help="emission wavelength [m]")
+    g.add_argument("--wavelength", type=float, default=None,
+                   help="emission wavelength [m] (default: the OME channel's "
+                        "EmissionWavelength from the input, else 561e-9)")
     g.add_argument("--ni", type=float, default=1.518, help="immersion refractive index")
     g.add_argument("--dxy", type=float, default=None,
                    help="lateral pixel size [m] (default: input TIFF metadata, else 80e-9)")
@@ -45,6 +47,14 @@ def _model_args(p: argparse.ArgumentParser):
     g.add_argument("--n-phase", type=int, default=8, help="Zernike phase modes")
     g.add_argument("--n-modulus", type=int, default=1, help="Zernike modulus modes")
     g.add_argument("--radial", action="store_true", help="radially symmetric pupil")
+
+
+def _hyperstack_args(p: argparse.ArgumentParser):
+    g = p.add_argument_group("hyperstack input")
+    g.add_argument("--channel", type=int, default=0,
+                   help="channel index for OME hyperstack inputs (default 0)")
+    g.add_argument("--timepoint", type=int, default=0,
+                   help="timepoint index for OME hyperstack inputs (default 0)")
 
 
 def _deconv_args(p: argparse.ArgumentParser):
@@ -78,6 +88,46 @@ def _resolve_geometry(args, stack_path=None, log=print):
     if args.dz is None:
         args.dz = meta_dz or 200e-9
         log(f"dz = {args.dz*1e9:.4g} nm ({'TIFF metadata' if meta_dz else 'default'})")
+    if getattr(args, "wavelength", 0) is None:
+        # An OME channel EmissionWavelength (set by _read_input_volume) wins
+        # before we ever get here; this is the terminal fallback.
+        args.wavelength = 561e-9
+        log("wavelength = 561 nm (default)")
+
+
+def _read_input_volume(args, path, log=print):
+    """Read one (Nz, Ny, Nx) volume from a TIFF input.
+
+    OME hyperstacks (SizeC/SizeT > 1) are sliced at ``--timepoint``/
+    ``--channel``; when the selected channel carries an OME
+    ``EmissionWavelength`` and ``--wavelength`` was not given, the model
+    wavelength is auto-filled from it (per-channel optics, ROADMAP io
+    breadth)."""
+    import numpy as np
+
+    try:
+        from microtipi_tpu.io.ome import read_ome_hyperstack
+
+        arr, meta = read_ome_hyperstack(path)
+    except Exception:
+        from microtipi_tpu.io.tiffstack import read_stack
+
+        return read_stack(path)
+    nt, nc = arr.shape[:2]
+    t = int(getattr(args, "timepoint", 0) or 0)
+    c = int(getattr(args, "channel", 0) or 0)
+    if not (0 <= t < nt and 0 <= c < nc):
+        sys.exit(f"--timepoint {t} / --channel {c} out of range (T={nt}, C={nc})")
+    if nt > 1 or nc > 1:
+        log(f"hyperstack T={nt} C={nc}: processing t={t} c={c} "
+            "(select with --timepoint/--channel)")
+    channels = meta.get("channels") or []
+    if getattr(args, "wavelength", 0) is None and c < len(channels):
+        em = channels[c].get("emission_wavelength")
+        if em:
+            args.wavelength = em
+            log(f"wavelength = {em*1e9:.4g} nm (OME channel {c} emission)")
+    return np.ascontiguousarray(arr[t, c])
 
 
 def _build_model(args, shape):
@@ -152,7 +202,24 @@ def cmd_info(args):
         line += f" dxy={dxy*1e9:.4g}nm"
     if dz:
         line += f" dz={dz*1e9:.4g}nm"
+    try:
+        from microtipi_tpu.io.ome import read_ome
+
+        meta = read_ome(args.stack)
+    except Exception:
+        meta = None
+    if meta and (meta["size_c"] > 1 or meta["size_t"] > 1):
+        line += f" [OME hyperstack: Z={meta['shape'][0]} C={meta['size_c']} T={meta['size_t']}]"
     print(line)
+    if meta:
+        for i, ch in enumerate(meta.get("channels") or []):
+            em = ch.get("emission_wavelength")
+            bits = [f"channel {i}"]
+            if ch.get("name"):
+                bits.append(ch["name"])
+            if em:
+                bits.append(f"emission {em*1e9:.4g} nm")
+            print("  " + ": ".join(bits))
 
 
 def cmd_psf(args):
@@ -185,7 +252,7 @@ def cmd_deconv(args):
     from microtipi_tpu.utils.arrays import unroll
     import jax.numpy as jnp
 
-    data = jnp.asarray(read_stack(args.data))
+    data = jnp.asarray(_read_input_volume(args, args.data))
     psf = jnp.asarray(read_stack(args.psf))
     if args.psf_centered:
         psf = unroll(psf)
@@ -232,12 +299,11 @@ def cmd_blind(args):
     import numpy as np
     import jax
     import jax.numpy as jnp
-    from microtipi_tpu.io.tiffstack import read_stack, write_stack
     from microtipi_tpu.jobs.blind import BlindDeconvConfig, blind_deconvolve
     from microtipi_tpu.jobs.psf_fit import PsfFitConfig
     from microtipi_tpu.models.microscope import DEFOCUS, DEPTH, MODULUS, PHASE
 
-    data = jnp.asarray(read_stack(args.data))
+    data = jnp.asarray(_read_input_volume(args, args.data))
     _resolve_geometry(args, args.data)
     model = _build_model(args, data.shape)
     fam_map = {"defocus": DEFOCUS, "phase": PHASE, "modulus": MODULUS, "depth": DEPTH}
@@ -333,12 +399,11 @@ def cmd_fitpsf(args):
     import numpy as np
     import jax
     import jax.numpy as jnp
-    from microtipi_tpu.io.tiffstack import read_stack
     from microtipi_tpu.jobs.psf_fit import PsfFitConfig, fit_psf_beads
     from microtipi_tpu.models.microscope import DEFOCUS, DEPTH, MODULUS, PHASE
     from microtipi_tpu.utils.arrays import roll
 
-    data = jnp.asarray(read_stack(args.stack))
+    data = jnp.asarray(_read_input_volume(args, args.stack))
     _resolve_geometry(args, args.stack)
     model = _build_model(args, data.shape)
     fam_map = {"defocus": DEFOCUS, "phase": PHASE, "modulus": MODULUS, "depth": DEPTH}
@@ -425,6 +490,7 @@ def main(argv=None):
     p.add_argument("--families", nargs="+", default=["defocus", "phase"],
                    choices=["defocus", "phase", "modulus", "depth"])
     _model_args(p)
+    _hyperstack_args(p)
     p.set_defaults(fn=cmd_fitpsf)
 
     p = sub.add_parser("deconv", help="non-blind deconvolution")
@@ -437,6 +503,7 @@ def main(argv=None):
     p.add_argument("--ome", action="store_true",
                    help="write outputs as OME-TIFF (OME-XML geometry in the description)")
     _deconv_args(p)
+    _hyperstack_args(p)
     p.set_defaults(fn=cmd_deconv)
 
     p = sub.add_parser("blind", help="blind deconvolution")
@@ -472,6 +539,7 @@ def main(argv=None):
                    choices=["defocus", "phase", "modulus", "depth"])
     _model_args(p)
     _deconv_args(p)
+    _hyperstack_args(p)
     p.set_defaults(fn=cmd_blind)
 
     p = sub.add_parser("watch", help="serve: watch a directory, deconvolve arriving stacks")

@@ -1,5 +1,12 @@
 """Volume IO: native TIFF (C++ parallel decode), OME-TIFF metadata, HDF5."""
-from microtipi_tpu.io.ome import ome_xml, parse_ome, read_ome, write_ome_stack
+from microtipi_tpu.io.ome import (
+    ome_xml,
+    parse_ome,
+    read_ome,
+    read_ome_hyperstack,
+    write_ome_hyperstack,
+    write_ome_stack,
+)
 from microtipi_tpu.io.tiffstack import StackPrefetcher, read_stack, stack_info, write_stack
 
 __all__ = [
@@ -10,5 +17,7 @@ __all__ = [
     "ome_xml",
     "parse_ome",
     "read_ome",
+    "read_ome_hyperstack",
+    "write_ome_hyperstack",
     "write_ome_stack",
 ]

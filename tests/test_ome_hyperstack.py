@@ -1,0 +1,152 @@
+"""OME hyperstack (multi-channel/timepoint) IO + CLI channel selection."""
+
+import numpy as np
+
+from microtipi_tpu.io.ome import (
+    ome_xml,
+    parse_ome,
+    read_ome_hyperstack,
+    write_ome_hyperstack,
+)
+from microtipi_tpu.io.tiffstack import write_stack
+
+
+def _arr(shape, seed=0):
+    return np.random.default_rng(seed).random(shape).astype(np.float32) * 50
+
+
+def test_hyperstack_roundtrip_with_channels(tmp_path):
+    a = _arr((2, 3, 4, 10, 12))
+    p = tmp_path / "h.ome.tif"
+    write_ome_hyperstack(
+        p, a, dxy=65e-9, dz=150e-9,
+        channel_names=["dapi", "gfp", "mcherry"],
+        emission_wavelengths=[461e-9, 509e-9, 610e-9],
+    )
+    back, meta = read_ome_hyperstack(p)
+    np.testing.assert_array_equal(back, a)
+    assert meta["size_c"] == 3 and meta["size_t"] == 2
+    assert meta["shape"] == (4, 10, 12)
+    np.testing.assert_allclose(meta["dxy"], 65e-9, rtol=1e-6)
+    assert [c["name"] for c in meta["channels"]] == ["dapi", "gfp", "mcherry"]
+    np.testing.assert_allclose(
+        [c["emission_wavelength"] for c in meta["channels"]],
+        [461e-9, 509e-9, 610e-9], rtol=1e-6,
+    )
+
+
+def test_hyperstack_3d_and_4d_promote(tmp_path):
+    v3 = _arr((4, 8, 8), 1)
+    p = tmp_path / "v3.ome.tif"
+    write_ome_hyperstack(p, v3)
+    back, meta = read_ome_hyperstack(p)
+    assert back.shape == (1, 1, 4, 8, 8)
+    np.testing.assert_array_equal(back[0, 0], v3)
+
+    v4 = _arr((2, 4, 8, 8), 2)  # (C, Z, Y, X)
+    p4 = tmp_path / "v4.ome.tif"
+    write_ome_hyperstack(p4, v4)
+    back4, meta4 = read_ome_hyperstack(p4)
+    assert back4.shape == (1, 2, 4, 8, 8)
+    assert meta4["size_c"] == 2
+    np.testing.assert_array_equal(back4[0], v4)
+
+
+def test_non_ome_tiff_reads_as_plain_volume(tmp_path):
+    v = _arr((5, 6, 7), 3)
+    p = tmp_path / "plain.tif"
+    write_stack(p, v)
+    back, meta = read_ome_hyperstack(p)
+    assert back.shape == (1, 1, 5, 6, 7)
+    np.testing.assert_array_equal(back[0, 0], v)
+    assert meta["size_c"] == 1 and meta["size_t"] == 1
+
+
+def test_dimension_order_xyczt(tmp_path):
+    """Third-party files may interleave channels fastest (XYCZT)."""
+    nt, nc, nz, ny, nx = 2, 3, 4, 6, 5
+    a = _arr((nt, nc, nz, ny, nx), 4)
+    # Page order for XYCZT: c fastest, then z, then t.
+    pages = np.transpose(a, (0, 2, 1, 3, 4)).reshape(nt * nz * nc, ny, nx)
+    desc = ome_xml((nz, ny, nx), size_c=nc, size_t=nt).replace(
+        'DimensionOrder="XYZCT"', 'DimensionOrder="XYCZT"'
+    )
+    p = tmp_path / "czt.ome.tif"
+    write_stack(p, pages, description=desc)
+    back, meta = read_ome_hyperstack(p)
+    assert meta["dimension_order"] == "XYCZT"
+    np.testing.assert_array_equal(back, a)
+
+
+def test_parse_ome_channel_units():
+    xml = ome_xml((2, 3, 3), size_c=1, emission_wavelengths=[525e-9])
+    meta = parse_ome(xml)
+    np.testing.assert_allclose(meta["channels"][0]["emission_wavelength"], 525e-9)
+    # Unit override honored.
+    xml2 = xml.replace('EmissionWavelengthUnit="nm"', 'EmissionWavelengthUnit="µm"')
+    meta2 = parse_ome(xml2)
+    np.testing.assert_allclose(meta2["channels"][0]["emission_wavelength"], 525e-6)
+
+
+def test_cli_deconv_selects_channel(tmp_path, capsys):
+    """deconv on a 2-channel hyperstack solves the selected channel only."""
+    import jax.numpy as jnp
+
+    from microtipi_tpu.__main__ import main
+    from microtipi_tpu.io.tiffstack import read_stack
+    from microtipi_tpu.models.widefield import WideFieldConfig
+    from microtipi_tpu.ops.convolution import convolve, convolve_spectrum
+
+    shape = (8, 24, 24)
+    model = WideFieldConfig(shape=shape, na=1.2, wavelength=500e-9, ni=1.518,
+                            dxy=100e-9, dz=200e-9, dtype=jnp.float32)
+    psf = model.compute_psf(model.init_params())
+    rng = np.random.default_rng(5)
+    objs = [rng.random(shape).astype(np.float32) * (rng.random(shape) > 0.99) * 100
+            for _ in range(2)]
+    blurred = np.stack([
+        np.asarray(convolve(jnp.asarray(o), convolve_spectrum(psf), shape))
+        for o in objs
+    ])
+    hyper = blurred[None]  # (T=1, C=2, Z, Y, X)
+    data_p = tmp_path / "d.ome.tif"
+    write_ome_hyperstack(data_p, hyper, dxy=100e-9, dz=200e-9,
+                         emission_wavelengths=[461e-9, 610e-9])
+    psf_p = tmp_path / "psf.tif"
+    write_stack(psf_p, np.asarray(psf))
+    out_p = tmp_path / "o.tif"
+    main(["deconv", str(data_p), "--psf", str(psf_p), "--out", str(out_p),
+          "--channel", "1", "--iters", "3", "--mu", "1e-3"])
+    msgs = capsys.readouterr().out
+    assert "hyperstack T=1 C=2" in msgs and "c=1" in msgs
+    out = read_stack(out_p)
+    # The solve ran on channel 1: its result correlates with obj 1's blur,
+    # not channel 0's.
+    r1 = np.corrcoef(out.ravel(), blurred[1].ravel())[0, 1]
+    r0 = np.corrcoef(out.ravel(), blurred[0].ravel())[0, 1]
+    assert r1 > r0
+
+
+def test_cli_blind_wavelength_from_ome_channel(tmp_path, capsys):
+    """blind auto-fills the model wavelength from the OME channel emission."""
+    import jax.numpy as jnp
+
+    from microtipi_tpu.__main__ import main
+    from microtipi_tpu.models.widefield import WideFieldConfig
+    from microtipi_tpu.ops.convolution import convolve, convolve_spectrum
+
+    shape = (8, 16, 16)
+    model = WideFieldConfig(shape=shape, na=1.2, wavelength=610e-9, ni=1.518,
+                            dxy=100e-9, dz=200e-9, dtype=jnp.float32)
+    psf = model.compute_psf(model.init_params())
+    rng = np.random.default_rng(6)
+    obj = rng.random(shape).astype(np.float32) * 10
+    blurred = np.asarray(convolve(jnp.asarray(obj), convolve_spectrum(psf), shape))
+    p = tmp_path / "d.ome.tif"
+    write_ome_hyperstack(p, blurred[None, None], dxy=100e-9, dz=200e-9,
+                         emission_wavelengths=[610e-9])
+    main(["blind", str(p), "--out", str(tmp_path / "o.tif"),
+          "--loops", "2", "--iters", "2", "--psf-iters", "1",
+          "--n-phase", "3", "--radial"])
+    out = capsys.readouterr().out
+    assert "wavelength = 610 nm (OME channel 0 emission)" in out
