@@ -244,6 +244,55 @@ def cmd_psf(args):
     print(f"wrote {args.out} (sum={float(psf.sum()):.4g})")
 
 
+def _load_params_json(model, path):
+    """Model params from a ``fitpsf --params-out`` JSON (unknown keys and
+    metadata fields are ignored; listed families replace the defaults)."""
+    import json
+
+    import jax.numpy as jnp
+
+    params = model.init_params()
+    with open(path) as fh:
+        doc = json.load(fh)
+    for name in params._fields:
+        if name in doc:
+            params = params._replace(**{name: jnp.asarray(doc[name], model.dtype)})
+    return params
+
+
+def _cmd_deconv_depthvar(args, data):
+    """deconv --depthvar K: depth-varying solve with K Gibson-Lanni anchor
+    PSFs synthesized from --params-json (fitpsf output) or model defaults."""
+    import numpy as np
+    import jax
+    from microtipi_tpu.jobs.depthvar import deconvolve_depthvar, depth_anchor_psfs
+
+    if getattr(args, "model", "gl") != "gl":
+        sys.exit("--depthvar requires --model gl (anchors vary the DEPTH family)")
+    if getattr(args, "mesh", None):
+        sys.exit("--depthvar is single-device for now (no --mesh)")
+    _resolve_geometry(args, args.data)
+    model = _build_model(args, data.shape)
+    params = _load_params_json(model, args.params_json) if args.params_json \
+        else model.init_params()
+    anchors = np.linspace(0.0, data.shape[0] - 1.0, args.depthvar)
+    cfg = _deconv_config(args, data.shape)
+    w = _weights(args, data)
+
+    @jax.jit
+    def run(d, w):
+        psfs = depth_anchor_psfs(model, params, anchors)
+        return deconvolve_depthvar(d, psfs, anchors, weights=w, config=cfg)
+
+    t0 = time.time()
+    res = run(data, w)
+    f = float(res.f)
+    print(f"deconv[depthvar K={args.depthvar}]: {int(res.iterations)} iters, "
+          f"cost {f:.6g}, {time.time()-t0:.1f}s (incl. compile)")
+    _write_out(args, args.out, np.asarray(res.x), dxy=args.dxy, dz=args.dz)
+    print("wrote", args.out)
+
+
 def cmd_deconv(args):
     import numpy as np
     import jax
@@ -253,6 +302,11 @@ def cmd_deconv(args):
     import jax.numpy as jnp
 
     data = jnp.asarray(_read_input_volume(args, args.data))
+    if getattr(args, "depthvar", 0):
+        _cmd_deconv_depthvar(args, data)
+        return
+    if not args.psf:
+        sys.exit("--psf is required (or use --depthvar K for a depth-varying solve)")
     psf = jnp.asarray(read_stack(args.psf))
     if args.psf_centered:
         psf = unroll(psf)
@@ -495,13 +549,20 @@ def main(argv=None):
 
     p = sub.add_parser("deconv", help="non-blind deconvolution")
     p.add_argument("data")
-    p.add_argument("--psf", required=True)
+    p.add_argument("--psf", default=None, help="PSF stack (required unless --depthvar)")
     p.add_argument("--psf-centered", action="store_true", help="PSF file is centered; unroll it")
     p.add_argument("--out", required=True)
+    p.add_argument("--depthvar", type=int, default=0, metavar="K",
+                   help="depth-varying solve with K Gibson-Lanni anchor PSFs "
+                        "blended along z (requires --model gl; PSF parameters "
+                        "from --params-json)")
+    p.add_argument("--params-json", default=None,
+                   help="fitpsf --params-out JSON with the calibrated PSF parameters")
     p.add_argument("--mesh", type=int, nargs=2, default=None, metavar=("BATCH", "Z"),
                    help="run sharded on a (batch, z) device mesh (needs BATCH*Z devices)")
     p.add_argument("--ome", action="store_true",
                    help="write outputs as OME-TIFF (OME-XML geometry in the description)")
+    _model_args(p)  # used by --depthvar (anchor PSF synthesis); inert otherwise
     _deconv_args(p)
     _hyperstack_args(p)
     p.set_defaults(fn=cmd_deconv)

@@ -293,3 +293,56 @@ def test_cli_fitpsf_recovers_bead_parameters(tmp_path):
     np.testing.assert_allclose(params["phase"], [0.3, -0.2, 0.15], atol=0.06)
     psf = read_stack(tmp_path / "psf.tif")
     assert psf.shape == shape and np.isfinite(psf).all()
+
+
+def test_cli_deconv_depthvar_with_params_json(tmp_path):
+    """fitpsf params JSON -> deconv --depthvar: the calibrated-parameter
+    depth-varying workflow end to end (GL anchors, K=2)."""
+    import jax.numpy as jnp
+
+    from microtipi_tpu.io.tiffstack import read_stack, write_stack
+    from microtipi_tpu.models.gibson_lanni import GibsonLanniConfig
+    from microtipi_tpu.ops.convolution import convolve, convolve_spectrum
+
+    shape = (8, 24, 24)
+    model = GibsonLanniConfig(shape=shape, na=1.2, wavelength=500e-9, ni=1.518,
+                              dxy=100e-9, dz=250e-9, ns=1.36, dtype=jnp.float32)
+    psf = model.compute_psf(model.init_params())
+    rng = np.random.default_rng(0)
+    obj = (rng.random(shape) > 0.99) * rng.random(shape) * 100
+    data = np.asarray(convolve(jnp.asarray(obj, jnp.float32),
+                               convolve_spectrum(psf), shape))
+    write_stack(tmp_path / "d.tif", data, dxy=100e-9, dz=250e-9)
+    params = {"defocus": [1.518 / 500e-9, 0.0, 0.0], "phase": [], "modulus": [1.0],
+              "depth": [1.36 / 500e-9, 0.0]}
+    (tmp_path / "p.json").write_text(json.dumps(params))
+
+    r = _run(
+        ["deconv", "d.tif", "--out", "o.tif", "--depthvar", "2", "--model", "gl",
+         "--params-json", "p.json", "--ns", "1.36", "--na", "1.2",
+         "--wavelength", "500e-9", "--n-phase", "0",
+         "--iters", "3", "--mu", "1e-3"],
+        tmp_path,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "depthvar K=2" in r.stdout
+    out = read_stack(tmp_path / "o.tif")
+    assert out.shape == shape and np.isfinite(out).all()
+
+
+def test_cli_depthvar_requires_gl(tmp_path):
+    from microtipi_tpu.io.tiffstack import write_stack
+
+    write_stack(tmp_path / "d.tif", np.zeros((4, 16, 16), np.float32))
+    r = _run(["deconv", "d.tif", "--out", "o.tif", "--depthvar", "2"], tmp_path)
+    assert r.returncode != 0
+    assert "--model gl" in (r.stdout + r.stderr)
+
+
+def test_cli_deconv_requires_psf_or_depthvar(tmp_path):
+    from microtipi_tpu.io.tiffstack import write_stack
+
+    write_stack(tmp_path / "d.tif", np.zeros((4, 16, 16), np.float32))
+    r = _run(["deconv", "d.tif", "--out", "o.tif"], tmp_path)
+    assert r.returncode != 0
+    assert "--psf is required" in (r.stdout + r.stderr)
