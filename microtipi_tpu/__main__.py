@@ -445,6 +445,15 @@ def cmd_blind(args):
     if args.psf_out:
         _write_out(args, args.psf_out, np.asarray(res.psf), dxy=args.dxy, dz=args.dz)
         print("wrote", args.psf_out)
+    if args.params_out:
+        import json
+
+        doc = {"model": args.model, "dxy": args.dxy, "dz": args.dz}
+        for name in res.params._fields:
+            doc[name] = np.asarray(getattr(res.params, name)).tolist()
+        with open(args.params_out, "w") as fh:
+            json.dump(doc, fh, indent=1)
+        print("wrote", args.params_out)
 
 
 def cmd_fitpsf(args):
@@ -571,6 +580,9 @@ def main(argv=None):
     p.add_argument("data")
     p.add_argument("--out", required=True)
     p.add_argument("--psf-out", default=None)
+    p.add_argument("--params-out", default=None,
+                   help="write the fitted PSF parameters as JSON (feeds "
+                        "deconv --params-json, e.g. for a depth-varying re-solve)")
     p.add_argument("--ome", action="store_true",
                    help="write outputs as OME-TIFF (OME-XML geometry in the description)")
     p.add_argument("--loops", type=int, default=5)

@@ -159,3 +159,44 @@ def test_model_family_fuzz(kind, shape, n_phase, radial, dtype):
     g = jax.grad(lambda q: jnp.sum(cfg.compute_psf(q) ** 2))(p)
     for leaf in jax.tree.leaves(g):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+@pytest.mark.parametrize("shape,k,dtype", [
+    ((5, 12, 12), 1, jnp.float64),
+    ((7, 16, 16), 2, jnp.float32),
+    ((6, 18, 18), 3, jnp.float64),
+    ((11, 12, 12), 5, jnp.float64),
+])
+def test_depthconv_fuzz(shape, k, dtype):
+    """Depth-varying operator invariants across odd shapes/anchor counts:
+    partition of unity, K=1 == plain convolution, adjoint identity."""
+    from microtipi_tpu.ops.depthconv import (
+        DepthVaryingConvCost, depth_varying_convolve, depth_weights,
+    )
+
+    rng = np.random.default_rng(k * 1000 + shape[0])
+    zw = depth_weights(shape[0], np.sort(rng.uniform(0, shape[0] - 1, k)) if k > 1
+                       else [shape[0] / 2])
+    np.testing.assert_allclose(zw.sum(axis=0), 1.0, atol=1e-12)
+
+    kernels = jnp.asarray(rng.random((k,) + shape), dtype)
+    x = jnp.asarray(rng.standard_normal(shape), dtype)
+    y = jnp.asarray(rng.standard_normal(shape), dtype)
+    k_hat = jnp.fft.rfftn(kernels, axes=(1, 2, 3))
+    zwj = jnp.asarray(zw, dtype)
+
+    fwd = lambda v: depth_varying_convolve(v, k_hat, zwj, shape)
+    hx = fwd(x)
+    _, vjp = jax.vjp(fwd, x)
+    (hty,) = vjp(y)
+    tol = 1e-3 if dtype == jnp.float32 else 1e-10
+    np.testing.assert_allclose(float(jnp.vdot(hx, y)), float(jnp.vdot(x, hty)),
+                               rtol=tol)
+
+    if k == 1:
+        ref = convolve(x, convolve_spectrum(kernels[0]), shape)
+        np.testing.assert_allclose(np.asarray(hx), np.asarray(ref), rtol=tol)
+
+    cost = DepthVaryingConvCost.build(kernels, jnp.abs(x))
+    f, g = jax.value_and_grad(cost.cost)(jnp.abs(y))
+    assert np.isfinite(float(f)) and np.isfinite(np.asarray(g)).all()
