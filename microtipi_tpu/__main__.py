@@ -57,7 +57,7 @@ def _hyperstack_args(p: argparse.ArgumentParser):
                    help="timepoint index for OME hyperstack inputs (default 0)")
 
 
-def _deconv_args(p: argparse.ArgumentParser):
+def _deconv_args(p: argparse.ArgumentParser, methods=("vmlmb", "rl")):
     g = p.add_argument_group("object step")
     g.add_argument("--mu", type=float, default=0.01, help="TV weight")
     g.add_argument("--epsilon", type=float, default=1.0, help="TV edge threshold")
@@ -66,8 +66,9 @@ def _deconv_args(p: argparse.ArgumentParser):
     g.add_argument("--pad", type=int, default=0, help="pad object grid by this many voxels per side")
     g.add_argument("--gain", type=float, default=0.0, help="camera gain e-/ADU for variance weights (0 = uniform)")
     g.add_argument("--readout", type=float, default=1.0, help="readout variance [ADU^2]")
-    g.add_argument("--method", choices=["vmlmb", "rl"], default="vmlmb",
-                   help="object solver: VMLMB+TV (default) or Richardson-Lucy")
+    g.add_argument("--method", choices=list(methods), default="vmlmb",
+                   help="object solver: VMLMB+TV (default), Richardson-Lucy, or "
+                        "(watch only) blind / blind-once (calibrate on first file)")
 
 
 def _resolve_geometry(args, stack_path=None, log=print):
@@ -515,10 +516,26 @@ def cmd_watch(args):
 
     cfg = DeconvolutionConfig(mu=args.mu, epsilon=args.epsilon, max_iter=args.iters,
                               positivity=not args.no_positivity)
+    model_factory = blind_cfg = None
+    if args.method in ("blind", "blind-once"):
+        from microtipi_tpu.jobs.blind import BlindDeconvConfig
+        from microtipi_tpu.models.microscope import DEFOCUS, DEPTH, MODULUS, PHASE
+
+        _resolve_geometry(args)  # no single input stack: flags or defaults
+        fam_map = {"defocus": DEFOCUS, "phase": PHASE, "modulus": MODULUS, "depth": DEPTH}
+        families = tuple(fam_map[f] for f in args.families)
+        kw = dict(loops=args.loops, families=families,
+                  psf_max_iter=tuple(args.psf_iters for _ in families), deconv=cfg)
+        blind_cfg = (BlindDeconvConfig.recommended(**kw) if args.recipe == "quality"
+                     else BlindDeconvConfig(**kw))
+        model_factory = lambda shape: _build_model(args, shape)
+    elif not args.psf:
+        sys.exit("--psf is required for method vmlmb/rl")
     watch(args.indir, args.outdir, args.psf, config=cfg, method=args.method,
           rl_iterations=args.iters, poll_seconds=args.poll,
           max_files=args.max_files, metrics_path=args.metrics,
-          metrics_port=args.metrics_port)
+          metrics_port=args.metrics_port,
+          model_factory=model_factory, blind_config=blind_cfg)
 
 
 def main(argv=None):
@@ -618,14 +635,22 @@ def main(argv=None):
     p = sub.add_parser("watch", help="serve: watch a directory, deconvolve arriving stacks")
     p.add_argument("indir")
     p.add_argument("outdir")
-    p.add_argument("--psf", required=True)
+    p.add_argument("--psf", default=None,
+                   help="PSF stack (required for vmlmb/rl; blind methods fit it)")
     p.add_argument("--poll", type=float, default=2.0)
     p.add_argument("--max-files", type=int, default=None, help="stop after N files (default: run forever)")
     p.add_argument("--metrics", default=None,
                    help="path of an atomically-updated JSON metrics snapshot")
     p.add_argument("--metrics-port", type=int, default=None,
                    help="serve the metrics snapshot at http://127.0.0.1:PORT/metrics")
-    _deconv_args(p)
+    p.add_argument("--loops", type=int, default=5, help="[blind methods] blind rounds")
+    p.add_argument("--psf-iters", type=int, default=20, help="[blind methods] fit iterations per family")
+    p.add_argument("--families", nargs="+", default=["defocus", "phase"],
+                   choices=["defocus", "phase", "modulus", "depth"])
+    p.add_argument("--recipe", choices=["parity", "quality"], default="quality",
+                   help="[blind methods] quality = recommended() recipe (default for serving)")
+    _model_args(p)
+    _deconv_args(p, methods=("vmlmb", "rl", "blind", "blind-once"))
     p.set_defaults(fn=cmd_watch)
 
     args = ap.parse_args(argv)

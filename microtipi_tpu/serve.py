@@ -137,7 +137,7 @@ def _stable_files(indir: Path, seen: dict, exts=(".tif", ".tiff")) -> list[Path]
 def watch(
     indir: str | os.PathLike,
     outdir: str | os.PathLike,
-    psf_path: str | os.PathLike,
+    psf_path: str | os.PathLike | None = None,
     config=None,
     method: str = "vmlmb",
     rl_iterations: int = 50,
@@ -148,6 +148,8 @@ def watch(
     metrics_path: str | os.PathLike | None = None,
     prefetch: int = 2,
     metrics_port: int | None = None,
+    model_factory=None,
+    blind_config=None,
 ):
     """Run the service loop. ``max_files`` bounds the run (None = forever).
 
@@ -156,6 +158,15 @@ def watch(
     sizes the decode thread pool that overlaps host IO with device compute;
     ``metrics_port`` additionally serves the snapshot at
     ``http://127.0.0.1:<port>/metrics``.
+
+    Methods: ``vmlmb``/``rl`` deconvolve every file with the fixed PSF from
+    ``psf_path``. ``blind`` runs the full blind loop per file. ``blind-once``
+    is the production calibration story: the FIRST file is blind-solved, the
+    fitted pupil parameters are kept (and logged), and every later file gets
+    the fast fixed-PSF solve with the calibrated PSF — parameters transfer
+    across volume shapes because they live on the pupil, not the grid.
+    Blind methods take ``model_factory(shape) -> PsfModel config`` (and an
+    optional ``blind_config``) instead of ``psf_path``.
     """
     import jax
     import jax.numpy as jnp
@@ -165,21 +176,53 @@ def watch(
     from microtipi_tpu.jobs.richardson_lucy import richardson_lucy
     from microtipi_tpu.utils.arrays import pad_fft_kernel
 
+    blind = method in ("blind", "blind-once")
+    if blind and model_factory is None:
+        raise ValueError(f"method {method!r} needs model_factory(shape) -> model config")
+    if not blind and psf_path is None:
+        raise ValueError(f"method {method!r} needs psf_path")
+
     indir, outdir = Path(indir), Path(outdir)
     outdir.mkdir(parents=True, exist_ok=True)
-    psf = jnp.asarray(read_stack(psf_path))
+    psf = jnp.asarray(read_stack(psf_path)) if psf_path is not None else None
     config = config or DeconvolutionConfig()
 
     solvers: dict[tuple, object] = {}
+    calib = {"params": None}  # blind-once: fitted pupil parameters
 
     def solver_for(shape):
         # Kernel embedding happens INSIDE the jit: eager dispatch is
         # pathological on remote TPU runtimes (CLAUDE.md platform rules).
-        if shape not in solvers:
+        calibrated = blind and calib["params"] is not None
+        key = (shape, calibrated)
+        if key not in solvers:
             # donate_argnums=0: the uploaded data buffer is dead after the
             # solve (output has the same shape/dtype), so XLA reuses it —
             # one less HBM allocation per file in steady state.
-            if method == "rl":
+            if blind and not calibrated:
+                from microtipi_tpu.jobs.blind import BlindDeconvConfig, blind_deconvolve
+
+                model = model_factory(shape)
+                bcfg = blind_config or BlindDeconvConfig()
+
+                def run(d, model=model, bcfg=bcfg):
+                    # Files arrive float32; the model's dtype governs the solve.
+                    res = blind_deconvolve(d.astype(model.dtype), model, config=bcfg)
+                    return res.obj, res.params
+
+                solvers[key] = jax.jit(run, donate_argnums=0)
+            elif blind:
+                # blind-once, calibrated: fixed-PSF fast path with the pupil
+                # synthesized at this shape from the fitted parameters.
+                model = model_factory(shape)
+                params = calib["params"]
+
+                def run(d, model=model, params=params):
+                    kern = model.compute_psf(params)
+                    return deconvolve(d.astype(model.dtype), kern, config=config).x
+
+                solvers[key] = jax.jit(run, donate_argnums=0)
+            elif method == "rl":
 
                 def run(d, psf=psf):
                     kern = pad_fft_kernel(psf, d.shape)
@@ -187,14 +230,29 @@ def watch(
                         d, kern, iterations=rl_iterations, mu=config.mu, epsilon=config.epsilon
                     )
 
+                solvers[key] = jax.jit(run, donate_argnums=0)
             else:
 
                 def run(d, psf=psf):
                     kern = pad_fft_kernel(psf, d.shape)
                     return deconvolve(d, kern, config=config).x
 
-            solvers[shape] = jax.jit(run, donate_argnums=0)
-        return solvers[shape]
+                solvers[key] = jax.jit(run, donate_argnums=0)
+        return solvers[key]
+
+    def solve(data):
+        """One file -> the output volume (handles the blind state machine)."""
+        out = solver_for(data.shape)(data)
+        if blind and calib["params"] is None:
+            obj, params = out
+            if method == "blind-once":
+                calib["params"] = jax.tree.map(np.asarray, params)
+                log(f"[watch] calibrated pupil from first file: "
+                    f"{ {k: np.round(np.asarray(v), 5).tolist() for k, v in calib['params']._asdict().items()} }")
+            return obj
+        if blind and isinstance(out, tuple):
+            return out[0]
+        return out
 
     seen: dict[str, int] = {}
     done: set[tuple[str, int]] = set()  # (name, size): re-process if it grows
@@ -251,7 +309,7 @@ def watch(
                 try:
                     t0 = time.time()
                     data = jnp.asarray(fut.result())
-                    x = np.asarray(solver_for(data.shape)(data))
+                    x = np.asarray(solve(data))
                     out = outdir / p.name
                     tmp = out.with_suffix(out.suffix + ".tmp")
                     write_stack(tmp, x)

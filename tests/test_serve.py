@@ -219,3 +219,75 @@ def test_watch_metrics_http_endpoint(tmp_path):
                 poll_seconds=0.02, max_files=1, log=logs.append, metrics_port=0)
     assert len(out) == 1
     assert any("metrics at http" in m for m in logs)
+
+
+def _blind_scene(indir, n_files=2, shape=(8, 16, 16), seed=2):
+    """Aberrated synthetic stacks sharing one pupil, plus the model factory."""
+    from microtipi_tpu.models.widefield import WideFieldConfig
+
+    def factory(shp):
+        return WideFieldConfig(shape=shp, na=1.2, wavelength=520e-9, ni=1.33,
+                               dxy=100e-9, dz=250e-9, n_phase=2, radial=True,
+                               dtype=jnp.float64)
+
+    model = factory(shape)
+    true = model.init_params()._replace(phase=jnp.asarray([0.3, -0.15]))
+    psf = model.compute_psf(true)
+    rng = np.random.default_rng(seed)
+    for i in range(n_files):
+        o = np.abs(rng.standard_normal(shape)) * 10
+        d = convolve(jnp.asarray(o), convolve_spectrum(psf), shape)
+        write_stack(indir / f"b{i}.tif", np.asarray(d, np.float32))
+    return factory
+
+
+def test_watch_blind_once_calibrates_then_fast_path(tmp_path):
+    """blind-once: first file runs the blind loop and logs the calibrated
+    pupil; later files reuse the fitted parameters on the fixed-PSF path."""
+    from microtipi_tpu.jobs.blind import BlindDeconvConfig
+
+    indir, outdir = tmp_path / "in", tmp_path / "out"
+    indir.mkdir()
+    factory = _blind_scene(indir, n_files=2)
+    bcfg = BlindDeconvConfig(
+        loops=2, families=(0, 1), psf_max_iter=(3, 3),
+        deconv=DeconvolutionConfig(mu=1e-3, epsilon=1.0, max_iter=5, grtol=0.0),
+    )
+    logs = []
+    out = watch(indir, outdir, None, method="blind-once",
+                model_factory=factory, blind_config=bcfg,
+                config=DeconvolutionConfig(mu=1e-3, epsilon=1.0, max_iter=5),
+                poll_seconds=0.05, max_files=2, log=logs.append)
+    assert len(out) == 2
+    assert any("calibrated pupil" in m for m in logs)
+    for i in range(2):
+        rec = read_stack(outdir / f"b{i}.tif")
+        assert np.isfinite(rec).all()
+
+
+def test_watch_blind_every_file(tmp_path):
+    from microtipi_tpu.jobs.blind import BlindDeconvConfig
+
+    indir, outdir = tmp_path / "in", tmp_path / "out"
+    indir.mkdir()
+    factory = _blind_scene(indir, n_files=2, seed=3)
+    bcfg = BlindDeconvConfig(
+        loops=2, families=(0, 1), psf_max_iter=(2, 2),
+        deconv=DeconvolutionConfig(mu=1e-3, epsilon=1.0, max_iter=4, grtol=0.0),
+    )
+    logs = []
+    out = watch(indir, outdir, None, method="blind",
+                model_factory=factory, blind_config=bcfg,
+                poll_seconds=0.05, max_files=2, log=logs.append)
+    assert len(out) == 2
+    assert not any("calibrated pupil" in m for m in logs)  # no state capture
+
+
+def test_watch_blind_requires_model_factory(tmp_path):
+    with pytest.raises(ValueError, match="model_factory"):
+        watch(tmp_path, tmp_path / "o", None, method="blind", max_files=0)
+
+
+def test_watch_fixed_psf_requires_path(tmp_path):
+    with pytest.raises(ValueError, match="psf_path"):
+        watch(tmp_path, tmp_path / "o", None, method="vmlmb", max_files=0)
