@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from microtipi_tpu.jobs.blind import BlindDeconvConfig, blind_deconvolve
 from microtipi_tpu.jobs.deconv import DeconvolutionConfig, DeconvolutionResult, deconvolve
 
-__all__ = ["batched_deconvolve", "batched_blind_deconvolve"]
+__all__ = ["batched_deconvolve", "batched_blind_deconvolve", "batched_deconvolve_depthvar"]
 
 
 def batched_deconvolve(
@@ -39,6 +39,26 @@ def batched_deconvolve(
         in_axes=in_axes,
     )
     return fn(data, psf, weights, x0)
+
+
+def batched_deconvolve_depthvar(
+    data: jax.Array,
+    psfs: jax.Array,
+    anchors=None,
+    weights: jax.Array | None = None,
+    config: DeconvolutionConfig = DeconvolutionConfig(),
+) -> DeconvolutionResult:
+    """Depth-varying object update over a (B, ...) time-lapse sharing one
+    anchor-PSF stack (``jobs.depthvar``; the optics and the depth profile
+    are per-acquisition, not per-frame)."""
+    from microtipi_tpu.jobs.depthvar import deconvolve_depthvar
+
+    in_axes = (0, None, 0 if weights is not None else None)
+    fn = jax.vmap(
+        lambda d, p, w: deconvolve_depthvar(d, p, anchors=anchors, weights=w, config=config),
+        in_axes=in_axes,
+    )
+    return fn(data, psfs, weights)
 
 
 def batched_blind_deconvolve(
