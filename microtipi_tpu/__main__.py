@@ -325,6 +325,23 @@ def cmd_deconv(args):
     cfg = _deconv_config(args, data.shape)
     w = _weights(args, data)
 
+    if getattr(args, "tile", None):
+        from microtipi_tpu.jobs.tiled import tiled_deconvolve
+
+        if getattr(args, "mesh", None):
+            sys.exit("--tile streams tiles through one chip; drop --mesh")
+        t0 = time.time()
+        x = tiled_deconvolve(
+            np.asarray(data), psf, weights=w, tile=tuple(args.tile),
+            overlap=args.overlap, config=cfg, method=args.method,
+            rl_iterations=args.iters, max_batch=args.tile_batch,
+        )
+        print(f"deconv[tiled {tuple(args.tile)}+{args.overlap}]: "
+              f"{time.time()-t0:.1f}s (incl. compile)")
+        _write_out(args, args.out, x)
+        print("wrote", args.out)
+        return
+
     mesh = _make_mesh(args)
     if mesh is not None:
         from microtipi_tpu.parallel.deconv import sharded_deconvolve
@@ -584,6 +601,13 @@ def main(argv=None):
                         "from --params-json)")
     p.add_argument("--params-json", default=None,
                    help="fitpsf --params-out JSON with the calibrated PSF parameters")
+    p.add_argument("--tile", type=int, nargs=3, default=None, metavar=("TZ", "TY", "TX"),
+                   help="tiled (out-of-core) solve: stream overlapping tiles of this "
+                        "shape through the chip (volumes larger than HBM)")
+    p.add_argument("--overlap", type=int, default=16,
+                   help="tile halo in voxels (>= PSF half-width; discarded on blend)")
+    p.add_argument("--tile-batch", type=int, default=8,
+                   help="tiles solved per batched dispatch")
     p.add_argument("--mesh", type=int, nargs=2, default=None, metavar=("BATCH", "Z"),
                    help="run sharded on a (batch, z) device mesh (needs BATCH*Z devices)")
     p.add_argument("--ome", action="store_true",

@@ -5,6 +5,7 @@ from microtipi_tpu.jobs.deconv import DeconvolutionConfig, DeconvolutionResult, 
 from microtipi_tpu.jobs.depthvar import deconvolve_depthvar, depth_anchor_psfs
 from microtipi_tpu.jobs.psf_fit import PsfFitConfig, PsfFitResult, fit_psf, fit_psf_joint
 from microtipi_tpu.jobs.richardson_lucy import richardson_lucy
+from microtipi_tpu.jobs.tiled import tiled_deconvolve
 from microtipi_tpu.jobs.wiener import wiener
 
 __all__ = [
@@ -13,5 +14,5 @@ __all__ = [
     "PsfFitConfig", "PsfFitResult", "fit_psf", "fit_psf_joint",
     "batched_deconvolve", "batched_blind_deconvolve",
     "deconvolve_depthvar", "depth_anchor_psfs",
-    "richardson_lucy", "wiener",
+    "richardson_lucy", "tiled_deconvolve", "wiener",
 ]

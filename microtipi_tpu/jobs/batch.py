@@ -12,6 +12,8 @@ vmap-over-while behavior). Costs/histories come back per lane.
 
 from __future__ import annotations
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 
@@ -19,6 +21,15 @@ from microtipi_tpu.jobs.blind import BlindDeconvConfig, blind_deconvolve
 from microtipi_tpu.jobs.deconv import DeconvolutionConfig, DeconvolutionResult, deconvolve
 
 __all__ = ["batched_deconvolve", "batched_blind_deconvolve", "batched_deconvolve_depthvar"]
+
+
+def _unfused(config: DeconvolutionConfig) -> DeconvolutionConfig:
+    """vmapped solves must use the jnp TV path: the fused Pallas kernel's
+    BlockSpecs do not batch on the TPU toolchain (Mosaic rejects the
+    squeezed-plane/SMEM specs under vmap — found driving the tiled solver
+    on-chip; CPU tests never see it because the fused auto-rule is
+    TPU-only)."""
+    return dataclasses.replace(config, fused_tv=False)
 
 
 def batched_deconvolve(
@@ -33,6 +44,7 @@ def batched_deconvolve(
     ``weights``/``x0`` may be batched or None. Returns per-lane results
     (leading batch axis on every field).
     """
+    config = _unfused(config)
     in_axes = (0, None, 0 if weights is not None else None, 0 if x0 is not None else None)
     fn = jax.vmap(
         lambda d, p, w, x: deconvolve(d, p, weights=w, x0=x, config=config),
@@ -53,6 +65,7 @@ def batched_deconvolve_depthvar(
     are per-acquisition, not per-frame)."""
     from microtipi_tpu.jobs.depthvar import deconvolve_depthvar
 
+    config = _unfused(config)
     in_axes = (0, None, 0 if weights is not None else None)
     fn = jax.vmap(
         lambda d, p, w: deconvolve_depthvar(d, p, anchors=anchors, weights=w, config=config),
@@ -86,6 +99,7 @@ def batched_blind_deconvolve(
         return sharded_blind_deconvolve(
             data, model, mesh, params0=params0, weights=weights, config=config
         )
+    config = dataclasses.replace(config, deconv=_unfused(config.deconv))
     if params0 is None:
         params0 = model.init_params()
         params0 = jax.tree.map(lambda l: jnp.broadcast_to(l, (data.shape[0],) + l.shape), params0)

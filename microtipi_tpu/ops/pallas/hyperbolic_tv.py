@@ -26,6 +26,12 @@ is a forward-pass byproduct; the backward rule is a single scale.
 Exactness: matches ``ops.regularization.hyperbolic_tv`` to float32 round-off
 (tested in tests/test_pallas_tv.py); the CPU/interpret path keeps tests
 runnable without a TPU.
+
+Limitation: the kernel does NOT compose with ``jax.vmap`` on TPU — Mosaic
+rejects the batched squeezed-plane/SMEM BlockSpecs (observed on-chip while
+driving the tiled solver). Batched/vmapped solvers must use the jnp TV path
+(``jobs.batch._unfused`` applies this); the single-volume object steps that
+carry the throughput headline are unaffected.
 """
 
 from __future__ import annotations

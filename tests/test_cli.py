@@ -346,3 +346,31 @@ def test_cli_deconv_requires_psf_or_depthvar(tmp_path):
     r = _run(["deconv", "d.tif", "--out", "o.tif"], tmp_path)
     assert r.returncode != 0
     assert "--psf is required" in (r.stdout + r.stderr)
+
+
+def test_cli_deconv_tiled(tmp_path):
+    import jax.numpy as jnp
+
+    from microtipi_tpu.io.tiffstack import read_stack, write_stack
+    from microtipi_tpu.ops.convolution import convolve, convolve_spectrum
+
+    shape = (8, 40, 40)
+    rng = np.random.default_rng(0)
+    psf = np.zeros(shape, np.float32)
+    psf[:2, :2, :2] = rng.random((2, 2, 2))
+    psf /= psf.sum()
+    obj = (rng.random(shape) > 0.99) * rng.random(shape) * 100
+    data = np.asarray(convolve(jnp.asarray(obj, jnp.float32),
+                               convolve_spectrum(jnp.asarray(psf)), shape))
+    write_stack(tmp_path / "d.tif", data)
+    write_stack(tmp_path / "psf.tif", psf)
+    r = _run(
+        ["deconv", "d.tif", "--psf", "psf.tif", "--out", "o.tif",
+         "--tile", "8", "24", "24", "--overlap", "6", "--tile-batch", "2",
+         "--iters", "4", "--mu", "1e-3"],
+        tmp_path,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "tiled (8, 24, 24)" in r.stdout
+    out = read_stack(tmp_path / "o.tif")
+    assert out.shape == shape and np.isfinite(out).all()
