@@ -106,6 +106,13 @@ def _read_input_volume(args, path, log=print):
     breadth)."""
     import numpy as np
 
+    if _is_h5(path):
+        from microtipi_tpu.io.hdf5stack import read_bdv, read_h5
+
+        try:
+            return read_bdv(path)  # BigDataViewer layout first
+        except Exception:
+            return read_h5(path)
     try:
         from microtipi_tpu.io.ome import read_ome_hyperstack
 
@@ -173,9 +180,20 @@ def _deconv_config(args, shape):
     )
 
 
+def _is_h5(path) -> bool:
+    import os
+
+    return os.path.splitext(str(path))[1].lower() in (".h5", ".hdf5", ".ims")
+
+
 def _write_out(args, path, volume, dxy=None, dz=None):
-    """Write an output volume, as OME-TIFF when --ome is set."""
-    if getattr(args, "ome", False):
+    """Write an output volume: HDF5 by extension, OME-TIFF when --ome is
+    set, plain multi-page TIFF otherwise."""
+    if _is_h5(path):
+        from microtipi_tpu.io.hdf5stack import write_h5
+
+        write_h5(path, volume)
+    elif getattr(args, "ome", False):
         from microtipi_tpu.io.ome import write_ome_stack
 
         write_ome_stack(path, volume, dxy=dxy, dz=dz)
@@ -196,6 +214,19 @@ def _weights(args, data):
 def cmd_info(args):
     from microtipi_tpu.io.tiffstack import read_pixel_size, stack_info
 
+    if _is_h5(args.stack):
+        from microtipi_tpu.io.hdf5stack import bdv_info, list_datasets
+
+        try:
+            res, shapes = bdv_info(args.stack)
+            print(f"{args.stack}: BigDataViewer pyramid, {len(shapes)} levels")
+            for lvl, (shape, r) in enumerate(zip(shapes, res)):
+                print(f"  level {lvl}: Nz={shape[0]} Ny={shape[1]} Nx={shape[2]} "
+                      f"(downsampling {tuple(r)})")
+        except Exception:
+            for name in list_datasets(args.stack):
+                print(f"{args.stack}: dataset {name!r}")
+        return
     nz, ny, nx = stack_info(args.stack)
     line = f"{args.stack}: Nz={nz} Ny={ny} Nx={nx} ({nz*ny*nx/1e6:.1f} Mvox)"
     dxy, dz = read_pixel_size(args.stack)

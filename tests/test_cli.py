@@ -374,3 +374,39 @@ def test_cli_deconv_tiled(tmp_path):
     assert "tiled (8, 24, 24)" in r.stdout
     out = read_stack(tmp_path / "o.tif")
     assert out.shape == shape and np.isfinite(out).all()
+
+
+def test_cli_h5_roundtrip(tmp_path):
+    """deconv reads an HDF5 input and writes an HDF5 output by extension."""
+    import jax.numpy as jnp
+
+    pytest.importorskip("h5py")
+    from microtipi_tpu.io.hdf5stack import read_h5, write_h5
+    from microtipi_tpu.io.tiffstack import write_stack
+    from microtipi_tpu.models.widefield import WideFieldConfig
+    from microtipi_tpu.ops.convolution import convolve, convolve_spectrum
+
+    shape = (6, 24, 24)
+    model = WideFieldConfig(shape=shape, na=1.2, wavelength=500e-9, ni=1.518,
+                            dxy=100e-9, dz=200e-9, dtype=jnp.float32)
+    psf = model.compute_psf(model.init_params())
+    rng = np.random.default_rng(0)
+    obj = rng.random(shape).astype(np.float32) * 50
+    data = np.asarray(convolve(jnp.asarray(obj), convolve_spectrum(psf), shape))
+    write_h5(tmp_path / "d.h5", data)
+    write_stack(tmp_path / "psf.tif", np.asarray(psf))
+    r = _run(["deconv", "d.h5", "--psf", "psf.tif", "--out", "o.h5",
+              "--iters", "3", "--mu", "1e-3"], tmp_path)
+    assert r.returncode == 0, r.stderr
+    out = read_h5(tmp_path / "o.h5")
+    assert out.shape == shape and np.isfinite(out).all()
+
+
+def test_cli_info_bdv(tmp_path):
+    pytest.importorskip("h5py")
+    from microtipi_tpu.io.hdf5stack import write_bdv
+
+    write_bdv(tmp_path / "v.h5", np.zeros((8, 32, 32), np.float32), levels=2)
+    r = _run(["info", "v.h5"], tmp_path)
+    assert r.returncode == 0, r.stderr
+    assert "BigDataViewer pyramid" in r.stdout and "level 1" in r.stdout
