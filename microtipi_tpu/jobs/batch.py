@@ -24,11 +24,13 @@ __all__ = ["batched_deconvolve", "batched_blind_deconvolve", "batched_deconvolve
 
 
 def _unfused(config: DeconvolutionConfig) -> DeconvolutionConfig:
-    """vmapped solves must use the jnp TV path: the fused Pallas kernel's
-    BlockSpecs do not batch on the TPU toolchain (Mosaic rejects the
-    squeezed-plane/SMEM specs under vmap — found driving the tiled solver
-    on-chip; CPU tests never see it because the fused auto-rule is
-    TPU-only)."""
+    """vmapped solves use the jnp TV path: the fused kernel's batched
+    (custom_vmap-routed) variant is correct on TPU but measured slower than
+    jnp under vmap (ops/pallas/hyperbolic_tv.py module note) — 4D blocks
+    halve the Mosaic streaming rate. Explicit ``fused_tv=True`` still wins
+    (the user forced it; it degrades gracefully instead of crashing)."""
+    if config.fused_tv:
+        return config
     return dataclasses.replace(config, fused_tv=False)
 
 

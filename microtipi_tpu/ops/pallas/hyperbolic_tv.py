@@ -27,11 +27,18 @@ Exactness: matches ``ops.regularization.hyperbolic_tv`` to float32 round-off
 (tested in tests/test_pallas_tv.py); the CPU/interpret path keeps tests
 runnable without a TPU.
 
-Limitation: the kernel does NOT compose with ``jax.vmap`` on TPU — Mosaic
-rejects the batched squeezed-plane/SMEM BlockSpecs (observed on-chip while
-driving the tiled solver). Batched/vmapped solvers must use the jnp TV path
-(``jobs.batch._unfused`` applies this); the single-volume object steps that
-carry the throughput headline are unaffected.
+vmap: JAX's default pallas batching of this kernel crashes Mosaic (batched
+squeezed-plane/SMEM BlockSpecs — observed on-chip driving the tiled
+solver), so ``_tv_pallas`` carries a ``custom_vmap`` rule routing vmapped
+traces to a (B, Nz)-grid batched kernel. That kernel is *correct* on TPU
+but measured slightly SLOWER than the jnp TV under vmap (8.9 vs 5.2 ms
+device time at 8x32x128x128 — 4D blocks move at about half the rate of 2D
+blocks on this toolchain, same effect as the rejected z-blocked variant in
+BASELINE.md), so batched solvers still default to the jnp path
+(``jobs.batch._unfused``) for speed; the routing exists so a forced
+``fused_tv=True`` in a batched context degrades instead of crashing. The
+single-volume object steps that carry the throughput headline keep the
+fast (Nz,)-grid kernel.
 """
 
 from __future__ import annotations
@@ -100,7 +107,7 @@ def _tv_kernel(xm_ref, x0_ref, xp_ref, grad_ref, cost_ref, *, inv_scales, eps, n
     cost_ref[iz] = jnp.sum(denom - eps, dtype=jnp.float32)
 
 
-def _tv_pallas(x: jax.Array, epsilon: float, scales, interpret: bool):
+def _tv_pallas_impl(x: jax.Array, epsilon: float, scales, interpret: bool):
     nz, ny, nx = x.shape
     inv_scales = tuple(1.0 / s for s in (scales or (1.0, 1.0, 1.0)))
     eps = float(epsilon)
@@ -126,6 +133,81 @@ def _tv_pallas(x: jax.Array, epsilon: float, scales, interpret: bool):
         interpret=interpret,
     )(x, x, x)
     return jnp.sum(cost_partials).astype(x.dtype), grad
+
+
+def _tv_kernel_batched(xm_ref, x0_ref, xp_ref, grad_ref, cost_ref, *, inv_scales, eps, nz):
+    """Batched variant: grid (B, Nz); each step owns one (b, iz) plane."""
+    ib = pl.program_id(0)
+    iz = pl.program_id(1)
+    inv_sz, inv_sy, inv_sx = inv_scales
+    x0 = x0_ref[0, 0]
+    xp = xp_ref[0, 0]
+    xm = xm_ref[0, 0]
+    is_last = iz == nz - 1
+    is_first = iz == 0
+
+    denom, wz, wy, wx = _plane_dw(x0, xp, inv_sz, inv_sy, inv_sx, eps, is_last)
+    _, wz_prev, _, _ = _plane_dw(xm, x0, inv_sz, inv_sy, inv_sx, eps, False)
+    wz_prev = jnp.where(is_first, jnp.zeros_like(wz_prev), wz_prev)
+
+    grad_ref[0, 0] = (
+        wz_prev - wz
+        + _shift_minus(wy, 0) - wy
+        + _shift_minus(wx, 1) - wx
+    )
+    cost_ref[ib * nz + iz] = jnp.sum(denom - eps, dtype=jnp.float32)
+
+
+def _tv_pallas_batched(x: jax.Array, epsilon: float, scales, interpret: bool):
+    """(per-volume cost (B,), grad (B, Nz, Ny, Nx)) for a batched stack —
+    the vmap routing target (see ``_tv_pallas``)."""
+    b, nz, ny, nx = x.shape
+    inv_scales = tuple(1.0 / s for s in (scales or (1.0, 1.0, 1.0)))
+    eps = float(epsilon)
+
+    kernel = partial(_tv_kernel_batched, inv_scales=inv_scales, eps=eps, nz=nz)
+    plane = lambda f: pl.BlockSpec((1, 1, ny, nx), f, memory_space=pltpu.VMEM)
+    grad, cost_partials = pl.pallas_call(
+        kernel,
+        grid=(b, nz),
+        in_specs=[
+            plane(lambda ib, k: (ib, jnp.maximum(k - 1, 0), 0, 0)),
+            plane(lambda ib, k: (ib, k, 0, 0)),
+            plane(lambda ib, k: (ib, jnp.minimum(k + 1, nz - 1), 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, ny, nx), lambda ib, k: (ib, k, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b * nz,), lambda ib, k: (0,), memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(x.shape, x.dtype),
+            jax.ShapeDtypeStruct((b * nz,), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x, x, x)
+    cost = jnp.sum(cost_partials.reshape(b, nz), axis=1).astype(x.dtype)
+    return cost, grad
+
+
+def _tv_pallas(x: jax.Array, epsilon: float, scales, interpret: bool):
+    """Single-volume fused TV with a custom vmap rule: a vmapped trace
+    routes to the (B, Nz)-grid batched kernel instead of JAX's default
+    pallas batching, whose squeezed-plane/SMEM BlockSpecs Mosaic rejects
+    on TPU. One level of vmap only (a second level would re-batch the
+    batched kernel)."""
+
+    @jax.custom_batching.custom_vmap
+    def call(x):
+        return _tv_pallas_impl(x, epsilon, scales, interpret)
+
+    @call.def_vmap
+    def _rule(axis_size, in_batched, bx):  # noqa: ANN001 - jax protocol
+        if not in_batched[0]:
+            return _tv_pallas_impl(bx, epsilon, scales, interpret), (False, False)
+        cost, grad = _tv_pallas_batched(bx, epsilon, scales, interpret)
+        return (cost, grad), (True, True)
+
+    return call(x)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))

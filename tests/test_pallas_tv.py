@@ -55,3 +55,24 @@ def test_deep_stack_accumulation_accuracy():
     f64 = float(hyperbolic_tv(x.astype(jnp.float64), 0.1))
     f, _ = hyperbolic_tv_fused(x, 0.1, interpret=True)
     assert abs(float(f) - f64) / abs(f64) < 5e-7
+
+
+def test_vmapped_fused_tv_routes_to_batched_kernel():
+    """Under vmap the custom rule runs the (B, Nz)-grid kernel; values and
+    gradients match the jnp reference per lane (interpret mode on CPU)."""
+    import numpy as np
+
+    from microtipi_tpu.ops.regularization import hyperbolic_tv
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((3, 6, 8, 8)), jnp.float32)
+    eps, scales = 0.1, (2.0, 1.0, 1.0)
+    vals, grads = jax.vmap(
+        jax.value_and_grad(lambda xi: hyperbolic_tv_value(xi, eps, scales, True))
+    )(x)
+    for i in range(3):
+        f_ref, g_ref = jax.value_and_grad(lambda xi: hyperbolic_tv(xi, eps, scales))(
+            x[i].astype(jnp.float64)
+        )
+        np.testing.assert_allclose(float(vals[i]), float(f_ref), rtol=2e-6)
+        np.testing.assert_allclose(np.asarray(grads[i]), np.asarray(g_ref),
+                                   rtol=2e-4, atol=1e-6)
