@@ -383,9 +383,22 @@ def cmd_deconv(args):
     t0 = time.time()
     res = run(data, psf, w)
     f = float(res.f)
-    print(f"deconv: {int(res.iterations)} iters, cost {f:.6g}, {time.time()-t0:.1f}s (incl. compile)")
+    wall = time.time() - t0
+    print(f"deconv: {int(res.iterations)} iters, cost {f:.6g}, {wall:.1f}s (incl. compile)")
     _write_out(args, args.out, np.asarray(res.x))
     print("wrote", args.out)
+    if args.report:
+        import json
+
+        it = int(res.iterations)
+        with open(args.report, "w") as fh:
+            json.dump({
+                "cost": f, "iterations": it, "evaluations": int(res.evaluations),
+                "status": int(res.status), "wall_seconds": round(wall, 3),
+                "f_history": np.asarray(res.f_history)[:it + 1].tolist(),
+                "pg_history": np.asarray(res.pg_history)[:it + 1].tolist(),
+            }, fh, indent=1)
+        print("wrote", args.report)
 
 
 def _make_mesh(args):
@@ -483,8 +496,23 @@ def cmd_blind(args):
         run = jax.jit(lambda d, w: blind_deconvolve(d, model, weights=w, config=cfg))
         res = run(data, w)
         df = np.asarray(res.deconv_f)
-    print(f"blind: {args.loops} rounds in {time.time()-t0:.1f}s (incl. compile); "
+    wall = time.time() - t0
+    print(f"blind: {args.loops} rounds in {wall:.1f}s (incl. compile); "
           f"object cost {df[0]:.6g} -> {df[-1]:.6g}")
+    if args.report:
+        import json
+
+        with open(args.report, "w") as fh:
+            json.dump({
+                "rounds": args.loops, "wall_seconds": round(wall, 3),
+                "deconv_f": np.asarray(res.deconv_f).tolist(),
+                "fit_f": np.asarray(res.fit_f).tolist(),
+                "deconv_iters": np.asarray(res.deconv_iters).tolist(),
+                "defocus": np.asarray(res.params.defocus).tolist(),
+                "phase": np.asarray(res.params.phase).tolist(),
+                "modulus": np.asarray(res.params.modulus).tolist(),
+            }, fh, indent=1)
+        print("wrote", args.report)
     print("defocus:", np.asarray(res.params.defocus))
     if model.n_phase:
         print("phase:", np.round(np.asarray(res.params.phase), 4))
@@ -639,6 +667,8 @@ def main(argv=None):
                    help="tile halo in voxels (>= PSF half-width; discarded on blend)")
     p.add_argument("--tile-batch", type=int, default=8,
                    help="tiles solved per batched dispatch")
+    p.add_argument("--report", default=None,
+                   help="write a JSON solve report (cost/grad-norm history, counters)")
     p.add_argument("--mesh", type=int, nargs=2, default=None, metavar=("BATCH", "Z"),
                    help="run sharded on a (batch, z) device mesh (needs BATCH*Z devices)")
     p.add_argument("--ome", action="store_true",
@@ -655,6 +685,8 @@ def main(argv=None):
     p.add_argument("--params-out", default=None,
                    help="write the fitted PSF parameters as JSON (feeds "
                         "deconv --params-json, e.g. for a depth-varying re-solve)")
+    p.add_argument("--report", default=None,
+                   help="write a JSON solve report (per-round costs, fitted parameters)")
     p.add_argument("--ome", action="store_true",
                    help="write outputs as OME-TIFF (OME-XML geometry in the description)")
     p.add_argument("--loops", type=int, default=5)

@@ -410,3 +410,24 @@ def test_cli_info_bdv(tmp_path):
     r = _run(["info", "v.h5"], tmp_path)
     assert r.returncode == 0, r.stderr
     assert "BigDataViewer pyramid" in r.stdout and "level 1" in r.stdout
+
+
+def test_cli_deconv_report_json(tmp_path):
+    import jax.numpy as jnp
+
+    from microtipi_tpu.io.tiffstack import write_stack
+    from microtipi_tpu.models.widefield import WideFieldConfig
+
+    shape = (4, 16, 16)
+    model = WideFieldConfig(shape=shape, na=1.2, wavelength=500e-9, ni=1.518,
+                            dxy=100e-9, dz=200e-9, dtype=jnp.float32)
+    psf = np.asarray(model.compute_psf(model.init_params()))
+    write_stack(tmp_path / "d.tif", np.abs(np.random.default_rng(0).standard_normal(shape)).astype(np.float32))
+    write_stack(tmp_path / "psf.tif", psf)
+    r = _run(["deconv", "d.tif", "--psf", "psf.tif", "--out", "o.tif",
+              "--iters", "3", "--report", "rep.json"], tmp_path)
+    assert r.returncode == 0, r.stderr
+    rep = json.loads((tmp_path / "rep.json").read_text())
+    assert rep["iterations"] >= 1
+    assert len(rep["f_history"]) == rep["iterations"] + 1
+    assert rep["f_history"][-1] <= rep["f_history"][0]
