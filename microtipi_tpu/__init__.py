@@ -28,7 +28,12 @@ from microtipi_tpu.jobs.psf_fit import PsfFitConfig, PsfFitResult, fit_psf, fit_
 from microtipi_tpu.jobs.richardson_lucy import richardson_lucy
 from microtipi_tpu.jobs.tiled import tiled_deconvolve
 from microtipi_tpu.jobs.wiener import wiener
-from microtipi_tpu.ops.convolution import WeightedConvolutionCost, convolve, convolve_spectrum
+from microtipi_tpu.ops.convolution import (
+    PoissonConvCost,
+    WeightedConvolutionCost,
+    convolve,
+    convolve_spectrum,
+)
 from microtipi_tpu.ops.regularization import hyperbolic_tv, hyperbolic_tv_and_gradient
 from microtipi_tpu.optim.vmlmb import VMLMBResult, VMLMBStatus, minimize_vmlmb
 from microtipi_tpu.weights.updaters import InverseVarianceWeights
@@ -45,7 +50,7 @@ __all__ = [
     "deconvolve_depthvar", "depth_anchor_psfs",
     "PsfFitConfig", "PsfFitResult", "fit_psf", "fit_psf_beads", "fit_psf_joint",
     "richardson_lucy", "tiled_deconvolve", "wiener",
-    "WeightedConvolutionCost", "convolve", "convolve_spectrum",
+    "PoissonConvCost", "WeightedConvolutionCost", "convolve", "convolve_spectrum",
     "hyperbolic_tv", "hyperbolic_tv_and_gradient",
     "VMLMBResult", "VMLMBStatus", "minimize_vmlmb",
     "InverseVarianceWeights",

@@ -69,6 +69,11 @@ def _deconv_args(p: argparse.ArgumentParser, methods=("vmlmb", "rl")):
     g.add_argument("--method", choices=list(methods), default="vmlmb",
                    help="object solver: VMLMB+TV (default), Richardson-Lucy, or "
                         "(watch only) blind / blind-once (calibrate on first file)")
+    g.add_argument("--data-term", choices=["gaussian", "poisson"], default="gaussian",
+                   help="data fidelity: gaussian least squares (reference semantics) "
+                        "or poisson generalized-KL deviance (photon-counting data)")
+    g.add_argument("--background", type=float, default=0.0,
+                   help="[poisson] known background offset b in d ~ Poisson(Hx + b)")
 
 
 def _resolve_geometry(args, stack_path=None, log=print):
@@ -177,6 +182,8 @@ def _deconv_config(args, shape):
     return DeconvolutionConfig(
         mu=args.mu, epsilon=args.epsilon, max_iter=args.iters,
         positivity=not args.no_positivity, var_shape=var_shape,
+        data_term=getattr(args, "data_term", "gaussian"),
+        background=getattr(args, "background", 0.0),
     )
 
 

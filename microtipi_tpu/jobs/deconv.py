@@ -54,6 +54,13 @@ class DeconvolutionConfig:
     epsilon: float = 0.01
     scales: tuple[float, ...] | None = None
     positivity: bool = True
+    #: Data fidelity: "gaussian" (reference semantics, weighted least
+    #: squares) or "poisson" (generalized-KL deviance for photon-counting
+    #: data — the objective Richardson-Lucy descends, here under VMLMB with
+    #: TV and positivity; ``background`` is the known offset b in
+    #: d ~ Poisson(Hx + b), recommended > 0 with positivity on).
+    data_term: str = "gaussian"
+    background: float = 0.0
     max_iter: int = 50
     max_eval: int | None = None
     gatol: float = 0.0
@@ -142,8 +149,18 @@ def make_objective(
     # the residual form) — harmless here: the object step runs tens of
     # iterations, far from the eps*c resolution floor, and carries the
     # throughput headline.
-    quadratic = weights is None and var_shape == data.shape
-    if quadratic:
+    if config.data_term == "poisson":
+        if weights is not None:
+            raise ValueError(
+                "data_term='poisson' models the noise itself; per-voxel "
+                "Gaussian weights do not compose with it"
+            )
+        from microtipi_tpu.ops.convolution import PoissonConvCost
+
+        cost = PoissonConvCost.build(kernel, data, config.background, var_shape)
+    elif config.data_term != "gaussian":
+        raise ValueError(f"unknown data_term {config.data_term!r}")
+    elif weights is None and var_shape == data.shape:
         from microtipi_tpu.ops.convolution import QuadraticConvCost
 
         cost = QuadraticConvCost.build(kernel, data)

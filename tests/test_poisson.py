@@ -1,0 +1,110 @@
+"""Poisson (generalized-KL deviance) data term invariants."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from microtipi_tpu.jobs.deconv import DeconvolutionConfig, deconvolve
+from microtipi_tpu.jobs.richardson_lucy import richardson_lucy
+from microtipi_tpu.ops.convolution import PoissonConvCost, convolve, convolve_spectrum
+
+SHAPE = (6, 20, 20)
+
+
+def _kernel(seed=0):
+    rng = np.random.default_rng(seed)
+    k = np.zeros(SHAPE)
+    k[:2, :3, :3] = rng.random((2, 3, 3))
+    return jnp.asarray(k / k.sum())
+
+
+def test_deviance_zero_at_exact_fit_positive_elsewhere():
+    k = _kernel()
+    x = jnp.asarray(np.random.default_rng(1).random(SHAPE) * 10)
+    d = convolve(x, convolve_spectrum(k), SHAPE)
+    cost = PoissonConvCost.build(k, d)
+    np.testing.assert_allclose(float(cost.cost(x)), 0.0, atol=1e-8)
+    assert float(cost.cost(x * 1.3)) > 0.0
+    assert float(cost.cost(x * 0.7)) > 0.0
+
+
+def test_gradient_matches_finite_differences():
+    k = _kernel(2)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.random(SHAPE) * 5 + 0.5)
+    d = jnp.asarray(rng.poisson(np.asarray(convolve(x, convolve_spectrum(k), SHAPE)) + 2.0).astype(np.float64))
+    cost = PoissonConvCost.build(k, d, background=2.0)
+    g = jax.grad(cost.cost)(x)
+    v = jnp.asarray(rng.standard_normal(SHAPE))
+    eps = 1e-6
+    fd = (float(cost.cost(x + eps * v)) - float(cost.cost(x - eps * v))) / (2 * eps)
+    np.testing.assert_allclose(float(jnp.vdot(g, v)), fd, rtol=1e-6)
+
+
+def test_zero_count_voxels_contribute_linearly():
+    """d = 0 voxels must add exactly m (no NaN from 0*log0)."""
+    k = _kernel(4)
+    x = jnp.asarray(np.random.default_rng(5).random(SHAPE))
+    d = jnp.zeros(SHAPE)
+    cost = PoissonConvCost.build(k, d, background=0.5)
+    m = cost.model(x) + 0.5
+    np.testing.assert_allclose(float(cost.cost(x)), float(jnp.sum(m)), rtol=1e-12)
+    assert np.isfinite(np.asarray(jax.grad(cost.cost)(x))).all()
+
+
+def test_vmlmb_poisson_descends_the_rl_objective():
+    """VMLMB on the deviance reaches at least RL's cost at equal iteration
+    budget (both descend the same objective; VMLMB is superlinear)."""
+    k = _kernel(6)
+    rng = np.random.default_rng(7)
+    obj = np.zeros(SHAPE)
+    obj[2:4, 6:14, 6:14] = 40.0
+    obj[1, 15:18, 4:8] = 80.0
+    lam = np.asarray(convolve(jnp.asarray(obj), convolve_spectrum(k), SHAPE)) + 1.0
+    d = jnp.asarray(rng.poisson(lam).astype(np.float64))
+
+    cfg = DeconvolutionConfig(mu=0.0, positivity=True, max_iter=30, grtol=0.0,
+                              data_term="poisson", background=1.0)
+    res = deconvolve(d, k, config=cfg)
+    x_rl = richardson_lucy(jnp.maximum(d - 1.0, 0.0), k, iterations=30)
+    cost = PoissonConvCost.build(k, d, background=1.0)
+    assert float(res.f) <= float(cost.cost(x_rl)) * 1.001
+    assert np.isfinite(np.asarray(res.x)).all() and float(jnp.min(res.x)) >= 0.0
+
+
+def test_poisson_beats_gaussian_on_low_count_data():
+    """On strongly Poisson data (counts of a few), the matched likelihood
+    recovers the object better than least squares at equal budget."""
+    k = _kernel(8)
+    rng = np.random.default_rng(9)
+    obj = np.zeros(SHAPE)
+    for _ in range(10):
+        z, y, x = rng.integers(0, 5), rng.integers(2, 17), rng.integers(2, 17)
+        obj[z, y, x] = rng.uniform(2, 8)  # a few photons per source
+    lam = np.asarray(convolve(jnp.asarray(obj), convolve_spectrum(k), SHAPE)) + 0.2
+    d = jnp.asarray(rng.poisson(lam).astype(np.float64))
+
+    common = dict(mu=1e-3, epsilon=0.1, positivity=True, max_iter=40, grtol=0.0)
+    res_p = deconvolve(d, k, config=DeconvolutionConfig(
+        data_term="poisson", background=0.2, **common))
+    res_g = deconvolve(jnp.maximum(d - 0.2, 0.0), k,
+                       config=DeconvolutionConfig(**common))
+    err_p = float(jnp.linalg.norm(res_p.x - obj) / np.linalg.norm(obj))
+    err_g = float(jnp.linalg.norm(res_g.x - obj) / np.linalg.norm(obj))
+    assert err_p < err_g
+
+
+def test_poisson_rejects_weights():
+    k = _kernel()
+    d = jnp.ones(SHAPE)
+    cfg = DeconvolutionConfig(data_term="poisson", max_iter=2)
+    with pytest.raises(ValueError, match="weights"):
+        deconvolve(d, k, weights=jnp.ones(SHAPE), config=cfg)
+
+
+def test_unknown_data_term_rejected():
+    k = _kernel()
+    d = jnp.ones(SHAPE)
+    with pytest.raises(ValueError, match="unknown data_term"):
+        deconvolve(d, k, config=DeconvolutionConfig(data_term="huber", max_iter=2))
