@@ -127,6 +127,40 @@ def make_sharded_objective(
     batched = data.ndim == 4
     tv_axes = (-3, -2, -1)
 
+    if config.data_term == "poisson":
+        # Generalized-KL deviance on the mesh (ops.convolution.PoissonConvCost
+        # semantics). Padded-variable mode masks the pad region out entirely
+        # (those voxels have no data, so they contribute 0 — the Poisson
+        # analogue of the zero-weight trick below).
+        if weights is not None:
+            raise ValueError("data_term='poisson' does not compose with weights")
+        kernel = pad_fft_kernel(psf, var_shape)
+        k_hat = sharded_spectrum(kernel, mesh)
+        d = constrain_volume(pad_trailing(data, var_shape), mesh) if var_shape != vol_shape else data
+        mask = None
+        if var_shape != vol_shape:
+            mask = constrain_volume(
+                pad_trailing(jnp.ones(vol_shape, data.dtype), var_shape), mesh, batched=False
+            )
+        bg = float(config.background)
+
+        def objective(x):
+            m = sharded_convolve(x, k_hat, var_shape, mesh) + bg
+            tiny = jnp.asarray(jnp.finfo(m.dtype).tiny, m.dtype)
+            m = jnp.maximum(m, tiny)
+            log_ratio = jnp.log(m) - jnp.log(jnp.maximum(d, tiny))
+            term = (m - d) - jnp.where(d > 0, d * log_ratio, 0.0)
+            f = jnp.sum(term if mask is None else mask * term)
+            if config.mu > 0:
+                f = f + config.mu * hyperbolic_tv(
+                    x, config.epsilon, config.scales, axes=tv_axes if batched else None
+                )
+            return f
+
+        return jax.value_and_grad(objective)
+    if config.data_term != "gaussian":
+        raise ValueError(f"unknown data_term {config.data_term!r}")
+
     if var_shape != vol_shape:
         # Padded-variable mode: zero weight outside the centered data window.
         kernel = pad_fft_kernel(psf, var_shape)

@@ -108,3 +108,68 @@ def test_unknown_data_term_rejected():
     d = jnp.ones(SHAPE)
     with pytest.raises(ValueError, match="unknown data_term"):
         deconvolve(d, k, config=DeconvolutionConfig(data_term="huber", max_iter=2))
+
+
+def test_blind_loop_with_poisson_object_step():
+    """data_term flows through the blind loop's object step unchanged."""
+    from microtipi_tpu.jobs.blind import BlindDeconvConfig, blind_deconvolve
+    from microtipi_tpu.models.widefield import WideFieldConfig
+
+    shape = (8, 16, 16)
+    model = WideFieldConfig(shape=shape, na=1.2, wavelength=500e-9, ni=1.33,
+                            dxy=100e-9, dz=250e-9, n_phase=2, radial=True,
+                            dtype=jnp.float64)
+    psf = model.compute_psf(model.init_params()._replace(phase=jnp.asarray([0.2, -0.1])))
+    rng = np.random.default_rng(0)
+    obj = np.abs(rng.standard_normal(shape)) * 5
+    lam = np.asarray(convolve(jnp.asarray(obj), convolve_spectrum(psf), shape)) + 0.5
+    d = jnp.asarray(rng.poisson(lam).astype(np.float64))
+    cfg = BlindDeconvConfig(
+        loops=2, families=(0, 1), psf_max_iter=(2, 2),
+        deconv=DeconvolutionConfig(mu=1e-3, epsilon=0.5, max_iter=4, grtol=0.0,
+                                   data_term="poisson", background=0.5),
+    )
+    res = jax.jit(lambda d: blind_deconvolve(d, model, config=cfg))(d)
+    f = np.asarray(res.deconv_f)
+    assert np.isfinite(f).all() and f[1] <= f[0]
+
+
+def test_sharded_poisson_matches_dense():
+    from microtipi_tpu.parallel.deconv import sharded_deconvolve
+    from microtipi_tpu.parallel.mesh import make_mesh, volume_sharding
+
+    mesh = make_mesh(batch=1, z=8)
+    shape = (16, 24, 24)
+    rng = np.random.default_rng(1)
+    k = np.zeros(shape)
+    k[:2, :3, :3] = rng.random((2, 3, 3))
+    k = jnp.asarray(k / k.sum())
+    obj = jnp.asarray(rng.random(shape) * 5)
+    lam = np.asarray(convolve(obj, convolve_spectrum(k), shape)) + 1.0
+    d = jnp.asarray(rng.poisson(lam).astype(np.float64))
+    cfg = DeconvolutionConfig(mu=1e-3, epsilon=0.5, max_iter=6, grtol=0.0,
+                              data_term="poisson", background=1.0)
+    dense = deconvolve(d, k, config=cfg)
+    d_sh = jax.device_put(d, volume_sharding(mesh, batched=False))
+    sh = jax.jit(lambda v: sharded_deconvolve(v, k, mesh, config=cfg))(d_sh)
+    np.testing.assert_allclose(float(sh.f), float(dense.f), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(sh.x), np.asarray(dense.x), rtol=1e-8, atol=1e-12)
+
+
+def test_sharded_poisson_padded_odd_nz():
+    from microtipi_tpu.parallel.deconv import sharded_deconvolve
+    from microtipi_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(batch=1, z=8)
+    shape = (12, 16, 16)
+    rng = np.random.default_rng(2)
+    k = np.zeros(shape)
+    k[:2, :2, :2] = rng.random((2, 2, 2))
+    k = jnp.asarray(k / k.sum())
+    d = jnp.asarray(rng.poisson(np.full(shape, 3.0)).astype(np.float64))
+    cfg = DeconvolutionConfig(mu=1e-3, epsilon=0.5, max_iter=3, grtol=0.0,
+                              data_term="poisson", background=0.5,
+                              var_shape=(16, 16, 16))
+    res = jax.jit(lambda v: sharded_deconvolve(v, k, mesh, config=cfg))(d)
+    assert res.x.shape == (16, 16, 16)
+    assert np.isfinite(float(res.f))
