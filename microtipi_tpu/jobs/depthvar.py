@@ -73,8 +73,20 @@ def deconvolve_depthvar(
     cost = DepthVaryingConvCost.build(psfs, data, weights, var_shape, anchors)
     reg = make_regularizer(config, var_shape)
 
-    def objective(x):
-        return cost.cost(x) + reg(x)
+    if config.data_term == "poisson":
+        if weights is not None:
+            raise ValueError("data_term='poisson' does not compose with weights")
+        from microtipi_tpu.ops.convolution import generalized_kl
+
+        def objective(x):
+            return generalized_kl(cost.model(x) + config.background, data) + reg(x)
+
+    elif config.data_term != "gaussian":
+        raise ValueError(f"unknown data_term {config.data_term!r}")
+    else:
+
+        def objective(x):
+            return cost.cost(x) + reg(x)
 
     if x0 is None:
         x0 = pad_to_shape(data, var_shape)

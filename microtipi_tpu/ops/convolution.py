@@ -36,7 +36,28 @@ import jax.numpy as jnp
 
 from microtipi_tpu.utils.arrays import crop_to_shape
 
-__all__ = ["PoissonConvCost", "WeightedConvolutionCost", "convolve", "convolve_spectrum"]
+__all__ = [
+    "PoissonConvCost",
+    "WeightedConvolutionCost",
+    "convolve",
+    "convolve_spectrum",
+    "generalized_kl",
+]
+
+
+def generalized_kl(m: jax.Array, d: jax.Array, mask: jax.Array | None = None) -> jax.Array:
+    """Generalized Kullback-Leibler deviance ``sum (m - d) - d*log(m/d)``.
+
+    The Poisson negative log-likelihood of ``d`` under mean ``m``, up to the
+    x-independent constant; >= 0 with equality at m == d. ``d == 0`` voxels
+    contribute exactly ``m``; the log is guarded at the dtype floor.
+    ``mask`` (0/1) excludes voxels entirely (padded regions with no data).
+    """
+    tiny = jnp.asarray(jnp.finfo(m.dtype).tiny, m.dtype)
+    m = jnp.maximum(m, tiny)
+    log_ratio = jnp.log(m) - jnp.log(jnp.maximum(d, tiny))
+    term = (m - d) - jnp.where(d > 0, d * log_ratio, 0.0)
+    return jnp.sum(term if mask is None else mask * term)
 
 
 def convolve_spectrum(kernel: jax.Array) -> jax.Array:
@@ -163,14 +184,7 @@ class PoissonConvCost(NamedTuple):
         return hx
 
     def cost(self, x: jax.Array, alpha: float = 1.0) -> jax.Array:
-        d = self.data
-        m = self.model(x) + self.background
-        tiny = jnp.asarray(jnp.finfo(m.dtype).tiny, m.dtype)
-        m = jnp.maximum(m, tiny)
-        # d * log(m/d) with the d == 0 voxels contributing exactly m - d.
-        log_ratio = jnp.log(m) - jnp.log(jnp.maximum(d, tiny))
-        kl = jnp.where(d > 0, d * log_ratio, 0.0)
-        return alpha * jnp.sum((m - d) - kl)
+        return alpha * generalized_kl(self.model(x) + self.background, self.data)
 
 
 # ---------------------------------------------------------------------------

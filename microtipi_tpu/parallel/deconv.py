@@ -144,13 +144,11 @@ def make_sharded_objective(
             )
         bg = float(config.background)
 
+        from microtipi_tpu.ops.convolution import generalized_kl
+
         def objective(x):
             m = sharded_convolve(x, k_hat, var_shape, mesh) + bg
-            tiny = jnp.asarray(jnp.finfo(m.dtype).tiny, m.dtype)
-            m = jnp.maximum(m, tiny)
-            log_ratio = jnp.log(m) - jnp.log(jnp.maximum(d, tiny))
-            term = (m - d) - jnp.where(d > 0, d * log_ratio, 0.0)
-            f = jnp.sum(term if mask is None else mask * term)
+            f = generalized_kl(m, d, mask)
             if config.mu > 0:
                 f = f + config.mu * hyperbolic_tv(
                     x, config.epsilon, config.scales, axes=tv_axes if batched else None

@@ -173,3 +173,26 @@ def test_sharded_poisson_padded_odd_nz():
     res = jax.jit(lambda v: sharded_deconvolve(v, k, mesh, config=cfg))(d)
     assert res.x.shape == (16, 16, 16)
     assert np.isfinite(float(res.f))
+
+
+def test_depthvar_poisson_runs_and_descends():
+    from microtipi_tpu.jobs.depthvar import deconvolve_depthvar
+    from microtipi_tpu.ops.depthconv import depth_varying_convolve, depth_weights
+
+    shape = (8, 16, 16)
+    rng = np.random.default_rng(3)
+    psfs = jnp.asarray(rng.random((2,) + shape))
+    psfs = psfs / psfs.sum(axis=(1, 2, 3), keepdims=True)
+    anchors = np.array([0.0, 7.0])
+    zw = jnp.asarray(depth_weights(shape[0], anchors))
+    obj = jnp.asarray(rng.random(shape) * 5)
+    lam = np.asarray(depth_varying_convolve(
+        obj, jnp.fft.rfftn(psfs, axes=(1, 2, 3)), zw, shape)) + 0.5
+    d = jnp.asarray(rng.poisson(np.maximum(lam, 0)).astype(np.float64))
+    cfg = DeconvolutionConfig(mu=1e-3, epsilon=0.5, max_iter=8, grtol=0.0,
+                              data_term="poisson", background=0.5)
+    res = deconvolve_depthvar(d, psfs, anchors, config=cfg)
+    assert np.isfinite(float(res.f)) and float(res.f) >= 0.0
+    hist = np.asarray(res.f_history)
+    it = int(res.iterations)
+    assert hist[it] < hist[0]
