@@ -379,13 +379,15 @@ class DeconvolutionJob:
 
     def __init__(self, data, psf=None, weights=None,
                  mu=0.01, epsilon=0.01, scales=None, positivity=True,
-                 max_iter=50, grtol=1e-3, var_shape=None):
+                 max_iter=50, grtol=1e-3, var_shape=None,
+                 data_term="gaussian", background=0.0):
         self._data = jnp.asarray(data)
         self._weights = None if weights is None else jnp.asarray(weights, self._data.dtype)
         self._psf = None if psf is None else jnp.asarray(psf, self._data.dtype)
         self._cfg = DeconvolutionConfig(
             mu=mu, epsilon=epsilon, scales=scales, positivity=positivity,
             max_iter=max_iter, grtol=grtol, var_shape=var_shape,
+            data_term=data_term, background=background,
         )
         self._model = None
         self._result = None
