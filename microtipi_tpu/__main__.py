@@ -418,17 +418,11 @@ def _make_mesh(args):
     return make_mesh(batch=batch, z=z)
 
 
-def cmd_blind(args):
-    import numpy as np
-    import jax
-    import jax.numpy as jnp
-    from microtipi_tpu.jobs.blind import BlindDeconvConfig, blind_deconvolve
+def _blind_config(args, data_shape):
+    from microtipi_tpu.jobs.blind import BlindDeconvConfig
     from microtipi_tpu.jobs.psf_fit import PsfFitConfig
     from microtipi_tpu.models.microscope import DEFOCUS, DEPTH, MODULUS, PHASE
 
-    data = jnp.asarray(_read_input_volume(args, args.data))
-    _resolve_geometry(args, args.data)
-    model = _build_model(args, data.shape)
     fam_map = {"defocus": DEFOCUS, "phase": PHASE, "modulus": MODULUS, "depth": DEPTH}
     if "depth" in args.families and args.model != "gl":
         sys.exit("--families depth requires --model gl (the DEPTH family lives on the Gibson-Lanni model)")
@@ -437,7 +431,7 @@ def cmd_blind(args):
         loops=args.loops,
         families=families,
         psf_max_iter=tuple(args.psf_iters for _ in families),
-        deconv=_deconv_config(args, data.shape),
+        deconv=_deconv_config(args, data_shape),
         fit=PsfFitConfig(),
         phase_schedule=tuple(args.phase_schedule) if args.phase_schedule else None,
         mu_schedule=tuple(args.mu_schedule) if args.mu_schedule else None,
@@ -456,7 +450,68 @@ def cmd_blind(args):
             kw["mu_schedule"] = tuple(
                 args.mu * max(1.0, 64.0 / 4.0**i) for i in range(args.loops)
             )
-    cfg = BlindDeconvConfig(**kw)
+    return BlindDeconvConfig(**kw)
+
+
+def _cmd_blind_all_channels(args):
+    """blind --all-channels: every channel of an OME hyperstack gets its own
+    blind solve with its own model wavelength (different emission =>
+    different PSF); results re-enter as one multi-channel OME-TIFF."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from microtipi_tpu.io.ome import read_ome_hyperstack, write_ome_hyperstack
+    from microtipi_tpu.jobs.blind import blind_deconvolve
+
+    if getattr(args, "mesh", None) or args.checkpoint:
+        sys.exit("--all-channels composes per-channel dispatches; drop --mesh/--checkpoint")
+    arr, meta = read_ome_hyperstack(args.data)
+    nt, nc = arr.shape[:2]
+    t = int(args.timepoint or 0)
+    if not 0 <= t < nt:
+        sys.exit(f"--timepoint {t} out of range (T={nt})")
+    explicit_wl = args.wavelength  # capture before _resolve_geometry defaults it
+    _resolve_geometry(args, args.data, log=lambda *a: None)
+    channels = meta.get("channels") or []
+    objs, wls = [], []
+    for c in range(nc):
+        wl = explicit_wl
+        if wl is None:
+            em = channels[c].get("emission_wavelength") if c < len(channels) else None
+            wl = em or 561e-9
+        args.wavelength = wl
+        model = _build_model(args, arr.shape[2:])
+        cfg = _blind_config(args, arr.shape[2:])
+        run = jax.jit(lambda d, model=model, cfg=cfg: blind_deconvolve(d, model, config=cfg))
+        t0 = time.time()
+        res = run(jnp.asarray(arr[t, c]))
+        df = np.asarray(res.deconv_f)
+        print(f"channel {c}: wavelength {wl*1e9:.4g} nm, {args.loops} rounds in "
+              f"{time.time()-t0:.1f}s, object cost {df[0]:.6g} -> {df[-1]:.6g}")
+        objs.append(np.asarray(res.obj))
+        wls.append(wl)
+    args.wavelength = explicit_wl
+    write_ome_hyperstack(
+        args.out, np.stack(objs)[None], dxy=args.dxy, dz=args.dz,
+        channel_names=[ch.get("name") for ch in channels[:nc]] if channels else None,
+        emission_wavelengths=wls,
+    )
+    print("wrote", args.out, f"({nc}-channel OME hyperstack)")
+
+
+def cmd_blind(args):
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from microtipi_tpu.jobs.blind import blind_deconvolve
+
+    if getattr(args, "all_channels", False):
+        _cmd_blind_all_channels(args)
+        return
+    data = jnp.asarray(_read_input_volume(args, args.data))
+    _resolve_geometry(args, args.data)
+    model = _build_model(args, data.shape)
+    cfg = _blind_config(args, data.shape)
     w = _weights(args, data)
     t0 = time.time()
     mesh = _make_mesh(args)
@@ -694,6 +749,10 @@ def main(argv=None):
                         "deconv --params-json, e.g. for a depth-varying re-solve)")
     p.add_argument("--report", default=None,
                    help="write a JSON solve report (per-round costs, fitted parameters)")
+    p.add_argument("--all-channels", action="store_true",
+                   help="blind-solve EVERY channel of an OME hyperstack, each "
+                        "with its own emission wavelength; writes one "
+                        "multi-channel OME-TIFF")
     p.add_argument("--ome", action="store_true",
                    help="write outputs as OME-TIFF (OME-XML geometry in the description)")
     p.add_argument("--loops", type=int, default=5)

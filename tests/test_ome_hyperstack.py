@@ -150,3 +150,38 @@ def test_cli_blind_wavelength_from_ome_channel(tmp_path, capsys):
           "--n-phase", "3", "--radial"])
     out = capsys.readouterr().out
     assert "wavelength = 610 nm (OME channel 0 emission)" in out
+
+
+def test_cli_blind_all_channels(tmp_path, capsys):
+    """blind --all-channels solves each channel with its own emission
+    wavelength and writes a multi-channel OME hyperstack."""
+    import jax.numpy as jnp
+
+    from microtipi_tpu.__main__ import main
+    from microtipi_tpu.models.widefield import WideFieldConfig
+    from microtipi_tpu.ops.convolution import convolve, convolve_spectrum
+
+    shape = (8, 16, 16)
+    rng = np.random.default_rng(7)
+    chans, wls = [], [480e-9, 630e-9]
+    for wl in wls:
+        model = WideFieldConfig(shape=shape, na=1.2, wavelength=wl, ni=1.518,
+                                dxy=100e-9, dz=200e-9, dtype=jnp.float32)
+        psf = model.compute_psf(model.init_params())
+        o = rng.random(shape).astype(np.float32) * 10
+        chans.append(np.asarray(convolve(jnp.asarray(o), convolve_spectrum(psf), shape)))
+    p = tmp_path / "mc.ome.tif"
+    write_ome_hyperstack(p, np.stack(chans)[None], dxy=100e-9, dz=200e-9,
+                         channel_names=["blue", "red"], emission_wavelengths=wls)
+    out_p = tmp_path / "out.ome.tif"
+    main(["blind", str(p), "--out", str(out_p), "--all-channels",
+          "--loops", "2", "--iters", "2", "--psf-iters", "1",
+          "--n-phase", "2", "--radial"])
+    msgs = capsys.readouterr().out
+    assert "channel 0: wavelength 480 nm" in msgs
+    assert "channel 1: wavelength 630 nm" in msgs
+    back, meta = read_ome_hyperstack(out_p)
+    assert back.shape == (1, 2) + shape
+    np.testing.assert_allclose(
+        [c["emission_wavelength"] for c in meta["channels"]], wls, rtol=1e-6)
+    assert [c["name"] for c in meta["channels"]] == ["blue", "red"]
