@@ -25,7 +25,7 @@ from microtipi_tpu.jobs.blind import BlindDeconvConfig, BlindDeconvResult, blind
 from microtipi_tpu.jobs.deconv import DeconvolutionConfig, DeconvolutionResult, deconvolve
 from microtipi_tpu.jobs.depthvar import deconvolve_depthvar, depth_anchor_psfs
 from microtipi_tpu.jobs.psf_fit import PsfFitConfig, PsfFitResult, fit_psf, fit_psf_beads, fit_psf_joint
-from microtipi_tpu.jobs.richardson_lucy import richardson_lucy
+from microtipi_tpu.jobs.richardson_lucy import multiview_richardson_lucy, richardson_lucy
 from microtipi_tpu.jobs.tiled import tiled_deconvolve
 from microtipi_tpu.jobs.wiener import wiener
 from microtipi_tpu.ops.convolution import (
@@ -49,7 +49,7 @@ __all__ = [
     "DeconvolutionConfig", "DeconvolutionResult", "deconvolve",
     "deconvolve_depthvar", "depth_anchor_psfs",
     "PsfFitConfig", "PsfFitResult", "fit_psf", "fit_psf_beads", "fit_psf_joint",
-    "richardson_lucy", "tiled_deconvolve", "wiener",
+    "multiview_richardson_lucy", "richardson_lucy", "tiled_deconvolve", "wiener",
     "PoissonConvCost", "WeightedConvolutionCost", "convolve", "convolve_spectrum",
     "hyperbolic_tv", "hyperbolic_tv_and_gradient",
     "VMLMBResult", "VMLMBStatus", "minimize_vmlmb",

@@ -69,6 +69,9 @@ def _deconv_args(p: argparse.ArgumentParser, methods=("vmlmb", "rl")):
     g.add_argument("--method", choices=list(methods), default="vmlmb",
                    help="object solver: VMLMB+TV (default), Richardson-Lucy, or "
                         "(watch only) blind / blind-once (calibrate on first file)")
+    g.add_argument("--rl-accelerate", action="store_true",
+                   help="[rl] Biggs-Andrews vector extrapolation (~2-3x fewer "
+                        "iterations to a given likelihood)")
     g.add_argument("--data-term", choices=["gaussian", "poisson"], default="gaussian",
                    help="data fidelity: gaussian least squares (reference semantics) "
                         "or poisson generalized-KL deviance (photon-counting data)")
@@ -352,7 +355,9 @@ def cmd_deconv(args):
     if args.method == "rl":
         from microtipi_tpu.jobs.richardson_lucy import richardson_lucy
 
-        run = jax.jit(lambda d, p: richardson_lucy(d, p, iterations=args.iters, mu=args.mu, epsilon=args.epsilon))
+        run = jax.jit(lambda d, p: richardson_lucy(
+            d, p, iterations=args.iters, mu=args.mu, epsilon=args.epsilon,
+            accelerate=args.rl_accelerate))
         t0 = time.time()
         x = run(data, psf)
         x.block_until_ready()

@@ -4,7 +4,7 @@ from microtipi_tpu.jobs.blind import BlindDeconvConfig, BlindDeconvResult, blind
 from microtipi_tpu.jobs.deconv import DeconvolutionConfig, DeconvolutionResult, deconvolve
 from microtipi_tpu.jobs.depthvar import deconvolve_depthvar, depth_anchor_psfs
 from microtipi_tpu.jobs.psf_fit import PsfFitConfig, PsfFitResult, fit_psf, fit_psf_joint
-from microtipi_tpu.jobs.richardson_lucy import richardson_lucy
+from microtipi_tpu.jobs.richardson_lucy import multiview_richardson_lucy, richardson_lucy
 from microtipi_tpu.jobs.tiled import tiled_deconvolve
 from microtipi_tpu.jobs.wiener import wiener
 
@@ -14,5 +14,5 @@ __all__ = [
     "PsfFitConfig", "PsfFitResult", "fit_psf", "fit_psf_joint",
     "batched_deconvolve", "batched_blind_deconvolve",
     "deconvolve_depthvar", "depth_anchor_psfs",
-    "richardson_lucy", "tiled_deconvolve", "wiener",
+    "multiview_richardson_lucy", "richardson_lucy", "tiled_deconvolve", "wiener",
 ]

@@ -14,6 +14,22 @@ iteration inside one ``lax.fori_loop``.
 Optional TV regularization (RL-TV, Dey et al. 2006): the denominator gains
 ``-mu * div(grad x / |grad x|_eps)``, implemented with the hyperbolic-TV
 gradient (which equals that divergence term with the same sign convention).
+
+Optional Biggs-Andrews vector extrapolation (``accelerate=True``; Biggs &
+Andrews, Appl. Opt. 36 (1997)): the update is evaluated at the
+extrapolated point ``y = x + alpha (x - x_prev)`` with
+``alpha = <g, g_prev> / <g_prev, g_prev>`` clamped to [0, 1) — typically
+2-3x fewer iterations to a given likelihood (pinned by a test).
+
+Multi-view fusion (``multiview_richardson_lucy``): joint Poisson MLE over K
+registered views with per-view PSFs (light-sheet fusion, Preibisch et al.
+2014's simultaneous variant). EM for the joint likelihood gives
+
+    x_{k+1} = x_k / (sum_v H_v^T 1) * sum_v H_v^T( d_v / (H_v x_k + bg) )
+
+TPU shape: the K views go through batched FFTs (leading view axis), so a
+step costs one batched forward + one batched inverse pair, not 2K
+dispatches.
 """
 
 from __future__ import annotations
@@ -25,7 +41,7 @@ from jax import lax
 from microtipi_tpu.ops.convolution import convolve, convolve_spectrum
 from microtipi_tpu.ops.regularization import hyperbolic_tv_and_gradient
 
-__all__ = ["richardson_lucy"]
+__all__ = ["richardson_lucy", "multiview_richardson_lucy"]
 
 
 def richardson_lucy(
@@ -36,8 +52,10 @@ def richardson_lucy(
     mu: float = 0.0,
     epsilon: float = 1e-2,
     x0: jax.Array | None = None,
+    accelerate: bool = False,
 ) -> jax.Array:
-    """RL (optionally RL-TV) estimate; ``psf`` corner-origin at data shape."""
+    """RL (optionally RL-TV / Biggs-Andrews accelerated) estimate;
+    ``psf`` corner-origin at data shape."""
     if psf.shape != data.shape:
         raise ValueError("richardson_lucy requires psf shape == data shape")
     k_hat = convolve_spectrum(psf)
@@ -48,14 +66,73 @@ def richardson_lucy(
     bg = jnp.asarray(background, data.dtype)
     tiny = jnp.asarray(jnp.finfo(data.dtype).tiny, data.dtype)
 
-    def body(_, x):
-        model = convolve(x, k_hat, data.shape) + bg
+    def update(y):
+        model = convolve(y, k_hat, data.shape) + bg
         ratio = d / jnp.maximum(model, tiny)
         back = jnp.fft.irfftn(k_hat_conj * jnp.fft.rfftn(ratio), s=data.shape)
         denom = flux
         if mu > 0:
-            _, tv_grad = hyperbolic_tv_and_gradient(x, epsilon)
+            _, tv_grad = hyperbolic_tv_and_gradient(y, epsilon)
             denom = jnp.maximum(flux + mu * tv_grad, 0.1 * flux)
-        return jnp.maximum(x * back / denom, 0.0)
+        return jnp.maximum(y * back / denom, 0.0)
+
+    if not accelerate:
+        return lax.fori_loop(0, iterations, lambda _, x: update(x), x)
+
+    def body(k, carry):
+        x, x_prev, g1, g2 = carry
+        # alpha_k = <g_{k-1}, g_{k-2}> / <g_{k-2}, g_{k-2}>, zero for the
+        # first two iterations (no history yet); g_k = x_{k+1} - y_k is the
+        # raw fixed-point step.
+        num = jnp.vdot(g1, g2).real
+        den = jnp.vdot(g2, g2).real
+        alpha = jnp.where(
+            (k >= 2) & (den > 0), jnp.clip(num / jnp.maximum(den, tiny), 0.0, 0.999), 0.0
+        )
+        y = jnp.maximum(x + alpha * (x - x_prev), 0.0)
+        x_new = update(y)
+        return x_new, x, x_new - y, g1
+
+    out = lax.fori_loop(
+        0, iterations, body, (x, x, jnp.zeros_like(x), jnp.zeros_like(x))
+    )
+    return out[0]
+
+
+def multiview_richardson_lucy(
+    views: jax.Array,
+    psfs: jax.Array,
+    iterations: int = 50,
+    background: float = 0.0,
+    x0: jax.Array | None = None,
+) -> jax.Array:
+    """Joint-MLE RL fusion of K registered views, shapes ``(K,) + vol``.
+
+    Each view ``d_v`` observes the same object through its own (corner-
+    origin) PSF ``h_v`` — the light-sheet multi-view setting where each
+    view is sharp in a different direction and fusion recovers isotropic
+    detail no single view contains (pinned by a test with complementary
+    anisotropic blurs). K = 1 reduces exactly to :func:`richardson_lucy`.
+    """
+    if views.shape != psfs.shape or views.ndim < 2:
+        raise ValueError("views and psfs must share a (K,)+volume shape")
+    vol = views.shape[1:]
+    axes = tuple(range(1, views.ndim))
+    k_hat = jnp.fft.rfftn(psfs, axes=axes)
+    k_hat_conj = jnp.conj(k_hat)
+    flux = jnp.sum(psfs)
+    d = jnp.maximum(views, 0.0)
+    x = jnp.maximum(jnp.mean(views, axis=0), 1e-12) if x0 is None else jnp.maximum(x0, 1e-12)
+    bg = jnp.asarray(background, views.dtype)
+    tiny = jnp.asarray(jnp.finfo(views.dtype).tiny, views.dtype)
+
+    def body(_, x):
+        model = jnp.fft.irfftn(k_hat * jnp.fft.rfftn(x)[None], s=vol, axes=axes) + bg
+        ratio = d / jnp.maximum(model, tiny)
+        back = jnp.sum(
+            jnp.fft.irfftn(k_hat_conj * jnp.fft.rfftn(ratio, axes=axes), s=vol, axes=axes),
+            axis=0,
+        )
+        return jnp.maximum(x * back / flux, 0.0)
 
     return lax.fori_loop(0, iterations, body, x)
