@@ -18,7 +18,7 @@ from microtipi_tpu.ops.regularization import hyperbolic_tv_and_gradient
 from microtipi_tpu.parallel.fft import sharded_irfftn, sharded_rfftn, sharded_spectrum
 from microtipi_tpu.parallel.mesh import constrain_volume
 
-__all__ = ["sharded_richardson_lucy"]
+__all__ = ["sharded_richardson_lucy", "sharded_multiview_richardson_lucy"]
 
 
 def sharded_richardson_lucy(
@@ -57,5 +57,47 @@ def sharded_richardson_lucy(
             _, tv_grad = hyperbolic_tv_and_gradient(x, epsilon, axes=tv_axes)
             denom = jnp.maximum(flux + mu * tv_grad, 0.1 * flux)
         return jnp.maximum(x * back / denom, 0.0)
+
+    return lax.fori_loop(0, iterations, body, x)
+
+
+def sharded_multiview_richardson_lucy(
+    views: jax.Array,
+    psfs: jax.Array,
+    mesh: Mesh,
+    iterations: int = 50,
+    background: float = 0.0,
+    x0: jax.Array | None = None,
+) -> jax.Array:
+    """Joint-MLE multi-view RL fusion on the mesh; semantics match
+    ``jobs.richardson_lucy.multiview_richardson_lucy``.
+
+    ``views``/``psfs`` are (K,)+volume stacks; the view axis rides the
+    mesh's *batch* axis (views are data-parallel observations of one
+    object) and each volume is z-sharded. The per-step sum over views
+    becomes a batch-axis all-reduce that GSPMD inserts; the estimate ``x``
+    stays a single z-sharded volume replicated across the batch axis.
+    """
+    if views.shape != psfs.shape or views.ndim != 4:
+        raise ValueError("views and psfs must share a (K,)+volume shape")
+    vol = views.shape[1:]
+    views = constrain_volume(views, mesh)
+    k_hat = sharded_rfftn(psfs, mesh)
+    k_hat_conj = jnp.conj(k_hat)
+    flux = jnp.sum(psfs)
+    d = jnp.maximum(views, 0.0)
+    x = jnp.maximum(jnp.mean(views, axis=0), 1e-12) if x0 is None else jnp.maximum(x0, 1e-12)
+    x = constrain_volume(x, mesh, batched=False)
+    bg = jnp.asarray(background, views.dtype)
+    tiny = jnp.asarray(jnp.finfo(views.dtype).tiny, views.dtype)
+
+    def body(_, x):
+        xb = jnp.broadcast_to(x[None], views.shape)
+        model = sharded_irfftn(sharded_rfftn(xb, mesh) * k_hat, vol, mesh) + bg
+        ratio = d / jnp.maximum(model, tiny)
+        back = jnp.sum(
+            sharded_irfftn(k_hat_conj * sharded_rfftn(ratio, mesh), vol, mesh), axis=0
+        )
+        return jnp.maximum(x * back / flux, 0.0)
 
     return lax.fori_loop(0, iterations, body, x)

@@ -144,3 +144,28 @@ def test_multiview_fusion_beats_single_views():
         return float(jnp.linalg.norm(x - obj) / jnp.linalg.norm(obj))
 
     assert err(fused) < err(single0) and err(fused) < err(single1)
+
+
+def test_sharded_multiview_matches_dense():
+    """Mesh fusion (views on the batch axis, z-sharded volumes) == dense."""
+    from microtipi_tpu.jobs.richardson_lucy import multiview_richardson_lucy
+    from microtipi_tpu.parallel.mesh import make_mesh, volume_sharding
+    from microtipi_tpu.parallel.richardson_lucy import sharded_multiview_richardson_lucy
+
+    shape = (16, 16, 16)
+    rng = np.random.default_rng(4)
+    psfs = jnp.asarray(rng.random((2,) + shape))
+    psfs = psfs / psfs.sum(axis=(1, 2, 3), keepdims=True)
+    obj = jnp.asarray(rng.random(shape) * 20)
+    views = jnp.stack([
+        convolve(obj, convolve_spectrum(psfs[v]), shape) for v in range(2)
+    ])
+
+    dense = multiview_richardson_lucy(views, psfs, iterations=8)
+    for batch, z in ((1, 8), (2, 4)):
+        mesh = make_mesh(batch=batch, z=z)
+        v_sh = jax.device_put(views, volume_sharding(mesh, batched=True))
+        sh = jax.jit(lambda v: sharded_multiview_richardson_lucy(
+            v, psfs, mesh, iterations=8))(v_sh)
+        np.testing.assert_allclose(np.asarray(sh), np.asarray(dense),
+                                   rtol=1e-9, atol=1e-12)
