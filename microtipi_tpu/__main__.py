@@ -652,6 +652,34 @@ def cmd_fitpsf(args):
         print("wrote", args.out)
 
 
+def cmd_fuse(args):
+    """Multi-view RL fusion: K registered views, K PSFs, one estimate."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from microtipi_tpu.jobs.richardson_lucy import multiview_richardson_lucy
+    from microtipi_tpu.io.tiffstack import read_stack
+    from microtipi_tpu.utils.arrays import unroll
+
+    if len(args.views) != len(args.psf):
+        sys.exit(f"{len(args.views)} views but {len(args.psf)} PSFs — need one PSF per view")
+    views = jnp.stack([jnp.asarray(read_stack(p)) for p in args.views])
+    psfs = jnp.stack([jnp.asarray(read_stack(p)) for p in args.psf])
+    if args.psf_centered:
+        psfs = jax.vmap(unroll)(psfs)
+    if psfs.shape != views.shape:
+        sys.exit(f"view stack {views.shape[1:]} vs PSF stack {psfs.shape[1:]} shape mismatch")
+    run = jax.jit(lambda v, p: multiview_richardson_lucy(
+        v, p, iterations=args.iters, background=args.background))
+    t0 = time.time()
+    x = run(views, psfs)
+    x.block_until_ready()
+    print(f"fuse: {len(args.views)} views, {args.iters} RL iterations, "
+          f"{time.time()-t0:.1f}s (incl. compile)")
+    _write_out(args, args.out, np.asarray(x))
+    print("wrote", args.out)
+
+
 def cmd_watch(args):
     from microtipi_tpu.serve import watch
 
@@ -789,6 +817,17 @@ def main(argv=None):
     _deconv_args(p)
     _hyperstack_args(p)
     p.set_defaults(fn=cmd_blind)
+
+    p = sub.add_parser("fuse", help="multi-view RL fusion (light-sheet: K registered views, K PSFs)")
+    p.add_argument("views", nargs="+", help="registered view stacks (same grid)")
+    p.add_argument("--psf", nargs="+", required=True, help="one corner-origin PSF per view")
+    p.add_argument("--psf-centered", action="store_true", help="PSF files are centered; unroll them")
+    p.add_argument("--out", required=True)
+    p.add_argument("--iters", type=int, default=50, help="RL iterations")
+    p.add_argument("--background", type=float, default=0.0)
+    p.add_argument("--ome", action="store_true",
+                   help="write output as OME-TIFF")
+    p.set_defaults(fn=cmd_fuse)
 
     p = sub.add_parser("watch", help="serve: watch a directory, deconvolve arriving stacks")
     p.add_argument("indir")

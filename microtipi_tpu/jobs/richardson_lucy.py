@@ -65,10 +65,16 @@ def richardson_lucy(
     x = jnp.maximum(data, 1e-12) if x0 is None else jnp.maximum(x0, 1e-12)
     bg = jnp.asarray(background, data.dtype)
     tiny = jnp.asarray(jnp.finfo(data.dtype).tiny, data.dtype)
+    # Data-scaled support threshold: FFT roundoff leaves slightly NEGATIVE
+    # model values on empty regions; flooring those at the dtype tiny makes
+    # d/model explode in f32 (observed on sparse scenes). Below eps the
+    # voxel is treated as having no model support (ratio 0) — scikit-image's
+    # filter_epsilon semantics with a scale-invariant default.
+    eps = jnp.maximum(1e-6 * (jnp.mean(d) + bg), tiny)
 
     def update(y):
         model = convolve(y, k_hat, data.shape) + bg
-        ratio = d / jnp.maximum(model, tiny)
+        ratio = jnp.where(model > eps, d / jnp.maximum(model, eps), 0.0)
         back = jnp.fft.irfftn(k_hat_conj * jnp.fft.rfftn(ratio), s=data.shape)
         denom = flux
         if mu > 0:
@@ -122,13 +128,19 @@ def multiview_richardson_lucy(
     k_hat_conj = jnp.conj(k_hat)
     flux = jnp.sum(psfs)
     d = jnp.maximum(views, 0.0)
-    x = jnp.maximum(jnp.mean(views, axis=0), 1e-12) if x0 is None else jnp.maximum(x0, 1e-12)
+    # Flat positive start (total mean intensity): no absorbing zeros and the
+    # first ratio is bounded by d/mean — a mean-of-views start leaves
+    # near-zero model voxels under sparse scenes whose d/model ratio
+    # overflows f32 (observed; the classic RL flat-field initialization).
+    x = jnp.full(vol, jnp.maximum(jnp.mean(d), 1e-12), views.dtype) \
+        if x0 is None else jnp.maximum(x0, 1e-12)
     bg = jnp.asarray(background, views.dtype)
     tiny = jnp.asarray(jnp.finfo(views.dtype).tiny, views.dtype)
+    eps = jnp.maximum(1e-6 * (jnp.mean(d) + bg), tiny)  # see jobs.richardson_lucy
 
     def body(_, x):
         model = jnp.fft.irfftn(k_hat * jnp.fft.rfftn(x)[None], s=vol, axes=axes) + bg
-        ratio = d / jnp.maximum(model, tiny)
+        ratio = jnp.where(model > eps, d / jnp.maximum(model, eps), 0.0)
         back = jnp.sum(
             jnp.fft.irfftn(k_hat_conj * jnp.fft.rfftn(ratio, axes=axes), s=vol, axes=axes),
             axis=0,

@@ -46,11 +46,12 @@ def sharded_richardson_lucy(
     x = jnp.maximum(data, 1e-12) if x0 is None else constrain_volume(jnp.maximum(x0, 1e-12), mesh)
     bg = jnp.asarray(background, data.dtype)
     tiny = jnp.asarray(jnp.finfo(data.dtype).tiny, data.dtype)
+    eps = jnp.maximum(1e-6 * (jnp.mean(d) + bg), tiny)  # see jobs.richardson_lucy
     tv_axes = (-3, -2, -1) if batched else None
 
     def body(_, x):
         model = sharded_irfftn(sharded_rfftn(x, mesh) * k_hat, vol_shape, mesh) + bg
-        ratio = d / jnp.maximum(model, tiny)
+        ratio = jnp.where(model > eps, d / jnp.maximum(model, eps), 0.0)
         back = sharded_irfftn(k_hat_conj * sharded_rfftn(ratio, mesh), vol_shape, mesh)
         denom = flux
         if mu > 0:
@@ -86,15 +87,18 @@ def sharded_multiview_richardson_lucy(
     k_hat_conj = jnp.conj(k_hat)
     flux = jnp.sum(psfs)
     d = jnp.maximum(views, 0.0)
-    x = jnp.maximum(jnp.mean(views, axis=0), 1e-12) if x0 is None else jnp.maximum(x0, 1e-12)
+    # Flat positive start, matching jobs.richardson_lucy (see comment there).
+    x = jnp.full(vol, jnp.maximum(jnp.mean(d), 1e-12), views.dtype) \
+        if x0 is None else jnp.maximum(x0, 1e-12)
     x = constrain_volume(x, mesh, batched=False)
     bg = jnp.asarray(background, views.dtype)
     tiny = jnp.asarray(jnp.finfo(views.dtype).tiny, views.dtype)
+    eps = jnp.maximum(1e-6 * (jnp.mean(d) + bg), tiny)  # see jobs.richardson_lucy
 
     def body(_, x):
         xb = jnp.broadcast_to(x[None], views.shape)
         model = sharded_irfftn(sharded_rfftn(xb, mesh) * k_hat, vol, mesh) + bg
-        ratio = d / jnp.maximum(model, tiny)
+        ratio = jnp.where(model > eps, d / jnp.maximum(model, eps), 0.0)
         back = jnp.sum(
             sharded_irfftn(k_hat_conj * sharded_rfftn(ratio, mesh), vol, mesh), axis=0
         )

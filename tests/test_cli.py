@@ -431,3 +431,38 @@ def test_cli_deconv_report_json(tmp_path):
     assert rep["iterations"] >= 1
     assert len(rep["f_history"]) == rep["iterations"] + 1
     assert rep["f_history"][-1] <= rep["f_history"][0]
+
+
+def test_cli_fuse_multiview(tmp_path):
+    import jax.numpy as jnp
+
+    from microtipi_tpu.io.tiffstack import read_stack, write_stack
+    from microtipi_tpu.ops.convolution import convolve, convolve_spectrum
+
+    shape = (8, 16, 16)
+    rng = np.random.default_rng(0)
+
+    def line_kernel(axis, length=5):
+        k = np.zeros(shape, np.float32)
+        for i in range(-(length // 2), length // 2 + 1):
+            j = [0, 0, 0]
+            j[axis] = i % shape[axis]
+            k[tuple(j)] = 1.0
+        return k / k.sum()
+
+    ks = [line_kernel(0), line_kernel(2)]
+    obj = np.zeros(shape, np.float32)
+    obj[rng.integers(2, 6, 8), rng.integers(2, 14, 8), rng.integers(2, 14, 8)] = 50.0
+    for i, k in enumerate(ks):
+        v = np.asarray(convolve(jnp.asarray(obj), convolve_spectrum(jnp.asarray(k)), shape))
+        write_stack(tmp_path / f"v{i}.tif", v)
+        write_stack(tmp_path / f"k{i}.tif", k)
+    r = _run(["fuse", "v0.tif", "v1.tif", "--psf", "k0.tif", "k1.tif",
+              "--out", "fused.tif", "--iters", "20"], tmp_path)
+    assert r.returncode == 0, r.stderr
+    out = read_stack(tmp_path / "fused.tif")
+    assert out.shape == shape and np.isfinite(out).all() and out.min() >= 0
+
+    r2 = _run(["fuse", "v0.tif", "--psf", "k0.tif", "k1.tif",
+               "--out", "x.tif"], tmp_path)
+    assert r2.returncode != 0 and "one PSF per view" in (r2.stdout + r2.stderr)
