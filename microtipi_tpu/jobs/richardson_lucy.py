@@ -128,11 +128,12 @@ def multiview_richardson_lucy(
     k_hat_conj = jnp.conj(k_hat)
     flux = jnp.sum(psfs)
     d = jnp.maximum(views, 0.0)
-    # Flat positive start (total mean intensity): no absorbing zeros and the
-    # first ratio is bounded by d/mean — a mean-of-views start leaves
-    # near-zero model voxels under sparse scenes whose d/model ratio
-    # overflows f32 (observed; the classic RL flat-field initialization).
-    x = jnp.full(vol, jnp.maximum(jnp.mean(d), 1e-12), views.dtype) \
+    # Mean-of-views start, floored at a fraction of the mean intensity: the
+    # floor removes absorbing zeros and (with the eps support-threshold
+    # below) keeps the first ratios bounded in f32 even on sparse scenes;
+    # measured on-chip to converge substantially faster than a flat-field
+    # start (BASELINE.md multi-view row).
+    x = jnp.maximum(jnp.mean(d, axis=0), 1e-3 * jnp.mean(d) + 1e-12) \
         if x0 is None else jnp.maximum(x0, 1e-12)
     bg = jnp.asarray(background, views.dtype)
     tiny = jnp.asarray(jnp.finfo(views.dtype).tiny, views.dtype)

@@ -87,8 +87,8 @@ def sharded_multiview_richardson_lucy(
     k_hat_conj = jnp.conj(k_hat)
     flux = jnp.sum(psfs)
     d = jnp.maximum(views, 0.0)
-    # Flat positive start, matching jobs.richardson_lucy (see comment there).
-    x = jnp.full(vol, jnp.maximum(jnp.mean(d), 1e-12), views.dtype) \
+    # Floored mean-of-views start, matching jobs.richardson_lucy.
+    x = jnp.maximum(jnp.mean(d, axis=0), 1e-3 * jnp.mean(d) + 1e-12) \
         if x0 is None else jnp.maximum(x0, 1e-12)
     x = constrain_volume(x, mesh, batched=False)
     bg = jnp.asarray(background, views.dtype)
