@@ -34,6 +34,7 @@ from microtipi_tpu.ops.convolution import (
     convolve,
     convolve_spectrum,
 )
+from microtipi_tpu.ops.register import fourier_shift, register_translation
 from microtipi_tpu.ops.regularization import hyperbolic_tv, hyperbolic_tv_and_gradient
 from microtipi_tpu.optim.vmlmb import VMLMBResult, VMLMBStatus, minimize_vmlmb
 from microtipi_tpu.weights.updaters import InverseVarianceWeights
@@ -51,6 +52,7 @@ __all__ = [
     "PsfFitConfig", "PsfFitResult", "fit_psf", "fit_psf_beads", "fit_psf_joint",
     "multiview_richardson_lucy", "richardson_lucy", "tiled_deconvolve", "wiener",
     "PoissonConvCost", "WeightedConvolutionCost", "convolve", "convolve_spectrum",
+    "fourier_shift", "register_translation",
     "hyperbolic_tv", "hyperbolic_tv_and_gradient",
     "VMLMBResult", "VMLMBStatus", "minimize_vmlmb",
     "InverseVarianceWeights",

@@ -669,6 +669,25 @@ def cmd_fuse(args):
         psfs = jax.vmap(unroll)(psfs)
     if psfs.shape != views.shape:
         sys.exit(f"view stack {views.shape[1:]} vs PSF stack {psfs.shape[1:]} shape mismatch")
+    if args.register and len(args.views) > 1:
+        from microtipi_tpu.ops.convolution import convolve, convolve_spectrum
+        from microtipi_tpu.ops.register import fourier_shift, register_translation
+
+        @jax.jit
+        def reg_one(v0, p0, v, p):
+            # Blur-match so phase correlation sees one transfer function
+            # (ops/register.py docstring).
+            a = convolve(v0, convolve_spectrum(p), v0.shape)
+            b = convolve(v, convolve_spectrum(p0), v0.shape)
+            t = register_translation(a, b)
+            return t, jnp.maximum(fourier_shift(v, t), 0.0)
+
+        regd = [views[0]]
+        for k in range(1, views.shape[0]):
+            t, vk = reg_one(views[0], psfs[0], views[k], psfs[k])
+            print(f"view {k}: shift {np.round(np.asarray(t), 2).tolist()} voxels")
+            regd.append(vk)
+        views = jnp.stack(regd)
     run = jax.jit(lambda v, p: multiview_richardson_lucy(
         v, p, iterations=args.iters, background=args.background))
     t0 = time.time()
@@ -825,6 +844,9 @@ def main(argv=None):
     p.add_argument("--out", required=True)
     p.add_argument("--iters", type=int, default=50, help="RL iterations")
     p.add_argument("--background", type=float, default=0.0)
+    p.add_argument("--register", action="store_true",
+                   help="register views 1..K-1 to view 0 first (blur-matched "
+                        "subvoxel phase correlation + Fourier shift)")
     p.add_argument("--ome", action="store_true",
                    help="write output as OME-TIFF")
     p.set_defaults(fn=cmd_fuse)

@@ -466,3 +466,44 @@ def test_cli_fuse_multiview(tmp_path):
     r2 = _run(["fuse", "v0.tif", "--psf", "k0.tif", "k1.tif",
                "--out", "x.tif"], tmp_path)
     assert r2.returncode != 0 and "one PSF per view" in (r2.stdout + r2.stderr)
+
+
+def test_cli_fuse_with_registration(tmp_path):
+    import jax.numpy as jnp
+
+    from microtipi_tpu.io.tiffstack import read_stack, write_stack
+    from microtipi_tpu.ops.convolution import convolve, convolve_spectrum
+    from microtipi_tpu.ops.register import fourier_shift
+
+    shape = (8, 16, 16)
+    rng = np.random.default_rng(1)
+
+    def line_kernel(axis, length=5):
+        k = np.zeros(shape, np.float32)
+        for i in range(-(length // 2), length // 2 + 1):
+            j = [0, 0, 0]
+            j[axis] = i % shape[axis]
+            k[tuple(j)] = 1.0
+        return k / k.sum()
+
+    ks = [line_kernel(0), line_kernel(2)]
+    obj = np.zeros(shape, np.float32)
+    obj[rng.integers(2, 6, 8), rng.integers(2, 14, 8), rng.integers(2, 14, 8)] = 50.0
+    views = [np.asarray(convolve(jnp.asarray(obj), convolve_spectrum(jnp.asarray(k)), shape))
+             for k in ks]
+    views[1] = np.asarray(fourier_shift(jnp.asarray(views[1]), [1.0, -2.0, 2.0]))
+    for i in range(2):
+        write_stack(tmp_path / f"v{i}.tif", views[i])
+        write_stack(tmp_path / f"k{i}.tif", ks[i])
+    r = _run(["fuse", "v0.tif", "v1.tif", "--psf", "k0.tif", "k1.tif",
+              "--out", "fused.tif", "--iters", "20", "--register"], tmp_path)
+    assert r.returncode == 0, r.stderr
+    assert "view 1: shift" in r.stdout
+    # The printed shift undoes the injected [1, -2, 2] displacement.
+    import re as _re
+
+    m = _re.search(r"view 1: shift \[([-0-9., ]+)\]", r.stdout)
+    t = [float(v) for v in m.group(1).split(",")]
+    np.testing.assert_allclose(t, [-1.0, 2.0, -2.0], atol=0.3)
+    out = read_stack(tmp_path / "fused.tif")
+    assert np.isfinite(out).all()
