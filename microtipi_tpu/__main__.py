@@ -725,7 +725,8 @@ def cmd_watch(args):
           rl_iterations=args.iters, poll_seconds=args.poll,
           max_files=args.max_files, metrics_path=args.metrics,
           metrics_port=args.metrics_port,
-          model_factory=model_factory, blind_config=blind_cfg)
+          model_factory=model_factory, blind_config=blind_cfg,
+          channel=args.channel, timepoint=args.timepoint)
 
 
 def main(argv=None):
@@ -870,6 +871,7 @@ def main(argv=None):
                    help="[blind methods] quality = recommended() recipe (default for serving)")
     _model_args(p)
     _deconv_args(p, methods=("vmlmb", "rl", "blind", "blind-once"))
+    _hyperstack_args(p)
     p.set_defaults(fn=cmd_watch)
 
     args = ap.parse_args(argv)

@@ -150,6 +150,8 @@ def watch(
     metrics_port: int | None = None,
     model_factory=None,
     blind_config=None,
+    channel: int = 0,
+    timepoint: int = 0,
 ):
     """Run the service loop. ``max_files`` bounds the run (None = forever).
 
@@ -167,6 +169,11 @@ def watch(
     across volume shapes because they live on the pupil, not the grid.
     Blind methods take ``model_factory(shape) -> PsfModel config`` (and an
     optional ``blind_config``) instead of ``psf_path``.
+
+    OME hyperstack inputs (SizeC/SizeT > 1) are sliced at
+    ``channel``/``timepoint`` — without this a multi-channel file's pages
+    would all be misread as z-planes. Plain TIFFs are unaffected (and skip
+    the OME parse via a cheap description sniff).
     """
     import jax
     import jax.numpy as jnp
@@ -254,6 +261,20 @@ def watch(
             return out[0]
         return out
 
+    def _decode(p):
+        try:
+            from microtipi_tpu.io.ome import read_ome_hyperstack
+
+            arr, _meta = read_ome_hyperstack(p)
+        except Exception:
+            return read_stack(p)
+        nt, nc = arr.shape[:2]
+        if nt == 1 and nc == 1:
+            return np.ascontiguousarray(arr[0, 0])
+        t, c = min(timepoint, nt - 1), min(channel, nc - 1)
+        log(f"[watch] {Path(p).name}: hyperstack T={nt} C={nc}, using t={t} c={c}")
+        return np.ascontiguousarray(arr[t, c])
+
     seen: dict[str, int] = {}
     done: set[tuple[str, int]] = set()  # (name, size): re-process if it grows
     attempts: dict[tuple[str, int], int] = {}
@@ -303,7 +324,7 @@ def watch(
                 continue
             # Decode ahead: file i+1 parses on host threads while the device
             # solves file i.
-            futs = [(p, seen[p.name], pool.submit(read_stack, p)) for p in ready]
+            futs = [(p, seen[p.name], pool.submit(_decode, p)) for p in ready]
             for p, size, fut in futs:
                 key = (p.name, size)
                 try:

@@ -291,3 +291,30 @@ def test_watch_blind_requires_model_factory(tmp_path):
 def test_watch_fixed_psf_requires_path(tmp_path):
     with pytest.raises(ValueError, match="psf_path"):
         watch(tmp_path, tmp_path / "o", None, method="vmlmb", max_files=0)
+
+
+def test_watch_slices_hyperstack_channel(tmp_path):
+    """A multi-channel OME input is sliced at the requested channel instead
+    of being misread as a deep z-stack."""
+    from microtipi_tpu.io.ome import write_ome_hyperstack
+
+    indir, outdir = tmp_path / "in", tmp_path / "out"
+    indir.mkdir()
+    shape = (4, 16, 16)
+    psf = np.zeros(shape, np.float32)
+    psf[0, 0, 0] = 1.0
+    write_stack(tmp_path / "psf.tif", psf)
+    rng = np.random.default_rng(0)
+    chans = np.stack([rng.random(shape).astype(np.float32) * (c + 1) for c in range(2)])
+    write_ome_hyperstack(indir / "mc.ome.tif", chans[None])
+
+    logs = []
+    out = watch(indir, outdir, tmp_path / "psf.tif",
+                config=DeconvolutionConfig(mu=0.0, max_iter=2),
+                poll_seconds=0.05, max_files=1, log=logs.append, channel=1)
+    assert len(out) == 1
+    assert any("hyperstack T=1 C=2, using t=0 c=1" in m for m in logs)
+    rec = read_stack(outdir / "mc.ome.tif")
+    assert rec.shape == shape  # one channel volume, not 8 pages
+    # Delta PSF, no regularization: solve ~ identity; result matches channel 1.
+    np.testing.assert_allclose(rec, chans[1], rtol=1e-3, atol=1e-3)
