@@ -487,7 +487,9 @@ def _cmd_blind_all_channels(args):
         args.wavelength = wl
         model = _build_model(args, arr.shape[2:])
         cfg = _blind_config(args, arr.shape[2:])
-        run = jax.jit(lambda d, model=model, cfg=cfg: blind_deconvolve(d, model, config=cfg))
+        p0 = _load_params_json(model, args.params_json) if args.params_json else None
+        run = jax.jit(lambda d, model=model, cfg=cfg, p0=p0: blind_deconvolve(
+            d, model, params0=p0, config=cfg))
         t0 = time.time()
         res = run(jnp.asarray(arr[t, c]))
         df = np.asarray(res.deconv_f)
@@ -517,6 +519,7 @@ def cmd_blind(args):
     _resolve_geometry(args, args.data)
     model = _build_model(args, data.shape)
     cfg = _blind_config(args, data.shape)
+    params0 = _load_params_json(model, args.params_json) if args.params_json else None
     w = _weights(args, data)
     t0 = time.time()
     mesh = _make_mesh(args)
@@ -525,7 +528,8 @@ def cmd_blind(args):
             sys.exit("--checkpoint is not supported together with --mesh yet")
         from microtipi_tpu.parallel.blind import sharded_blind_deconvolve
 
-        run = jax.jit(lambda d, w: sharded_blind_deconvolve(d, model, mesh, weights=w, config=cfg))
+        run = jax.jit(lambda d, w: sharded_blind_deconvolve(
+            d, model, mesh, params0=params0, weights=w, config=cfg))
         res = run(data, w)
         df = np.asarray(res.deconv_f)
     elif args.checkpoint:
@@ -536,7 +540,7 @@ def cmd_blind(args):
 
         from microtipi_tpu.utils.checkpoint import load_state, save_state
 
-        x0, params0, start = None, None, 0
+        x0, start = None, 0
         if args.resume and os.path.exists(args.checkpoint):
             x0, params0, start, _ = load_state(args.checkpoint)
             print(f"resumed {args.checkpoint} at round {start}")
@@ -560,7 +564,8 @@ def cmd_blind(args):
             sys.exit("nothing to do: checkpoint is already at the final round")
         df = np.asarray(res.deconv_f)[-1:]
     else:
-        run = jax.jit(lambda d, w: blind_deconvolve(d, model, weights=w, config=cfg))
+        run = jax.jit(lambda d, w: blind_deconvolve(
+            d, model, params0=params0, weights=w, config=cfg))
         res = run(data, w)
         df = np.asarray(res.deconv_f)
     wall = time.time() - t0
@@ -802,6 +807,10 @@ def main(argv=None):
                         "deconv --params-json, e.g. for a depth-varying re-solve)")
     p.add_argument("--report", default=None,
                    help="write a JSON solve report (per-round costs, fitted parameters)")
+    p.add_argument("--params-json", default=None,
+                   help="start from calibrated PSF parameters (fitpsf/blind "
+                        "--params-out JSON) instead of the unaberrated pupil — "
+                        "the bead-calibration-anchored blind workflow")
     p.add_argument("--all-channels", action="store_true",
                    help="blind-solve EVERY channel of an OME hyperstack, each "
                         "with its own emission wavelength; writes one "

@@ -507,3 +507,37 @@ def test_cli_fuse_with_registration(tmp_path):
     np.testing.assert_allclose(t, [-1.0, 2.0, -2.0], atol=0.3)
     out = read_stack(tmp_path / "fused.tif")
     assert np.isfinite(out).all()
+
+
+def test_cli_blind_params_json_anchor(tmp_path):
+    """blind --params-json starts the loop from calibrated parameters."""
+    import jax.numpy as jnp
+
+    from microtipi_tpu.io.tiffstack import write_stack
+    from microtipi_tpu.models.widefield import WideFieldConfig
+    from microtipi_tpu.ops.convolution import convolve, convolve_spectrum
+
+    shape = (8, 16, 16)
+    model = WideFieldConfig(shape=shape, na=1.2, wavelength=500e-9, ni=1.33,
+                            dxy=100e-9, dz=250e-9, n_phase=2, radial=True,
+                            dtype=jnp.float32)
+    true = model.init_params()._replace(phase=jnp.asarray([0.3, -0.15], jnp.float32))
+    psf = model.compute_psf(true)
+    rng = np.random.default_rng(0)
+    obj = np.abs(rng.standard_normal(shape)).astype(np.float32) * 10
+    data = np.asarray(convolve(jnp.asarray(obj), convolve_spectrum(psf), shape))
+    write_stack(tmp_path / "d.tif", data)
+    calib = {"defocus": [1.33 / 500e-9, 0.0, 0.0], "phase": [0.3, -0.15],
+             "modulus": [1.0]}
+    (tmp_path / "calib.json").write_text(json.dumps(calib))
+
+    # Zero fit budget: the solve must USE the anchored parameters as-is.
+    r = _run(["blind", "d.tif", "--out", "o.tif", "--params-json", "calib.json",
+              "--params-out", "fitted.json",
+              "--loops", "1", "--iters", "4", "--psf-iters", "0",
+              "--n-phase", "2", "--radial", "--na", "1.2", "--ni", "1.33",
+              "--wavelength", "500e-9", "--dxy", "100e-9", "--dz", "250e-9"],
+             tmp_path)
+    assert r.returncode == 0, r.stderr
+    fitted = json.loads((tmp_path / "fitted.json").read_text())
+    np.testing.assert_allclose(fitted["phase"], [0.3, -0.15], atol=1e-6)
