@@ -443,6 +443,7 @@ def _blind_config(args, data_shape):
         joint_fit=args.joint_fit,
         phase_freeze_head=1 if args.pin_z4 else 0,
         init="wiener" if args.wiener_init else "data",
+        phase_prior_weight=args.phase_prior,
     )
     if args.recipe == "quality":
         # One flag for the measured-best recipe (BlindDeconvConfig.recommended):
@@ -811,6 +812,11 @@ def main(argv=None):
                    help="start from calibrated PSF parameters (fitpsf/blind "
                         "--params-out JSON) instead of the unaberrated pupil — "
                         "the bead-calibration-anchored blind workflow")
+    p.add_argument("--phase-prior", type=float, default=0.0,
+                   help="calibration-prior weight on the phase fit (use with "
+                        "--params-json; ~1e-2 measured best — BASELINE.md: "
+                        "improves on both free refitting and trusting the "
+                        "calibration)")
     p.add_argument("--all-channels", action="store_true",
                    help="blind-solve EVERY channel of an OME hyperstack, each "
                         "with its own emission wavelength; writes one "

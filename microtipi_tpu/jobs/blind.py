@@ -84,6 +84,13 @@ class BlindDeconvConfig:
     #: dispatches on the host (checkpointed runs): every round then fits,
     #: and the composer applies the skip on the true last round itself.
     skip_last_fit: bool = True
+    #: Calibration prior on the PHASE family: each fit gains
+    #: ``w * f0 * ||phase - phase(params0)||^2`` anchored at the INITIAL
+    #: parameters (pass a bead calibration as ``params0``). Measured
+    #: (BASELINE.md): at w ~ 1e-2 the refit improves on BOTH free refitting
+    #: and trusting the calibration — the one lever found to do so. 0 = off
+    #: (reference behavior).
+    phase_prior_weight: float = 0.0
     #: Object-prior annealing: per-round TV weight (length ``loops``),
     #: overriding ``deconv.mu``. Strong TV early keeps the object smooth so
     #: aberrations land in the PSF estimate instead of being absorbed by the
@@ -270,6 +277,10 @@ def blind_deconvolve(
     def _obj_at_data(x):
         return crop_to_shape(x, data.shape) if x.shape != data.shape else x
 
+    # Calibration-prior anchor: the ORIGINAL params0 (e.g. a bead
+    # calibration), not the drifting per-round estimate.
+    phase_anchor = params0.phase if config.phase_prior_weight > 0 else None
+
     def fit_one(params, x, w_fit, j, phase_active):
         flag = config.families[j]
         fres = fit_psf(
@@ -280,6 +291,8 @@ def blind_deconvolve(
             # DEPTH is a beyond-parity family whose components span ~12
             # orders of magnitude; unpreconditioned it stalls (psf_fit.py).
             precondition=flag == DEPTH,
+            anchor=phase_anchor if flag == PHASE else None,
+            prior_weight=config.phase_prior_weight if flag == PHASE else 0.0,
         )
         return fres.params, fres.f
 
@@ -290,6 +303,8 @@ def blind_deconvolve(
             model, params, jfams, data, _obj_at_data(x), weights=w_fit,
             config=dataclasses.replace(fit_cfg, max_iter=max(config.psf_max_iter)),
             phase_freeze_head=config.phase_freeze_head,
+            phase_anchor=phase_anchor,
+            phase_prior_weight=config.phase_prior_weight,
         )
         return fres.params, fres.f
 

@@ -68,8 +68,6 @@ def _fit_data_term(obj, data, weights):
     Measured (confocal 16x64x64, f32): quadratic recovers [0.295, -0.0005,
     0.0007] of [0.3, -0.2, 0.1]; residual recovers [0.295, -0.118, 0.133].
     """
-    import jax.numpy as jnp
-
     if weights is None:
         if jnp.asarray(data).dtype == jnp.float64:
             from microtipi_tpu.ops.convolution import QuadraticConvCost
@@ -92,6 +90,8 @@ def fit_psf(
     active: int | None = None,
     freeze_head: int = 0,
     precondition: bool = False,
+    anchor: jax.Array | None = None,
+    prior_weight: float = 0.0,
 ) -> PsfFitResult:
     """Fit the parameter family selected by ``flag`` (DEFOCUS/PHASE/MODULUS/DEPTH).
 
@@ -131,14 +131,25 @@ def fit_psf(
 
     cost = _fit_data_term(obj, data, weights)
 
-    def objective(v):
+    def data_objective(v):
         p = params._replace(**{family: full0.at[freeze_head : freeze_head + v.shape[0]].set(v)})
         psf = model.compute_psf(p)
         return cost.cost(psf)
 
-    if precondition:
-        import jax.numpy as jnp
+    if prior_weight > 0:
+        # Calibration prior in the family's raw units, normalized by the
+        # data cost at the fit start (scale-invariant weight — see
+        # fit_psf_joint and the BASELINE.md calibration-prior table).
+        anchor_v = (full0 if anchor is None else anchor)[freeze_head:active]
+        f0 = data_objective(x0)
 
+        def objective(v):
+            return data_objective(v) + prior_weight * f0 * jnp.sum((v - anchor_v) ** 2)
+
+    else:
+        objective = data_objective
+
+    if precondition:
         g0 = jax.grad(objective)(x0)
         gmax = jnp.max(jnp.abs(g0))
         tiny = jnp.asarray(jnp.finfo(gmax.dtype).tiny, gmax.dtype)
@@ -232,6 +243,8 @@ def fit_psf_joint(
     weights: jax.Array | None = None,
     config: PsfFitConfig = PsfFitConfig(),
     phase_freeze_head: int = 0,
+    phase_anchor: jax.Array | None = None,
+    phase_prior_weight: float = 0.0,
 ) -> PsfFitResult:
     """Fit several parameter families *simultaneously* in one VMLMB run.
 
@@ -241,6 +254,14 @@ def fit_psf_joint(
     Z4) zig-zag under that coordinate descent. Here the variable is simply
     the sub-pytree of the selected families (see :func:`joint_variable` for
     the per-family scaling and the pin-Z4 freeze).
+
+    ``phase_anchor``/``phase_prior_weight``: calibration prior. The
+    objective gains ``w * f0 * ||phase - anchor||^2`` with ``f0`` the data
+    cost at the fit start (so the weight is scale-invariant). Measured
+    (BASELINE.md calibration-prior table): at w ~ 1e-2, refitting from a
+    bead calibration IMPROVES on both free refitting (which drifts toward
+    the object-absorbed basin) and on trusting the calibration outright —
+    the only measured lever to do so.
     """
     names = tuple(FAMILY_NAMES[f] for f in flags)
     for n in names:
@@ -250,14 +271,23 @@ def fit_psf_joint(
         weights = pad_to_shape(weights, data.shape)
     cost = _fit_data_term(obj, data, weights)
 
-    # One extra gradient evaluation seeds the gradient-balanced scaling.
-    g0 = jax.grad(
+    # One extra evaluation seeds the gradient-balanced scaling (and the
+    # prior's scale-invariant f0 normalization).
+    f0, g0 = jax.value_and_grad(
         lambda sub: cost.cost(model.compute_psf(params._replace(**sub)))
     )({n: getattr(params, n) for n in names})
     x0, rebuild = joint_variable(params, names, phase_freeze_head, grads=g0)
 
+    use_prior = phase_prior_weight > 0 and "phase" in names
+    if use_prior and phase_anchor is None:
+        phase_anchor = getattr(params, "phase")
+
     def objective(v):
-        return cost.cost(model.compute_psf(rebuild(v)))
+        p = rebuild(v)
+        f = cost.cost(model.compute_psf(p))
+        if use_prior:
+            f = f + phase_prior_weight * f0 * jnp.sum((p.phase - phase_anchor) ** 2)
+        return f
 
     res = minimize_vmlmb(
         jax.value_and_grad(objective), x0,

@@ -117,6 +117,9 @@ def sharded_blind_deconvolve(
         w = weight_updater(pred, data)
         return pad_trailing(w, var_shape) if padded else w
 
+    # Calibration-prior anchor at the ORIGINAL params0 (jobs/blind.py).
+    phase_anchor = params0.phase if config.phase_prior_weight > 0 else None
+
     def fit_one(params, x, w_fit, j, phase_active):
         flag = config.families[j]
         fres = sharded_fit_psf(
@@ -124,6 +127,8 @@ def sharded_blind_deconvolve(
             config=dataclasses.replace(fit_cfg, max_iter=config.psf_max_iter[j]),
             active=phase_active,
             freeze_head=config.phase_freeze_head if flag == PHASE else 0,
+            anchor=phase_anchor if flag == PHASE else None,
+            prior_weight=config.phase_prior_weight if flag == PHASE else 0.0,
         )
         return fres.params, fres.f
 
@@ -132,6 +137,8 @@ def sharded_blind_deconvolve(
             model, params, jfams, d_fit, _mask(x), mesh, weights=w_fit,
             config=dataclasses.replace(fit_cfg, max_iter=max(config.psf_max_iter)),
             phase_freeze_head=config.phase_freeze_head,
+            phase_anchor=phase_anchor,
+            phase_prior_weight=config.phase_prior_weight,
         )
         return fres.params, fres.f
 

@@ -72,6 +72,8 @@ def sharded_fit_psf(
     config: PsfFitConfig = PsfFitConfig(),
     active: int | None = None,
     freeze_head: int = 0,
+    anchor: jax.Array | None = None,
+    prior_weight: float = 0.0,
 ) -> PsfFitResult:
     """Sharded analogue of ``jobs.psf_fit.fit_psf``.
 
@@ -92,9 +94,20 @@ def sharded_fit_psf(
 
     cost = _sharded_data_term(model, data, obj, weights, mesh)
 
-    def objective(v):
+    def data_objective(v):
         p = params._replace(**{family: full0.at[freeze_head : freeze_head + v.shape[0]].set(v)})
         return cost(p)
+
+    if prior_weight > 0:
+        # Calibration prior (see jobs.psf_fit.fit_psf).
+        anchor_v = (full0 if anchor is None else anchor)[freeze_head:active]
+        f0 = data_objective(x0)
+
+        def objective(v):
+            return data_objective(v) + prior_weight * f0 * jnp.sum((v - anchor_v) ** 2)
+
+    else:
+        objective = data_objective
 
     fun = jax.value_and_grad(objective)
     res = minimize_vmlmb(
@@ -117,10 +130,13 @@ def sharded_fit_psf_joint(
     weights: jax.Array | None = None,
     config: PsfFitConfig = PsfFitConfig(),
     phase_freeze_head: int = 0,
+    phase_anchor: jax.Array | None = None,
+    phase_prior_weight: float = 0.0,
 ) -> PsfFitResult:
     """Sharded analogue of ``jobs.psf_fit.fit_psf_joint``: fit several
     parameter families simultaneously in one VMLMB run (per-family scaling
-    and pin-Z4 freeze via ``jobs.psf_fit.joint_variable``)."""
+    and pin-Z4 freeze via ``jobs.psf_fit.joint_variable``), including the
+    calibration prior (``phase_anchor``/``phase_prior_weight``)."""
     from microtipi_tpu.jobs.psf_fit import joint_variable
 
     names = tuple(FAMILY_NAMES[f] for f in flags)
@@ -129,15 +145,23 @@ def sharded_fit_psf_joint(
             raise ValueError(f"family {n!r} has no coefficients to fit")
 
     cost = _sharded_data_term(model, data, obj, weights, mesh)
-    # One extra gradient evaluation seeds the gradient-balanced scaling
-    # (see jobs.psf_fit.joint_variable).
-    g0 = jax.grad(
+    # One extra evaluation seeds the gradient-balanced scaling and the
+    # prior's f0 normalization (see jobs.psf_fit).
+    f0, g0 = jax.value_and_grad(
         lambda sub: cost(params._replace(**sub))
     )({n: getattr(params, n) for n in names})
     x0, rebuild = joint_variable(params, names, phase_freeze_head, grads=g0)
 
+    use_prior = phase_prior_weight > 0 and "phase" in names
+    if use_prior and phase_anchor is None:
+        phase_anchor = getattr(params, "phase")
+
     def objective(v):
-        return cost(rebuild(v))
+        p = rebuild(v)
+        f = cost(p)
+        if use_prior:
+            f = f + phase_prior_weight * f0 * jnp.sum((p.phase - phase_anchor) ** 2)
+        return f
 
     res = minimize_vmlmb(
         jax.value_and_grad(objective), x0,

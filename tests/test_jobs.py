@@ -330,3 +330,76 @@ def test_fit_psf_beads_subvoxel_lateral_centering():
     err_crude = np.linalg.norm(np.asarray(crude.params.phase) - np.asarray(true_phase))
     assert err_good < 0.05
     assert err_good < err_crude
+
+
+def test_fit_psf_prior_pulls_to_anchor():
+    """A dominant calibration prior pins the fitted phase at the anchor."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from microtipi_tpu.jobs.psf_fit import PsfFitConfig, fit_psf, fit_psf_joint
+    from microtipi_tpu.models.microscope import DEFOCUS, PHASE
+    from microtipi_tpu.models.widefield import WideFieldConfig
+    from microtipi_tpu.ops.convolution import convolve, convolve_spectrum
+
+    shape = (8, 24, 24)
+    model = WideFieldConfig(shape=shape, na=1.2, wavelength=500e-9, ni=1.33,
+                            dxy=100e-9, dz=250e-9, n_phase=3, radial=True,
+                            dtype=jnp.float64)
+    rng = np.random.default_rng(0)
+    obj = jnp.asarray(np.abs(rng.standard_normal(shape)) * 10)
+    true = model.init_params()._replace(phase=jnp.asarray([0.3, -0.2, 0.1]))
+    data = convolve(obj, convolve_spectrum(model.compute_psf(true)), shape)
+    anchor = jnp.asarray([0.25, -0.15, 0.05])
+    params0 = model.init_params()._replace(phase=anchor)
+
+    # Huge prior: fit stays at the anchor.
+    res = fit_psf(model, params0, PHASE, data, obj,
+                  config=PsfFitConfig(max_iter=6, grtol=0.0),
+                  anchor=anchor, prior_weight=1e6)
+    np.testing.assert_allclose(np.asarray(res.params.phase), np.asarray(anchor),
+                               atol=1e-4)
+    # Moderate prior: fit moves toward the truth but not past it.
+    res2 = fit_psf_joint(model, params0, (DEFOCUS, PHASE), data, obj,
+                         config=PsfFitConfig(max_iter=8, grtol=0.0),
+                         phase_anchor=anchor, phase_prior_weight=1e-2)
+    err_anchor = float(jnp.linalg.norm(anchor - true.phase))
+    err_fit = float(jnp.linalg.norm(res2.params.phase - true.phase))
+    assert err_fit < err_anchor  # noiseless data: prior-regularized fit improves
+
+
+def test_sharded_fit_prior_matches_dense():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from microtipi_tpu.jobs.psf_fit import PsfFitConfig, fit_psf_joint
+    from microtipi_tpu.models.microscope import DEFOCUS, PHASE
+    from microtipi_tpu.models.widefield import WideFieldConfig
+    from microtipi_tpu.ops.convolution import convolve, convolve_spectrum
+    from microtipi_tpu.parallel.mesh import make_mesh, volume_sharding
+    from microtipi_tpu.parallel.psf_fit import sharded_fit_psf_joint
+
+    mesh = make_mesh(batch=1, z=8)
+    shape = (16, 24, 24)
+    model = WideFieldConfig(shape=shape, na=1.2, wavelength=500e-9, ni=1.33,
+                            dxy=100e-9, dz=250e-9, n_phase=3, radial=True,
+                            dtype=jnp.float64)
+    rng = np.random.default_rng(1)
+    obj = jnp.asarray(np.abs(rng.standard_normal(shape)) * 10)
+    true = model.init_params()._replace(phase=jnp.asarray([0.3, -0.2, 0.1]))
+    data = convolve(obj, convolve_spectrum(model.compute_psf(true)), shape)
+    anchor = jnp.asarray([0.25, -0.15, 0.05])
+    params0 = model.init_params()._replace(phase=anchor)
+    kw = dict(config=PsfFitConfig(max_iter=5, grtol=0.0),
+              phase_anchor=anchor, phase_prior_weight=1e-2)
+
+    dense = fit_psf_joint(model, params0, (DEFOCUS, PHASE), data, obj, **kw)
+    d_sh = jax.device_put(data, volume_sharding(mesh, batched=False))
+    o_sh = jax.device_put(obj, volume_sharding(mesh, batched=False))
+    sh = jax.jit(lambda d, o: sharded_fit_psf_joint(
+        model, params0, (DEFOCUS, PHASE), d, o, mesh, **kw))(d_sh, o_sh)
+    # Dense uses the 2-FFT quadratic data term, sharded the residual form —
+    # equal math, so trajectories agree to iteration-accumulated roundoff.
+    np.testing.assert_allclose(np.asarray(sh.params.phase),
+                               np.asarray(dense.params.phase), atol=2e-4)
