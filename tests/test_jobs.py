@@ -403,3 +403,36 @@ def test_sharded_fit_prior_matches_dense():
     # equal math, so trajectories agree to iteration-accumulated roundoff.
     np.testing.assert_allclose(np.asarray(sh.params.phase),
                                np.asarray(dense.params.phase), atol=2e-4)
+
+
+def test_blind_loop_calibration_prior_pins_phase():
+    """A dominant phase_prior_weight holds the blind loop's phase at the
+    initial (calibration) parameters across rounds, dense and sharded."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from microtipi_tpu.jobs.blind import BlindDeconvConfig, blind_deconvolve
+    from microtipi_tpu.jobs.deconv import DeconvolutionConfig
+    from microtipi_tpu.models.microscope import PHASE
+    from microtipi_tpu.models.widefield import WideFieldConfig
+    from microtipi_tpu.ops.convolution import convolve, convolve_spectrum
+
+    shape = (8, 16, 16)
+    model = WideFieldConfig(shape=shape, na=1.2, wavelength=500e-9, ni=1.33,
+                            dxy=100e-9, dz=250e-9, n_phase=2, radial=True,
+                            dtype=jnp.float64)
+    rng = np.random.default_rng(0)
+    obj = jnp.asarray(np.abs(rng.standard_normal(shape)) * 10)
+    true = model.init_params()._replace(phase=jnp.asarray([0.3, -0.15]))
+    data = convolve(obj, convolve_spectrum(model.compute_psf(true)), shape)
+    anchor = jnp.asarray([0.2, -0.1])
+    params0 = model.init_params()._replace(phase=anchor)
+    cfg = BlindDeconvConfig(
+        loops=3, families=(PHASE,), psf_max_iter=(4,),
+        deconv=DeconvolutionConfig(mu=1e-3, epsilon=1.0, max_iter=3, grtol=0.0),
+        joint_fit=True, phase_prior_weight=1e6,
+    )
+    res = jax.jit(lambda d: blind_deconvolve(d, model, params0=params0, config=cfg))(data)
+    np.testing.assert_allclose(np.asarray(res.params.phase), np.asarray(anchor),
+                               atol=1e-3)
