@@ -91,6 +91,22 @@ class BlindDeconvConfig:
     #: and trusting the calibration — the one lever found to do so. 0 = off
     #: (reference behavior).
     phase_prior_weight: float = 0.0
+    #: Weight of the structural bead anchor when ``bead_data`` is passed to
+    #: :func:`blind_deconvolve`: the bead measurement joins every PSF fit as
+    #: an auxiliary data term (``psf_fit.bead_anchor_term``) in natural
+    #: intensity units — 1.0 is the joint maximum-likelihood objective when
+    #: bead and sample share the same noise level; use
+    #: ``sigma_sample^2 / sigma_bead^2`` otherwise, or larger values to
+    #: trust the bead more. Unlike ``phase_prior_weight`` (a quadratic pull
+    #: toward a point estimate), the anchor keeps the bead *data* in the
+    #: joint objective, so modes the bead constrains are pinned hard while
+    #: poorly-constrained modes stay free — and a low-SNR bead degrades
+    #: gracefully to no pull at all (see ``psf_fit._combine_aux_terms`` for
+    #: the measured failure of scale-invariant weighting here).
+    bead_weight: float = 1.0
+    #: Subvoxel lateral bead centering for the anchor (see fit_psf_beads for
+    #: why z stays integer).
+    bead_subvoxel: bool = True
     #: Object-prior annealing: per-round TV weight (length ``loops``),
     #: overriding ``deconv.mu``. Strong TV early keeps the object smooth so
     #: aberrations land in the PSF estimate instead of being absorbed by the
@@ -232,11 +248,19 @@ def blind_deconvolve(
     weights: jax.Array | None = None,
     weight_updater: Callable[[jax.Array, jax.Array], jax.Array] | None = None,
     config: BlindDeconvConfig = BlindDeconvConfig(),
+    bead_data: jax.Array | None = None,
 ) -> BlindDeconvResult:
     """Run the alternating blind-deconvolution loop; see module docstring.
 
     ``model`` is a PSF model config (``WideFieldConfig``); ``weight_updater``
     maps (model_prediction, data) -> weights (see ``weights.updaters``).
+
+    ``bead_data``: an optional bead (point-source) stack measured on the same
+    optics — the structural calibration anchor. Every PSF fit then jointly
+    minimizes the sample data term plus the bead data term
+    (``psf_fit.bead_anchor_term``, weight ``config.bead_weight``), keeping
+    the calibration *measurement* in the loop instead of (or in addition to)
+    the ``phase_prior_weight`` point-estimate prior.
     """
     if params0 is None:
         params0 = model.init_params()
@@ -281,6 +305,18 @@ def blind_deconvolve(
     # calibration), not the drifting per-round estimate.
     phase_anchor = params0.phase if config.phase_prior_weight > 0 else None
 
+    # Structural bead anchor: the bead stack joins every fit as an auxiliary
+    # data term at its own geometry (same optics, bead-stack shape).
+    aux_terms = ()
+    if bead_data is not None:
+        from microtipi_tpu.jobs.psf_fit import bead_anchor_term
+
+        bead_model = dataclasses.replace(model, shape=tuple(bead_data.shape))
+        aux_terms = (
+            (bead_anchor_term(bead_model, bead_data, subvoxel=config.bead_subvoxel),
+             config.bead_weight),
+        )
+
     def fit_one(params, x, w_fit, j, phase_active):
         flag = config.families[j]
         fres = fit_psf(
@@ -293,6 +329,7 @@ def blind_deconvolve(
             precondition=flag == DEPTH,
             anchor=phase_anchor if flag == PHASE else None,
             prior_weight=config.phase_prior_weight if flag == PHASE else 0.0,
+            aux_terms=aux_terms,
         )
         return fres.params, fres.f
 
@@ -305,6 +342,7 @@ def blind_deconvolve(
             phase_freeze_head=config.phase_freeze_head,
             phase_anchor=phase_anchor,
             phase_prior_weight=config.phase_prior_weight,
+            aux_terms=aux_terms,
         )
         return fres.params, fres.f
 

@@ -35,7 +35,16 @@ from microtipi_tpu.ops.convolution import WeightedConvolutionCost
 from microtipi_tpu.optim.vmlmb import minimize_vmlmb
 from microtipi_tpu.utils.arrays import pad_to_shape
 
-__all__ = ["PsfFitConfig", "PsfFitResult", "fit_psf", "fit_psf_beads", "fit_psf_joint", "joint_variable"]
+__all__ = [
+    "PsfFitConfig",
+    "PsfFitResult",
+    "bead_anchor_term",
+    "center_bead_stack",
+    "fit_psf",
+    "fit_psf_beads",
+    "fit_psf_joint",
+    "joint_variable",
+]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -79,6 +88,131 @@ def _fit_data_term(obj, data, weights):
     return WeightedConvolutionCost.build(obj, data, weights)
 
 
+def center_bead_stack(data: jax.Array, subvoxel: bool = True) -> jax.Array:
+    """Background-subtract a bead stack and shift the bead to the corner origin.
+
+    The preprocessing half of :func:`fit_psf_beads` (see its docstring for
+    the measured rationale): the background is the median, the bead is
+    localized at the intensity peak with optional parabolic *lateral*
+    subvoxel refinement (the axial position stays integer — a fractional z
+    shift is gauge-degenerate with the defocus/Z4 phase mode), and the data
+    is Fourier-shifted so the bead sits exactly at index (0, 0, 0), where a
+    corner-origin model PSF lives. Returns the centered, background-free
+    stack; jit-friendly.
+    """
+    import numpy as np
+
+    bg = jnp.median(data)
+    d = data - bg
+    shape = d.shape
+    idx = jnp.argmax(d)
+    iz, iy, ix = jnp.unravel_index(idx, shape)
+
+    def _frac(i, n, take_axis):
+        f0 = d[iz, iy, ix]
+        fm = take_axis((i - 1) % n)
+        fp = take_axis((i + 1) % n)
+        denom = fm - 2.0 * f0 + fp
+        s = jnp.where(jnp.abs(denom) > 1e-30, 0.5 * (fm - fp) / denom, 0.0)
+        return jnp.clip(s, -0.5, 0.5)
+
+    nz, ny, nx = shape
+    pz = iz.astype(d.dtype)
+    py = iy.astype(d.dtype)
+    px = ix.astype(d.dtype)
+    if subvoxel:
+        py = py + _frac(iy, ny, lambda j: d[iz, j, ix])
+        px = px + _frac(ix, nx, lambda j: d[iz, iy, j])
+
+    fz = jnp.asarray(np.fft.fftfreq(nz), d.dtype)
+    fy = jnp.asarray(np.fft.fftfreq(ny), d.dtype)
+    fx = jnp.asarray(np.fft.rfftfreq(nx), d.dtype)
+    phase = (fz[:, None, None] * pz + fy[None, :, None] * py
+             + fx[None, None, :] * px)
+    ramp = jnp.exp((2j * jnp.pi) * phase.astype(
+        jnp.complex128 if d.dtype == jnp.float64 else jnp.complex64))
+    return jnp.fft.irfftn(jnp.fft.rfftn(d) * ramp, s=shape).astype(d.dtype)
+
+
+def bead_anchor_term(model, bead_data: jax.Array, subvoxel: bool = True):
+    """Build a bead-stack data term ``term(params) -> cost`` for anchored fits.
+
+    The *structural* calibration anchor (vs the quadratic ``prior_weight``
+    point-estimate prior): the bead measurement itself stays in the joint
+    objective, so pupil modes the bead constrains well are pinned hard while
+    poorly-constrained modes stay free for the sample data to determine —
+    the uncertainty structure a scalar prior weight cannot express.
+
+    A sub-resolution bead is a delta object, so the convolution data term
+    collapses: ``K = amp * delta`` makes the model just ``amp * h(params)``
+    — no FFTs. Bead brightness ``amp`` AND a constant residual background
+    ``c`` (the median estimate in :func:`center_bead_stack` is biased by the
+    PSF's own tail mass) are nuisance parameters profiled out analytically
+    — the 2x2 linear least-squares ``min_{amp,c} 0.5*||amp*h + c - d||^2``
+    substituted back:
+
+        term(p) = 0.5 * (||d||^2 - amp*<h,d> - c*<1,d>)
+
+    This is the same objective :func:`fit_psf_beads` alternates over,
+    without its amplitude-staleness and background bias. ``model`` must
+    carry the *bead stack's* geometry (same optics as the sample model:
+    ``dataclasses.replace(model, shape=bead_data.shape)``); see
+    ``jobs.blind.blind_deconvolve`` for the loop wiring. The stack is
+    centered once here (:func:`center_bead_stack`).
+    """
+    if bead_data.shape != model.shape:
+        raise ValueError(
+            f"bead model shape {model.shape} != bead stack shape {bead_data.shape}; "
+            "build it with dataclasses.replace(sample_model, shape=bead_data.shape)"
+        )
+    d0 = center_bead_stack(bead_data, subvoxel=subvoxel)
+    d2 = jnp.sum(d0 * d0)
+    s1d = jnp.sum(d0)
+    n = float(d0.size)
+
+    def term(params):
+        h = model.compute_psf(params)
+        shh = jnp.sum(h * h)
+        sh1 = jnp.sum(h)
+        shd = jnp.sum(h * d0)
+        det = shh * n - sh1 * sh1  # > 0 unless h is constant
+        tiny = jnp.asarray(jnp.finfo(h.dtype).tiny, h.dtype)
+        det = jnp.maximum(det, tiny)
+        amp = (n * shd - sh1 * s1d) / det
+        c = (shh * s1d - sh1 * shd) / det
+        # 0.5*||amp*h + c - d||^2 via the normal equations.
+        return 0.5 * (d2 - amp * shd - c * s1d)
+
+    return term
+
+
+def _combine_aux_terms(param_of, aux_terms):
+    """Natural-weight mixing of auxiliary data terms into a PSF-fit objective.
+
+    Each ``(term, w)`` contributes ``w * term(params)`` — raw intensity
+    units, so ``w = 1`` is the joint maximum-likelihood objective when both
+    stacks share the same (uniform) noise weighting; set
+    ``w = sigma_data^2 / sigma_aux^2`` when noise levels differ. Natural
+    weighting deliberately: an earlier scale-invariant ``f0_data/f0_aux``
+    normalization (like the calibration prior's) was measured to AMPLIFY a
+    low-SNR bead stack's noise floor into a dominant random pull (the aux
+    cost at a weak bead is ~flat ||noise||^2, and dividing by it blows the
+    noisy landscape up to data-term magnitude — anchored fits came out
+    WORSE than free ones). A quadratic coefficient prior has no intensity
+    scale, so normalizing it is right; a *data term* has one, so its
+    information content must keep its own weight.
+    """
+
+    def extra(v):
+        p = param_of(v)
+        out = 0.0
+        for term, w in aux_terms:
+            out = out + w * term(p)
+        return out
+
+    return extra
+
+
 def fit_psf(
     model,
     params,
@@ -92,6 +226,7 @@ def fit_psf(
     precondition: bool = False,
     anchor: jax.Array | None = None,
     prior_weight: float = 0.0,
+    aux_terms: tuple = (),
 ) -> PsfFitResult:
     """Fit the parameter family selected by ``flag`` (DEFOCUS/PHASE/MODULUS/DEPTH).
 
@@ -131,20 +266,31 @@ def fit_psf(
 
     cost = _fit_data_term(obj, data, weights)
 
-    def data_objective(v):
-        p = params._replace(**{family: full0.at[freeze_head : freeze_head + v.shape[0]].set(v)})
-        psf = model.compute_psf(p)
-        return cost.cost(psf)
+    def param_of(v):
+        return params._replace(**{family: full0.at[freeze_head : freeze_head + v.shape[0]].set(v)})
 
+    def data_objective(v):
+        return cost.cost(model.compute_psf(param_of(v)))
+
+    extra_parts = []
     if prior_weight > 0:
         # Calibration prior in the family's raw units, normalized by the
         # data cost at the fit start (scale-invariant weight — see
         # fit_psf_joint and the BASELINE.md calibration-prior table).
         anchor_v = (full0 if anchor is None else anchor)[freeze_head:active]
         f0 = data_objective(x0)
+        extra_parts.append(lambda v: prior_weight * f0 * jnp.sum((v - anchor_v) ** 2))
+    if aux_terms:
+        # Bead-anchored (or other auxiliary-stack) joint terms; see
+        # bead_anchor_term for the structural-anchor rationale.
+        extra_parts.append(_combine_aux_terms(param_of, aux_terms))
+    if extra_parts:
 
         def objective(v):
-            return data_objective(v) + prior_weight * f0 * jnp.sum((v - anchor_v) ** 2)
+            out = data_objective(v)
+            for e in extra_parts:
+                out = out + e(v)
+            return out
 
     else:
         objective = data_objective
@@ -245,6 +391,7 @@ def fit_psf_joint(
     phase_freeze_head: int = 0,
     phase_anchor: jax.Array | None = None,
     phase_prior_weight: float = 0.0,
+    aux_terms: tuple = (),
 ) -> PsfFitResult:
     """Fit several parameter families *simultaneously* in one VMLMB run.
 
@@ -281,12 +428,17 @@ def fit_psf_joint(
     use_prior = phase_prior_weight > 0 and "phase" in names
     if use_prior and phase_anchor is None:
         phase_anchor = getattr(params, "phase")
+    # Bead-anchored (or other auxiliary-stack) joint terms; see
+    # bead_anchor_term for the structural-anchor rationale.
+    extra = _combine_aux_terms(rebuild, aux_terms) if aux_terms else None
 
     def objective(v):
         p = rebuild(v)
         f = cost.cost(model.compute_psf(p))
         if use_prior:
             f = f + phase_prior_weight * f0 * jnp.sum((p.phase - phase_anchor) ** 2)
+        if extra is not None:
+            f = f + extra(v)
         return f
 
     res = minimize_vmlmb(
@@ -341,57 +493,21 @@ def fit_psf_beads(
     ``(PsfFitResult, amplitude)``; the fitted PSF is
     ``model.compute_psf(result.params)``.
     """
-    import numpy as np
-
     if params0 is None:
         params0 = model.init_params()
-    bg = jnp.median(data)
-    d = data - bg
-    shape = d.shape
-    idx = jnp.argmax(d)
-    iz, iy, ix = jnp.unravel_index(idx, shape)
-
-    def _frac(i, n, take_axis):
-        """Parabolic sub-voxel offset of the peak along one axis."""
-        f0 = d[iz, iy, ix]
-        fm = take_axis((i - 1) % n)
-        fp = take_axis((i + 1) % n)
-        denom = fm - 2.0 * f0 + fp
-        s = jnp.where(jnp.abs(denom) > 1e-30, 0.5 * (fm - fp) / denom, 0.0)
-        return jnp.clip(s, -0.5, 0.5)
-
-    nz, ny, nx = shape
-    pz = iz.astype(d.dtype)
-    py = iy.astype(d.dtype)
-    px = ix.astype(d.dtype)
-    if subvoxel:
-        # lateral only — see docstring for why z stays integer
-        py = py + _frac(iy, ny, lambda j: d[iz, j, ix])
-        px = px + _frac(ix, nx, lambda j: d[iz, iy, j])
-
-    # Fourier-shift the data by -p: the bead lands exactly at the corner
-    # origin, where the model PSF already lives.
-    fz = jnp.asarray(np.fft.fftfreq(nz), d.dtype)
-    fy = jnp.asarray(np.fft.fftfreq(ny), d.dtype)
-    fx = jnp.asarray(np.fft.rfftfreq(nx), d.dtype)
-    phase = (fz[:, None, None] * pz + fy[None, :, None] * py
-             + fx[None, None, :] * px)
-    ramp = jnp.exp((2j * jnp.pi) * phase.astype(
-        jnp.complex128 if d.dtype == jnp.float64 else jnp.complex64))
-    d0 = jnp.fft.irfftn(jnp.fft.rfftn(d) * ramp, s=shape).astype(d.dtype)
-    d0_hat = jnp.fft.rfftn(d0)
+    d0 = center_bead_stack(data, subvoxel=subvoxel)
+    shape = d0.shape
 
     def matched_amplitude(params):
+        # Cross-correlation at zero lag (the bead sits at the origin after
+        # centering): <h, d0> / ||h||^2.
         h = model.compute_psf(params)
-        corr = jnp.sum(jnp.fft.irfftn(
-            jnp.conj(jnp.fft.rfftn(h)) * d0_hat, s=shape
-        ).ravel()[0:1])
-        return corr / jnp.sum(h * h)
+        return jnp.sum(h * d0) / jnp.sum(h * h)
 
     params, res = params0, None
     for _ in range(max(1, rounds)):
         amp = matched_amplitude(params)
-        obj = jnp.zeros_like(d).ravel().at[0].set(amp).reshape(shape)
+        obj = jnp.zeros_like(d0).ravel().at[0].set(amp).reshape(shape)
         res = fit_psf_joint(
             model, params, families, d0, obj,
             config=config, phase_freeze_head=phase_freeze_head,

@@ -53,6 +53,7 @@ def sharded_blind_deconvolve(
     weights: jax.Array | None = None,
     weight_updater=None,
     config: BlindDeconvConfig = BlindDeconvConfig(),
+    bead_data: jax.Array | None = None,
 ) -> BlindDeconvResult:
     """Sharded analogue of ``jobs.blind.blind_deconvolve``.
 
@@ -60,6 +61,10 @@ def sharded_blind_deconvolve(
     mesh. Nz/Ny need not divide the mesh z-axis — the grid is padded up
     internally (zero-weight padding; the returned object lives on the padded
     grid, ``crop_trailing`` recovers the data window).
+
+    ``bead_data``: optional bead stack for the structural calibration anchor
+    (``jobs.blind.blind_deconvolve``). The bead term is tiny and evaluates
+    replicated on the mesh.
     """
     if params0 is None:
         params0 = model.init_params()
@@ -120,6 +125,17 @@ def sharded_blind_deconvolve(
     # Calibration-prior anchor at the ORIGINAL params0 (jobs/blind.py).
     phase_anchor = params0.phase if config.phase_prior_weight > 0 else None
 
+    # Structural bead anchor (jobs/blind.py): replicated auxiliary term.
+    aux_terms = ()
+    if bead_data is not None:
+        from microtipi_tpu.jobs.psf_fit import bead_anchor_term
+
+        bead_model = dataclasses.replace(model, shape=tuple(bead_data.shape))
+        aux_terms = (
+            (bead_anchor_term(bead_model, bead_data, subvoxel=config.bead_subvoxel),
+             config.bead_weight),
+        )
+
     def fit_one(params, x, w_fit, j, phase_active):
         flag = config.families[j]
         fres = sharded_fit_psf(
@@ -129,6 +145,7 @@ def sharded_blind_deconvolve(
             freeze_head=config.phase_freeze_head if flag == PHASE else 0,
             anchor=phase_anchor if flag == PHASE else None,
             prior_weight=config.phase_prior_weight if flag == PHASE else 0.0,
+            aux_terms=aux_terms,
         )
         return fres.params, fres.f
 
@@ -139,6 +156,7 @@ def sharded_blind_deconvolve(
             phase_freeze_head=config.phase_freeze_head,
             phase_anchor=phase_anchor,
             phase_prior_weight=config.phase_prior_weight,
+            aux_terms=aux_terms,
         )
         return fres.params, fres.f
 

@@ -74,6 +74,7 @@ def sharded_fit_psf(
     freeze_head: int = 0,
     anchor: jax.Array | None = None,
     prior_weight: float = 0.0,
+    aux_terms: tuple = (),
 ) -> PsfFitResult:
     """Sharded analogue of ``jobs.psf_fit.fit_psf``.
 
@@ -94,17 +95,31 @@ def sharded_fit_psf(
 
     cost = _sharded_data_term(model, data, obj, weights, mesh)
 
-    def data_objective(v):
-        p = params._replace(**{family: full0.at[freeze_head : freeze_head + v.shape[0]].set(v)})
-        return cost(p)
+    def param_of(v):
+        return params._replace(**{family: full0.at[freeze_head : freeze_head + v.shape[0]].set(v)})
 
+    def data_objective(v):
+        return cost(param_of(v))
+
+    extra_parts = []
     if prior_weight > 0:
         # Calibration prior (see jobs.psf_fit.fit_psf).
         anchor_v = (full0 if anchor is None else anchor)[freeze_head:active]
         f0 = data_objective(x0)
+        extra_parts.append(lambda v: prior_weight * f0 * jnp.sum((v - anchor_v) ** 2))
+    if aux_terms:
+        # Auxiliary (e.g. bead-anchor) terms evaluate replicated: the bead
+        # stack is tiny next to the sharded sample volume.
+        from microtipi_tpu.jobs.psf_fit import _combine_aux_terms
+
+        extra_parts.append(_combine_aux_terms(param_of, aux_terms))
+    if extra_parts:
 
         def objective(v):
-            return data_objective(v) + prior_weight * f0 * jnp.sum((v - anchor_v) ** 2)
+            out = data_objective(v)
+            for e in extra_parts:
+                out = out + e(v)
+            return out
 
     else:
         objective = data_objective
@@ -132,6 +147,7 @@ def sharded_fit_psf_joint(
     phase_freeze_head: int = 0,
     phase_anchor: jax.Array | None = None,
     phase_prior_weight: float = 0.0,
+    aux_terms: tuple = (),
 ) -> PsfFitResult:
     """Sharded analogue of ``jobs.psf_fit.fit_psf_joint``: fit several
     parameter families simultaneously in one VMLMB run (per-family scaling
@@ -155,12 +171,20 @@ def sharded_fit_psf_joint(
     use_prior = phase_prior_weight > 0 and "phase" in names
     if use_prior and phase_anchor is None:
         phase_anchor = getattr(params, "phase")
+    if aux_terms:
+        from microtipi_tpu.jobs.psf_fit import _combine_aux_terms
+
+        extra = _combine_aux_terms(rebuild, aux_terms)
+    else:
+        extra = None
 
     def objective(v):
         p = rebuild(v)
         f = cost(p)
         if use_prior:
             f = f + phase_prior_weight * f0 * jnp.sum((p.phase - phase_anchor) ** 2)
+        if extra is not None:
+            f = f + extra(v)
         return f
 
     res = minimize_vmlmb(
