@@ -444,6 +444,7 @@ def _blind_config(args, data_shape):
         phase_freeze_head=1 if args.pin_z4 else 0,
         init="wiener" if args.wiener_init else "data",
         phase_prior_weight=args.phase_prior,
+        bead_weight=getattr(args, "bead_weight", 1.0),
     )
     if args.recipe == "quality":
         # One flag for the measured-best recipe (BlindDeconvConfig.recommended):
@@ -514,6 +515,10 @@ def cmd_blind(args):
     from microtipi_tpu.jobs.blind import blind_deconvolve
 
     if getattr(args, "all_channels", False):
+        if args.bead:
+            sys.exit("--bead is not supported with --all-channels: each "
+                     "channel's PSF lives at its own emission wavelength and "
+                     "needs its own bead stack")
         _cmd_blind_all_channels(args)
         return
     data = jnp.asarray(_read_input_volume(args, args.data))
@@ -521,6 +526,7 @@ def cmd_blind(args):
     model = _build_model(args, data.shape)
     cfg = _blind_config(args, data.shape)
     params0 = _load_params_json(model, args.params_json) if args.params_json else None
+    bead = jnp.asarray(_read_input_volume(args, args.bead)) if args.bead else None
     w = _weights(args, data)
     t0 = time.time()
     mesh = _make_mesh(args)
@@ -529,9 +535,9 @@ def cmd_blind(args):
             sys.exit("--checkpoint is not supported together with --mesh yet")
         from microtipi_tpu.parallel.blind import sharded_blind_deconvolve
 
-        run = jax.jit(lambda d, w: sharded_blind_deconvolve(
-            d, model, mesh, params0=params0, weights=w, config=cfg))
-        res = run(data, w)
+        run = jax.jit(lambda d, w, b: sharded_blind_deconvolve(
+            d, model, mesh, params0=params0, weights=w, config=cfg, bead_data=b))
+        res = run(data, w, bead)
         df = np.asarray(res.deconv_f)
     elif args.checkpoint:
         # Host-driven rounds with atomic npz checkpoints: a preempted run
@@ -541,6 +547,12 @@ def cmd_blind(args):
 
         from microtipi_tpu.utils.checkpoint import load_state, save_state
 
+        # The calibration prior must stay anchored at the ORIGINAL
+        # calibration (the --params-json load) across the per-round
+        # dispatches and resumes, not each round's drifting params0
+        # (jobs/blind.py phase_anchor note).
+        anchor0 = ((params0 if params0 is not None else model.init_params()).phase
+                   if args.phase_prior > 0 else None)
         x0, start = None, 0
         if args.resume and os.path.exists(args.checkpoint):
             x0, params0, start, _ = load_state(args.checkpoint)
@@ -548,15 +560,16 @@ def cmd_blind(args):
         mid_cfg = dataclasses.replace(cfg, loops=1, skip_last_fit=False)
         last_cfg = dataclasses.replace(cfg, loops=1, skip_last_fit=True)
         run1 = jax.jit(
-            lambda d, w, x0, p0, c: blind_deconvolve(
-                d, model, params0=p0, x0=x0, weights=w, config=c
+            lambda d, w, x0, p0, c, b, a: blind_deconvolve(
+                d, model, params0=p0, x0=x0, weights=w, config=c, bead_data=b,
+                phase_anchor=a,
             ),
             static_argnums=4,
         )
         res = None
         for i in range(start, args.loops):
             c = last_cfg if i == args.loops - 1 else mid_cfg
-            res = run1(data, w, x0, params0, c)
+            res = run1(data, w, x0, params0, c, bead, anchor0)
             x0, params0 = res.obj, res.params
             save_state(args.checkpoint, np.asarray(res.obj), res.params, i + 1)
             print(f"round {i+1}/{args.loops}: object cost "
@@ -565,9 +578,9 @@ def cmd_blind(args):
             sys.exit("nothing to do: checkpoint is already at the final round")
         df = np.asarray(res.deconv_f)[-1:]
     else:
-        run = jax.jit(lambda d, w: blind_deconvolve(
-            d, model, params0=params0, weights=w, config=cfg))
-        res = run(data, w)
+        run = jax.jit(lambda d, w, b: blind_deconvolve(
+            d, model, params0=params0, weights=w, config=cfg, bead_data=b))
+        res = run(data, w, bead)
         df = np.asarray(res.deconv_f)
     wall = time.time() - t0
     print(f"blind: {args.loops} rounds in {wall:.1f}s (incl. compile); "
@@ -817,6 +830,16 @@ def main(argv=None):
                         "--params-json; ~1e-2 measured best — BASELINE.md: "
                         "improves on both free refitting and trusting the "
                         "calibration)")
+    p.add_argument("--bead", default=None, metavar="STACK",
+                   help="bead (point-source) stack on the same optics: the "
+                        "structural calibration anchor — the bead measurement "
+                        "joins every PSF fit as an auxiliary data term "
+                        "(measured: pins phase at the truth where free and "
+                        "prior-anchored fits drift, BASELINE.md)")
+    p.add_argument("--bead-weight", type=float, default=1.0,
+                   help="bead-term weight in natural intensity units (1.0 = "
+                        "joint MLE at equal noise; sigma_sample^2/sigma_bead^2 "
+                        "otherwise)")
     p.add_argument("--all-channels", action="store_true",
                    help="blind-solve EVERY channel of an OME hyperstack, each "
                         "with its own emission wavelength; writes one "

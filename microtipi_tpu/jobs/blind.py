@@ -249,6 +249,7 @@ def blind_deconvolve(
     weight_updater: Callable[[jax.Array, jax.Array], jax.Array] | None = None,
     config: BlindDeconvConfig = BlindDeconvConfig(),
     bead_data: jax.Array | None = None,
+    phase_anchor: jax.Array | None = None,
 ) -> BlindDeconvResult:
     """Run the alternating blind-deconvolution loop; see module docstring.
 
@@ -302,8 +303,12 @@ def blind_deconvolve(
         return crop_to_shape(x, data.shape) if x.shape != data.shape else x
 
     # Calibration-prior anchor: the ORIGINAL params0 (e.g. a bead
-    # calibration), not the drifting per-round estimate.
-    phase_anchor = params0.phase if config.phase_prior_weight > 0 else None
+    # calibration), not the drifting per-round estimate. Host-driven
+    # round-at-a-time composition (api/CLI checkpointing) must pass the
+    # original as ``phase_anchor`` explicitly, since its per-round params0
+    # IS the drifting estimate.
+    if phase_anchor is None:
+        phase_anchor = params0.phase if config.phase_prior_weight > 0 else None
 
     # Structural bead anchor: the bead stack joins every fit as an auxiliary
     # data term at its own geometry (same optics, bead-stack shape).

@@ -541,3 +541,37 @@ def test_cli_blind_params_json_anchor(tmp_path):
     assert r.returncode == 0, r.stderr
     fitted = json.loads((tmp_path / "fitted.json").read_text())
     np.testing.assert_allclose(fitted["phase"], [0.3, -0.15], atol=1e-6)
+
+
+def test_cli_blind_bead_anchor(tmp_path):
+    """blind --bead: the bead stack's structural anchor pins the fitted
+    phase at the truth it carries."""
+    import jax.numpy as jnp
+
+    from microtipi_tpu.io.tiffstack import write_stack
+    from microtipi_tpu.models.widefield import WideFieldConfig
+    from microtipi_tpu.ops.convolution import convolve, convolve_spectrum
+    from microtipi_tpu.utils.arrays import roll
+
+    shape = (8, 16, 16)
+    model = WideFieldConfig(shape=shape, na=1.2, wavelength=500e-9, ni=1.33,
+                            dxy=100e-9, dz=250e-9, n_phase=2, radial=True,
+                            dtype=jnp.float32)
+    true = model.init_params()._replace(phase=jnp.asarray([0.3, -0.15], jnp.float32))
+    psf = model.compute_psf(true)
+    rng = np.random.default_rng(0)
+    obj = np.abs(rng.standard_normal(shape)).astype(np.float32) * 10
+    data = np.asarray(convolve(jnp.asarray(obj), convolve_spectrum(psf), shape))
+    write_stack(tmp_path / "d.tif", data)
+    bead = np.asarray(500.0 * roll(psf) + 2.0, np.float32)
+    write_stack(tmp_path / "bead.tif", bead)
+
+    r = _run(["blind", "d.tif", "--out", "o.tif", "--bead", "bead.tif",
+              "--bead-weight", "1e4", "--params-out", "fitted.json",
+              "--loops", "2", "--iters", "4", "--psf-iters", "6", "--joint-fit",
+              "--n-phase", "2", "--radial", "--na", "1.2", "--ni", "1.33",
+              "--wavelength", "500e-9", "--dxy", "100e-9", "--dz", "250e-9"],
+             tmp_path)
+    assert r.returncode == 0, r.stderr
+    fitted = json.loads((tmp_path / "fitted.json").read_text())
+    np.testing.assert_allclose(fitted["phase"], [0.3, -0.15], atol=3e-2)
