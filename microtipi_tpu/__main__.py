@@ -85,7 +85,10 @@ def _resolve_geometry(args, stack_path=None, log=print):
     to the historical defaults."""
     meta_dxy = meta_dz = None
     if stack_path is not None and (args.dxy is None or args.dz is None):
-        from microtipi_tpu.io.tiffstack import read_pixel_size
+        if _is_zarr(stack_path):
+            from microtipi_tpu.io.zarrstack import read_pixel_size
+        else:
+            from microtipi_tpu.io.tiffstack import read_pixel_size
 
         try:
             meta_dxy, meta_dz = read_pixel_size(stack_path)
@@ -93,10 +96,10 @@ def _resolve_geometry(args, stack_path=None, log=print):
             pass
     if args.dxy is None:
         args.dxy = meta_dxy or 80e-9
-        log(f"dxy = {args.dxy*1e9:.4g} nm ({'TIFF metadata' if meta_dxy else 'default'})")
+        log(f"dxy = {args.dxy*1e9:.4g} nm ({'metadata' if meta_dxy else 'default'})")
     if args.dz is None:
         args.dz = meta_dz or 200e-9
-        log(f"dz = {args.dz*1e9:.4g} nm ({'TIFF metadata' if meta_dz else 'default'})")
+        log(f"dz = {args.dz*1e9:.4g} nm ({'metadata' if meta_dz else 'default'})")
     if getattr(args, "wavelength", 0) is None:
         # An OME channel EmissionWavelength (set by _read_input_volume) wins
         # before we ever get here; this is the terminal fallback.
@@ -121,14 +124,19 @@ def _read_input_volume(args, path, log=print):
             return read_bdv(path)  # BigDataViewer layout first
         except Exception:
             return read_h5(path)
-    try:
-        from microtipi_tpu.io.ome import read_ome_hyperstack
+    if _is_zarr(path):
+        from microtipi_tpu.io.zarrstack import read_ngff_hyperstack
 
-        arr, meta = read_ome_hyperstack(path)
-    except Exception:
-        from microtipi_tpu.io.tiffstack import read_stack
+        arr, meta = read_ngff_hyperstack(path)
+    else:
+        try:
+            from microtipi_tpu.io.ome import read_ome_hyperstack
 
-        return read_stack(path)
+            arr, meta = read_ome_hyperstack(path)
+        except Exception:
+            from microtipi_tpu.io.tiffstack import read_stack
+
+            return read_stack(path)
     nt, nc = arr.shape[:2]
     t = int(getattr(args, "timepoint", 0) or 0)
     c = int(getattr(args, "channel", 0) or 0)
@@ -196,13 +204,23 @@ def _is_h5(path) -> bool:
     return os.path.splitext(str(path))[1].lower() in (".h5", ".hdf5", ".ims")
 
 
+def _is_zarr(path) -> bool:
+    from microtipi_tpu.io.zarrstack import is_zarr
+
+    return is_zarr(path)
+
+
 def _write_out(args, path, volume, dxy=None, dz=None):
-    """Write an output volume: HDF5 by extension, OME-TIFF when --ome is
-    set, plain multi-page TIFF otherwise."""
+    """Write an output volume: HDF5/zarr by extension, OME-TIFF when --ome
+    is set, plain multi-page TIFF otherwise."""
     if _is_h5(path):
         from microtipi_tpu.io.hdf5stack import write_h5
 
         write_h5(path, volume)
+    elif str(path).rstrip("/").lower().endswith(".zarr"):
+        from microtipi_tpu.io.zarrstack import write_ngff_hyperstack
+
+        write_ngff_hyperstack(path, volume, dxy=dxy, dz=dz)
     elif getattr(args, "ome", False):
         from microtipi_tpu.io.ome import write_ome_stack
 
@@ -224,6 +242,11 @@ def _weights(args, data):
 def cmd_info(args):
     from microtipi_tpu.io.tiffstack import read_pixel_size, stack_info
 
+    if _is_zarr(args.stack):
+        from microtipi_tpu.io.zarrstack import zarr_info
+
+        print(zarr_info(args.stack))
+        return
     if _is_h5(args.stack):
         from microtipi_tpu.io.hdf5stack import bdv_info, list_datasets
 
@@ -349,6 +372,9 @@ def cmd_deconv(args):
         return
     if not args.psf:
         sys.exit("--psf is required (or use --depthvar K for a depth-varying solve)")
+    # No model is built on this path, but the output metadata should still
+    # inherit the input's pixel sizes (TIFF tags / NGFF scale transform).
+    _resolve_geometry(args, args.data, log=lambda *a: None)
     psf = jnp.asarray(read_stack(args.psf))
     if args.psf_centered:
         psf = unroll(psf)
@@ -362,7 +388,7 @@ def cmd_deconv(args):
         x = run(data, psf)
         x.block_until_ready()
         print(f"rl: {args.iters} iters, {time.time()-t0:.1f}s (incl. compile)")
-        _write_out(args, args.out, np.asarray(x))
+        _write_out(args, args.out, np.asarray(x), dxy=getattr(args, "dxy", None), dz=getattr(args, "dz", None))
         print("wrote", args.out)
         return
     cfg = _deconv_config(args, data.shape)
@@ -397,7 +423,7 @@ def cmd_deconv(args):
     f = float(res.f)
     wall = time.time() - t0
     print(f"deconv: {int(res.iterations)} iters, cost {f:.6g}, {wall:.1f}s (incl. compile)")
-    _write_out(args, args.out, np.asarray(res.x))
+    _write_out(args, args.out, np.asarray(res.x), dxy=getattr(args, "dxy", None), dz=getattr(args, "dz", None))
     print("wrote", args.out)
     if args.report:
         import json
@@ -714,7 +740,7 @@ def cmd_fuse(args):
     x.block_until_ready()
     print(f"fuse: {len(args.views)} views, {args.iters} RL iterations, "
           f"{time.time()-t0:.1f}s (incl. compile)")
-    _write_out(args, args.out, np.asarray(x))
+    _write_out(args, args.out, np.asarray(x), dxy=getattr(args, "dxy", None), dz=getattr(args, "dz", None))
     print("wrote", args.out)
 
 

@@ -1,4 +1,5 @@
-"""Volume IO: native TIFF (C++ parallel decode), OME-TIFF metadata, HDF5."""
+"""Volume IO: native TIFF (C++ parallel decode), OME-TIFF metadata, HDF5,
+zarr/OME-NGFF (stdlib-only store implementation)."""
 from microtipi_tpu.io.ome import (
     ome_xml,
     parse_ome,
@@ -8,6 +9,12 @@ from microtipi_tpu.io.ome import (
     write_ome_stack,
 )
 from microtipi_tpu.io.tiffstack import StackPrefetcher, read_stack, stack_info, write_stack
+from microtipi_tpu.io.zarrstack import (
+    read_ngff_hyperstack,
+    read_zarr,
+    write_ngff_hyperstack,
+    write_zarr,
+)
 
 __all__ = [
     "read_stack",
@@ -20,4 +27,8 @@ __all__ = [
     "read_ome_hyperstack",
     "write_ome_hyperstack",
     "write_ome_stack",
+    "read_zarr",
+    "write_zarr",
+    "read_ngff_hyperstack",
+    "write_ngff_hyperstack",
 ]

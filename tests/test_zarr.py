@@ -1,0 +1,187 @@
+"""zarr v2 / OME-NGFF store: round-trips, format corners, CLI dispatch.
+
+The store is implemented from scratch on the stdlib (io/zarrstack.py), so
+these tests pin the v2 container format itself: chunk grids with full-size
+edge chunks, fill_value for missing chunks, C/F chunk order, null/zlib/gzip
+compressors, dimension separators, NGFF multiscales axes/scale handling.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import zlib
+
+import numpy as np
+import pytest
+
+from microtipi_tpu.io.zarrstack import (
+    is_zarr,
+    read_ngff_hyperstack,
+    read_ngff_metadata_only,
+    read_pixel_size,
+    read_zarr,
+    write_ngff_hyperstack,
+    write_zarr,
+    zarr_info,
+)
+
+
+def test_zarr_roundtrip_compressors(tmp_path):
+    rng = np.random.default_rng(0)
+    arr = rng.normal(size=(5, 12, 17)).astype(np.float32)
+    for comp in (None, "zlib", "gzip"):
+        p = tmp_path / f"a_{comp}.zarr"
+        write_zarr(p, arr, chunks=(2, 5, 9), compressor=comp)
+        np.testing.assert_array_equal(read_zarr(p), arr)
+        meta = json.loads((p / ".zarray").read_text())
+        assert meta["zarr_format"] == 2
+        assert (meta["compressor"] is None) == (comp is None)
+
+
+def test_zarr_edge_chunks_stored_full_size(tmp_path):
+    """v2 stores edge chunks at the full chunk shape (zero-padded)."""
+    arr = np.arange(7 * 5, dtype=np.int32).reshape(7, 5)
+    p = tmp_path / "e.zarr"
+    write_zarr(p, arr, chunks=(4, 4), compressor=None)
+    raw = (p / "1.1").read_bytes()
+    assert len(raw) == 4 * 4 * 4  # full chunk, not 3x1
+    np.testing.assert_array_equal(read_zarr(p), arr)
+
+
+def test_zarr_missing_chunk_reads_fill_value(tmp_path):
+    arr = np.ones((4, 4), np.float32)
+    p = tmp_path / "m.zarr"
+    write_zarr(p, arr, chunks=(2, 2), compressor=None)
+    os.remove(p / "1.0")
+    out = read_zarr(p)
+    assert out[:2].sum() == 8.0
+    assert out[2:, :2].sum() == 0.0  # fill_value = 0
+    assert out[2:, 2:].sum() == 4.0
+
+
+def test_zarr_foreign_writer_conventions(tmp_path):
+    """Read a store laid out the way other writers commonly do it:
+    F order, '/' dimension separator, big-endian dtype, nonzero fill."""
+    p = tmp_path / "f.zarr"
+    os.makedirs(p)
+    arr = np.arange(6 * 4, dtype=">u2").reshape(6, 4)
+    chunks = (3, 4)
+    meta = {
+        "zarr_format": 2, "shape": [6, 4], "chunks": list(chunks),
+        "dtype": ">u2", "compressor": {"id": "zlib", "level": 5},
+        "fill_value": 7, "order": "F", "filters": None,
+        "dimension_separator": "/",
+    }
+    (p / ".zarray").write_text(json.dumps(meta))
+    os.makedirs(p / "0")
+    # write only the first chunk row; second is missing -> fill 7
+    block = np.asfortranarray(arr[:3])
+    (p / "0" / "0").write_bytes(zlib.compress(block.tobytes(order="F")))
+    out = read_zarr(p)
+    np.testing.assert_array_equal(out[:3], arr[:3])
+    assert (out[3:] == 7).all()
+
+
+def test_zarr_unsupported_compressor_is_a_clear_error(tmp_path):
+    p = tmp_path / "b.zarr"
+    os.makedirs(p)
+    meta = {"zarr_format": 2, "shape": [2], "chunks": [2], "dtype": "<f4",
+            "compressor": {"id": "blosc", "cname": "lz4"}, "fill_value": 0,
+            "order": "C", "filters": None}
+    (p / ".zarray").write_text(json.dumps(meta))
+    (p / "0").write_bytes(b"xx")
+    with pytest.raises(ValueError, match="blosc"):
+        read_zarr(p)
+
+
+def test_ngff_hyperstack_roundtrip(tmp_path):
+    rng = np.random.default_rng(1)
+    arr = rng.normal(size=(2, 3, 4, 8, 8)).astype(np.float32)
+    p = tmp_path / "h.zarr"
+    channels = [
+        {"name": "GFP", "emission_wavelength": 510e-9},
+        {"name": "RFP", "emission_wavelength": 610e-9},
+        {"name": "DAPI", "emission_wavelength": 461e-9},
+    ]
+    write_ngff_hyperstack(p, arr, dxy=65e-9, dz=200e-9, channels=channels)
+    out, meta = read_ngff_hyperstack(p)
+    np.testing.assert_allclose(out, arr, rtol=1e-7)
+    assert meta["dxy"] == pytest.approx(65e-9)
+    assert meta["dz"] == pytest.approx(200e-9)
+    assert [c["name"] for c in meta["channels"]] == ["GFP", "RFP", "DAPI"]
+    assert meta["channels"][1]["emission_wavelength"] == pytest.approx(610e-9)
+    # metadata-only path agrees without decoding chunks
+    shape, meta2 = read_ngff_metadata_only(p)
+    assert shape == (2, 3, 4, 8, 8)
+    assert read_pixel_size(p) == (pytest.approx(65e-9), pytest.approx(200e-9))
+    assert "T=2 C=3" in zarr_info(p)
+
+
+def test_ngff_3d_volume_and_axes_subset(tmp_path):
+    """A 3D write round-trips with singleton T/C; a foreign zyx-axes image
+    reads with the right scale mapping."""
+    vol = np.random.default_rng(2).normal(size=(3, 6, 6)).astype(np.float32)
+    p = tmp_path / "v.zarr"
+    write_ngff_hyperstack(p, vol, dxy=100e-9, dz=300e-9)
+    out, meta = read_ngff_hyperstack(p)
+    assert out.shape == (1, 1, 3, 6, 6)
+    np.testing.assert_allclose(out[0, 0], vol, rtol=1e-7)
+
+    # foreign: 3-axis NGFF (z, y, x) written by hand
+    q = tmp_path / "w.zarr"
+    os.makedirs(q)
+    (q / ".zgroup").write_text(json.dumps({"zarr_format": 2}))
+    attrs = {"multiscales": [{
+        "version": "0.4",
+        "axes": [{"name": "z", "type": "space"}, {"name": "y", "type": "space"},
+                 {"name": "x", "type": "space"}],
+        "datasets": [{"path": "s0", "coordinateTransformations": [
+            {"type": "scale", "scale": [0.25, 0.1, 0.1]}]}],
+    }]}
+    (q / ".zattrs").write_text(json.dumps(attrs))
+    write_zarr(q / "s0", vol)
+    out2, meta2 = read_ngff_hyperstack(q)
+    assert out2.shape == (1, 1, 3, 6, 6)
+    assert meta2["dz"] == pytest.approx(0.25e-6)
+    assert meta2["dxy"] == pytest.approx(0.1e-6)
+    assert is_zarr(q)
+
+
+def _run(argv, cwd):
+    env = dict(os.environ, PYTHONPATH="/root/repo", JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    return subprocess.run([sys.executable, "-m", "microtipi_tpu", *argv],
+                          cwd=cwd, env=env, capture_output=True, text=True)
+
+
+def test_cli_zarr_in_zarr_out(tmp_path):
+    """deconv reads an NGFF input (geometry from the scale transform) and
+    writes an NGFF output; info prints the hyperstack line."""
+    import jax.numpy as jnp
+
+    from microtipi_tpu.models.widefield import WideFieldConfig
+    from microtipi_tpu.ops.convolution import convolve, convolve_spectrum
+    from microtipi_tpu.io.tiffstack import write_stack
+
+    shape = (8, 16, 16)
+    model = WideFieldConfig(shape=shape, na=1.2, wavelength=500e-9, ni=1.33,
+                            dxy=100e-9, dz=250e-9, dtype=jnp.float32)
+    psf = model.compute_psf(model.init_params())
+    rng = np.random.default_rng(0)
+    obj = np.abs(rng.standard_normal(shape)).astype(np.float32) * 10
+    data = np.asarray(convolve(jnp.asarray(obj), convolve_spectrum(psf), shape))
+    write_ngff_hyperstack(tmp_path / "d.zarr", data, dxy=100e-9, dz=250e-9)
+    write_stack(tmp_path / "psf.tif", np.asarray(psf))
+
+    r = _run(["info", "d.zarr"], tmp_path)
+    assert r.returncode == 0 and "OME-NGFF" in r.stdout
+    assert "dxy = 100 nm" in r.stdout  # geometry from the NGFF scale transform
+
+    r = _run(["deconv", "d.zarr", "--psf", "psf.tif", "--out", "o.zarr",
+              "--iters", "5", "--mu", "1e-3"], tmp_path)
+    assert r.returncode == 0, r.stderr
+    out, meta = read_ngff_hyperstack(tmp_path / "o.zarr")
+    assert out.shape == (1, 1, *shape)
+    assert np.isfinite(out).all()
+    assert meta["dxy"] == pytest.approx(100e-9)
