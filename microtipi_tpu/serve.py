@@ -115,16 +115,33 @@ def _serve_metrics(port: int, snapshot):
     return srv
 
 
+def _tree_size(p: Path) -> int:
+    """Total byte size of a directory store (zarr chunk files + metadata)."""
+    total = 0
+    for root, _dirs, files in os.walk(p):
+        for f in files:
+            try:
+                total += os.stat(os.path.join(root, f)).st_size
+            except OSError:
+                pass
+    return total
+
+
 def _stable_files(indir: Path, seen: dict, exts=(".tif", ".tiff")) -> list[Path]:
-    """Files whose size is unchanged since the previous scan."""
+    """Entries whose size is unchanged since the previous scan.
+
+    ``.zarr`` directory stores count too: their "size" is the recursive
+    byte total, so a store still being chunk-written is held back exactly
+    like a TIFF still being streamed."""
     ready = []
     for p in sorted(indir.iterdir()):
-        if p.suffix.lower() not in exts:
-            continue
         try:
-            if not p.is_file():
+            if p.suffix.lower() == ".zarr" and p.is_dir():
+                size = _tree_size(p)
+            elif p.suffix.lower() in exts and p.is_file():
+                size = p.stat().st_size
+            else:
                 continue
-            size = p.stat().st_size
         except OSError:
             continue  # vanished or unreadable between iterdir and stat
         prev = seen.get(p.name)
@@ -262,12 +279,17 @@ def watch(
         return out
 
     def _decode(p):
-        try:
-            from microtipi_tpu.io.ome import read_ome_hyperstack
+        if str(p).lower().endswith(".zarr"):
+            from microtipi_tpu.io.zarrstack import read_ngff_hyperstack
 
-            arr, _meta = read_ome_hyperstack(p)
-        except Exception:
-            return read_stack(p)
+            arr, _meta = read_ngff_hyperstack(p)
+        else:
+            try:
+                from microtipi_tpu.io.ome import read_ome_hyperstack
+
+                arr, _meta = read_ome_hyperstack(p)
+            except Exception:
+                return read_stack(p)
         nt, nc = arr.shape[:2]
         if nt == 1 and nc == 1:
             return np.ascontiguousarray(arr[0, 0])
@@ -332,9 +354,24 @@ def watch(
                     data = jnp.asarray(fut.result())
                     x = np.asarray(solve(data))
                     out = outdir / p.name
-                    tmp = out.with_suffix(out.suffix + ".tmp")
-                    write_stack(tmp, x)
-                    os.replace(tmp, out)
+                    if out.suffix.lower() == ".zarr":
+                        # Directory store: build aside, then swap atomically
+                        # (readers never see a half-written store).
+                        import shutil
+
+                        from microtipi_tpu.io.zarrstack import write_ngff_hyperstack
+
+                        tmp = out.with_suffix(out.suffix + ".tmp")
+                        if tmp.exists():
+                            shutil.rmtree(tmp)
+                        write_ngff_hyperstack(tmp, x)
+                        if out.exists():
+                            shutil.rmtree(out)
+                        os.replace(tmp, out)
+                    else:
+                        tmp = out.with_suffix(out.suffix + ".tmp")
+                        write_stack(tmp, x)
+                        os.replace(tmp, out)
                     done.add(key)
                     processed.append(out)
                     dt = time.time() - t0

@@ -318,3 +318,26 @@ def test_watch_slices_hyperstack_channel(tmp_path):
     assert rec.shape == shape  # one channel volume, not 8 pages
     # Delta PSF, no regularization: solve ~ identity; result matches channel 1.
     np.testing.assert_allclose(rec, chans[1], rtol=1e-3, atol=1e-3)
+
+
+def test_watch_zarr_store_in_and_out(tmp_path):
+    """A .zarr directory store is picked up once its recursive size is
+    stable, sliced like a hyperstack, and the result lands as an atomic
+    NGFF store next to the TIFF outputs."""
+    from microtipi_tpu.io.zarrstack import read_ngff_hyperstack, write_ngff_hyperstack
+
+    indir = tmp_path / "in"
+    outdir = tmp_path / "out"
+    indir.mkdir()
+    psf, d = _mini_scene(tmp_path)
+    write_ngff_hyperstack(indir / "v.zarr", d, dxy=100e-9, dz=250e-9)
+
+    logs = []
+    out = watch(indir, outdir, tmp_path / "psf.tif",
+                config=DeconvolutionConfig(mu=0.001, epsilon=1.0, max_iter=6),
+                poll_seconds=0.05, max_files=1, log=logs.append)
+    assert [p.name for p in out] == ["v.zarr"]
+    rec, _meta = read_ngff_hyperstack(outdir / "v.zarr")
+    assert rec.shape == (1, 1, *d.shape)
+    assert np.isfinite(rec).all()
+    assert not (outdir / "v.zarr.tmp").exists()
