@@ -87,6 +87,15 @@ def _resolve_geometry(args, stack_path=None, log=print):
     if stack_path is not None and (args.dxy is None or args.dz is None):
         if _is_zarr(stack_path):
             from microtipi_tpu.io.zarrstack import read_pixel_size
+        elif str(stack_path).lower().endswith((".ome", ".xml")):
+
+            def read_pixel_size(p):  # companion document: sizes in the XML
+                from microtipi_tpu.io.ome import parse_ome
+
+                with open(p, "r", encoding="utf-8") as fh:
+                    meta = parse_ome(fh.read())
+                return meta["dxy"], meta["dz"]
+
         else:
             from microtipi_tpu.io.tiffstack import read_pixel_size
 
@@ -246,6 +255,18 @@ def cmd_info(args):
         from microtipi_tpu.io.zarrstack import zarr_info
 
         print(zarr_info(args.stack))
+        return
+    if str(args.stack).lower().endswith((".ome", ".xml")):
+        from microtipi_tpu.io.ome import parse_ome
+
+        with open(args.stack, "r", encoding="utf-8") as fh:
+            meta = parse_ome(fh.read())
+        nz, ny, nx = meta["shape"]
+        files = sorted({td["filename"] for td in meta["tiff_data"] if td["filename"]})
+        print(f"{args.stack}: OME companion set, Z={nz} Y={ny} X={nx} "
+              f"C={meta['size_c']} T={meta['size_t']}, {len(files)} files")
+        for f in files:
+            print(f"  {f}")
         return
     if _is_h5(args.stack):
         from microtipi_tpu.io.hdf5stack import bdv_info, list_datasets

@@ -4,7 +4,9 @@ from microtipi_tpu.io.ome import (
     ome_xml,
     parse_ome,
     read_ome,
+    read_ome_companion,
     read_ome_hyperstack,
+    write_ome_companion,
     write_ome_hyperstack,
     write_ome_stack,
 )
@@ -25,6 +27,8 @@ __all__ = [
     "parse_ome",
     "read_ome",
     "read_ome_hyperstack",
+    "read_ome_companion",
+    "write_ome_companion",
     "write_ome_hyperstack",
     "write_ome_stack",
     "read_zarr",

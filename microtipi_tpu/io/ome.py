@@ -28,8 +28,10 @@ __all__ = [
     "parse_ome",
     "read_description",
     "read_ome",
+    "read_ome_companion",
     "read_ome_hyperstack",
     "write_ome_stack",
+    "write_ome_companion",
     "write_ome_hyperstack",
 ]
 
@@ -46,6 +48,7 @@ def ome_xml(
     size_t: int = 1,
     channel_names=None,
     emission_wavelengths=None,
+    tiff_data=None,
 ) -> str:
     """Minimal OME 2016-06 document for float32 volume(s), (Nz, Ny, Nx) per
     channel/timepoint.
@@ -57,6 +60,12 @@ def ome_xml(
     (``size_c``/``size_t`` > 1) describe pages in ``XYZCT`` order (z fastest,
     then channel, then time); ``emission_wavelengths`` are per-channel, in
     meters, emitted in nm (what the PSF model's ``wavelength`` wants back).
+
+    ``tiff_data``: optional explicit ``<TiffData>`` plane map for multi-file
+    sets — dicts with ``ifd``/``plane_count``/``first_z``/``first_c``/
+    ``first_t``/``filename`` (the companion-file convention: planes live in
+    the referenced sibling TIFFs). Default: one block covering every plane
+    of this file.
     """
     nz, ny, nx = (int(s) for s in shape)
     nc, nt = int(size_c), int(size_t)
@@ -84,6 +93,21 @@ def ome_xml(
                 ' EmissionWavelengthUnit="nm"'
             )
         channels += attrs + "/>"
+    if tiff_data is None:
+        td_xml = f'<TiffData IFD="0" PlaneCount="{nz * nc * nt}"/>'
+    else:
+        td_xml = ""
+        for td in tiff_data:
+            td_xml += (
+                f'<TiffData IFD="{int(td.get("ifd", 0))}"'
+                f' PlaneCount="{int(td["plane_count"])}"'
+                f' FirstZ="{int(td.get("first_z", 0))}"'
+                f' FirstC="{int(td.get("first_c", 0))}"'
+                f' FirstT="{int(td.get("first_t", 0))}">'
+            )
+            if td.get("filename"):
+                td_xml += f"<UUID FileName={quoteattr(str(td['filename']))}/>"
+            td_xml += "</TiffData>"
     return (
         '<?xml version="1.0" encoding="UTF-8"?>'
         f'<OME xmlns="{_OME_NS}"'
@@ -94,7 +118,7 @@ def ome_xml(
         f' SizeX="{nx}" SizeY="{ny}" SizeZ="{nz}" SizeC="{nc}" SizeT="{nt}"'
         f' BigEndian="false"{phys}>'
         f"{channels}"
-        f'<TiffData IFD="0" PlaneCount="{nz * nc * nt}"/>'
+        f"{td_xml}"
         "</Pixels></Image></OME>"
     )
 
@@ -150,6 +174,24 @@ def parse_ome(xml: str) -> dict:
         scale = _UNIT.get(el.get("EmissionWavelengthUnit") or "nm")
         return float(v) * scale if scale else None
 
+    tiff_data = []
+    for el in pixels:
+        if local(el.tag) != "TiffData":
+            continue
+        fname = None
+        for ch in el:
+            if local(ch.tag) == "UUID":
+                fname = ch.get("FileName")
+        pc = el.get("PlaneCount")
+        tiff_data.append({
+            "ifd": int(el.get("IFD") or 0),
+            "plane_count": int(pc) if pc else None,
+            "first_z": int(el.get("FirstZ") or 0),
+            "first_c": int(el.get("FirstC") or 0),
+            "first_t": int(el.get("FirstT") or 0),
+            "filename": fname,
+        })
+
     return {
         "shape": (size("Z") or 1, size("Y"), size("X")),
         "dxy": phys("X"),
@@ -163,6 +205,7 @@ def parse_ome(xml: str) -> dict:
             {"name": el.get("Name"), "emission_wavelength": emission(el)}
             for el in channel_els
         ],
+        "tiff_data": tiff_data,
     }
 
 
@@ -200,6 +243,85 @@ def read_ome(path: str | os.PathLike) -> dict | None:
     return parse_ome(xml)
 
 
+def _plane_index(meta):
+    """(compose, decompose) between linear plane index and (z, c, t) for the
+    document's DimensionOrder (letters after XY, fastest-varying first)."""
+    order = meta["dimension_order"].upper()
+    letters = order[2:5]
+    if sorted(letters) != ["C", "T", "Z"]:
+        raise ValueError(f"unsupported DimensionOrder {order!r}")
+    nz = meta["shape"][0] or 1
+    sizes = {"Z": nz, "C": meta["size_c"], "T": meta["size_t"]}
+
+    def compose(z, c, t):
+        vals = {"Z": z, "C": c, "T": t}
+        lin, stride = 0, 1
+        for d in letters:  # fastest first
+            lin += vals[d] * stride
+            stride *= sizes[d]
+        return lin
+
+    def decompose(lin):
+        vals = {}
+        for d in letters:
+            vals[d] = lin % sizes[d]
+            lin //= sizes[d]
+        return vals["Z"], vals["C"], vals["T"]
+
+    return compose, decompose
+
+
+def _assemble_multifile(dirname: str, meta: dict, default_file: str | None = None):
+    """Assemble a (T, C, Z, Y, X) array from a multi-file TiffData plane map.
+
+    Each ``<TiffData>`` block maps ``PlaneCount`` consecutive IFDs of its
+    referenced file (``<UUID FileName>``; ``default_file`` when absent — the
+    self-referencing master-file case) onto consecutive plane indices from
+    ``(FirstZ, FirstC, FirstT)`` in DimensionOrder. The Bio-Formats
+    companion-file convention.
+    """
+    from microtipi_tpu.io.tiffstack import read_stack
+
+    nz, ny, nx = meta["shape"]
+    nz = nz or 1
+    nc, nt = meta["size_c"], meta["size_t"]
+    compose, decompose = _plane_index(meta)
+    arr = np.zeros((nt, nc, nz, ny, nx), np.float32)
+    filled = np.zeros(nt * nc * nz, bool)
+    cache: dict[str, np.ndarray] = {}
+    for td in meta["tiff_data"]:
+        fname = td["filename"] or default_file
+        if fname is None:
+            raise ValueError("TiffData block has no FileName and no default file")
+        if fname not in cache:
+            cache[fname] = read_stack(os.path.join(dirname, fname))
+        pages = cache[fname]
+        count = td["plane_count"]
+        if count is None:
+            count = pages.shape[0] - td["ifd"]
+        start = compose(td["first_z"], td["first_c"], td["first_t"])
+        for k in range(count):
+            z, c, t = decompose(start + k)
+            arr[t, c, z] = pages[td["ifd"] + k]
+            filled[start + k] = True
+    if not filled.all():
+        missing = int((~filled).sum())
+        raise ValueError(f"multi-file OME set is incomplete: {missing} of "
+                         f"{filled.size} planes unmapped")
+    return arr, meta
+
+
+def read_ome_companion(path: str | os.PathLike):
+    """Read a ``.companion.ome`` master document (plain OME-XML, no pixels)
+    and assemble the referenced sibling TIFFs into ``(T, C, Z, Y, X)``."""
+    with open(path, "r", encoding="utf-8") as fh:
+        xml = fh.read()
+    meta = parse_ome(xml)
+    if not meta["tiff_data"]:
+        raise ValueError(f"{path} maps no TiffData planes")
+    return _assemble_multifile(os.path.dirname(str(path)) or ".", meta)
+
+
 def read_ome_hyperstack(path: str | os.PathLike):
     """Read a (possibly multi-channel/timepoint) OME-TIFF as a 5D array.
 
@@ -208,12 +330,24 @@ def read_ome_hyperstack(path: str | os.PathLike):
     ``(1, 1, Z, Y, X)``) and ``meta`` the :func:`parse_ome` dict (or a
     minimal dict for non-OME TIFFs, where every page is treated as z).
     Page order follows the document's ``DimensionOrder``; all six valid
-    orders are handled.
+    orders are handled. A ``.companion.ome`` path or a document whose
+    ``TiffData`` references sibling files dispatches to the multi-file
+    assembly (:func:`read_ome_companion`).
     """
     from microtipi_tpu.io.tiffstack import read_stack
 
-    pages = read_stack(path)  # (P, Y, X)
+    spath = str(path)
+    if spath.lower().endswith(".ome") or spath.lower().endswith(".xml"):
+        return read_ome_companion(spath)
     meta = read_ome(path)
+    if meta is not None:
+        base = os.path.basename(spath)
+        foreign = [td for td in meta.get("tiff_data", ())
+                   if td["filename"] and td["filename"] != base]
+        if foreign:
+            return _assemble_multifile(os.path.dirname(spath) or ".", meta,
+                                       default_file=base)
+    pages = read_stack(path)  # (P, Y, X)
     if meta is None:
         meta = {
             "shape": pages.shape, "dxy": None, "dz": None, "dtype": "float",
@@ -274,6 +408,65 @@ def write_ome_hyperstack(
     # C-order flatten of [t, c, z] = z fastest, then c, then t == XYZCT.
     write_stack(path, arr.reshape(nt * nc * nz, ny, nx), dxy=dxy, dz=dz,
                 description=desc, **kwargs)
+
+
+def write_ome_companion(
+    path: str | os.PathLike,
+    array: np.ndarray,
+    dxy: float | None = None,
+    dz: float | None = None,
+    name: str | None = None,
+    channel_names=None,
+    emission_wavelengths=None,
+    **kwargs,
+) -> list[str]:
+    """Write a ``(T, C, Z, Y, X)`` array as a multi-file OME set.
+
+    ``path`` must end in ``.companion.ome``; one plain TIFF z-stack is
+    written per (timepoint, channel) next to it (``<base>_t{T}_c{C}.ome.tif``,
+    the index dropped when that axis is singleton) and the companion
+    document maps every plane via ``TiffData``/``UUID FileName`` — the
+    Bio-Formats convention for acquisitions too large or too parallel for
+    one file. Returns the written TIFF filenames.
+    """
+    from microtipi_tpu.io.tiffstack import write_stack
+
+    spath = str(path)
+    if not spath.lower().endswith(".companion.ome"):
+        raise ValueError("companion path must end in .companion.ome")
+    arr = np.asarray(array)
+    while arr.ndim < 5:
+        arr = arr[None]
+    if arr.ndim != 5:
+        raise ValueError("expected a (T, C, Z, Y, X) array (3D/4D allowed)")
+    nt, nc, nz, ny, nx = arr.shape
+    base = os.path.basename(spath)[: -len(".companion.ome")]
+    dirname = os.path.dirname(spath) or "."
+    tiff_data, files = [], []
+    for t in range(nt):
+        for c in range(nc):
+            fname = base
+            if nt > 1:
+                fname += f"_t{t}"
+            if nc > 1:
+                fname += f"_c{c}"
+            fname += ".ome.tif"
+            write_stack(os.path.join(dirname, fname), arr[t, c],
+                        dxy=dxy, dz=dz, **kwargs)
+            tiff_data.append({
+                "ifd": 0, "plane_count": nz,
+                "first_z": 0, "first_c": c, "first_t": t,
+                "filename": fname,
+            })
+            files.append(fname)
+    xml = ome_xml(
+        (nz, ny, nx), dxy=dxy, dz=dz, name=name or base,
+        size_c=nc, size_t=nt, channel_names=channel_names,
+        emission_wavelengths=emission_wavelengths, tiff_data=tiff_data,
+    )
+    with open(spath, "w", encoding="utf-8") as fh:
+        fh.write(xml)
+    return files
 
 
 def write_ome_stack(

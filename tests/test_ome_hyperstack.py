@@ -1,6 +1,9 @@
 """OME hyperstack (multi-channel/timepoint) IO + CLI channel selection."""
 
+import os
+
 import numpy as np
+import pytest
 
 from microtipi_tpu.io.ome import (
     ome_xml,
@@ -185,3 +188,103 @@ def test_cli_blind_all_channels(tmp_path, capsys):
     np.testing.assert_allclose(
         [c["emission_wavelength"] for c in meta["channels"]], wls, rtol=1e-6)
     assert [c["name"] for c in meta["channels"]] == ["blue", "red"]
+
+
+def test_ome_companion_roundtrip(tmp_path):
+    """write_ome_companion splits per (t, c); the companion document
+    reassembles the exact hyperstack, including geometry and emissions."""
+    from microtipi_tpu.io.ome import (
+        read_ome_companion,
+        read_ome_hyperstack,
+        write_ome_companion,
+    )
+
+    rng = np.random.default_rng(0)
+    arr = rng.normal(size=(2, 3, 4, 8, 8)).astype(np.float32)
+    files = write_ome_companion(
+        tmp_path / "set.companion.ome", arr, dxy=65e-9, dz=200e-9,
+        channel_names=["a", "b", "c"],
+        emission_wavelengths=[510e-9, 561e-9, 610e-9],
+    )
+    assert len(files) == 6  # one z-stack per (t, c)
+    assert sorted(files)[0] == "set_t0_c0.ome.tif"
+    out, meta = read_ome_companion(tmp_path / "set.companion.ome")
+    np.testing.assert_allclose(out, arr, rtol=1e-7)
+    assert meta["dxy"] == pytest.approx(65e-9)
+    assert meta["channels"][2]["emission_wavelength"] == pytest.approx(610e-9)
+    # read_ome_hyperstack dispatches .companion.ome transparently
+    out2, _ = read_ome_hyperstack(tmp_path / "set.companion.ome")
+    np.testing.assert_allclose(out2, arr, rtol=1e-7)
+
+
+def test_ome_companion_singleton_axes_names(tmp_path):
+    """Singleton axes drop their index from the per-file names."""
+    from microtipi_tpu.io.ome import read_ome_companion, write_ome_companion
+
+    arr = np.random.default_rng(1).normal(size=(1, 2, 3, 6, 6)).astype(np.float32)
+    files = write_ome_companion(tmp_path / "x.companion.ome", arr)
+    assert sorted(files) == ["x_c0.ome.tif", "x_c1.ome.tif"]
+    out, _ = read_ome_companion(tmp_path / "x.companion.ome")
+    np.testing.assert_allclose(out, arr, rtol=1e-7)
+
+
+def test_ome_master_file_with_foreign_tiffdata(tmp_path):
+    """A master OME-TIFF whose TiffData references sibling files assembles
+    across files (channel 0 in the master, channel 1 in the sibling)."""
+    from microtipi_tpu.io.ome import ome_xml, read_ome_hyperstack
+    from microtipi_tpu.io.tiffstack import write_stack
+
+    rng = np.random.default_rng(2)
+    arr = rng.normal(size=(1, 2, 3, 6, 6)).astype(np.float32)
+    desc = ome_xml((3, 6, 6), size_c=2, tiff_data=[
+        {"ifd": 0, "plane_count": 3, "first_z": 0, "first_c": 0, "first_t": 0,
+         "filename": "m.ome.tif"},
+        {"ifd": 0, "plane_count": 3, "first_z": 0, "first_c": 1, "first_t": 0,
+         "filename": "s.ome.tif"},
+    ])
+    write_stack(tmp_path / "m.ome.tif", arr[0, 0], description=desc)
+    write_stack(tmp_path / "s.ome.tif", arr[0, 1])
+    out, meta = read_ome_hyperstack(tmp_path / "m.ome.tif")
+    np.testing.assert_allclose(out, arr, rtol=1e-7)
+
+
+def test_ome_companion_incomplete_set_is_an_error(tmp_path):
+    from microtipi_tpu.io.ome import read_ome_companion, write_ome_companion
+    import os
+
+    arr = np.zeros((1, 2, 2, 4, 4), np.float32)
+    write_ome_companion(tmp_path / "p.companion.ome", arr)
+    os.remove(tmp_path / "p_c1.ome.tif")
+    with pytest.raises((ValueError, IOError, OSError)):
+        read_ome_companion(tmp_path / "p.companion.ome")
+
+
+def test_cli_companion_input(tmp_path):
+    """info + blind accept a .companion.ome path (geometry from the doc,
+    channel selection as with a single-file hyperstack)."""
+    import subprocess
+    import sys
+
+    from microtipi_tpu.io.ome import write_ome_companion
+
+    rng = np.random.default_rng(3)
+    arr = np.abs(rng.normal(size=(1, 2, 4, 16, 16))).astype(np.float32) * 10
+    write_ome_companion(tmp_path / "d.companion.ome", arr, dxy=100e-9, dz=250e-9,
+                        emission_wavelengths=[500e-9, 600e-9])
+
+    env = dict(os.environ, PYTHONPATH="/root/repo", JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=8")
+
+    def run(argv):
+        return subprocess.run([sys.executable, "-m", "microtipi_tpu", *argv],
+                              cwd=tmp_path, env=env, capture_output=True, text=True)
+
+    r = run(["info", "d.companion.ome"])
+    assert r.returncode == 0 and "companion set" in r.stdout and "2 files" in r.stdout
+
+    r = run(["blind", "d.companion.ome", "--out", "o.tif", "--channel", "1",
+             "--loops", "1", "--iters", "3", "--psf-iters", "2",
+             "--n-phase", "2", "--radial", "--na", "1.2", "--ni", "1.33"])
+    assert r.returncode == 0, r.stderr
+    assert "wavelength = 600 nm" in r.stdout  # channel 1 emission drove the model
+    assert "dxy = 100 nm" in r.stdout
