@@ -787,12 +787,19 @@ def cmd_watch(args):
         model_factory = lambda shape: _build_model(args, shape)
     elif not args.psf:
         sys.exit("--psf is required for method vmlmb/rl")
+    devices = None
+    if args.devices:
+        import jax
+
+        devices = jax.devices()[: args.devices]
+        if len(devices) < args.devices:
+            sys.exit(f"--devices {args.devices}: only {len(devices)} present")
     watch(args.indir, args.outdir, args.psf, config=cfg, method=args.method,
           rl_iterations=args.iters, poll_seconds=args.poll,
           max_files=args.max_files, metrics_path=args.metrics,
           metrics_port=args.metrics_port,
           model_factory=model_factory, blind_config=blind_cfg,
-          channel=args.channel, timepoint=args.timepoint)
+          channel=args.channel, timepoint=args.timepoint, devices=devices)
 
 
 def main(argv=None):
@@ -946,6 +953,9 @@ def main(argv=None):
     p.add_argument("--max-files", type=int, default=None, help="stop after N files (default: run forever)")
     p.add_argument("--metrics", default=None,
                    help="path of an atomically-updated JSON metrics snapshot")
+    p.add_argument("--devices", type=int, default=0,
+                   help="serving scale-out: dispatch files round-robin over "
+                        "the first N jax devices (0 = single-device loop)")
     p.add_argument("--metrics-port", type=int, default=None,
                    help="serve the metrics snapshot at http://127.0.0.1:PORT/metrics")
     p.add_argument("--loops", type=int, default=5, help="[blind methods] blind rounds")

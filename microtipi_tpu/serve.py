@@ -37,6 +37,7 @@ import ctypes.util
 import json
 import os
 import select
+import threading
 import time
 from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
@@ -169,6 +170,7 @@ def watch(
     blind_config=None,
     channel: int = 0,
     timepoint: int = 0,
+    devices=None,
 ):
     """Run the service loop. ``max_files`` bounds the run (None = forever).
 
@@ -177,6 +179,17 @@ def watch(
     sizes the decode thread pool that overlaps host IO with device compute;
     ``metrics_port`` additionally serves the snapshot at
     ``http://127.0.0.1:<port>/metrics``.
+
+    ``devices``: serving scale-out. Pass a list of jax devices (e.g.
+    ``jax.devices()``) and each stable file is dispatched to one of them
+    round-robin, a worker thread per device — independent volumes are
+    embarrassingly parallel, so N chips give ~N-fold throughput without any
+    cross-device communication (the TPU-native analog of running N serving
+    processes; device execution releases the GIL, so threads suffice).
+    ``blind-once`` calibrates on the first file alone before fanning out, so
+    every device serves the same calibrated pupil. The metrics snapshot
+    gains a ``per_device`` file count. Default (None / one device): the
+    single-device loop, unchanged.
 
     Methods: ``vmlmb``/``rl`` deconvolve every file with the fixed PSF from
     ``psf_path``. ``blind`` runs the full blind loop per file. ``blind-once``
@@ -212,13 +225,20 @@ def watch(
     config = config or DeconvolutionConfig()
 
     solvers: dict[tuple, object] = {}
+    solvers_lock = threading.Lock()
     calib = {"params": None}  # blind-once: fitted pupil parameters
 
     def solver_for(shape):
         # Kernel embedding happens INSIDE the jit: eager dispatch is
         # pathological on remote TPU runtimes (CLAUDE.md platform rules).
+        # The lock covers concurrent device workers racing the first build
+        # of a shape's solver (jit execution itself is thread-safe).
         calibrated = blind and calib["params"] is not None
         key = (shape, calibrated)
+        with solvers_lock:
+            return _solver_for_locked(key, shape, calibrated)
+
+    def _solver_for_locked(key, shape, calibrated):
         if key not in solvers:
             # donate_argnums=0: the uploaded data buffer is dead after the
             # solve (output has the same shape/dtype), so XLA reuses it —
@@ -332,6 +352,62 @@ def watch(
 
         http_srv = _serve_metrics(metrics_port, snapshot)
         log(f"[watch] metrics at http://127.0.0.1:{http_srv.server_address[1]}/metrics")
+    state_lock = threading.Lock()
+
+    def _write_output(out, x):
+        if out.suffix.lower() == ".zarr":
+            # Directory store: build aside, then swap atomically
+            # (readers never see a half-written store).
+            import shutil
+
+            from microtipi_tpu.io.zarrstack import write_ngff_hyperstack
+
+            tmp = out.with_suffix(out.suffix + ".tmp")
+            if tmp.exists():
+                shutil.rmtree(tmp)
+            write_ngff_hyperstack(tmp, x)
+            if out.exists():
+                shutil.rmtree(out)
+            os.replace(tmp, out)
+        else:
+            tmp = out.with_suffix(out.suffix + ".tmp")
+            write_stack(tmp, x)
+            os.replace(tmp, out)
+
+    def _process_one(p, size, data_fut, device=None):
+        key = (p.name, size)
+        try:
+            t0 = time.time()
+            data = data_fut.result()
+            data = jnp.asarray(data) if device is None else jax.device_put(data, device)
+            shape = data.shape
+            x = np.asarray(solve(data))
+            out = outdir / p.name
+            _write_output(out, x)
+            dt = time.time() - t0
+            with state_lock:
+                done.add(key)
+                processed.append(out)
+                stats["processed"] += 1
+                stats["compute_seconds"] += dt
+                stats["voxels"] += int(np.prod(shape))
+                if device is not None:
+                    per = stats.setdefault("per_device", {})
+                    per[str(device)] = per.get(str(device), 0) + 1
+            tag = f" [{device}]" if device is not None else ""
+            log(f"[watch] {p.name}: {shape} done in {dt:.2f}s -> {out}{tag}")
+        except Exception as e:  # keep serving; retry (bounded) next scan
+            with state_lock:
+                attempts[key] = attempts.get(key, 0) + 1
+                n_att = attempts[key]
+                stats["failed_attempts"] += 1
+            log(
+                f"[watch] {p.name}: FAILED attempt {n_att}/{max_retries} "
+                f"({type(e).__name__}: {e})"
+            )
+
+    fan_out = devices is not None and len(devices) > 1
+    solver_pool = ThreadPoolExecutor(max_workers=len(devices)) if fan_out else None
     try:
         while max_files is None or len(processed) < max_files:
             ready = [
@@ -344,53 +420,34 @@ def watch(
                 write_metrics()
                 waiter.wait(poll_seconds)
                 continue
+            if max_files is not None:
+                ready = ready[: max_files - len(processed)]
             # Decode ahead: file i+1 parses on host threads while the device
             # solves file i.
             futs = [(p, seen[p.name], pool.submit(_decode, p)) for p in ready]
-            for p, size, fut in futs:
-                key = (p.name, size)
-                try:
-                    t0 = time.time()
-                    data = jnp.asarray(fut.result())
-                    x = np.asarray(solve(data))
-                    out = outdir / p.name
-                    if out.suffix.lower() == ".zarr":
-                        # Directory store: build aside, then swap atomically
-                        # (readers never see a half-written store).
-                        import shutil
-
-                        from microtipi_tpu.io.zarrstack import write_ngff_hyperstack
-
-                        tmp = out.with_suffix(out.suffix + ".tmp")
-                        if tmp.exists():
-                            shutil.rmtree(tmp)
-                        write_ngff_hyperstack(tmp, x)
-                        if out.exists():
-                            shutil.rmtree(out)
-                        os.replace(tmp, out)
-                    else:
-                        tmp = out.with_suffix(out.suffix + ".tmp")
-                        write_stack(tmp, x)
-                        os.replace(tmp, out)
-                    done.add(key)
-                    processed.append(out)
-                    dt = time.time() - t0
-                    stats["processed"] += 1
-                    stats["compute_seconds"] += dt
-                    stats["voxels"] += int(np.prod(data.shape))
-                    log(f"[watch] {p.name}: {data.shape} done in {dt:.2f}s -> {out}")
-                except Exception as e:  # keep serving; retry (bounded) next scan
-                    attempts[key] = attempts.get(key, 0) + 1
-                    stats["failed_attempts"] += 1
-                    log(
-                        f"[watch] {p.name}: FAILED attempt {attempts[key]}/{max_retries} "
-                        f"({type(e).__name__}: {e})"
-                    )
-                if max_files is not None and len(processed) >= max_files:
-                    break
+            if solver_pool is not None:
+                if blind and calib["params"] is None:
+                    # blind-once: calibrate on ONE file before fanning out so
+                    # every device serves the same pupil (and the per-file
+                    # blind method simply starts on device 0).
+                    p, size, fut = futs[0]
+                    _process_one(p, size, fut, devices[0])
+                    futs = futs[1:]
+                tasks = [
+                    solver_pool.submit(_process_one, p, size, fut, devices[i % len(devices)])
+                    for i, (p, size, fut) in enumerate(futs)
+                ]
+                for t in tasks:
+                    t.result()
+            else:
+                dev0 = devices[0] if devices else None
+                for p, size, fut in futs:
+                    _process_one(p, size, fut, dev0)
             write_metrics()
     finally:
         pool.shutdown(wait=False, cancel_futures=True)
+        if solver_pool is not None:
+            solver_pool.shutdown(wait=False, cancel_futures=True)
         waiter.close()
         if http_srv is not None:
             http_srv.shutdown()

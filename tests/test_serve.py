@@ -341,3 +341,80 @@ def test_watch_zarr_store_in_and_out(tmp_path):
     assert rec.shape == (1, 1, *d.shape)
     assert np.isfinite(rec).all()
     assert not (outdir / "v.zarr.tmp").exists()
+
+
+def test_watch_multi_device_fan_out(tmp_path):
+    """devices=: files round-robin across the virtual mesh's devices, all
+    outputs land, and the per_device metric shows more than one device."""
+    import json
+
+    import jax
+
+    indir = tmp_path / "in"
+    outdir = tmp_path / "out"
+    indir.mkdir()
+    psf, _ = _mini_scene(tmp_path)
+    rng = np.random.default_rng(2)
+    shape = psf.shape
+    for i in range(6):
+        o = np.abs(rng.standard_normal(shape)).astype(np.float32) * 10
+        d = np.asarray(convolve(jnp.asarray(o), convolve_spectrum(jnp.asarray(psf)), shape))
+        write_stack(indir / f"v{i}.tif", d)
+
+    devices = jax.devices()[:4]
+    logs = []
+    out = watch(indir, outdir, tmp_path / "psf.tif",
+                config=DeconvolutionConfig(mu=0.001, epsilon=1.0, max_iter=6),
+                poll_seconds=0.05, max_files=6, log=logs.append,
+                metrics_path=tmp_path / "m.json", devices=devices)
+    assert len(out) == 6
+    for i in range(6):
+        rec = read_stack(outdir / f"v{i}.tif")
+        assert rec.shape == shape and np.isfinite(rec).all()
+    snap = json.loads((tmp_path / "m.json").read_text())
+    per = snap["per_device"]
+    assert sum(per.values()) == 6
+    assert len(per) > 1  # genuinely fanned out
+
+
+def test_watch_blind_once_calibrates_before_fan_out(tmp_path):
+    """blind-once + devices: the first file calibrates alone; later files
+    are served with the calibrated fixed-PSF path on every device."""
+    import jax
+
+    from microtipi_tpu.jobs.blind import BlindDeconvConfig
+    from microtipi_tpu.jobs.deconv import DeconvolutionConfig as DC
+    from microtipi_tpu.jobs.psf_fit import PsfFitConfig
+    from microtipi_tpu.models.microscope import PHASE
+    from microtipi_tpu.models.widefield import WideFieldConfig
+
+    shape = (4, 16, 16)
+    model_cfg = dict(na=1.2, wavelength=500e-9, ni=1.33, dxy=100e-9, dz=250e-9,
+                     n_phase=2, radial=True, dtype=jnp.float32)
+    true = WideFieldConfig(shape=shape, **model_cfg).init_params()._replace(
+        phase=jnp.asarray([0.25, -0.1], jnp.float32))
+
+    indir = tmp_path / "in"
+    outdir = tmp_path / "out"
+    indir.mkdir()
+    rng = np.random.default_rng(3)
+    m = WideFieldConfig(shape=shape, **model_cfg)
+    psf = m.compute_psf(true)
+    for i in range(4):
+        o = np.abs(rng.standard_normal(shape)).astype(np.float32) * 10
+        d = np.asarray(convolve(jnp.asarray(o), convolve_spectrum(psf), shape))
+        write_stack(indir / f"s{i}.tif", d)
+
+    bcfg = BlindDeconvConfig(
+        loops=2, families=(PHASE,), psf_max_iter=(4,),
+        deconv=DC(mu=1e-3, epsilon=1.0, max_iter=4, grtol=0.0),
+        fit=PsfFitConfig(max_iter=4), joint_fit=True,
+    )
+    logs = []
+    out = watch(indir, outdir, None, method="blind-once",
+                config=DC(mu=1e-3, epsilon=1.0, max_iter=4),
+                model_factory=lambda s: WideFieldConfig(shape=s, **model_cfg),
+                blind_config=bcfg, poll_seconds=0.05, max_files=4,
+                log=logs.append, devices=jax.devices()[:2])
+    assert len(out) == 4
+    assert any("calibrated pupil" in m_ for m_ in logs)
