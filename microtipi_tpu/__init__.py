@@ -25,7 +25,7 @@ from microtipi_tpu.jobs.blind import BlindDeconvConfig, BlindDeconvResult, blind
 from microtipi_tpu.jobs.deconv import DeconvolutionConfig, DeconvolutionResult, deconvolve
 from microtipi_tpu.jobs.depthvar import deconvolve_depthvar, depth_anchor_psfs
 from microtipi_tpu.jobs.psf_fit import (
-    PsfFitConfig, PsfFitResult, bead_anchor_term, center_bead_stack,
+    PsfFitConfig, PsfFitResult, average_beads, bead_anchor_term, center_bead_stack,
     fit_psf, fit_psf_beads, fit_psf_joint,
 )
 from microtipi_tpu.jobs.richardson_lucy import multiview_richardson_lucy, richardson_lucy
@@ -52,7 +52,7 @@ __all__ = [
     "BlindDeconvConfig", "BlindDeconvResult", "blind_deconvolve",
     "DeconvolutionConfig", "DeconvolutionResult", "deconvolve",
     "deconvolve_depthvar", "depth_anchor_psfs",
-    "PsfFitConfig", "PsfFitResult", "bead_anchor_term", "center_bead_stack",
+    "PsfFitConfig", "PsfFitResult", "average_beads", "bead_anchor_term", "center_bead_stack",
     "fit_psf", "fit_psf_beads", "fit_psf_joint",
     "multiview_richardson_lucy", "richardson_lucy", "tiled_deconvolve", "wiener",
     "PoissonConvCost", "WeightedConvolutionCost", "convolve", "convolve_spectrum",

@@ -678,6 +678,13 @@ def cmd_fitpsf(args):
 
     data = jnp.asarray(_read_input_volume(args, args.stack))
     _resolve_geometry(args, args.stack)
+    if args.n_beads > 1:
+        from microtipi_tpu.jobs.psf_fit import average_beads
+
+        patch = tuple(args.bead_patch) if args.bead_patch else None
+        avg, used = average_beads(np.asarray(data), n_beads=args.n_beads, patch=patch)
+        print(f"averaged {used} beads -> patch {avg.shape} (~{used**0.5:.1f}x SNR)")
+        data = jnp.asarray(avg)
     model = _build_model(args, data.shape)
     fam_map = {"defocus": DEFOCUS, "phase": PHASE, "modulus": MODULUS, "depth": DEPTH}
     if "depth" in args.families and args.model != "gl":
@@ -829,6 +836,12 @@ def main(argv=None):
     p.add_argument("--ome", action="store_true",
                    help="write outputs as OME-TIFF (OME-XML geometry in the description)")
     p.add_argument("--iters", type=int, default=60, help="joint-fit VMLMB iterations")
+    p.add_argument("--n-beads", type=int, default=1,
+                   help="detect and average up to N beads before fitting "
+                        "(~sqrt(N) SNR; beads clipping the patch edge are skipped)")
+    p.add_argument("--bead-patch", type=int, nargs=3, default=None,
+                   metavar=("PZ", "PY", "PX"),
+                   help="[--n-beads] averaged patch shape (default: full z, 32x32)")
     p.add_argument("--pin-z4", action="store_true",
                    help="freeze the first phase mode during the fit")
     p.add_argument("--families", nargs="+", default=["defocus", "phase"],

@@ -3,7 +3,7 @@ from microtipi_tpu.jobs.batch import batched_blind_deconvolve, batched_deconvolv
 from microtipi_tpu.jobs.blind import BlindDeconvConfig, BlindDeconvResult, blind_deconvolve
 from microtipi_tpu.jobs.deconv import DeconvolutionConfig, DeconvolutionResult, deconvolve
 from microtipi_tpu.jobs.depthvar import deconvolve_depthvar, depth_anchor_psfs
-from microtipi_tpu.jobs.psf_fit import PsfFitConfig, PsfFitResult, bead_anchor_term, center_bead_stack, fit_psf, fit_psf_joint
+from microtipi_tpu.jobs.psf_fit import PsfFitConfig, PsfFitResult, average_beads, bead_anchor_term, center_bead_stack, fit_psf, fit_psf_joint
 from microtipi_tpu.jobs.richardson_lucy import multiview_richardson_lucy, richardson_lucy
 from microtipi_tpu.jobs.tiled import tiled_deconvolve
 from microtipi_tpu.jobs.wiener import wiener
@@ -11,7 +11,7 @@ from microtipi_tpu.jobs.wiener import wiener
 __all__ = [
     "BlindDeconvConfig", "BlindDeconvResult", "blind_deconvolve",
     "DeconvolutionConfig", "DeconvolutionResult", "deconvolve",
-    "PsfFitConfig", "PsfFitResult", "bead_anchor_term", "center_bead_stack", "fit_psf", "fit_psf_joint",
+    "PsfFitConfig", "PsfFitResult", "average_beads", "bead_anchor_term", "center_bead_stack", "fit_psf", "fit_psf_joint",
     "batched_deconvolve", "batched_blind_deconvolve",
     "deconvolve_depthvar", "depth_anchor_psfs",
     "multiview_richardson_lucy", "richardson_lucy", "tiled_deconvolve", "wiener",

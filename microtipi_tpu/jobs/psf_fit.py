@@ -38,6 +38,7 @@ from microtipi_tpu.utils.arrays import pad_to_shape
 __all__ = [
     "PsfFitConfig",
     "PsfFitResult",
+    "average_beads",
     "bead_anchor_term",
     "center_bead_stack",
     "fit_psf",
@@ -132,6 +133,116 @@ def center_bead_stack(data: jax.Array, subvoxel: bool = True) -> jax.Array:
     ramp = jnp.exp((2j * jnp.pi) * phase.astype(
         jnp.complex128 if d.dtype == jnp.float64 else jnp.complex64))
     return jnp.fft.irfftn(jnp.fft.rfftn(d) * ramp, s=shape).astype(d.dtype)
+
+
+def average_beads(
+    data,
+    n_beads: int = 8,
+    patch: tuple[int, int, int] | None = None,
+    min_separation: int | None = None,
+    rel_threshold: float = 0.3,
+):
+    """Detect up to ``n_beads`` beads in a calibration stack and average them
+    into one high-SNR synthetic bead patch (centered layout).
+
+    The ecosystem's standard calibration practice: a bead slide carries many
+    sub-resolution beads, and since each is an independent measurement of
+    the same PSF, averaging K of them buys ~sqrt(K) SNR — which matters
+    because aberrations move the PSF by only a few percent in L2
+    (BASELINE.md bead-anchored notes). Pipeline: greedy peak detection
+    with non-max suppression (``min_separation``, default the lateral
+    patch size), patch extraction around each peak (beads closer than half
+    a patch to any lateral edge are skipped — their tails are clipped),
+    then subvoxel *plain cross-correlation registration of every patch
+    against the brightest one* (all voxels vote; two measured dead ends
+    shaped this choice: aligning each bead on its own noisy argmax blurs
+    the average with inconsistent +-1-voxel offsets, and NORMALIZED phase
+    correlation (``ops.register``) hallucinates ~0.1-voxel shifts between
+    identical patches because bead spectra are zero outside the OTF
+    support and the cross-power normalization amplifies those bins —
+    matched-filter correlation has no such zeros problem), with the axial
+    shift rounded to an integer (the axial gauge belongs to the pupil fit,
+    same rule as :func:`fit_psf_beads`), matched-filter amplitude
+    normalization against the reference, and the mean.
+
+    Host-side NumPy (calibration is offline; no jit needed). Returns
+    ``(averaged_patch, n_used)`` — feed the patch to :func:`fit_psf_beads`
+    or ``blind_deconvolve(..., bead_data=...)`` with a model at the patch
+    shape. ``rel_threshold``: stop accepting peaks below this fraction of
+    the brightest (background bumps are not beads).
+    """
+    import numpy as np
+
+    d = np.asarray(data, np.float64)
+    bg = np.median(d)
+    d = d - bg
+    nz, ny, nx = d.shape
+    if patch is None:
+        patch = (nz, min(32, ny), min(32, nx))
+    pz, py, px = patch
+    if min_separation is None:
+        min_separation = max(py, px)
+
+    work = d.copy()
+    peaks = []
+    first = None
+    for _ in range(int(n_beads)):
+        idx = np.unravel_index(np.argmax(work), work.shape)
+        val = work[idx]
+        if first is None:
+            first = val
+        if val <= 0 or val < rel_threshold * first:
+            break
+        peaks.append((idx, val))
+        z0, y0, x0 = idx
+        s = min_separation
+        work[:, max(0, y0 - s):y0 + s + 1, max(0, x0 - s):x0 + s + 1] = -np.inf
+
+    patches = []
+    cy, cx, cz = py // 2, px // 2, pz // 2
+    for (z0, y0, x0), val in peaks:
+        if not (cy <= y0 <= ny - (py - cy) and cx <= x0 <= nx - (px - cx)):
+            continue  # lateral tails would clip
+        zlo = min(max(z0 - cz, 0), nz - pz)  # clamp z: the stack often holds one z-range
+        patches.append(d[zlo:zlo + pz, y0 - cy:y0 + (py - cy), x0 - cx:x0 + (px - cx)])
+    if not patches:
+        raise ValueError("no usable bead found (all candidates clip the patch edges)")
+
+    from microtipi_tpu.ops.register import fourier_shift
+
+    def _xcorr_shift(ref, p):
+        """Signed (z, y, x) shift aligning p to ref by plain (matched-filter)
+        cross-correlation: integer argmax + parabolic subvoxel refinement."""
+        c = np.fft.irfftn(np.fft.rfftn(ref) * np.conj(np.fft.rfftn(p)),
+                          s=ref.shape, axes=(0, 1, 2))
+        idx = np.unravel_index(np.argmax(c), c.shape)
+        out = []
+        for ax, (i, n) in enumerate(zip(idx, c.shape)):
+            take = list(idx)
+
+            def at(j):
+                take[ax] = j % n
+                return c[tuple(take)]
+
+            fm, f0, fp = at(i - 1), at(i), at(i + 1)
+            den = fm - 2.0 * f0 + fp
+            s = np.clip(0.5 * (fm - fp) / den, -0.5, 0.5) if abs(den) > 1e-300 else 0.0
+            out.append((i if i <= n // 2 else i - n) + s)
+        return np.asarray(out)
+
+    ref = patches[0]  # brightest (peaks come out in amplitude order)
+    acc, used = ref.copy(), 1
+    rr = float(np.sum(ref * ref))
+    for p in patches[1:]:
+        t = _xcorr_shift(ref, p)
+        t[0] = np.round(t[0])  # axial gauge stays integer
+        aligned = np.asarray(fourier_shift(jnp.asarray(p), jnp.asarray(t)))
+        amp = float(np.sum(aligned * ref)) / rr  # matched filter vs reference
+        if amp <= 0:
+            continue
+        acc = acc + aligned / amp
+        used += 1
+    return (acc / used).astype(np.asarray(data).dtype), used
 
 
 def bead_anchor_term(model, bead_data: jax.Array, subvoxel: bool = True):

@@ -575,3 +575,36 @@ def test_cli_blind_bead_anchor(tmp_path):
     assert r.returncode == 0, r.stderr
     fitted = json.loads((tmp_path / "fitted.json").read_text())
     np.testing.assert_allclose(fitted["phase"], [0.3, -0.15], atol=3e-2)
+
+
+def test_cli_fitpsf_n_beads(tmp_path):
+    """fitpsf --n-beads averages the detected beads before the fit."""
+    import jax.numpy as jnp
+
+    from microtipi_tpu.io.tiffstack import write_stack
+    from microtipi_tpu.models.widefield import WideFieldConfig
+    from microtipi_tpu.utils.arrays import roll
+
+    patch = (6, 24, 24)
+    model = WideFieldConfig(shape=patch, na=1.2, wavelength=500e-9, ni=1.33,
+                            dxy=100e-9, dz=250e-9, n_phase=2, radial=True,
+                            dtype=jnp.float32)
+    true = model.init_params()._replace(phase=jnp.asarray([0.3, -0.15], jnp.float32))
+    h = np.asarray(roll(model.compute_psf(true)))
+    rng = np.random.default_rng(0)
+    stack = np.zeros((6, 96, 96), np.float32)
+    for (y, x) in [(24, 24), (24, 70), (70, 40)]:
+        stack[:, y - 12:y + 12, x - 12:x + 12] += rng.uniform(5000, 9000) * h
+    stack += 3.0 + 0.5 * rng.standard_normal(stack.shape).astype(np.float32)
+    write_stack(tmp_path / "beads.tif", stack)
+
+    r = _run(["fitpsf", "beads.tif", "--params-out", "cal.json",
+              "--n-beads", "4", "--bead-patch", "6", "24", "24",
+              "--families", "phase", "--iters", "40",
+              "--n-phase", "2", "--radial", "--na", "1.2", "--ni", "1.33",
+              "--wavelength", "500e-9", "--dxy", "100e-9", "--dz", "250e-9"],
+             tmp_path)
+    assert r.returncode == 0, r.stderr
+    assert "averaged 3 beads" in r.stdout
+    cal = json.loads((tmp_path / "cal.json").read_text())
+    np.testing.assert_allclose(cal["phase"], [0.3, -0.15], atol=0.08)

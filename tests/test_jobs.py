@@ -532,3 +532,75 @@ def test_sharded_blind_bead_anchor_matches_dense():
         d, model, mesh, config=cfg, bead_data=b))(d_sh, bead)
     np.testing.assert_allclose(np.asarray(sh.params.phase),
                                np.asarray(dense.params.phase), atol=2e-4)
+
+
+def _bead_field(model, true, seed, noise=1.5):
+    """6 bright beads of one PSF scattered in a (8, 128, 128) stack."""
+    from microtipi_tpu.utils.arrays import roll
+
+    h = np.asarray(roll(model.compute_psf(true)))
+    rng = np.random.default_rng(seed)
+    stack = np.zeros((8, 128, 128))
+    for (y, x) in [(20, 20), (20, 70), (60, 40), (64, 100), (100, 24), (104, 84)]:
+        stack[:, y - 12:y + 12, x - 12:x + 12] += rng.uniform(4000, 8000) * h
+    return stack + 5.0 + noise * rng.standard_normal(stack.shape), h
+
+
+def test_average_beads_exact_on_noiseless_field():
+    """With no noise, the K-bead average reconstructs the PSF exactly
+    (detection, registration and amplitude matching introduce NO
+    distortion — the regression that motivated the plain-cross-correlation
+    alignment; normalized phase correlation hallucinated ~0.1-voxel shifts
+    between identical patches)."""
+    from microtipi_tpu.jobs.psf_fit import average_beads
+
+    patch = (8, 24, 24)
+    model = WideFieldConfig(shape=patch, na=1.2, wavelength=500e-9, ni=1.33,
+                            dxy=100e-9, dz=250e-9, n_phase=2, radial=True,
+                            dtype=jnp.float64)
+    true = model.init_params()._replace(phase=jnp.asarray([0.3, -0.15]))
+    stack, h = _bead_field(model, true, seed=0, noise=0.0)
+    avg, used = average_beads(stack, n_beads=8, patch=patch)
+    assert used == 6
+    scale = np.sum(avg * h) / np.sum(h * h)
+    resid = np.linalg.norm(avg - scale * h) / np.linalg.norm(scale * h)
+    assert resid < 1e-9
+
+
+def test_average_beads_improves_noisy_calibration():
+    """Averaging K beads beats the single brightest bead on noisy stacks in
+    the mean over seeds (each bead is an independent PSF measurement; a
+    single-seed comparison is dominated by fit-realization noise —
+    measured seed-mean 0.051 vs 0.079 over 6 seeds)."""
+    from microtipi_tpu.jobs.psf_fit import PsfFitConfig, average_beads, fit_psf_beads
+
+    patch = (8, 24, 24)
+    model = WideFieldConfig(shape=patch, na=1.2, wavelength=500e-9, ni=1.33,
+                            dxy=100e-9, dz=250e-9, n_phase=2, radial=True,
+                            dtype=jnp.float64)
+    true = model.init_params()._replace(phase=jnp.asarray([0.3, -0.15]))
+    tp = np.asarray(true.phase)
+    cfg = PsfFitConfig(max_iter=60, grtol=0.0)
+    fit = jax.jit(lambda q: fit_psf_beads(model, q, (PHASE,), config=cfg)[0].params.phase)
+
+    errs = {"avg": [], "one": []}
+    for seed in range(3):
+        stack, _h = _bead_field(model, true, seed=seed)
+        avg, used = average_beads(stack, n_beads=8, patch=patch)
+        assert used == 6 and avg.shape == patch
+        one, used1 = average_beads(stack, n_beads=1, patch=patch)
+        assert used1 == 1
+        errs["avg"].append(np.linalg.norm(np.asarray(fit(jnp.asarray(avg))) - tp))
+        errs["one"].append(np.linalg.norm(np.asarray(fit(jnp.asarray(one))) - tp))
+    assert np.mean(errs["avg"]) < np.mean(errs["one"])
+    assert np.mean(errs["avg"]) < 0.1
+
+
+def test_average_beads_skips_edge_clipped():
+    from microtipi_tpu.jobs.psf_fit import average_beads
+
+    stack = np.zeros((4, 64, 64))
+    stack[2, 32, 4] = 100.0  # clips a 24-wide lateral patch
+    stack[2, 32, 40] = 90.0
+    avg, used = average_beads(stack, n_beads=4, patch=(4, 24, 24))
+    assert used == 1  # only the interior bead
