@@ -83,6 +83,7 @@ def batched_blind_deconvolve(
     weights: jax.Array | None = None,
     config: BlindDeconvConfig = BlindDeconvConfig(),
     joint_psf: bool = False,
+    bead_data: jax.Array | None = None,
 ):
     """Blind deconvolution over a (B, ...) stack.
 
@@ -92,6 +93,9 @@ def batched_blind_deconvolve(
     sum-over-frames joint fit runs through the mesh implementation on a
     trivial single-device mesh (``params0`` is a single pytree; the result's
     ``params`` is too).
+
+    ``bead_data``: one (unbatched) bead stack — the same optics measured
+    once anchors every frame's fit (``jobs.blind.blind_deconvolve``).
     """
     if joint_psf:
         from microtipi_tpu.parallel.blind import sharded_blind_deconvolve
@@ -99,7 +103,8 @@ def batched_blind_deconvolve(
 
         mesh = make_mesh(batch=1, z=1, devices=jax.devices()[:1])
         return sharded_blind_deconvolve(
-            data, model, mesh, params0=params0, weights=weights, config=config
+            data, model, mesh, params0=params0, weights=weights, config=config,
+            bead_data=bead_data,
         )
     config = dataclasses.replace(config, deconv=_unfused(config.deconv))
     if params0 is None:
@@ -107,7 +112,8 @@ def batched_blind_deconvolve(
         params0 = jax.tree.map(lambda l: jnp.broadcast_to(l, (data.shape[0],) + l.shape), params0)
     in_axes = (0, 0, 0 if weights is not None else None)
     fn = jax.vmap(
-        lambda d, p, w: blind_deconvolve(d, model, params0=p, weights=w, config=config),
+        lambda d, p, w: blind_deconvolve(d, model, params0=p, weights=w, config=config,
+                                         bead_data=bead_data),
         in_axes=in_axes,
     )
     return fn(data, params0, weights)

@@ -114,3 +114,30 @@ def test_batched_depthvar_matches_per_frame():
         # level, visible relatively only on bound-projected ~0 voxels.
         np.testing.assert_allclose(np.asarray(res.x[b]), np.asarray(ref.x),
                                    rtol=1e-8, atol=1e-12)
+
+
+def test_batched_blind_bead_anchor():
+    """One unbatched bead stack anchors every frame's fit (vmapped path):
+    with the anchor dominant, every per-frame phase lands at the truth."""
+    from microtipi_tpu.utils.arrays import roll
+
+    model = WideFieldConfig(shape=SHAPE, n_phase=3, radial=True,
+                            dtype=jnp.float64, **KW)
+    true = model.init_params()._replace(phase=jnp.asarray([0.25, -0.12, 0.08]))
+    psf = model.compute_psf(true)
+    rng = np.random.default_rng(1)
+    objs = jnp.asarray(np.abs(rng.standard_normal((2,) + SHAPE)) * 20)
+    frames = jax.vmap(lambda o: convolve(o, convolve_spectrum(psf), SHAPE))(objs)
+    bead = 400.0 * roll(psf)  # noiseless, same optics, unbatched
+
+    cfg = BlindDeconvConfig(
+        loops=2, families=(PHASE,), psf_max_iter=(6,),
+        deconv=DeconvolutionConfig(mu=0.002, epsilon=1.0, max_iter=4),
+        joint_fit=True, bead_weight=1e4,
+    )
+    res = jax.jit(lambda d, b: batched_blind_deconvolve(
+        d, model, config=cfg, bead_data=b))(frames, bead)
+    assert res.params.phase.shape == (2, 3)
+    for k in range(2):
+        np.testing.assert_allclose(np.asarray(res.params.phase[k]),
+                                   np.asarray(true.phase), atol=3e-2)

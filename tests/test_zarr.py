@@ -185,3 +185,25 @@ def test_cli_zarr_in_zarr_out(tmp_path):
     assert out.shape == (1, 1, *shape)
     assert np.isfinite(out).all()
     assert meta["dxy"] == pytest.approx(100e-9)
+
+
+def test_zarr_roundtrip_fuzz(tmp_path):
+    """Randomized shapes x chunk grids x dtypes x codecs round-trip exactly
+    (the store is hand-rolled — pin the format corners broadly)."""
+    rng = np.random.default_rng(0)
+    dtypes = ["<f4", "<f8", "<u2", "<i4", ">f4"]
+    for trial in range(12):
+        ndim = int(rng.integers(1, 5))
+        shape = tuple(int(rng.integers(1, 9)) for _ in range(ndim))
+        chunks = tuple(int(rng.integers(1, s + 3)) for s in shape)
+        dt = np.dtype(dtypes[trial % len(dtypes)])
+        if dt.kind == "f":
+            arr = rng.normal(size=shape).astype(dt)
+        else:
+            arr = rng.integers(0, 1000, size=shape).astype(dt)
+        comp = [None, "zlib", "gzip"][trial % 3]
+        p = tmp_path / f"t{trial}.zarr"
+        write_zarr(p, arr, chunks=chunks, compressor=comp)
+        out = read_zarr(p)
+        assert out.dtype == dt
+        np.testing.assert_array_equal(out, arr)
