@@ -806,7 +806,8 @@ def cmd_watch(args):
           max_files=args.max_files, metrics_path=args.metrics,
           metrics_port=args.metrics_port,
           model_factory=model_factory, blind_config=blind_cfg,
-          channel=args.channel, timepoint=args.timepoint, devices=devices)
+          channel=args.channel, timepoint=args.timepoint, devices=devices,
+          bead_path=args.bead, bead_n=args.bead_n)
 
 
 def main(argv=None):
@@ -969,6 +970,11 @@ def main(argv=None):
     p.add_argument("--devices", type=int, default=0,
                    help="serving scale-out: dispatch files round-robin over "
                         "the first N jax devices (0 = single-device loop)")
+    p.add_argument("--bead", default=None, metavar="STACK",
+                   help="[blind-once] calibrate the pupil at startup from this "
+                        "bead stack instead of blind-solving the first file")
+    p.add_argument("--bead-n", type=int, default=1,
+                   help="[--bead] average up to N detected beads first")
     p.add_argument("--metrics-port", type=int, default=None,
                    help="serve the metrics snapshot at http://127.0.0.1:PORT/metrics")
     p.add_argument("--loops", type=int, default=5, help="[blind methods] blind rounds")

@@ -171,6 +171,8 @@ def watch(
     channel: int = 0,
     timepoint: int = 0,
     devices=None,
+    bead_path: str | os.PathLike | None = None,
+    bead_n: int = 1,
 ):
     """Run the service loop. ``max_files`` bounds the run (None = forever).
 
@@ -200,6 +202,14 @@ def watch(
     Blind methods take ``model_factory(shape) -> PsfModel config`` (and an
     optional ``blind_config``) instead of ``psf_path``.
 
+    ``bead_path`` (with ``method="blind-once"``): the production
+    calibration story when a bead slide exists — calibrate the pupil ONCE
+    at startup from the bead stack (``fit_psf_beads``; ``bead_n > 1``
+    averages that many detected beads first) and serve every file on the
+    fast fixed-PSF path. No sample file is burned on a blind solve, and
+    the calibration comes from a point source instead of an unknown
+    object (measured stronger — BASELINE.md bead tables).
+
     OME hyperstack inputs (SizeC/SizeT > 1) are sliced at
     ``channel``/``timepoint`` — without this a multi-channel file's pages
     would all be misread as z-planes. Plain TIFFs are unaffected (and skip
@@ -227,6 +237,23 @@ def watch(
     solvers: dict[tuple, object] = {}
     solvers_lock = threading.Lock()
     calib = {"params": None}  # blind-once: fitted pupil parameters
+
+    if bead_path is not None:
+        if method != "blind-once":
+            raise ValueError("bead_path requires method='blind-once'")
+        from microtipi_tpu.jobs.psf_fit import average_beads, fit_psf_beads
+
+        bead = np.asarray(read_stack(bead_path))
+        if bead_n > 1:
+            bead, used = average_beads(bead, n_beads=bead_n)
+            log(f"[watch] averaged {used} beads from {bead_path}")
+        bead_model = model_factory(bead.shape)
+        fit_res, _amp = jax.jit(
+            lambda b: fit_psf_beads(bead_model, b)
+        )(jnp.asarray(bead, bead_model.dtype))
+        calib["params"] = jax.tree.map(np.asarray, fit_res.params)
+        log(f"[watch] calibrated pupil from bead stack {bead_path}: "
+            f"{ {k: np.round(np.asarray(v), 5).tolist() for k, v in calib['params']._asdict().items()} }")
 
     def solver_for(shape):
         # Kernel embedding happens INSIDE the jit: eager dispatch is

@@ -418,3 +418,46 @@ def test_watch_blind_once_calibrates_before_fan_out(tmp_path):
                 log=logs.append, devices=jax.devices()[:2])
     assert len(out) == 4
     assert any("calibrated pupil" in m_ for m_ in logs)
+
+
+def test_watch_blind_once_bead_calibration(tmp_path):
+    """bead_path: the pupil calibrates from the bead stack at startup; every
+    sample file takes the fixed-PSF fast path with the fitted parameters."""
+    from microtipi_tpu.jobs.deconv import DeconvolutionConfig as DC
+    from microtipi_tpu.models.widefield import WideFieldConfig
+    from microtipi_tpu.utils.arrays import roll
+
+    shape = (6, 24, 24)
+    model_cfg = dict(na=1.2, wavelength=500e-9, ni=1.33, dxy=100e-9, dz=250e-9,
+                     n_phase=2, radial=True, dtype=jnp.float32)
+    m = WideFieldConfig(shape=shape, **model_cfg)
+    true = m.init_params()._replace(phase=jnp.asarray([0.3, -0.15], jnp.float32))
+    psf = m.compute_psf(true)
+    write_stack(tmp_path / "beads.tif",
+                np.asarray(600.0 * roll(psf) + 2.0, np.float32))
+
+    indir = tmp_path / "in"
+    outdir = tmp_path / "out"
+    indir.mkdir()
+    rng = np.random.default_rng(5)
+    for i in range(2):
+        o = np.abs(rng.standard_normal(shape)).astype(np.float32) * 10
+        d = np.asarray(convolve(jnp.asarray(o), convolve_spectrum(psf), shape))
+        write_stack(indir / f"s{i}.tif", d)
+
+    logs = []
+    out = watch(indir, outdir, None, method="blind-once",
+                config=DC(mu=1e-3, epsilon=1.0, max_iter=5),
+                model_factory=lambda s: WideFieldConfig(shape=s, **model_cfg),
+                poll_seconds=0.05, max_files=2, log=logs.append,
+                bead_path=tmp_path / "beads.tif")
+    assert len(out) == 2
+    cal_msgs = [m_ for m_ in logs if "calibrated pupil from bead stack" in m_]
+    assert len(cal_msgs) == 1
+    # the fitted phase (logged) is near the truth the bead carries
+    import re
+
+    nums = re.findall(r"'phase': \[([-0-9.e]+), ([-0-9.e]+)\]", cal_msgs[0])
+    assert nums, cal_msgs[0]
+    got = [float(v) for v in nums[0]]
+    np.testing.assert_allclose(got, [0.3, -0.15], atol=3e-2)
