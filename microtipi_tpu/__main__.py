@@ -428,7 +428,7 @@ def cmd_deconv(args):
         )
         print(f"deconv[tiled {tuple(args.tile)}+{args.overlap}]: "
               f"{time.time()-t0:.1f}s (incl. compile)")
-        _write_out(args, args.out, x)
+        _write_out(args, args.out, x, dxy=args.dxy, dz=args.dz)
         print("wrote", args.out)
         return
 

@@ -353,6 +353,8 @@ def zarr_info(path) -> str:
     path = str(path)
     (nt, nc, nz, ny, nx), meta = read_ngff_metadata_only(path)
     lines = [f"{path}: OME-NGFF/zarr T={nt} C={nc} Nz={nz} Ny={ny} Nx={nx}"]
-    if meta["dxy"]:
-        lines.append(f"  dxy = {meta['dxy']*1e9:.4g} nm, dz = {meta['dz']*1e9:.4g} nm")
+    parts = [f"{name} = {v*1e9:.4g} nm"
+             for name, v in (("dxy", meta["dxy"]), ("dz", meta["dz"])) if v]
+    if parts:
+        lines.append("  " + ", ".join(parts))
     return "\n".join(lines)

@@ -178,7 +178,10 @@ def average_beads(
     d = d - bg
     nz, ny, nx = d.shape
     if patch is None:
-        patch = (nz, min(32, ny), min(32, nx))
+        # Square laterally: the patch often becomes a PSF-model grid, and
+        # the pupil models require Nx == Ny.
+        m = min(32, ny, nx)
+        patch = (nz, m, m)
     pz, py, px = patch
     if min_separation is None:
         min_separation = max(py, px)
@@ -208,7 +211,16 @@ def average_beads(
     if not patches:
         raise ValueError("no usable bead found (all candidates clip the patch edges)")
 
-    from microtipi_tpu.ops.register import fourier_shift
+    def _np_shift(p, t):
+        """NumPy Fourier shift by +t voxels per axis. Host math on purpose:
+        the jax fourier_shift would dispatch eagerly here, which on the
+        remote-compile TPU runtime costs minutes per op (CLAUDE.md), and
+        would silently downcast the deliberate float64 accumulation."""
+        fz = np.fft.fftfreq(p.shape[0])[:, None, None]
+        fy = np.fft.fftfreq(p.shape[1])[None, :, None]
+        fx = np.fft.rfftfreq(p.shape[2])[None, None, :]
+        ramp = np.exp(-2j * np.pi * (fz * t[0] + fy * t[1] + fx * t[2]))
+        return np.fft.irfftn(np.fft.rfftn(p) * ramp, s=p.shape, axes=(0, 1, 2))
 
     def _xcorr_shift(ref, p):
         """Signed (z, y, x) shift aligning p to ref by plain (matched-filter)
@@ -236,7 +248,7 @@ def average_beads(
     for p in patches[1:]:
         t = _xcorr_shift(ref, p)
         t[0] = np.round(t[0])  # axial gauge stays integer
-        aligned = np.asarray(fourier_shift(jnp.asarray(p), jnp.asarray(t)))
+        aligned = _np_shift(p, t)
         amp = float(np.sum(aligned * ref)) / rr  # matched filter vs reference
         if amp <= 0:
             continue

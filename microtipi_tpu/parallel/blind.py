@@ -130,6 +130,12 @@ def sharded_blind_deconvolve(
     if bead_data is not None:
         from microtipi_tpu.jobs.psf_fit import bead_anchor_term
 
+        if bead_data.shape[-1] != bead_data.shape[-2]:
+            raise ValueError(
+                f"bead stack must be laterally square for the pupil model, got "
+                f"{tuple(bead_data.shape)}; crop it or run psf_fit.average_beads "
+                "(its default patch is square)"
+            )
         bead_model = dataclasses.replace(model, shape=tuple(bead_data.shape))
         aux_terms = (
             (bead_anchor_term(bead_model, bead_data, subvoxel=config.bead_subvoxel),

@@ -241,19 +241,6 @@ def watch(
     if bead_path is not None:
         if method != "blind-once":
             raise ValueError("bead_path requires method='blind-once'")
-        from microtipi_tpu.jobs.psf_fit import average_beads, fit_psf_beads
-
-        bead = np.asarray(read_stack(bead_path))
-        if bead_n > 1:
-            bead, used = average_beads(bead, n_beads=bead_n)
-            log(f"[watch] averaged {used} beads from {bead_path}")
-        bead_model = model_factory(bead.shape)
-        fit_res, _amp = jax.jit(
-            lambda b: fit_psf_beads(bead_model, b)
-        )(jnp.asarray(bead, bead_model.dtype))
-        calib["params"] = jax.tree.map(np.asarray, fit_res.params)
-        log(f"[watch] calibrated pupil from bead stack {bead_path}: "
-            f"{ {k: np.round(np.asarray(v), 5).tolist() for k, v in calib['params']._asdict().items()} }")
 
     def solver_for(shape):
         # Kernel embedding happens INSIDE the jit: eager dispatch is
@@ -343,6 +330,35 @@ def watch(
         t, c = min(timepoint, nt - 1), min(channel, nc - 1)
         log(f"[watch] {Path(p).name}: hyperstack T={nt} C={nc}, using t={t} c={c}")
         return np.ascontiguousarray(arr[t, c])
+
+    if bead_path is not None:
+        # Startup bead calibration: the same hyperstack/zarr-aware decode as
+        # sample files (a multi-channel bead slide read as raw pages would
+        # silently fit a garbage pupil), and the run's own family/budget/
+        # pin-Z4 settings from blind_config so --bead produces the same
+        # pupil parameterization the first-file path would.
+        from microtipi_tpu.jobs.psf_fit import average_beads, fit_psf_beads
+        from microtipi_tpu.models.microscope import DEPTH
+
+        bead = np.asarray(_decode(Path(bead_path)))
+        if bead_n > 1:
+            bead, used = average_beads(bead, n_beads=bead_n)
+            log(f"[watch] averaged {used} beads from {bead_path}")
+        bcfg = blind_config
+        fit_kw = {}
+        if bcfg is not None:
+            fit_kw = dict(
+                families=tuple(f for f in bcfg.families if f != DEPTH),
+                config=bcfg.fit,
+                phase_freeze_head=bcfg.phase_freeze_head,
+            )
+        bead_model = model_factory(bead.shape)
+        fit_res, _amp = jax.jit(
+            lambda b: fit_psf_beads(bead_model, b, **fit_kw)
+        )(jnp.asarray(bead, bead_model.dtype))
+        calib["params"] = jax.tree.map(np.asarray, fit_res.params)
+        log(f"[watch] calibrated pupil from bead stack {bead_path}: "
+            f"{ {k: np.round(np.asarray(v), 5).tolist() for k, v in calib['params']._asdict().items()} }")
 
     seen: dict[str, int] = {}
     done: set[tuple[str, int]] = set()  # (name, size): re-process if it grows
@@ -453,10 +469,13 @@ def watch(
             # solves file i.
             futs = [(p, seen[p.name], pool.submit(_decode, p)) for p in ready]
             if solver_pool is not None:
-                if blind and calib["params"] is None:
-                    # blind-once: calibrate on ONE file before fanning out so
-                    # every device serves the same pupil (and the per-file
-                    # blind method simply starts on device 0).
+                # blind-once: calibrate on ONE file before fanning out so
+                # every device serves the same pupil. Keep serializing while
+                # uncalibrated — if the first candidate FAILS (corrupt file),
+                # fanning out anyway would blind-solve on every worker and
+                # race the calib write. method='blind' has no shared
+                # calibration and fans out immediately.
+                while method == "blind-once" and calib["params"] is None and futs:
                     p, size, fut = futs[0]
                     _process_one(p, size, fut, devices[0])
                     futs = futs[1:]
