@@ -573,7 +573,15 @@ def cmd_blind(args):
     model = _build_model(args, data.shape)
     cfg = _blind_config(args, data.shape)
     params0 = _load_params_json(model, args.params_json) if args.params_json else None
-    bead = jnp.asarray(_read_input_volume(args, args.bead)) if args.bead else None
+    bead = None
+    if args.bead:
+        bead = np.asarray(_read_input_volume(args, args.bead))
+        if getattr(args, "bead_n", 1) > 1:
+            from microtipi_tpu.jobs.psf_fit import average_beads
+
+            bead, used = average_beads(bead, n_beads=args.bead_n)
+            print(f"averaged {used} beads for the anchor -> patch {bead.shape}")
+        bead = jnp.asarray(bead)
     w = _weights(args, data)
     t0 = time.time()
     mesh = _make_mesh(args)
@@ -908,6 +916,9 @@ def main(argv=None):
                    help="bead-term weight in natural intensity units (1.0 = "
                         "joint MLE at equal noise; sigma_sample^2/sigma_bead^2 "
                         "otherwise)")
+    p.add_argument("--bead-n", type=int, default=1,
+                   help="[--bead] average up to N detected beads into the "
+                        "anchor patch first (~sqrt(N) SNR)")
     p.add_argument("--all-channels", action="store_true",
                    help="blind-solve EVERY channel of an OME hyperstack, each "
                         "with its own emission wavelength; writes one "
