@@ -10,8 +10,10 @@ enough to own directly: JSON metadata files + one file per chunk.
 Supported surface (clear errors beyond it):
 
 - zarr format v2 directory stores (``.zarray``/``.zgroup``/``.zattrs``);
-- compressors: ``null`` (raw), ``zlib``, ``gzip`` — the stdlib-codable
-  subset (blosc/lz4/zstd need numcodecs, absent here);
+- compressors: ``null`` (raw), ``zlib``, ``gzip`` (stdlib), plus ``blosc``
+  (all cnames/shuffles), ``zstd``, and numcodecs-framed ``lz4`` via the
+  system C libraries (``io.codecs``; blosc-lz4/zlib chunks also decode with
+  a pure-Python fallback when the libraries are absent);
 - C and F chunk order, any numpy dtype with an endianness tag, missing
   chunks -> ``fill_value``;
 - OME-NGFF 0.4 ``multiscales`` (axes subsets of t/c/z/y/x, scale
@@ -29,6 +31,8 @@ import os
 import zlib
 
 import numpy as np
+
+from . import codecs, zarr3
 
 __all__ = [
     "is_zarr",
@@ -49,11 +53,12 @@ _AXES5 = ("t", "c", "z", "y", "x")
 
 
 def is_zarr(path) -> bool:
-    """A zarr array or group directory (or a path named like one)."""
+    """A zarr array or group directory (or a path named like one), v2 or v3."""
     p = str(path)
     if os.path.isdir(p):
         return any(
-            os.path.exists(os.path.join(p, f)) for f in (".zarray", ".zgroup", ".zattrs")
+            os.path.exists(os.path.join(p, f))
+            for f in (".zarray", ".zgroup", ".zattrs", "zarr.json")
         )
     return p.rstrip("/").lower().endswith(".zarr")
 
@@ -71,23 +76,41 @@ def _decompress(buf: bytes, compressor) -> bytes:
         return zlib.decompress(buf)
     if cid == "gzip":
         return zlib.decompress(buf, wbits=31)
+    if cid == "blosc":
+        return codecs.blosc_decompress(buf)
+    if cid == "zstd":
+        return codecs.zstd_decompress(buf)
+    if cid == "lz4":
+        return codecs.lz4_decompress(buf)
     raise ValueError(
-        f"unsupported zarr compressor {cid!r}: this stdlib reader handles "
-        "null/zlib/gzip (re-encode with one of those, e.g. "
-        "`zarr.copy(..., compressor=Zlib())`)"
+        f"unsupported zarr compressor {cid!r}: this reader handles "
+        "null/zlib/gzip/blosc/zstd/lz4"
     )
 
 
-def _compress(buf: bytes, compressor) -> bytes:
+def _compress(buf: bytes, compressor, typesize: int = 1) -> bytes:
     if compressor is None:
         return buf
     cid = compressor["id"]
-    level = int(compressor.get("level", 1))
+    level = int(compressor.get("level", compressor.get("clevel", 1)))
     if cid == "zlib":
         return zlib.compress(buf, level)
     if cid == "gzip":
         co = zlib.compressobj(level, zlib.DEFLATED, 31)
         return co.compress(buf) + co.flush()
+    if cid == "blosc":
+        return codecs.blosc_compress(
+            buf,
+            typesize=typesize,
+            cname=compressor.get("cname", "lz4"),
+            clevel=int(compressor.get("clevel", 5)),
+            shuffle=int(compressor.get("shuffle", 1)),
+            blocksize=int(compressor.get("blocksize", 0)),
+        )
+    if cid == "zstd":
+        return codecs.zstd_compress(buf, level)
+    if cid == "lz4":
+        return codecs.lz4_compress(buf)
     raise ValueError(f"unsupported compressor {cid!r}")
 
 
@@ -96,6 +119,13 @@ def _chunk_key(idx, sep):
 
 
 def _read_array(adir: str) -> np.ndarray:
+    """Read one array directory, dispatching on the store format."""
+    if zarr3.is_zarr3_array(adir):
+        return zarr3.read_array(adir)
+    return _read_array_v2(adir)
+
+
+def _read_array_v2(adir: str) -> np.ndarray:
     meta = _load_json(os.path.join(adir, ".zarray"))
     if meta.get("zarr_format") != 2:
         raise ValueError(f"unsupported zarr_format {meta.get('zarr_format')!r} (v2 only)")
@@ -134,7 +164,17 @@ def _write_array(adir: str, arr: np.ndarray, chunks=None, compressor="zlib", lev
         # to how the solvers touch volumes.
         chunks = (1,) * max(0, arr.ndim - 2) + arr.shape[-2:] if arr.ndim >= 2 else arr.shape
     chunks = tuple(min(c, s) for c, s in zip(chunks, arr.shape))
-    comp = None if compressor in (None, "null") else {"id": compressor, "level": int(level)}
+    if compressor in (None, "null"):
+        comp = None
+    elif isinstance(compressor, dict):
+        comp = compressor
+    elif compressor == "blosc":
+        comp = {"id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 1,
+                "blocksize": 0}
+    elif compressor == "lz4":
+        comp = {"id": "lz4", "acceleration": 1}
+    else:  # zlib / gzip / zstd
+        comp = {"id": compressor, "level": int(level)}
     meta = {
         "zarr_format": 2,
         "shape": list(arr.shape),
@@ -160,35 +200,66 @@ def _write_array(adir: str, arr: np.ndarray, chunks=None, compressor="zlib", lev
             pad[tuple(slice(0, b) for b in block.shape)] = block
             block = pad
         with open(os.path.join(adir, _chunk_key(idx, ".")), "wb") as fh:
-            fh.write(_compress(np.ascontiguousarray(block).tobytes(), comp))
+            fh.write(_compress(np.ascontiguousarray(block).tobytes(), comp,
+                               typesize=arr.dtype.itemsize))
+
+
+def _is_array_dir(p: str) -> bool:
+    return os.path.exists(os.path.join(p, ".zarray")) or zarr3.is_zarr3_array(p)
+
+
+def _node_attrs(path: str) -> dict:
+    """User attributes of a v2 (.zattrs) or v3 (zarr.json) node."""
+    attrs_p = os.path.join(path, ".zattrs")
+    if os.path.exists(attrs_p):
+        return _load_json(attrs_p)
+    if os.path.exists(os.path.join(path, "zarr.json")):
+        return zarr3.group_attributes(path)
+    return {}
+
+
+def _multiscales(attrs: dict):
+    """NGFF multiscales from 0.4 (top-level) or 0.5 (under ``ome``) attrs."""
+    return attrs.get("multiscales") or (attrs.get("ome") or {}).get("multiscales")
+
+
+def _omero(attrs: dict) -> dict:
+    return attrs.get("omero") or (attrs.get("ome") or {}).get("omero") or {}
 
 
 def _resolve_array_dir(path: str) -> str:
     """Array dir for ``path``: itself, the NGFF full-resolution dataset, or
     the first array child of a plain group."""
-    if os.path.exists(os.path.join(path, ".zarray")):
+    if _is_array_dir(path):
         return path
-    attrs_p = os.path.join(path, ".zattrs")
-    if os.path.exists(attrs_p):
-        attrs = _load_json(attrs_p)
-        ms = attrs.get("multiscales")
-        if ms:
-            ds = ms[0]["datasets"][0]["path"]  # full resolution first (NGFF 0.4)
-            return os.path.join(path, ds)
+    ms = _multiscales(_node_attrs(path))
+    if ms:
+        ds = ms[0]["datasets"][0]["path"]  # full resolution first (NGFF)
+        return os.path.join(path, ds)
     for name in sorted(os.listdir(path)):
         sub = os.path.join(path, name)
-        if os.path.isdir(sub) and os.path.exists(os.path.join(sub, ".zarray")):
+        if os.path.isdir(sub) and _is_array_dir(sub):
             return sub
     raise ValueError(f"no zarr array found under {path}")
 
 
 def read_zarr(path) -> np.ndarray:
-    """Read a zarr array (or a group's full-resolution/first array)."""
+    """Read a zarr v2/v3 array (or a group's full-resolution/first array)."""
     return _read_array(_resolve_array_dir(str(path)))
 
 
-def write_zarr(path, arr, chunks=None, compressor="zlib", level=1):
-    """Write a bare zarr v2 array directory."""
+def write_zarr(path, arr, chunks=None, compressor="zlib", level=1,
+               zarr_format=2, shard=None):
+    """Write a bare zarr array directory (``zarr_format`` 2 or 3).
+
+    ``shard`` (v3 only): inner chunk shape for ``sharding_indexed`` storage.
+    """
+    if zarr_format == 3:
+        zarr3.write_array(str(path), np.asarray(arr), chunks=chunks,
+                          compressor=compressor, shard=shard)
+        return
+    if shard is not None:
+        raise ValueError("sharding needs zarr_format=3")
     _write_array(str(path), np.asarray(arr), chunks, compressor, level)
 
 
@@ -199,12 +270,9 @@ def write_zarr(path, arr, chunks=None, compressor="zlib", level=1):
 
 def _ngff_axes(path: str):
     """(axes names, scale values, array dir) of the NGFF image at ``path``;
-    (None, None, array dir) for a bare array."""
-    attrs_p = os.path.join(path, ".zattrs")
-    if not os.path.exists(attrs_p):
-        return None, None, _resolve_array_dir(path)
-    attrs = _load_json(attrs_p)
-    ms = attrs.get("multiscales")
+    (None, None, array dir) for a bare array. Handles NGFF 0.4 (zarr v2)
+    and 0.5 (zarr v3, attrs under the ``ome`` key)."""
+    ms = _multiscales(_node_attrs(path))
     if not ms:
         return None, None, _resolve_array_dir(path)
     m = ms[0]
@@ -253,28 +321,30 @@ def read_ngff_hyperstack(path):
             meta["dxy"] = float(per_axis["x"]) * 1e-6
         if "z" in per_axis:
             meta["dz"] = float(per_axis["z"]) * 1e-6
-    attrs_p = os.path.join(path, ".zattrs")
-    if os.path.exists(attrs_p):
-        omero = _load_json(attrs_p).get("omero") or {}
-        for ch in omero.get("channels", []):
-            meta["channels"].append({
-                "name": ch.get("label"),
-                "emission_wavelength": (
-                    float(ch["emissionWavelength"]) * 1e-9
-                    if ch.get("emissionWavelength") else None
-                ),
-            })
+    omero = _omero(_node_attrs(path))
+    for ch in omero.get("channels", []):
+        meta["channels"].append({
+            "name": ch.get("label"),
+            "emission_wavelength": (
+                float(ch["emissionWavelength"]) * 1e-9
+                if ch.get("emissionWavelength") else None
+            ),
+        })
     return arr, meta
 
 
 def write_ngff_hyperstack(path, arr, dxy=None, dz=None, channels=None,
-                          compressor="zlib", level=1, chunks=None):
-    """Write ``(T, C, Nz, Ny, Nx)`` (or a plain 3D volume) as OME-NGFF 0.4.
+                          compressor="zlib", level=1, chunks=None,
+                          zarr_format=2, shard=None):
+    """Write ``(T, C, Nz, Ny, Nx)`` (or a plain 3D volume) as OME-NGFF.
 
-    Single-scale multiscales with a TCZYX axes block and a scale transform
-    (micrometers, the NGFF convention — ``dxy``/``dz`` are meters like the
-    rest of the package). ``channels`` (list of dicts with ``name``/
-    ``emission_wavelength``) lands in ``omero`` metadata.
+    ``zarr_format=2`` emits NGFF 0.4 (``.zattrs`` metadata); ``zarr_format=3``
+    emits NGFF 0.5 (attributes under the ``ome`` key of the group's
+    ``zarr.json``, optionally sharded chunks). Single-scale multiscales with
+    a TCZYX axes block and a scale transform (micrometers, the NGFF
+    convention — ``dxy``/``dz`` are meters like the rest of the package).
+    ``channels`` (list of dicts with ``name``/``emission_wavelength``) lands
+    in ``omero`` metadata.
     """
     path = str(path)
     arr = np.asarray(arr)
@@ -282,32 +352,28 @@ def write_ngff_hyperstack(path, arr, dxy=None, dz=None, channels=None,
         arr = arr[None, None]
     if arr.ndim != 5:
         raise ValueError(f"expected 3D or 5D (TCZYX), got {arr.ndim}D")
-    os.makedirs(path, exist_ok=True)
-    with open(os.path.join(path, ".zgroup"), "w") as fh:
-        json.dump({"zarr_format": 2}, fh)
     sx = (dxy or 1e-6) * 1e6
     sz = (dz or 1e-6) * 1e6
-    attrs = {
-        "multiscales": [{
-            "version": "0.4",
-            "name": os.path.basename(path.rstrip("/")),
-            "axes": [
-                {"name": "t", "type": "time"},
-                {"name": "c", "type": "channel"},
-                {"name": "z", "type": "space", "unit": "micrometer"},
-                {"name": "y", "type": "space", "unit": "micrometer"},
-                {"name": "x", "type": "space", "unit": "micrometer"},
+    ms = {
+        "version": "0.4" if zarr_format == 2 else "0.5",
+        "name": os.path.basename(path.rstrip("/")),
+        "axes": [
+            {"name": "t", "type": "time"},
+            {"name": "c", "type": "channel"},
+            {"name": "z", "type": "space", "unit": "micrometer"},
+            {"name": "y", "type": "space", "unit": "micrometer"},
+            {"name": "x", "type": "space", "unit": "micrometer"},
+        ],
+        "datasets": [{
+            "path": "0",
+            "coordinateTransformations": [
+                {"type": "scale", "scale": [1.0, 1.0, sz, sx, sx]}
             ],
-            "datasets": [{
-                "path": "0",
-                "coordinateTransformations": [
-                    {"type": "scale", "scale": [1.0, 1.0, sz, sx, sx]}
-                ],
-            }],
         }],
     }
+    omero = None
     if channels:
-        attrs["omero"] = {"channels": [
+        omero = {"channels": [
             {
                 "label": ch.get("name"),
                 **({"emissionWavelength": ch["emission_wavelength"] * 1e9}
@@ -315,6 +381,24 @@ def write_ngff_hyperstack(path, arr, dxy=None, dz=None, channels=None,
             }
             for ch in channels
         ]}
+    if zarr_format == 3:
+        del ms["version"]  # NGFF 0.5 carries the version on the ome block
+        ome = {"version": "0.5", "multiscales": [ms]}
+        if omero:
+            ome["omero"] = omero
+        zarr3.write_group(path, attributes={"ome": ome})
+        zarr3.write_array(os.path.join(path, "0"), arr, chunks=chunks,
+                          compressor=compressor, shard=shard,
+                          dimension_names=list(_AXES5))
+        return
+    if shard is not None:
+        raise ValueError("sharding needs zarr_format=3")
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, ".zgroup"), "w") as fh:
+        json.dump({"zarr_format": 2}, fh)
+    attrs = {"multiscales": [ms]}
+    if omero:
+        attrs["omero"] = omero
     with open(os.path.join(path, ".zattrs"), "w") as fh:
         json.dump(attrs, fh, indent=1)
     _write_array(os.path.join(path, "0"), arr, chunks, compressor, level)
@@ -330,8 +414,10 @@ def read_ngff_metadata_only(path):
     """(shape-as-TCZYX, meta) without reading chunk data."""
     path = str(path)
     axes, scale, adir = _ngff_axes(path)
-    zmeta = _load_json(os.path.join(adir, ".zarray"))
-    shape = tuple(zmeta["shape"])
+    if zarr3.is_zarr3_array(adir):
+        shape = zarr3.array_meta(adir)["shape"]
+    else:
+        shape = tuple(_load_json(os.path.join(adir, ".zarray"))["shape"])
     if axes is None:
         axes = ["z", "y", "x"] if len(shape) == 3 else list(_AXES5[-len(shape):])
     per_axis = {}

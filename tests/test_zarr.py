@@ -87,10 +87,22 @@ def test_zarr_unsupported_compressor_is_a_clear_error(tmp_path):
     p = tmp_path / "b.zarr"
     os.makedirs(p)
     meta = {"zarr_format": 2, "shape": [2], "chunks": [2], "dtype": "<f4",
-            "compressor": {"id": "blosc", "cname": "lz4"}, "fill_value": 0,
+            "compressor": {"id": "zfp", "mode": "a"}, "fill_value": 0,
             "order": "C", "filters": None}
     (p / ".zarray").write_text(json.dumps(meta))
     (p / "0").write_bytes(b"xx")
+    with pytest.raises(ValueError, match="zfp"):
+        read_zarr(p)
+
+
+def test_zarr_corrupt_blosc_chunk_is_a_clear_error(tmp_path):
+    p = tmp_path / "b.zarr"
+    os.makedirs(p)
+    meta = {"zarr_format": 2, "shape": [2], "chunks": [2], "dtype": "<f4",
+            "compressor": {"id": "blosc", "cname": "lz4"}, "fill_value": 0,
+            "order": "C", "filters": None}
+    (p / ".zarray").write_text(json.dumps(meta))
+    (p / "0").write_bytes(b"xx")  # truncated container
     with pytest.raises(ValueError, match="blosc"):
         read_zarr(p)
 
@@ -207,3 +219,164 @@ def test_zarr_roundtrip_fuzz(tmp_path):
         out = read_zarr(p)
         assert out.dtype == dt
         np.testing.assert_array_equal(out, arr)
+
+
+# ---------------------------------------------------------------------------
+# compression codecs: blosc / zstd / lz4 (io/codecs.py, system C libraries
+# with a pure-Python blosc+lz4 fallback decoder)
+# ---------------------------------------------------------------------------
+
+
+def test_zarr_blosc_zstd_lz4_roundtrip(tmp_path):
+    from microtipi_tpu.io import codecs
+
+    if not codecs.have_blosc_lib():
+        pytest.skip("libblosc not present")
+    rng = np.random.default_rng(1)
+    arr = rng.normal(size=(5, 12, 17)).astype(np.float32)
+    comps = ["blosc", "zstd", "lz4",
+             {"id": "blosc", "cname": "zstd", "clevel": 3, "shuffle": 2,
+              "blocksize": 0},
+             {"id": "blosc", "cname": "blosclz", "clevel": 9, "shuffle": 0,
+              "blocksize": 0}]
+    for i, comp in enumerate(comps):
+        p = tmp_path / f"c{i}.zarr"
+        write_zarr(p, arr, chunks=(2, 5, 9), compressor=comp)
+        np.testing.assert_array_equal(read_zarr(p), arr)
+
+
+def test_blosc_python_decoder_matches_libblosc():
+    """The pure-Python blosc decoder (used when libblosc is absent) decodes
+    libblosc-compressed containers bit-exactly for the lz4/lz4hc/zlib inner
+    codecs, with and without byte shuffle, across the split-block regimes."""
+    from microtipi_tpu.io import codecs
+
+    if not codecs.have_blosc_lib():
+        pytest.skip("libblosc not present")
+    rng = np.random.default_rng(2)
+    for cname in ("lz4", "lz4hc", "zlib"):
+        for shuffle in (0, 1):
+            for typesize in (1, 4, 8):
+                for n in (0, 1, 100, 4096, 100_000):
+                    raw = (np.arange(n, dtype=np.uint8) // 7
+                           + rng.integers(0, 3, n, dtype=np.uint8)).tobytes()
+                    comp = codecs.blosc_compress(
+                        raw, typesize=typesize, cname=cname, clevel=5,
+                        shuffle=shuffle)
+                    assert codecs._blosc_decompress_py(comp) == raw, (
+                        cname, shuffle, typesize, n)
+    # incompressible data exercises the memcpy fast path
+    raw = rng.bytes(70_000)
+    comp = codecs.blosc_compress(raw, typesize=4, cname="lz4", shuffle=1)
+    assert codecs._blosc_decompress_py(comp) == raw
+    # numcodecs lz4 framing decodes without liblz4 too
+    framed = codecs.lz4_compress(b"abc" * 1000)
+    assert codecs._lz4_block_decompress_py(framed[4:], 3000) == b"abc" * 1000
+
+
+# ---------------------------------------------------------------------------
+# zarr v3 (io/zarr3.py)
+# ---------------------------------------------------------------------------
+
+
+def test_zarr3_roundtrip_compressors_and_sharding(tmp_path):
+    rng = np.random.default_rng(3)
+    arr = rng.normal(size=(9, 17, 23)).astype(np.float32)
+    for comp in (None, "gzip", "zstd", "blosc"):
+        for shard in (None, (2, 8, 8)):
+            p = tmp_path / f"v3_{comp}_{bool(shard)}.zarr"
+            write_zarr(p, arr, chunks=(4, 9, 12), compressor=comp,
+                       zarr_format=3, shard=shard)
+            meta = json.loads((p / "zarr.json").read_text())
+            assert meta["zarr_format"] == 3
+            if shard:
+                assert meta["codecs"][0]["name"] == "sharding_indexed"
+            np.testing.assert_array_equal(read_zarr(p), arr)
+
+
+def test_zarr3_dtypes_and_missing_chunk_fill(tmp_path):
+    rng = np.random.default_rng(4)
+    for dt in ("uint16", "int32", "float64", "complex64", "bool"):
+        arr = (rng.normal(size=(4, 5, 6)) * 10).astype(dt)
+        p = tmp_path / f"dt_{dt}.zarr"
+        write_zarr(p, arr, compressor="zstd", zarr_format=3)
+        out = read_zarr(p)
+        assert out.dtype == np.dtype(dt)
+        np.testing.assert_array_equal(out, arr)
+    # missing chunk -> fill_value, incl. the "NaN" JSON spelling
+    p = tmp_path / "fill.zarr"
+    write_zarr(p, np.ones((4, 4), np.float32), chunks=(2, 2),
+               compressor=None, zarr_format=3)
+    meta = json.loads((p / "zarr.json").read_text())
+    meta["fill_value"] = "NaN"
+    (p / "zarr.json").write_text(json.dumps(meta))
+    os.remove(p / "c" / "0" / "0")
+    out = read_zarr(p)
+    assert np.isnan(out[:2, :2]).all() and (out[2:, 2:] == 1).all()
+
+
+def test_zarr3_foreign_writer_conventions(tmp_path):
+    """v2 chunk-key encoding, transpose codec, crc32c verification — the
+    corners another writer may emit."""
+    from microtipi_tpu.io import zarr3
+
+    # crc32c known-answer (RFC 3720 test vector)
+    assert zarr3.crc32c(b"123456789") == 0xE3069283
+
+    blk = np.arange(24, dtype=np.uint8).reshape(2, 3, 4)
+    p = tmp_path / "t.zarr"
+    os.makedirs(p)
+    codecs_list = [
+        {"name": "transpose", "configuration": {"order": [2, 0, 1]}},
+        {"name": "bytes", "configuration": {"endian": "big"}},
+        {"name": "crc32c"},
+        {"name": "gzip", "configuration": {"level": 1}},
+    ]
+    meta = {
+        "zarr_format": 3, "node_type": "array", "shape": [2, 3, 4],
+        "data_type": "uint8",
+        "chunk_grid": {"name": "regular",
+                       "configuration": {"chunk_shape": [2, 3, 4]}},
+        "chunk_key_encoding": {"name": "v2", "configuration":
+                               {"separator": "."}},
+        "fill_value": 0, "codecs": codecs_list,
+    }
+    (p / "zarr.json").write_text(json.dumps(meta))
+    enc = zarr3._encode_chunk(blk, codecs_list, np.dtype(np.uint8))
+    (p / "0.0.0").write_bytes(enc)
+    np.testing.assert_array_equal(read_zarr(p), blk)
+
+    # corrupting one byte must trip the crc32c check
+    bad = bytearray(enc)
+    import zlib as _zlib
+    body = bytearray(_zlib.decompress(bytes(bad), wbits=31))
+    body[0] ^= 0xFF
+    co = _zlib.compressobj(1, _zlib.DEFLATED, 31)
+    (p / "0.0.0").write_bytes(co.compress(bytes(body)) + co.flush())
+    with pytest.raises(ValueError, match="crc32c"):
+        read_zarr(p)
+
+
+def test_ngff_05_hyperstack_roundtrip(tmp_path):
+    """OME-NGFF 0.5 (zarr v3): attributes under the group's ``ome`` key,
+    metadata (pixel sizes, channels) round-trips like 0.4."""
+    rng = np.random.default_rng(5)
+    hyp = rng.normal(size=(2, 3, 4, 17, 19)).astype(np.float32)
+    p = tmp_path / "ngff5.zarr"
+    write_ngff_hyperstack(
+        p, hyp, dxy=65e-9, dz=200e-9,
+        channels=[{"name": f"ch{i}", "emission_wavelength": 510e-9}
+                  for i in range(3)],
+        zarr_format=3, compressor="zstd", shard=(1, 1, 2, 8, 8))
+    gmeta = json.loads((p / "zarr.json").read_text())
+    assert gmeta["attributes"]["ome"]["version"] == "0.5"
+    arr, meta = read_ngff_hyperstack(p)
+    np.testing.assert_allclose(arr, hyp)
+    assert meta["dxy"] == pytest.approx(65e-9)
+    assert meta["dz"] == pytest.approx(200e-9)
+    assert meta["channels"][1]["name"] == "ch1"
+    assert meta["channels"][1]["emission_wavelength"] == pytest.approx(510e-9)
+    assert "OME-NGFF" in zarr_info(p)
+    shape, _ = read_ngff_metadata_only(p)
+    assert shape == (2, 3, 4, 17, 19)
+    assert read_pixel_size(p) == (pytest.approx(65e-9), pytest.approx(200e-9))
