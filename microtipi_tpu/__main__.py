@@ -55,6 +55,11 @@ def _hyperstack_args(p: argparse.ArgumentParser):
                    help="channel index for OME hyperstack inputs (default 0)")
     g.add_argument("--timepoint", type=int, default=0,
                    help="timepoint index for OME hyperstack inputs (default 0)")
+    g.add_argument("--well", default=None,
+                   help="well path (e.g. A/1) for NGFF plate inputs; omit to "
+                        "fan out over every well/field (deconv/blind)")
+    g.add_argument("--field", type=int, default=0,
+                   help="field index within --well for plate inputs (default 0)")
 
 
 def _deconv_args(p: argparse.ArgumentParser, methods=("vmlmb", "rl")):
@@ -85,7 +90,17 @@ def _resolve_geometry(args, stack_path=None, log=print):
     to the historical defaults."""
     meta_dxy = meta_dz = None
     if stack_path is not None and (args.dxy is None or args.dz is None):
-        if _is_zarr(stack_path):
+        if _is_plate(stack_path):
+
+            def read_pixel_size(p):  # first plate image carries the scale
+                from microtipi_tpu.io.plate import (
+                    list_plate_images, read_plate_image)
+
+                well, field = list_plate_images(p)[0]
+                _, meta = read_plate_image(p, well, field)
+                return meta["dxy"], meta["dz"]
+
+        elif _is_zarr(stack_path):
             from microtipi_tpu.io.zarrstack import read_pixel_size
         elif str(stack_path).lower().endswith((".ome", ".xml")):
 
@@ -133,7 +148,16 @@ def _read_input_volume(args, path, log=print):
             return read_bdv(path)  # BigDataViewer layout first
         except Exception:
             return read_h5(path)
-    if _is_zarr(path):
+    if _is_plate(path):
+        from microtipi_tpu.io.plate import read_plate_image
+
+        well = getattr(args, "well", None)
+        if not well:
+            sys.exit("input is an NGFF plate: select one image with "
+                     "--well ROW/COL (and --field N), or run deconv/blind "
+                     "without --well to process every well")
+        arr, meta = read_plate_image(path, well, getattr(args, "field", 0))
+    elif _is_zarr(path):
         from microtipi_tpu.io.zarrstack import read_ngff_hyperstack
 
         arr, meta = read_ngff_hyperstack(path)
@@ -219,6 +243,12 @@ def _is_zarr(path) -> bool:
     return is_zarr(path)
 
 
+def _is_plate(path) -> bool:
+    from microtipi_tpu.io.plate import is_plate
+
+    return is_plate(path)
+
+
 def _write_out(args, path, volume, dxy=None, dz=None):
     """Write an output volume: HDF5/zarr by extension, OME-TIFF when --ome
     is set, plain multi-page TIFF otherwise."""
@@ -251,6 +281,11 @@ def _weights(args, data):
 def cmd_info(args):
     from microtipi_tpu.io.tiffstack import read_pixel_size, stack_info
 
+    if _is_plate(args.stack):
+        from microtipi_tpu.io.plate import plate_info
+
+        print(plate_info(args.stack))
+        return
     if _is_zarr(args.stack):
         from microtipi_tpu.io.zarrstack import zarr_info
 
@@ -379,6 +414,83 @@ def _cmd_deconv_depthvar(args, data):
     print("wrote", args.out)
 
 
+def _plate_fan_out(args, solve_one, label):
+    """Shared plate batch path: solve every well/field, write an output
+    plate mirroring the input layout (and zarr format). ``solve_one`` maps
+    one (Nz, Ny, Nx) numpy volume -> one output volume."""
+    import numpy as np
+
+    from microtipi_tpu.io import zarr3
+    from microtipi_tpu.io.plate import (
+        list_plate_images, read_plate_image, write_plate)
+
+    if not str(args.out).rstrip("/").lower().endswith(".zarr"):
+        sys.exit("plate outputs are NGFF plates; --out must end in .zarr")
+    images = list_plate_images(args.data)
+    fmt = 3 if zarr3.is_zarr3_group(args.data) else 2
+    t, c = int(args.timepoint or 0), int(args.channel or 0)
+    out_wells = {}
+    t0 = time.time()
+    for well, field in images:
+        arr, _meta = read_plate_image(args.data, well, field)
+        nt, nc = arr.shape[:2]
+        if not (0 <= t < nt and 0 <= c < nc):
+            sys.exit(f"--timepoint {t} / --channel {c} out of range "
+                     f"(well {well}: T={nt}, C={nc})")
+        out = solve_one(np.ascontiguousarray(arr[t, c]))
+        out_wells.setdefault(well, []).append(np.asarray(out))
+        print(f"{label}: well {well} field {field} done "
+              f"({time.time()-t0:.1f}s elapsed)")
+    write_plate(args.out, out_wells, dxy=args.dxy, dz=args.dz,
+                zarr_format=fmt)
+    print("wrote", args.out, f"({len(images)} images, zarr v{fmt})")
+
+
+def _cmd_deconv_plate(args):
+    """deconv on a plate input without --well: every well/field gets its
+    own solve (one compile per distinct shape), results re-enter as an
+    output plate."""
+    import jax
+    import jax.numpy as jnp
+
+    from microtipi_tpu.io.tiffstack import read_stack
+    from microtipi_tpu.jobs.deconv import deconvolve
+    from microtipi_tpu.utils.arrays import unroll
+
+    if getattr(args, "mesh", None) or getattr(args, "tile", None) \
+            or getattr(args, "depthvar", 0):
+        sys.exit("plate fan-out composes per-image dispatches; "
+                 "drop --mesh/--tile/--depthvar (or select one --well)")
+    if not args.psf:
+        sys.exit("--psf is required for plate deconv")
+    _resolve_geometry(args, args.data, log=lambda *a: None)
+    psf = jnp.asarray(read_stack(args.psf))
+    if args.psf_centered:
+        psf = unroll(psf)
+    runs = {}
+
+    def solve_one(vol):
+        vol = jnp.asarray(vol)
+        if vol.shape not in runs:
+            if args.method == "rl":
+                from microtipi_tpu.jobs.richardson_lucy import richardson_lucy
+
+                runs[vol.shape] = jax.jit(lambda d, p: richardson_lucy(
+                    d, p, iterations=args.iters, mu=args.mu,
+                    epsilon=args.epsilon, accelerate=args.rl_accelerate))
+            else:
+                cfg = _deconv_config(args, vol.shape)
+                runs[vol.shape] = jax.jit(
+                    lambda d, p, w, cfg=cfg: deconvolve(
+                        d, p, weights=w, config=cfg))
+        if args.method == "rl":
+            return runs[vol.shape](vol, psf)
+        res = runs[vol.shape](vol, psf, _weights(args, vol))
+        return res.x
+
+    _plate_fan_out(args, solve_one, "deconv")
+
+
 def cmd_deconv(args):
     import numpy as np
     import jax
@@ -387,6 +499,9 @@ def cmd_deconv(args):
     from microtipi_tpu.utils.arrays import unroll
     import jax.numpy as jnp
 
+    if _is_plate(args.data) and not getattr(args, "well", None):
+        _cmd_deconv_plate(args)
+        return
     data = jnp.asarray(_read_input_volume(args, args.data))
     if getattr(args, "depthvar", 0):
         _cmd_deconv_depthvar(args, data)
@@ -555,12 +670,58 @@ def _cmd_blind_all_channels(args):
     print("wrote", args.out, f"({nc}-channel OME hyperstack)")
 
 
+def _cmd_blind_plate(args):
+    """blind on a plate input without --well: every well/field gets its own
+    blind solve (shared optics: one model/config per shape, a --bead anchor
+    applies to all wells); results re-enter as an output plate."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from microtipi_tpu.jobs.blind import blind_deconvolve
+
+    if getattr(args, "mesh", None) or args.checkpoint:
+        sys.exit("plate fan-out composes per-image dispatches; drop "
+                 "--mesh/--checkpoint (or select one --well)")
+    _resolve_geometry(args, args.data, log=lambda *a: None)
+    bead = None
+    if args.bead:
+        bead = np.asarray(_read_input_volume(args, args.bead))
+        if getattr(args, "bead_n", 1) > 1:
+            from microtipi_tpu.jobs.psf_fit import average_beads
+
+            bead, used = average_beads(bead, n_beads=args.bead_n)
+            print(f"averaged {used} beads for the anchor -> patch {bead.shape}")
+        bead = jnp.asarray(bead)
+    runs = {}
+
+    def solve_one(vol):
+        vol = jnp.asarray(vol)
+        if vol.shape not in runs:
+            model = _build_model(args, vol.shape)
+            cfg = _blind_config(args, vol.shape)
+            p0 = (_load_params_json(model, args.params_json)
+                  if args.params_json else None)
+            runs[vol.shape] = jax.jit(
+                lambda d, w, b, model=model, cfg=cfg, p0=p0: blind_deconvolve(
+                    d, model, params0=p0, weights=w, config=cfg, bead_data=b))
+        res = runs[vol.shape](vol, _weights(args, vol), bead)
+        df = np.asarray(res.deconv_f)
+        print(f"  object cost {df[0]:.6g} -> {df[-1]:.6g}")
+        return res.obj
+
+    _plate_fan_out(args, solve_one, "blind")
+
+
 def cmd_blind(args):
     import numpy as np
     import jax
     import jax.numpy as jnp
     from microtipi_tpu.jobs.blind import blind_deconvolve
 
+    if _is_plate(args.data) and not getattr(args, "well", None):
+        _cmd_blind_plate(args)
+        return
     if getattr(args, "all_channels", False):
         if args.bead:
             sys.exit("--bead is not supported with --all-channels: each "
