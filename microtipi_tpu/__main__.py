@@ -976,7 +976,8 @@ def cmd_watch(args):
           metrics_port=args.metrics_port,
           model_factory=model_factory, blind_config=blind_cfg,
           channel=args.channel, timepoint=args.timepoint, devices=devices,
-          bead_path=args.bead, bead_n=args.bead_n)
+          bead_path=args.bead, bead_n=args.bead_n,
+          priority_patterns=args.priority)
 
 
 def main(argv=None):
@@ -1149,6 +1150,9 @@ def main(argv=None):
                    help="[--bead] average up to N detected beads first")
     p.add_argument("--metrics-port", type=int, default=None,
                    help="serve the metrics snapshot at http://127.0.0.1:PORT/metrics")
+    p.add_argument("--priority", action="append", default=None, metavar="GLOB",
+                   help="process files matching this fnmatch pattern first "
+                        "(repeatable; earlier flags outrank later ones)")
     p.add_argument("--loops", type=int, default=5, help="[blind methods] blind rounds")
     p.add_argument("--psf-iters", type=int, default=20, help="[blind methods] fit iterations per family")
     p.add_argument("--families", nargs="+", default=["defocus", "phase"],

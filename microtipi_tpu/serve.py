@@ -173,6 +173,7 @@ def watch(
     devices=None,
     bead_path: str | os.PathLike | None = None,
     bead_n: int = 1,
+    priority_patterns=None,
 ):
     """Run the service loop. ``max_files`` bounds the run (None = forever).
 
@@ -214,6 +215,16 @@ def watch(
     ``channel``/``timepoint`` — without this a multi-channel file's pages
     would all be misread as z-planes. Plain TIFFs are unaffected (and skip
     the OME parse via a cheap description sniff).
+
+    NGFF plate stores (``.zarr`` directories with plate metadata) are
+    batches: every well/field runs through the per-shape solver and the
+    output is a plate mirroring the input layout (and zarr format), swapped
+    in atomically like any other directory store.
+
+    ``priority_patterns``: list of ``fnmatch`` filename patterns. Within a
+    scan, ready files matching an earlier pattern are processed first
+    (non-matching files last; name order breaks ties). Lets urgent drops
+    (e.g. ``live-*``) jump a deep backlog without a separate queue.
     """
     import jax
     import jax.numpy as jnp
@@ -312,10 +323,30 @@ def watch(
             return out[0]
         return out
 
+    def _slice_tc(arr, name):
+        nt, nc = arr.shape[:2]
+        if nt == 1 and nc == 1:
+            return np.ascontiguousarray(arr[0, 0])
+        t, c = min(timepoint, nt - 1), min(channel, nc - 1)
+        log(f"[watch] {name}: hyperstack T={nt} C={nc}, using t={t} c={c}")
+        return np.ascontiguousarray(arr[t, c])
+
     def _decode(p):
         if str(p).lower().endswith(".zarr"):
+            from microtipi_tpu.io.plate import (
+                is_plate, list_plate_images, read_plate_image)
             from microtipi_tpu.io.zarrstack import read_ngff_hyperstack
 
+            if is_plate(p):
+                # A dropped plate is a batch: decode every well/field; the
+                # solve loop fans them through the per-shape solver and the
+                # output mirrors the plate layout.
+                items = {}
+                for well, field in list_plate_images(p):
+                    arr, _meta = read_plate_image(p, well, field)
+                    items[(well, field)] = _slice_tc(
+                        arr, f"{Path(p).name}:{well}/{field}")
+                return ("plate", items)
             arr, _meta = read_ngff_hyperstack(p)
         else:
             try:
@@ -324,12 +355,7 @@ def watch(
                 arr, _meta = read_ome_hyperstack(p)
             except Exception:
                 return read_stack(p)
-        nt, nc = arr.shape[:2]
-        if nt == 1 and nc == 1:
-            return np.ascontiguousarray(arr[0, 0])
-        t, c = min(timepoint, nt - 1), min(channel, nc - 1)
-        log(f"[watch] {Path(p).name}: hyperstack T={nt} C={nc}, using t={t} c={c}")
-        return np.ascontiguousarray(arr[t, c])
+        return _slice_tc(arr, Path(p).name)
 
     if bead_path is not None:
         # Startup bead calibration: the same hyperstack/zarr-aware decode as
@@ -397,18 +423,22 @@ def watch(
         log(f"[watch] metrics at http://127.0.0.1:{http_srv.server_address[1]}/metrics")
     state_lock = threading.Lock()
 
-    def _write_output(out, x):
-        if out.suffix.lower() == ".zarr":
+    def _write_output(out, x, plate_wells=None, zarr_format=2):
+        if plate_wells is not None or out.suffix.lower() == ".zarr":
             # Directory store: build aside, then swap atomically
             # (readers never see a half-written store).
             import shutil
 
+            from microtipi_tpu.io.plate import write_plate
             from microtipi_tpu.io.zarrstack import write_ngff_hyperstack
 
             tmp = out.with_suffix(out.suffix + ".tmp")
             if tmp.exists():
                 shutil.rmtree(tmp)
-            write_ngff_hyperstack(tmp, x)
+            if plate_wells is not None:
+                write_plate(tmp, plate_wells, zarr_format=zarr_format)
+            else:
+                write_ngff_hyperstack(tmp, x)
             if out.exists():
                 shutil.rmtree(out)
             os.replace(tmp, out)
@@ -422,6 +452,33 @@ def watch(
         try:
             t0 = time.time()
             data = data_fut.result()
+            if isinstance(data, tuple) and data[0] == "plate":
+                from microtipi_tpu.io import zarr3
+
+                out_wells, nvox = {}, 0
+                for (well, field), vol in data[1].items():
+                    d = (jnp.asarray(vol) if device is None
+                         else jax.device_put(vol, device))
+                    x = np.asarray(solve(d))
+                    out_wells.setdefault(well, []).append(x)
+                    nvox += int(x.size)
+                shape = (len(data[1]), "plate-images")
+                out = outdir / p.name
+                _write_output(out, None, plate_wells=out_wells,
+                              zarr_format=3 if zarr3.is_zarr3_group(p) else 2)
+                dt = time.time() - t0
+                with state_lock:
+                    done.add(key)
+                    processed.append(out)
+                    stats["processed"] += 1
+                    stats["compute_seconds"] += dt
+                    stats["voxels"] += nvox
+                    if device is not None:
+                        per = stats.setdefault("per_device", {})
+                        per[str(device)] = per.get(str(device), 0) + 1
+                log(f"[watch] {p.name}: plate ({len(data[1])} images) done "
+                    f"in {dt:.2f}s -> {out}")
+                return
             data = jnp.asarray(data) if device is None else jax.device_put(data, device)
             shape = data.shape
             x = np.asarray(solve(data))
@@ -458,6 +515,16 @@ def watch(
                 if (p.name, seen[p.name]) not in done
                 and attempts.get((p.name, seen[p.name]), 0) < max_retries
             ]
+            if priority_patterns:
+                import fnmatch
+
+                def _rank(p):
+                    for i, pat in enumerate(priority_patterns):
+                        if fnmatch.fnmatch(p.name, pat):
+                            return i
+                    return len(priority_patterns)
+
+                ready.sort(key=_rank)  # stable: name order within a rank
             stats["scans"] += 1
             if not ready:
                 write_metrics()

@@ -461,3 +461,51 @@ def test_watch_blind_once_bead_calibration(tmp_path):
     assert nums, cal_msgs[0]
     got = [float(v) for v in nums[0]]
     np.testing.assert_allclose(got, [0.3, -0.15], atol=3e-2)
+
+
+def test_watch_plate_store_fans_out_wells(tmp_path):
+    """A dropped NGFF plate is a batch: every well/field is solved and the
+    output is a plate mirroring the input layout and zarr format."""
+    from microtipi_tpu.io.plate import is_plate, read_plate_image, write_plate
+
+    indir = tmp_path / "in"
+    outdir = tmp_path / "out"
+    indir.mkdir()
+    psf, d = _mini_scene(tmp_path)
+    wells = {"A/1": [d], "B/2": [d * 0.5]}
+    write_plate(indir / "p.zarr", wells, dxy=100e-9, dz=250e-9,
+                zarr_format=3, compressor="zstd")
+
+    logs = []
+    out = watch(indir, outdir, tmp_path / "psf.tif",
+                config=DeconvolutionConfig(mu=0.001, epsilon=1.0, max_iter=5),
+                poll_seconds=0.05, max_files=1, log=logs.append)
+    assert len(out) == 1 and out[0].name == "p.zarr"
+    assert is_plate(outdir / "p.zarr")
+    for wp in wells:
+        rec, _meta = read_plate_image(outdir / "p.zarr", wp, 0)
+        assert rec.shape == (1, 1, *d.shape)
+        assert np.isfinite(rec).all()
+    # output preserved the v3 format
+    assert (outdir / "p.zarr" / "zarr.json").exists()
+    assert any("plate (2 images)" in m for m in logs)
+
+
+def test_watch_priority_patterns_order_within_scan(tmp_path):
+    """--priority globs: matching files are processed before the backlog,
+    earlier patterns first, name order within a rank."""
+    indir = tmp_path / "in"
+    outdir = tmp_path / "out"
+    indir.mkdir()
+    psf, d = _mini_scene(tmp_path)
+    for name in ("b_bulk.tif", "a_bulk.tif", "live_2.tif", "urgent_1.tif",
+                 "live_1.tif"):
+        write_stack(indir / name, d)
+
+    out = watch(indir, outdir, tmp_path / "psf.tif",
+                config=DeconvolutionConfig(mu=0.001, epsilon=1.0, max_iter=3),
+                poll_seconds=0.05, max_files=5,
+                priority_patterns=["urgent_*", "live_*"], log=lambda *a: None)
+    names = [p.name for p in out]
+    assert names == ["urgent_1.tif", "live_1.tif", "live_2.tif",
+                     "a_bulk.tif", "b_bulk.tif"]
