@@ -380,3 +380,32 @@ def test_ngff_05_hyperstack_roundtrip(tmp_path):
     shape, _ = read_ngff_metadata_only(p)
     assert shape == (2, 3, 4, 17, 19)
     assert read_pixel_size(p) == (pytest.approx(65e-9), pytest.approx(200e-9))
+
+
+def test_zarr3_roundtrip_fuzz(tmp_path):
+    """Randomized shapes x chunks x shards x dtypes x codecs round-trip
+    exactly through the v3 store (hand-rolled format — pin corners broadly,
+    mirroring the v2 fuzz above)."""
+    rng = np.random.default_rng(9)
+    dtypes = ["<f4", "<f8", "<u2", "<i4", ">f4", "<c8"]
+    comps = [None, "gzip", "zstd", "blosc"]
+    for trial in range(12):
+        ndim = int(rng.integers(1, 5))
+        shape = tuple(int(rng.integers(1, 9)) for _ in range(ndim))
+        chunks = tuple(int(rng.integers(1, s + 3)) for s in shape)
+        dt = np.dtype(dtypes[trial % len(dtypes)])
+        if dt.kind == "f":
+            arr = rng.normal(size=shape).astype(dt)
+        elif dt.kind == "c":
+            arr = (rng.normal(size=shape) + 1j * rng.normal(size=shape)).astype(dt)
+        else:
+            arr = rng.integers(0, 1000, size=shape).astype(dt)
+        shard = None
+        if trial % 3 == 0:  # every third trial stores sharded
+            shard = tuple(max(1, c // 2) for c in chunks)
+        p = tmp_path / f"t{trial}.zarr"
+        write_zarr(p, arr, chunks=chunks, compressor=comps[trial % len(comps)],
+                   zarr_format=3, shard=shard)
+        out = read_zarr(p)
+        assert out.dtype.kind == dt.kind and out.dtype.itemsize == dt.itemsize
+        np.testing.assert_array_equal(out, arr)
