@@ -1,7 +1,8 @@
-"""PSF model zoo: one protocol, five microscopes.
+"""PSF model zoo: one protocol, six microscopes.
 
 Synthesizes the same specimen imaged by widefield, Gibson-Lanni (at depth),
-confocal, two-photon and vectorial (Richards-Wolf) optics, then recovers the
+confocal, two-photon, vectorial (Richards-Wolf) and light-sheet (SPIM)
+optics, then recovers the
 injected pupil-phase aberration with the *same* PSF-fit machinery — the
 point being that every model family satisfies the one ``PsfModel`` protocol,
 so the whole solver stack (object-as-kernel data term, VMLMB, autodiff
@@ -30,6 +31,7 @@ if jax.default_backend() not in ("tpu", "axon"):
 from microtipi_tpu import (
     ConfocalConfig,
     GibsonLanniConfig,
+    LightSheetConfig,
     PsfFitConfig,
     TwoPhotonConfig,
     VectorialConfig,
@@ -55,6 +57,7 @@ MODELS = {
     "confocal": ConfocalConfig(wavelength_exc=488e-9, pinhole=150e-9, **KW),
     "two-photon": TwoPhotonConfig(**KW),
     "vectorial": VectorialConfig(**KW),
+    "light-sheet": LightSheetConfig(sheet_na=0.12, wavelength_exc=488e-9, **KW),
 }
 
 TRUE_PHASE = jnp.asarray([0.3, -0.2, 0.1], DTYPE)

@@ -16,10 +16,11 @@ Two API levels:
   / ``api.DeconvolutionJob`` / ``api.BlindDeconvJob``.
 """
 
-from microtipi_tpu.models.microscope import DEFOCUS, DEPTH, MODULUS, PARAMETER_FLAGS, PHASE
+from microtipi_tpu.models.microscope import DEFOCUS, DEPTH, MODULUS, PARAMETER_FLAGS, PHASE, SHEET
 from microtipi_tpu.models.widefield import WideFieldConfig, WideFieldParams
 from microtipi_tpu.models.gibson_lanni import GibsonLanniConfig, GibsonLanniParams
 from microtipi_tpu.models.confocal import ConfocalConfig, TwoPhotonConfig
+from microtipi_tpu.models.lightsheet import LightSheetConfig, LightSheetParams
 from microtipi_tpu.models.vectorial import VectorialConfig
 from microtipi_tpu.jobs.blind import BlindDeconvConfig, BlindDeconvResult, blind_deconvolve
 from microtipi_tpu.jobs.deconv import DeconvolutionConfig, DeconvolutionResult, deconvolve
@@ -45,10 +46,11 @@ from microtipi_tpu.weights.updaters import InverseVarianceWeights
 __version__ = "0.1.0"
 
 __all__ = [
-    "DEFOCUS", "PHASE", "MODULUS", "DEPTH", "PARAMETER_FLAGS",
+    "DEFOCUS", "PHASE", "MODULUS", "DEPTH", "SHEET", "PARAMETER_FLAGS",
     "WideFieldConfig", "WideFieldParams",
     "GibsonLanniConfig", "GibsonLanniParams",
     "ConfocalConfig", "TwoPhotonConfig", "VectorialConfig",
+    "LightSheetConfig", "LightSheetParams",
     "BlindDeconvConfig", "BlindDeconvResult", "blind_deconvolve",
     "DeconvolutionConfig", "DeconvolutionResult", "deconvolve",
     "deconvolve_depthvar", "depth_anchor_psfs",

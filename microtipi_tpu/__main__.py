@@ -22,19 +22,27 @@ import time
 def _model_args(p: argparse.ArgumentParser):
     g = p.add_argument_group("optics")
     g.add_argument("--model",
-                   choices=["widefield", "gl", "confocal", "2p", "vectorial"],
+                   choices=["widefield", "gl", "confocal", "2p", "vectorial", "lightsheet"],
                    default="widefield",
                    help="PSF model family: widefield (reference parity), "
                         "gl (Gibson-Lanni depth aberration), confocal, "
-                        "2p (two-photon), vectorial (Richards-Wolf high-NA)")
+                        "2p (two-photon), vectorial (Richards-Wolf high-NA), "
+                        "lightsheet (SPIM: widefield detection x Gaussian sheet)")
     g.add_argument("--ns", type=float, default=1.38,
                    help="[gl] sample refractive index")
     g.add_argument("--depth", type=float, default=0.0,
                    help="[gl] nominal imaging depth [m]")
     g.add_argument("--wavelength-exc", type=float, default=0.0,
-                   help="[confocal] excitation wavelength [m] (0 = same as emission)")
+                   help="[confocal/lightsheet] excitation wavelength [m] "
+                        "(0 = same as emission)")
     g.add_argument("--pinhole", type=float, default=0.0,
                    help="[confocal] object-space pinhole radius [m] (0 = ideal)")
+    g.add_argument("--sheet-na", type=float, default=0.1,
+                   help="[lightsheet] illumination NA of the sheet-forming "
+                        "optics (sets the default waist)")
+    g.add_argument("--no-sheet-divergence", action="store_true",
+                   help="[lightsheet] ideal uniform sheet (drop the "
+                        "Gaussian-beam waist growth across the FOV)")
     g.add_argument("--na", type=float, default=1.4, help="numerical aperture")
     g.add_argument("--wavelength", type=float, default=None,
                    help="emission wavelength [m] (default: the OME channel's "
@@ -212,6 +220,13 @@ def _build_model(args, shape):
         from microtipi_tpu.models.vectorial import VectorialConfig
 
         return VectorialConfig(**common)
+    if kind == "lightsheet":
+        from microtipi_tpu.models.lightsheet import LightSheetConfig
+
+        return LightSheetConfig(
+            sheet_na=args.sheet_na, wavelength_exc=args.wavelength_exc,
+            divergence=not args.no_sheet_divergence, **common
+        )
     from microtipi_tpu.models.widefield import WideFieldConfig
 
     return WideFieldConfig(**common)
@@ -588,11 +603,14 @@ def _make_mesh(args):
 def _blind_config(args, data_shape):
     from microtipi_tpu.jobs.blind import BlindDeconvConfig
     from microtipi_tpu.jobs.psf_fit import PsfFitConfig
-    from microtipi_tpu.models.microscope import DEFOCUS, DEPTH, MODULUS, PHASE
+    from microtipi_tpu.models.microscope import DEFOCUS, DEPTH, MODULUS, PHASE, SHEET
 
-    fam_map = {"defocus": DEFOCUS, "phase": PHASE, "modulus": MODULUS, "depth": DEPTH}
+    fam_map = {"defocus": DEFOCUS, "phase": PHASE, "modulus": MODULUS,
+               "depth": DEPTH, "sheet": SHEET}
     if "depth" in args.families and args.model != "gl":
         sys.exit("--families depth requires --model gl (the DEPTH family lives on the Gibson-Lanni model)")
+    if "sheet" in args.families and args.model != "lightsheet":
+        sys.exit("--families sheet requires --model lightsheet (the SHEET family is the excitation-sheet geometry)")
     families = tuple(fam_map[f] for f in args.families)
     kw = dict(
         loops=args.loops,
@@ -842,7 +860,7 @@ def cmd_fitpsf(args):
     import jax
     import jax.numpy as jnp
     from microtipi_tpu.jobs.psf_fit import PsfFitConfig, fit_psf_beads
-    from microtipi_tpu.models.microscope import DEFOCUS, DEPTH, MODULUS, PHASE
+    from microtipi_tpu.models.microscope import DEFOCUS, DEPTH, MODULUS, PHASE, SHEET
     from microtipi_tpu.utils.arrays import roll
 
     data = jnp.asarray(_read_input_volume(args, args.stack))
@@ -855,7 +873,8 @@ def cmd_fitpsf(args):
         print(f"averaged {used} beads -> patch {avg.shape} (~{used**0.5:.1f}x SNR)")
         data = jnp.asarray(avg)
     model = _build_model(args, data.shape)
-    fam_map = {"defocus": DEFOCUS, "phase": PHASE, "modulus": MODULUS, "depth": DEPTH}
+    fam_map = {"defocus": DEFOCUS, "phase": PHASE, "modulus": MODULUS,
+               "depth": DEPTH, "sheet": SHEET}
     if "depth" in args.families and args.model != "gl":
         sys.exit("--families depth requires --model gl")
     families = tuple(fam_map[f] for f in args.families)
@@ -951,10 +970,11 @@ def cmd_watch(args):
     model_factory = blind_cfg = None
     if args.method in ("blind", "blind-once"):
         from microtipi_tpu.jobs.blind import BlindDeconvConfig
-        from microtipi_tpu.models.microscope import DEFOCUS, DEPTH, MODULUS, PHASE
+        from microtipi_tpu.models.microscope import DEFOCUS, DEPTH, MODULUS, PHASE, SHEET
 
         _resolve_geometry(args)  # no single input stack: flags or defaults
-        fam_map = {"defocus": DEFOCUS, "phase": PHASE, "modulus": MODULUS, "depth": DEPTH}
+        fam_map = {"defocus": DEFOCUS, "phase": PHASE, "modulus": MODULUS,
+               "depth": DEPTH, "sheet": SHEET}
         families = tuple(fam_map[f] for f in args.families)
         kw = dict(loops=args.loops, families=families,
                   psf_max_iter=tuple(args.psf_iters for _ in families), deconv=cfg)
@@ -1016,7 +1036,7 @@ def main(argv=None):
     p.add_argument("--pin-z4", action="store_true",
                    help="freeze the first phase mode during the fit")
     p.add_argument("--families", nargs="+", default=["defocus", "phase"],
-                   choices=["defocus", "phase", "modulus", "depth"])
+                   choices=["defocus", "phase", "modulus", "depth", "sheet"])
     _model_args(p)
     _hyperstack_args(p)
     p.set_defaults(fn=cmd_fitpsf)
@@ -1111,7 +1131,7 @@ def main(argv=None):
                         "(joint fit + pin-Z4 + wiener init); 'parity' (default) keeps "
                         "the reference's sequential per-family semantics")
     p.add_argument("--families", nargs="+", default=["defocus", "phase"],
-                   choices=["defocus", "phase", "modulus", "depth"])
+                   choices=["defocus", "phase", "modulus", "depth", "sheet"])
     _model_args(p)
     _deconv_args(p)
     _hyperstack_args(p)
@@ -1156,7 +1176,7 @@ def main(argv=None):
     p.add_argument("--loops", type=int, default=5, help="[blind methods] blind rounds")
     p.add_argument("--psf-iters", type=int, default=20, help="[blind methods] fit iterations per family")
     p.add_argument("--families", nargs="+", default=["defocus", "phase"],
-                   choices=["defocus", "phase", "modulus", "depth"])
+                   choices=["defocus", "phase", "modulus", "depth", "sheet"])
     p.add_argument("--recipe", choices=["parity", "quality"], default="quality",
                    help="[blind methods] quality = recommended() recipe (default for serving)")
     _model_args(p)

@@ -38,7 +38,7 @@ from jax import lax
 
 from microtipi_tpu.jobs.deconv import DeconvolutionConfig, deconvolve
 from microtipi_tpu.jobs.psf_fit import PsfFitConfig, fit_psf
-from microtipi_tpu.models.microscope import DEFOCUS, DEPTH, MODULUS, PHASE
+from microtipi_tpu.models.microscope import DEFOCUS, DEPTH, MODULUS, PHASE, SHEET
 from microtipi_tpu.ops.convolution import WeightedConvolutionCost
 from microtipi_tpu.utils.arrays import crop_to_shape, pad_fft_kernel, pad_to_shape
 
@@ -335,9 +335,10 @@ def blind_deconvolve(
             config=dataclasses.replace(fit_cfg, max_iter=config.psf_max_iter[j]),
             active=phase_active,
             freeze_head=config.phase_freeze_head if flag == PHASE else 0,
-            # DEPTH is a beyond-parity family whose components span ~12
-            # orders of magnitude; unpreconditioned it stalls (psf_fit.py).
-            precondition=flag == DEPTH,
+            # DEPTH/SHEET are beyond-parity families whose components live on
+            # physical (meter) scales far from O(1); unpreconditioned they
+            # stall (psf_fit.py).
+            precondition=flag in (DEPTH, SHEET),
             anchor=phase_anchor if flag == PHASE else None,
             prior_weight=config.phase_prior_weight if flag == PHASE else 0.0,
             aux_terms=aux_terms,

@@ -272,9 +272,16 @@ def bead_anchor_term(model, bead_data: jax.Array, subvoxel: bool = True):
     ``c`` (the median estimate in :func:`center_bead_stack` is biased by the
     PSF's own tail mass) are nuisance parameters profiled out analytically
     — the 2x2 linear least-squares ``min_{amp,c} 0.5*||amp*h + c - d||^2``
-    substituted back:
-
-        term(p) = 0.5 * (||d||^2 - amp*<h,d> - c*<1,d>)
+    substituted back. The substituted value is evaluated in RESIDUAL form
+    (an explicit ``0.5*||amp*h + c - d||^2`` sum of squares), not via the
+    normal-equations shortcut ``0.5*(||d||^2 - amp*<h,d> - c*<1,d>)``:
+    the shortcut differences large near-equal numbers and in f32 the
+    cancellation noise (~eps*||d||^2, orders above the tiny optimal
+    residual) wrecks the More-Thuente value comparisons — measured on the
+    serving bead calibration (f32, 6x24x24): the shortcut form line-search-
+    stalls after 4 iterations with one phase mode 5x off, the residual form
+    converges. Same cancellation mechanism, same cure as the fit data
+    term's residual form (``_fit_data_term``).
 
     This is the same objective :func:`fit_psf_beads` alternates over,
     without its amplitude-staleness and background bias. ``model`` must
@@ -289,7 +296,6 @@ def bead_anchor_term(model, bead_data: jax.Array, subvoxel: bool = True):
             "build it with dataclasses.replace(sample_model, shape=bead_data.shape)"
         )
     d0 = center_bead_stack(bead_data, subvoxel=subvoxel)
-    d2 = jnp.sum(d0 * d0)
     s1d = jnp.sum(d0)
     n = float(d0.size)
 
@@ -303,8 +309,8 @@ def bead_anchor_term(model, bead_data: jax.Array, subvoxel: bool = True):
         det = jnp.maximum(det, tiny)
         amp = (n * shd - sh1 * s1d) / det
         c = (shh * s1d - sh1 * shd) / det
-        # 0.5*||amp*h + c - d||^2 via the normal equations.
-        return 0.5 * (d2 - amp * shd - c * s1d)
+        r = amp * h + c - d0
+        return 0.5 * jnp.sum(r * r)
 
     return term
 
@@ -466,9 +472,19 @@ def joint_variable(params, names: tuple[str, ...], phase_freeze_head: int = 0,
     orders of magnitude above the Zernike coefficients', and the older
     initial-VALUE scaling left the first steepest-descent step moving only
     defocus — the phase coordinates of a joint fit stalled at zero (measured
-    on the flagship example). Falls back to value scaling without ``grads``."""
+    on the flagship example). Falls back to value scaling without ``grads``.
+
+    The heterogeneous physical families (GL DEPTH: ns/lambda ~ 1e6 1/m next
+    to d ~ 1e-6 m; light-sheet SHEET: offset z0 next to waist w0) get
+    per-COMPONENT scaling — the same recipe as ``fit_psf(precondition=True)``
+    — because one inf-norm scale per family leaves their small-gradient
+    coordinate stuck (measured on the SHEET bead calibration: the
+    family-scaled joint fit line-search-failed with the waist 11% off and
+    the cost 270x above the reachable minimum; per-component scaling
+    converges to the true geometry)."""
     import jax.numpy as jnp
 
+    _HETEROGENEOUS = ("depth", "sheet")
     if grads is not None:
         gmax = {n: jnp.max(jnp.abs(grads[n])) for n in names}
         leaves = list(gmax.values())
@@ -476,8 +492,10 @@ def joint_variable(params, names: tuple[str, ...], phase_freeze_head: int = 0,
         for l in leaves[1:]:
             global_max = jnp.maximum(global_max, l)
         tiny = jnp.asarray(jnp.finfo(global_max.dtype).tiny, global_max.dtype)
+        floor = jnp.maximum(1e-12 * global_max, tiny)
         scales = {
-            n: 1.0 / jnp.maximum(gmax[n], jnp.maximum(1e-12 * global_max, tiny))
+            n: 1.0 / jnp.maximum(jnp.abs(grads[n]) if n in _HETEROGENEOUS
+                                 else gmax[n], floor)
             for n in names
         }
     else:
@@ -582,7 +600,7 @@ def fit_psf_beads(
     params0=None,
     config: PsfFitConfig = PsfFitConfig(),
     phase_freeze_head: int = 0,
-    rounds: int = 2,
+    rounds: int = 2,  # retained for API compatibility; unused (see below)
     subvoxel: bool = True,
 ):
     """Calibrate PSF parameters from a bead (point-source) stack.
@@ -605,35 +623,52 @@ def fit_psf_beads(
       mode from the fit (measured here, and the same failure as the
       rejected z-recentering lever in BASELINE.md) — the z position stays
       integer and the pupil fit owns the axial gauge.
-    - **Matched-filter amplitude**: the bead brightness comes from
-      ``<h, d> / ||h||^2`` at the bead position, NOT from a plain intensity
-      sum, which loses the PSF's diffuse tails under the background and
-      biases every fitted coefficient (measured: ~20% amplitude deficit ->
-      phase modes stall at half magnitude). ``rounds`` alternates amplitude
-      refresh and refit (2 is enough).
+    - **Profiled amplitude and background** (variable projection): a
+      sub-resolution bead is a delta object, so the convolution model
+      collapses to ``amp * h(params) + c`` — no FFTs — and the nuisance
+      pair ``(amp, c)`` has a closed-form optimum substituted back into the
+      objective (:func:`bead_anchor_term`). The amplitude is therefore
+      *always* optimal for the current geometry inside the differentiated
+      graph. The previous design alternated a frozen matched-filter
+      amplitude with geometry refits (``rounds``); measured on the
+      light-sheet SHEET calibration, that alternation is a slow coordinate
+      descent that line-search-stalls at the stale-amplitude optimum
+      (waist 11% off, cost 1500x above the reachable minimum after 8
+      rounds / 240 iterations) while the profiled objective reaches the
+      true geometry in 9 iterations. ``rounds`` is kept in the signature
+      for compatibility and ignored.
 
     Jit-friendly (argmax/median/scatter/Fourier shift all trace). Returns
     ``(PsfFitResult, amplitude)``; the fitted PSF is
     ``model.compute_psf(result.params)``.
     """
+    del rounds
     if params0 is None:
         params0 = model.init_params()
+    names = tuple(FAMILY_NAMES[f] for f in families)
+    for n in names:
+        if getattr(params0, n).shape[0] == 0:
+            raise ValueError(f"family {n!r} has no coefficients to fit")
+    # The profiled-amplitude/background bead objective (centers the stack).
+    term = bead_anchor_term(model, data, subvoxel=subvoxel)
+
+    g0 = jax.grad(
+        lambda sub: term(params0._replace(**sub))
+    )({n: getattr(params0, n) for n in names})
+    x0, rebuild = joint_variable(params0, names, phase_freeze_head, grads=g0)
+
+    res = minimize_vmlmb(
+        jax.value_and_grad(lambda v: term(rebuild(v))), x0,
+        mem=config.mem, maxiter=config.max_iter, maxeval=config.max_eval,
+        gatol=config.gatol, grtol=config.grtol,
+    )
+    params = rebuild(res.x)
+
+    # Report the matched-filter amplitude at the solution (the profiled
+    # amp of the background-free model — what callers scale beads by).
     d0 = center_bead_stack(data, subvoxel=subvoxel)
-    shape = d0.shape
-
-    def matched_amplitude(params):
-        # Cross-correlation at zero lag (the bead sits at the origin after
-        # centering): <h, d0> / ||h||^2.
-        h = model.compute_psf(params)
-        return jnp.sum(h * d0) / jnp.sum(h * h)
-
-    params, res = params0, None
-    for _ in range(max(1, rounds)):
-        amp = matched_amplitude(params)
-        obj = jnp.zeros_like(d0).ravel().at[0].set(amp).reshape(shape)
-        res = fit_psf_joint(
-            model, params, families, d0, obj,
-            config=config, phase_freeze_head=phase_freeze_head,
-        )
-        params = res.params
-    return res, matched_amplitude(params)
+    h = model.compute_psf(params)
+    amp = jnp.sum(h * d0) / jnp.sum(h * h)
+    fit = PsfFitResult(params, res.f, res.iterations, res.evaluations,
+                       res.status, res.f_history)
+    return fit, amp

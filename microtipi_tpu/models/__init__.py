@@ -1,6 +1,7 @@
 """PSF model families."""
 from microtipi_tpu.models.confocal import ConfocalConfig, TwoPhotonConfig
 from microtipi_tpu.models.gibson_lanni import GibsonLanniConfig, GibsonLanniParams
+from microtipi_tpu.models.lightsheet import LightSheetConfig, LightSheetParams
 from microtipi_tpu.models.vectorial import VectorialConfig
 from microtipi_tpu.models.microscope import (
     DEFOCUS,
@@ -9,6 +10,7 @@ from microtipi_tpu.models.microscope import (
     MODULUS,
     PARAMETER_FLAGS,
     PHASE,
+    SHEET,
     PsfModel,
 )
 from microtipi_tpu.models.widefield import WideFieldConfig, WideFieldParams
@@ -17,6 +19,7 @@ __all__ = [
     "WideFieldConfig", "WideFieldParams",
     "GibsonLanniConfig", "GibsonLanniParams",
     "ConfocalConfig", "TwoPhotonConfig", "VectorialConfig",
-    "PsfModel", "DEFOCUS", "PHASE", "MODULUS", "DEPTH",
+    "LightSheetConfig", "LightSheetParams",
+    "PsfModel", "DEFOCUS", "PHASE", "MODULUS", "DEPTH", "SHEET",
     "PARAMETER_FLAGS", "FAMILY_NAMES",
 ]

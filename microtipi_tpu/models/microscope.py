@@ -19,7 +19,10 @@ from typing import Protocol, runtime_checkable
 
 import jax
 
-__all__ = ["DEFOCUS", "PHASE", "MODULUS", "PARAMETER_FLAGS", "FAMILY_NAMES", "PsfModel"]
+__all__ = [
+    "DEFOCUS", "PHASE", "MODULUS", "DEPTH", "SHEET",
+    "PARAMETER_FLAGS", "FAMILY_NAMES", "PsfModel",
+]
 
 #: Parameter-family indices, same values as the reference
 #: (``WideFieldModel.java:113-123``).
@@ -28,8 +31,16 @@ PHASE = 1
 MODULUS = 2
 #: extension family (Gibson-Lanni depth aberration; not in the reference).
 DEPTH = 3
+#: extension family (light-sheet excitation geometry; not in the reference).
+SHEET = 4
 PARAMETER_FLAGS = (DEFOCUS, PHASE, MODULUS)
-FAMILY_NAMES = {DEFOCUS: "defocus", PHASE: "phase", MODULUS: "modulus", DEPTH: "depth"}
+FAMILY_NAMES = {
+    DEFOCUS: "defocus",
+    PHASE: "phase",
+    MODULUS: "modulus",
+    DEPTH: "depth",
+    SHEET: "sheet",
+}
 
 
 @runtime_checkable

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh
 
 from microtipi_tpu.jobs.blind import BlindDeconvConfig, BlindDeconvResult, run_blind_loop
-from microtipi_tpu.models.microscope import PHASE
+from microtipi_tpu.models.microscope import DEPTH, PHASE, SHEET
 from microtipi_tpu.parallel.deconv import (
     crop_trailing,
     pad_trailing,
@@ -149,6 +149,8 @@ def sharded_blind_deconvolve(
             config=dataclasses.replace(fit_cfg, max_iter=config.psf_max_iter[j]),
             active=phase_active,
             freeze_head=config.phase_freeze_head if flag == PHASE else 0,
+            # physical-scale families stall unpreconditioned (jobs/blind.py)
+            precondition=flag in (DEPTH, SHEET),
             anchor=phase_anchor if flag == PHASE else None,
             prior_weight=config.phase_prior_weight if flag == PHASE else 0.0,
             aux_terms=aux_terms,

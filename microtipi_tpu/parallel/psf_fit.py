@@ -72,6 +72,7 @@ def sharded_fit_psf(
     config: PsfFitConfig = PsfFitConfig(),
     active: int | None = None,
     freeze_head: int = 0,
+    precondition: bool = False,
     anchor: jax.Array | None = None,
     prior_weight: float = 0.0,
     aux_terms: tuple = (),
@@ -81,7 +82,10 @@ def sharded_fit_psf(
     ``data``/``obj`` are (Nz, Ny, Nx) or batched (B, Nz, Ny, Nx), z-sharded;
     batched inputs produce one jointly-fitted parameter vector. ``active``
     and ``freeze_head`` slice the coefficient vector exactly like the dense
-    fit (graduated scheduling / pin-Z4).
+    fit (graduated scheduling / pin-Z4); ``precondition`` applies the same
+    per-component initial-gradient scaling the dense fit uses for the
+    physical-scale families (GL DEPTH, light-sheet SHEET — without it the
+    first step is meters of depth and the fit stalls, ``jobs.psf_fit``).
     """
     family = FAMILY_NAMES[flag]
     full0 = getattr(params, family)
@@ -124,13 +128,28 @@ def sharded_fit_psf(
     else:
         objective = data_objective
 
-    fun = jax.value_and_grad(objective)
-    res = minimize_vmlmb(
-        fun, x0, mem=config.mem, maxiter=config.max_iter, maxeval=config.max_eval,
-        gatol=config.gatol, grtol=config.grtol,
-    )
+    if precondition:
+        # Per-component initial-gradient scaling (same recipe and floor as
+        # the dense fit_psf).
+        g0 = jax.grad(objective)(x0)
+        gmax = jnp.max(jnp.abs(g0))
+        tiny = jnp.asarray(jnp.finfo(gmax.dtype).tiny, gmax.dtype)
+        scale = 1.0 / jnp.maximum(jnp.abs(g0), jnp.maximum(1e-12 * gmax, tiny))
+        fun = jax.value_and_grad(lambda u: objective(u * scale))
+        res = minimize_vmlmb(
+            fun, x0 / scale, mem=config.mem, maxiter=config.max_iter,
+            maxeval=config.max_eval, gatol=config.gatol, grtol=config.grtol,
+        )
+        x_fit = res.x * scale
+    else:
+        fun = jax.value_and_grad(objective)
+        res = minimize_vmlmb(
+            fun, x0, mem=config.mem, maxiter=config.max_iter, maxeval=config.max_eval,
+            gatol=config.gatol, grtol=config.grtol,
+        )
+        x_fit = res.x
     return PsfFitResult(
-        params._replace(**{family: full0.at[freeze_head:active].set(res.x)}),
+        params._replace(**{family: full0.at[freeze_head:active].set(x_fit)}),
         res.f, res.iterations, res.evaluations, res.status, res.f_history,
     )
 

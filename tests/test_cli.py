@@ -197,7 +197,7 @@ def test_deconv_cli_mesh(tmp_path):
 
 
 def test_cli_psf_model_families(tmp_path):
-    """--model selects the PSF family; all four synthesize valid stacks."""
+    """--model selects the PSF family; every family synthesizes a valid stack."""
     from microtipi_tpu.io.tiffstack import read_stack
 
     outs = {}
@@ -207,6 +207,7 @@ def test_cli_psf_model_families(tmp_path):
         ("confocal", ["--wavelength-exc", "488e-9", "--pinhole", "150e-9"]),
         ("2p", ["--wavelength", "900e-9"]),
         ("vectorial", []),
+        ("lightsheet", ["--sheet-na", "0.15", "--wavelength-exc", "488e-9"]),
     ]:
         out = tmp_path / f"{model}.tif"
         r = _run(

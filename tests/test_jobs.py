@@ -268,10 +268,11 @@ def test_fit_psf_freeze_head_pins_z4():
 
 
 def test_fit_psf_beads_recovers_parameters_and_amplitude():
-    """Bead calibration: matched-filter amplitude + joint fit recover the
-    injected aberration from a realistic bead stack (background + noise);
-    a plain intensity-sum amplitude would lose the PSF tails under the
-    background and stall the fit (measured ~20% amplitude deficit)."""
+    """Bead calibration: the profiled-amplitude/background objective
+    recovers the injected aberration from a realistic bead stack
+    (background + noise). Tolerance is the ML noise scatter: on noiseless
+    data the recovery is exact to f64 (measured), with this noise seed the
+    ML optimum itself sits ~0.02 off on one mode."""
     from microtipi_tpu.jobs.psf_fit import fit_psf_beads
     from microtipi_tpu.models.microscope import PHASE
     from microtipi_tpu.utils.arrays import roll
@@ -289,7 +290,7 @@ def test_fit_psf_beads_recovers_parameters_and_amplitude():
         model, jnp.asarray(bead), (PHASE,),
         config=PsfFitConfig(max_iter=80, grtol=0.0),
     )
-    np.testing.assert_allclose(np.asarray(res.params.phase), true_phase, atol=0.01)
+    np.testing.assert_allclose(np.asarray(res.params.phase), true_phase, atol=0.03)
     assert float(amp) == pytest.approx(800.0, rel=0.05)
     # jit-compatible end to end (argmax/median/scatter all trace)
     res2, _ = jax.jit(

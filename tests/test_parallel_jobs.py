@@ -269,3 +269,35 @@ def test_sharded_fit_psf_generic_over_model_families(mesh8):
     # iterations the trajectories agree to fit-level precision only
     np.testing.assert_allclose(np.asarray(got.params.phase), np.asarray(ref.params.phase),
                                atol=5e-4)
+
+
+def test_sharded_fit_psf_preconditioned_sheet_matches_dense(mesh8):
+    """Physical-scale families (SHEET here, same mechanism as GL DEPTH) need
+    the per-component gradient preconditioning on the mesh exactly as in the
+    dense fit — without it the meter-scale coordinates stall (jobs/psf_fit.py).
+    The sharded preconditioned fit must match the dense one."""
+    from microtipi_tpu.models.lightsheet import LightSheetConfig
+    from microtipi_tpu.models.microscope import SHEET
+
+    model = LightSheetConfig(
+        shape=SHAPE, n_phase=3, radial=True, dtype=jnp.float64,
+        sheet_na=0.15, wavelength_exc=488e-9, **KW
+    )
+    p0 = model.init_params()
+    true = p0._replace(sheet=jnp.asarray([0.3e-6, 1.3 * model.waist]))
+    rng = np.random.default_rng(2)
+    obj = jnp.asarray((rng.random(SHAPE) > 0.97) * rng.random(SHAPE) * 80)
+    data = convolve(obj, convolve_spectrum(model.compute_psf(true)), SHAPE)
+
+    cfg = PsfFitConfig(max_iter=25, grtol=0.0)
+    ref = fit_psf(model, p0, SHEET, data, obj, config=cfg, precondition=True)
+    data_sh = jax.device_put(data, volume_sharding(mesh8, batched=False))
+    obj_sh = jax.device_put(obj, volume_sharding(mesh8, batched=False))
+    got = sharded_fit_psf(model, p0, SHEET, data_sh, obj_sh, mesh8,
+                          config=cfg, precondition=True)
+    # Both recover the true geometry...
+    assert abs(float(ref.params.sheet[1]) - 1.3 * model.waist) < 0.05 * model.waist
+    assert abs(float(got.params.sheet[1]) - 1.3 * model.waist) < 0.05 * model.waist
+    # ...and agree with each other to fit-level precision.
+    np.testing.assert_allclose(np.asarray(got.params.sheet),
+                               np.asarray(ref.params.sheet), rtol=5e-4)
