@@ -26,8 +26,9 @@ from microtipi_tpu.jobs.blind import BlindDeconvConfig, BlindDeconvResult, blind
 from microtipi_tpu.jobs.deconv import DeconvolutionConfig, DeconvolutionResult, deconvolve
 from microtipi_tpu.jobs.depthvar import deconvolve_depthvar, depth_anchor_psfs
 from microtipi_tpu.jobs.psf_fit import (
-    PsfFitConfig, PsfFitResult, average_beads, bead_anchor_term, center_bead_stack,
-    fit_psf, fit_psf_beads, fit_psf_joint,
+    FitUncertainty, PsfFitConfig, PsfFitResult, average_beads, bead_anchor_term,
+    bead_fit_uncertainty, center_bead_stack, fit_psf, fit_psf_beads,
+    fit_psf_joint, fit_uncertainty,
 )
 from microtipi_tpu.jobs.richardson_lucy import multiview_richardson_lucy, richardson_lucy
 from microtipi_tpu.jobs.tiled import tiled_deconvolve
@@ -56,6 +57,7 @@ __all__ = [
     "deconvolve_depthvar", "depth_anchor_psfs",
     "PsfFitConfig", "PsfFitResult", "average_beads", "bead_anchor_term", "center_bead_stack",
     "fit_psf", "fit_psf_beads", "fit_psf_joint",
+    "FitUncertainty", "fit_uncertainty", "bead_fit_uncertainty",
     "multiview_richardson_lucy", "richardson_lucy", "tiled_deconvolve", "wiener",
     "PoissonConvCost", "WeightedConvolutionCost", "convolve", "convolve_spectrum",
     "fourier_shift", "register_translation",

@@ -893,17 +893,30 @@ def cmd_fitpsf(args):
           f"{float(amp):.4g}, {time.time()-t0:.1f}s (incl. compile)")
     params = {
         name: np.asarray(getattr(res.params, name)).tolist()
-        for name in ("defocus", "phase", "modulus")
-        if hasattr(res.params, name)
+        for name in res.params._fields
     }
-    if hasattr(res.params, "depth"):
-        params["depth"] = np.asarray(res.params.depth).tolist()
+    std = None
+    if args.uncertainty:
+        from microtipi_tpu.jobs.psf_fit import bead_fit_uncertainty
+
+        unc = jax.jit(
+            lambda d, p: bead_fit_uncertainty(model, p, families, d)
+        )(data, res.params)
+        std = {k: (np.asarray(v).tolist() if np.ndim(v) else float(v))
+               for k, v in unc.std.items()}
+        print(f"noise sigma (residual MLE): {float(unc.sigma):.4g}")
     for name, vals in params.items():
-        print(f"{name}: {np.round(np.asarray(vals), 5)}")
+        line = f"{name}: {np.round(np.asarray(vals), 5)}"
+        if std is not None and name in std:
+            line += f"  +- {np.round(np.asarray(std[name]), 5)}"
+        print(line)
     if args.params_out:
+        out = {"cost": f, "amplitude": float(amp), "model": args.model,
+               "dxy": args.dxy, "dz": args.dz, **params}
+        if std is not None:
+            out["std"] = std
         with open(args.params_out, "w") as fh:
-            json.dump({"cost": f, "amplitude": float(amp), "model": args.model,
-                       "dxy": args.dxy, "dz": args.dz, **params}, fh, indent=1)
+            json.dump(out, fh, indent=1)
         print("wrote", args.params_out)
     if args.out:
         psf = np.asarray(jax.jit(model.compute_psf)(res.params))
@@ -1035,6 +1048,10 @@ def main(argv=None):
                    help="[--n-beads] averaged patch shape (default: full z, 32x32)")
     p.add_argument("--pin-z4", action="store_true",
                    help="freeze the first phase mode during the fit")
+    p.add_argument("--uncertainty", action="store_true",
+                   help="report 1-sigma error bars per coefficient "
+                        "(Gauss-Newton/Laplace at the fit; adds a 'std' "
+                        "object to --params-out)")
     p.add_argument("--families", nargs="+", default=["defocus", "phase"],
                    choices=["defocus", "phase", "modulus", "depth", "sheet"])
     _model_args(p)

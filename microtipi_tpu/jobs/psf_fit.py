@@ -36,14 +36,17 @@ from microtipi_tpu.optim.vmlmb import minimize_vmlmb
 from microtipi_tpu.utils.arrays import pad_to_shape
 
 __all__ = [
+    "FitUncertainty",
     "PsfFitConfig",
     "PsfFitResult",
     "average_beads",
     "bead_anchor_term",
+    "bead_fit_uncertainty",
     "center_bead_stack",
     "fit_psf",
     "fit_psf_beads",
     "fit_psf_joint",
+    "fit_uncertainty",
     "joint_variable",
 ]
 
@@ -672,3 +675,159 @@ def fit_psf_beads(
     fit = PsfFitResult(params, res.f, res.iterations, res.evaluations,
                        res.status, res.f_history)
     return fit, amp
+
+
+# ---------------------------------------------------------------------------
+# Fit uncertainty (Laplace / Gauss-Newton error bars)
+# ---------------------------------------------------------------------------
+
+
+class FitUncertainty(NamedTuple):
+    """Per-coefficient 1-sigma error bars for a PSF fit.
+
+    ``std``: 1-sigma marginal standard deviation per coefficient — an array
+    for :func:`fit_uncertainty`, a ``{family: array}`` dict (plus ``"amp"``
+    and ``"background"`` scalars) for :func:`bead_fit_uncertainty`.
+    ``cov``: the full posterior covariance (coefficient order matches
+    ``std``; bead fits append the profiled amp and background last).
+    ``sigma``: the noise standard deviation used — estimated from the fit
+    residual when not supplied (1.0 when per-voxel inverse-variance weights
+    already carry the noise model).
+    """
+
+    std: object
+    cov: jax.Array
+    sigma: jax.Array
+
+
+def _gn_covariance(jac_flat, weights_flat, k_model, sigma, resid, dtype):
+    """Covariance from a flattened prediction Jacobian.
+
+    GN/Laplace: ``cov = sigma^2 (J^T W J)^{-1}`` — exact for the (weighted)
+    least-squares posterior under local linearity. ``sigma`` estimated as
+    ``sqrt(||r||_W^2 / (n - k))`` when absent (homoscedastic residual MLE
+    with the dof correction).
+    """
+    jw = jac_flat if weights_flat is None else jac_flat * weights_flat[:, None]
+    gn = jac_flat.T @ jw
+    gn = 0.5 * (gn + gn.T)
+    if weights_flat is not None:
+        sigma_out = jnp.asarray(1.0, dtype)  # weights are inverse variance
+        scale2 = 1.0
+    else:
+        n = resid.shape[0]
+        if sigma is None:
+            sigma_out = jnp.sqrt(jnp.sum(resid * resid) / max(n - k_model, 1))
+        else:
+            sigma_out = jnp.asarray(sigma, dtype)
+        scale2 = sigma_out * sigma_out
+    eye = jnp.eye(gn.shape[0], dtype=gn.dtype)
+    cov = scale2 * jnp.linalg.solve(gn, eye)
+    return cov, sigma_out
+
+
+def fit_uncertainty(
+    model,
+    params,
+    flag: int,
+    data: jax.Array,
+    obj: jax.Array,
+    weights: jax.Array | None = None,
+    sigma: float | None = None,
+) -> FitUncertainty:
+    """Error bars for a :func:`fit_psf` solution (call it at the *fitted*
+    ``params``).
+
+    Laplace approximation with the Gauss-Newton Hessian of the data term
+    the fit minimized (``0.5 sum w (obj (*) h(x) - d)^2``, the reference's
+    objective at ``PSF_Estimation.java:147-157``): ``cov = sigma^2 (J^T W
+    J)^{-1}`` where ``J = d(obj (*) h)/dx`` is built column-exactly by
+    forward-mode autodiff through the PSF synthesis. With per-voxel
+    inverse-variance ``weights`` the covariance needs no sigma; otherwise
+    ``sigma`` defaults to the residual MLE with dof correction. Memory is
+    ``k`` volumes for the Jacobian — fine for calibration-sized stacks;
+    crop large ones around structure first.
+
+    The reference has no uncertainty reporting (SURVEY.md section 5-e);
+    this is the beyond-parity observability piece calibration workflows
+    need (is the fitted Z5 real, or noise?).
+    """
+    from microtipi_tpu.ops.convolution import convolve
+
+    family = FAMILY_NAMES[flag]
+    x = getattr(params, family)
+    if x.shape[0] == 0:
+        raise ValueError(f"family {family!r} has no coefficients")
+    if weights is not None and weights.shape != data.shape:
+        weights = pad_to_shape(weights, data.shape)
+    obj_hat = jnp.fft.rfftn(obj)
+
+    def predict(v):
+        h = model.compute_psf(params._replace(**{family: v}))
+        return convolve(h, obj_hat, data.shape)
+
+    jac = jax.jacfwd(predict)(x).reshape(-1, x.shape[0])
+    resid = (predict(x) - data).ravel()
+    w_flat = None if weights is None else weights.ravel()
+    cov, sigma_out = _gn_covariance(
+        jac, w_flat, x.shape[0], sigma, resid, data.dtype)
+    return FitUncertainty(jnp.sqrt(jnp.diagonal(cov)), cov, sigma_out)
+
+
+def bead_fit_uncertainty(
+    model,
+    params,
+    families: tuple[int, ...],
+    bead_data: jax.Array,
+    subvoxel: bool = True,
+    sigma: float | None = None,
+) -> FitUncertainty:
+    """Error bars for a :func:`fit_psf_beads` solution.
+
+    Same GN/Laplace recipe as :func:`fit_uncertainty`, on the bead model
+    ``amp * h(x) + c`` with the profiled nuisances (amp, background)
+    included as Jacobian columns and *marginalized* — their uncertainty
+    correctly inflates the geometry coefficients they trade against
+    (e.g. background vs the PSF's diffuse tails). ``std`` comes back as a
+    ``{family: array}`` dict plus scalar ``"amp"`` / ``"background"``
+    entries; ``cov`` is over the concatenated ``[families..., amp, c]``
+    vector.
+    """
+    names = tuple(FAMILY_NAMES[f] for f in families)
+    d0 = center_bead_stack(bead_data, subvoxel=subvoxel)
+    n = float(d0.size)
+
+    # Profiled (amp, c) at the solution — same normal equations as
+    # bead_anchor_term.
+    h0 = model.compute_psf(params)
+    shh = jnp.sum(h0 * h0)
+    sh1 = jnp.sum(h0)
+    shd = jnp.sum(h0 * d0)
+    s1d = jnp.sum(d0)
+    det = jnp.maximum(shh * n - sh1 * sh1, jnp.asarray(jnp.finfo(d0.dtype).tiny, d0.dtype))
+    amp = (n * shd - sh1 * s1d) / det
+    c = (shh * s1d - sh1 * shd) / det
+
+    sizes = [int(getattr(params, nm).shape[0]) for nm in names]
+    x0 = jnp.concatenate([getattr(params, nm) for nm in names]
+                         + [amp[None], c[None]])
+
+    def predict(v):
+        sub, off = {}, 0
+        for nm, sz in zip(names, sizes):
+            sub[nm] = v[off:off + sz]
+            off += sz
+        a_, c_ = v[off], v[off + 1]
+        return a_ * model.compute_psf(params._replace(**sub)) + c_
+
+    jac = jax.jacfwd(predict)(x0).reshape(-1, x0.shape[0])
+    resid = (predict(x0) - d0).ravel()
+    cov, sigma_out = _gn_covariance(jac, None, x0.shape[0], sigma, resid, d0.dtype)
+    std_all = jnp.sqrt(jnp.diagonal(cov))
+    std, off = {}, 0
+    for nm, sz in zip(names, sizes):
+        std[nm] = std_all[off:off + sz]
+        off += sz
+    std["amp"] = std_all[off]
+    std["background"] = std_all[off + 1]
+    return FitUncertainty(std, cov, sigma_out)

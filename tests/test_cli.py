@@ -609,3 +609,46 @@ def test_cli_fitpsf_n_beads(tmp_path):
     assert "averaged 3 beads" in r.stdout
     cal = json.loads((tmp_path / "cal.json").read_text())
     np.testing.assert_allclose(cal["phase"], [0.3, -0.15], atol=0.08)
+
+
+def test_cli_fitpsf_uncertainty_and_sheet_family(tmp_path):
+    """fitpsf --uncertainty reports error bars (std in the JSON), and the
+    lightsheet SHEET family round-trips through --params-out (every params
+    field is exported generically, not a hard-coded subset)."""
+    import jax.numpy as jnp
+
+    from microtipi_tpu.io.tiffstack import write_stack
+    from microtipi_tpu.models.lightsheet import LightSheetConfig
+    from microtipi_tpu.utils.arrays import roll
+
+    shape = (12, 24, 24)
+    model = LightSheetConfig(shape=shape, na=0.8, wavelength=520e-9, ni=1.33,
+                             dxy=150e-9, dz=400e-9, sheet_na=0.15,
+                             wavelength_exc=488e-9, n_phase=2, radial=True,
+                             dtype=jnp.float32)
+    true = model.init_params()._replace(
+        sheet=jnp.asarray([0.1e-6, 1.2 * model.waist], jnp.float32))
+    bead = 2e3 * np.asarray(roll(model.compute_psf(true)), np.float32)
+    rng = np.random.default_rng(0)
+    bead = bead + 0.02 * bead.max() * rng.standard_normal(shape).astype(np.float32)
+    write_stack(tmp_path / "beads.tif", bead, dxy=150e-9, dz=400e-9)
+
+    r = _run(
+        ["fitpsf", str(tmp_path / "beads.tif"),
+         "--params-out", str(tmp_path / "params.json"),
+         "--model", "lightsheet", "--sheet-na", "0.15",
+         "--wavelength-exc", "488e-9", "--na", "0.8", "--wavelength", "520e-9",
+         "--ni", "1.33", "--n-phase", "2", "--radial",
+         "--families", "defocus", "sheet", "--iters", "40", "--uncertainty"],
+        tmp_path,
+    )
+    assert r.returncode == 0, r.stderr
+    doc = json.loads((tmp_path / "params.json").read_text())
+    assert "sheet" in doc, "SHEET family must be exported"
+    np.testing.assert_allclose(doc["sheet"][1], 1.2 * model.waist, rtol=0.1)
+    assert "std" in doc and "sheet" in doc["std"]
+    stds = np.asarray(doc["std"]["sheet"])
+    assert stds.shape == (2,) and (stds > 0).all() and np.isfinite(stds).all()
+    # error bars are small next to the fitted values (bright bead)
+    assert stds[1] < 0.1 * abs(doc["sheet"][1])
+    assert "+-" in r.stdout and "sigma" in r.stdout
