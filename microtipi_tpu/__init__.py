@@ -31,7 +31,7 @@ from microtipi_tpu.jobs.psf_fit import (
     fit_psf_joint, fit_uncertainty,
 )
 from microtipi_tpu.jobs.richardson_lucy import multiview_richardson_lucy, richardson_lucy
-from microtipi_tpu.jobs.tiled import tiled_deconvolve
+from microtipi_tpu.jobs.tiled import field_psf, tiled_deconvolve
 from microtipi_tpu.jobs.wiener import wiener
 from microtipi_tpu.ops.convolution import (
     PoissonConvCost,
@@ -58,7 +58,7 @@ __all__ = [
     "PsfFitConfig", "PsfFitResult", "average_beads", "bead_anchor_term", "center_bead_stack",
     "fit_psf", "fit_psf_beads", "fit_psf_joint",
     "FitUncertainty", "fit_uncertainty", "bead_fit_uncertainty",
-    "multiview_richardson_lucy", "richardson_lucy", "tiled_deconvolve", "wiener",
+    "multiview_richardson_lucy", "richardson_lucy", "field_psf", "tiled_deconvolve", "wiener",
     "PoissonConvCost", "WeightedConvolutionCost", "convolve", "convolve_spectrum",
     "fourier_shift", "register_translation",
     "hyperbolic_tv", "hyperbolic_tv_and_gradient",

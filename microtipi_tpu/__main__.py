@@ -521,15 +521,40 @@ def cmd_deconv(args):
     if getattr(args, "depthvar", 0):
         _cmd_deconv_depthvar(args, data)
         return
-    if not args.psf:
-        sys.exit("--psf is required (or use --depthvar K for a depth-varying solve)")
-    # No model is built on this path, but the output metadata should still
-    # inherit the input's pixel sizes (TIFF tags / NGFF scale transform).
+    field_json = getattr(args, "field_json", None)
+    if not args.psf and not field_json:
+        sys.exit("--psf is required (or --depthvar K / --tile with --field-json)")
+    # No model is built on the plain path, but the output metadata should
+    # still inherit the input's pixel sizes (TIFF tags / NGFF scale
+    # transform).
     _resolve_geometry(args, args.data, log=lambda *a: None)
-    psf = jnp.asarray(read_stack(args.psf))
-    if args.psf_centered:
-        psf = unroll(psf)
-    if args.method == "rl":
+    if field_json:
+        # Field-varying tiled solve: each JSON is a fitpsf --params-out
+        # file with an added "position": [y, x] (field voxels) entry.
+        import json
+
+        from microtipi_tpu.jobs.tiled import field_psf
+
+        if not getattr(args, "tile", None):
+            sys.exit("--field-json is the per-tile PSF source; it requires --tile")
+        if args.psf:
+            sys.exit("--field-json and --psf are exclusive")
+        model = _build_model(args, tuple(args.tile))
+        anchors = []
+        for path in field_json:
+            with open(path) as fh:
+                doc = json.load(fh)
+            if "position" not in doc:
+                sys.exit(f"{path}: add a \"position\": [y, x] entry "
+                         "(field coordinates of the calibration, in voxels)")
+            anchors.append((tuple(float(v) for v in doc["position"]),
+                            _load_params_json(model, path)))
+        psf = field_psf(model, anchors)
+    else:
+        psf = jnp.asarray(read_stack(args.psf))
+        if args.psf_centered:
+            psf = unroll(psf)
+    if args.method == "rl" and not getattr(args, "tile", None):
         from microtipi_tpu.jobs.richardson_lucy import richardson_lucy
 
         run = jax.jit(lambda d, p: richardson_lucy(
@@ -1076,6 +1101,11 @@ def main(argv=None):
                    help="tile halo in voxels (>= PSF half-width; discarded on blend)")
     p.add_argument("--tile-batch", type=int, default=8,
                    help="tiles solved per batched dispatch")
+    p.add_argument("--field-json", nargs="+", default=None, metavar="JSON",
+                   help="[--tile] field-varying PSF from scattered calibrations: "
+                        "fitpsf --params-out JSONs, each with an added "
+                        "\"position\": [y, x] entry (field voxels); tiles solve "
+                        "with the locally interpolated model PSF")
     p.add_argument("--report", default=None,
                    help="write a JSON solve report (cost/grad-norm history, counters)")
     p.add_argument("--mesh", type=int, nargs=2, default=None, metavar=("BATCH", "Z"),

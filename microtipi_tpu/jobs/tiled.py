@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from microtipi_tpu.jobs.deconv import DeconvolutionConfig
 from microtipi_tpu.utils.arrays import crop_to_shape, pad_fft_kernel, roll, unroll
 
-__all__ = ["tile_plan", "tiled_deconvolve"]
+__all__ = ["field_psf", "tile_plan", "tiled_deconvolve"]
 
 
 def tile_plan(shape: tuple[int, ...], tile: tuple[int, ...], overlap: tuple[int, ...]):
@@ -60,6 +60,56 @@ def tile_plan(shape: tuple[int, ...], tile: tuple[int, ...], overlap: tuple[int,
     return plan
 
 
+def field_psf(model, anchors, power: float = 2.0):
+    """Laterally field-varying PSF from scattered calibrations: a
+    ``psf_fn(center)`` for :func:`tiled_deconvolve`.
+
+    ``anchors``: ``[((y, x), params), ...]`` — PSF parameters calibrated at
+    known field positions (voxels), e.g. per-region ``fit_psf_beads`` runs
+    on beads from different parts of the slide. Parameters are interpolated
+    at each tile center by inverse-distance weighting (power ``power``;
+    exact at the anchors, smooth between, sane extrapolation at the field
+    edge — the right default for scattered calibration points where a
+    regular grid cannot be assumed), then synthesized via
+    ``model.compute_psf``. ``model`` must carry the TILE shape.
+
+    The lateral complement of the depth-varying solver (``jobs.depthvar``:
+    z-interpolated anchors *inside* the forward model): laterally the PSF
+    varies on the field-curvature scale — far wider than one tile — so the
+    piecewise-constant per-tile approximation of overlap-discard tiling is
+    the right tool, with no per-voxel blending cost.
+    """
+    anchors = list(anchors)
+    if not anchors:
+        raise ValueError("field_psf needs at least one (position, params) anchor")
+    positions = np.asarray([p for p, _ in anchors], np.float64).reshape(len(anchors), 2)
+    # One jitted synthesis shared by every tile (same pytree shapes): the
+    # axon TPU runtime cannot eager-dispatch the complex pupil math, and
+    # even where it can, per-op dispatch per tile would dominate.
+    compute = jax.jit(model.compute_psf)
+
+    def psf_fn(center):
+        cy, cx = float(center[-2]), float(center[-1])
+        d2 = np.sum((positions - np.asarray([cy, cx])) ** 2, axis=1)
+        i_near = int(np.argmin(d2))
+        if d2[i_near] < 1e-12:
+            w = np.zeros(len(anchors)); w[i_near] = 1.0
+        else:
+            w = 1.0 / d2 ** (power / 2.0)
+            w = w / w.sum()
+        p0 = anchors[0][1]
+        # host-side mixing (tiny vectors): no per-tile eager device ops
+        mixed = p0._replace(**{
+            name: jnp.asarray(sum(
+                wi * np.asarray(getattr(p, name), np.float64)
+                for wi, (_, p) in zip(w, anchors)), model.dtype)
+            for name in p0._fields
+        })
+        return compute(mixed)
+
+    return psf_fn
+
+
 def tiled_deconvolve(
     data,
     psf,
@@ -81,6 +131,14 @@ def tiled_deconvolve(
     (Richardson-Lucy, ``rl_iterations``; ``config.mu``/``epsilon`` feed its
     TV variant).
 
+    ``psf`` may instead be a CALLABLE ``psf_fn(center) -> corner-origin
+    PSF`` receiving each tile's center in volume voxel coordinates — the
+    field-varying path (build one with :func:`field_psf` from scattered
+    calibrations). Tiles then solve with their local PSF in the same
+    batched program (kernels ride a batch axis); the field variation is
+    approximated piecewise-constant per tile, accurate when the PSF drifts
+    on scales wider than a tile (lateral field curvature does).
+
     ``config.var_shape`` is ignored (padding is what the halo is for).
     """
     data = np.asarray(data)
@@ -101,19 +159,26 @@ def tiled_deconvolve(
             _walk(axis + 1, start_acc + [s], core_acc + [c])
     _walk(0, [], [])
 
-    kern = jnp.asarray(psf, data.dtype)
-    if any(p > t for p, t in zip(kern.shape, tile)):
-        # PSF stored at the (larger) volume grid: keep its centered core at
-        # the tile size — lossless when the support fits the tile, which is
-        # the tiling validity condition anyway.
-        kern = unroll(crop_to_shape(roll(kern), tuple(min(p, t) for p, t in zip(kern.shape, tile))))
-    kern = pad_fft_kernel(kern, tile)
+    def prep_kernel(k):
+        k = jnp.asarray(k, data.dtype)
+        if any(p > t for p, t in zip(k.shape, tile)):
+            # PSF stored at the (larger) volume grid: keep its centered core
+            # at the tile size — lossless when the support fits the tile,
+            # which is the tiling validity condition anyway.
+            k = unroll(crop_to_shape(roll(k), tuple(min(p, t) for p, t in zip(k.shape, tile))))
+        return pad_fft_kernel(k, tile)
+
+    varying = callable(psf)
+    if varying:
+        prep_jit = jax.jit(prep_kernel)  # per-tile: avoid eager dispatch
+    else:
+        kern = prep_kernel(psf)
 
     if method == "rl":
         from microtipi_tpu.jobs.richardson_lucy import richardson_lucy
 
-        def solve_one(d, w):
-            return richardson_lucy(d, kern, iterations=rl_iterations,
+        def solve_one(d, w, k):
+            return richardson_lucy(d, k, iterations=rl_iterations,
                                    mu=config.mu, epsilon=config.epsilon)
 
     elif method == "vmlmb":
@@ -125,14 +190,15 @@ def tiled_deconvolve(
         # jobs.batch._unfused); tiles solve as one vmapped program.
         cfg = dataclasses.replace(config, var_shape=None, fused_tv=False)
 
-        def solve_one(d, w):
-            return deconvolve(d, kern, weights=w, config=cfg).x
+        def solve_one(d, w, k):
+            return deconvolve(d, k, weights=w, config=cfg).x
 
     else:
         raise ValueError(f"unknown method {method!r}")
 
     w_axis = 0 if weights is not None else None
-    solve_batch = jax.jit(jax.vmap(solve_one, in_axes=(0, w_axis)))
+    k_axis = 0 if varying else None
+    solve_batch = jax.jit(jax.vmap(solve_one, in_axes=(0, w_axis, k_axis)))
 
     out = np.empty(data.shape, data.dtype)
     for i in range(0, len(boxes), max_batch):
@@ -143,6 +209,12 @@ def tiled_deconvolve(
             jnp.asarray(np.stack([np.asarray(weights)[s] for s in sl]))
             if weights is not None else None
         )
+        kbatch = None
+        if varying:
+            kbatch = jnp.stack([
+                prep_jit(psf(tuple(s + t / 2.0 for s, t in zip(starts, tile))))
+                for starts, _ in chunk
+            ])
         # Lane padding keeps ONE compiled executable for the ragged tail.
         pad = 0
         if len(chunk) < max_batch and len(boxes) > max_batch:
@@ -150,7 +222,10 @@ def tiled_deconvolve(
             batch = np.concatenate([batch, np.repeat(batch[-1:], pad, axis=0)])
             if wbatch is not None:
                 wbatch = jnp.concatenate([wbatch, jnp.repeat(wbatch[-1:], pad, axis=0)])
-        xs = np.asarray(solve_batch(jnp.asarray(batch), wbatch))
+            if kbatch is not None:
+                kbatch = jnp.concatenate([kbatch, jnp.repeat(kbatch[-1:], pad, axis=0)])
+        xs = np.asarray(solve_batch(jnp.asarray(batch), wbatch,
+                                    kbatch if varying else kern))
         for (starts, cores), x in zip(chunk, xs):
             dst = tuple(slice(lo, hi) for lo, hi in cores)
             src = tuple(slice(lo - s, hi - s) for (lo, hi), s in zip(cores, starts))

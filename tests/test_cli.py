@@ -652,3 +652,63 @@ def test_cli_fitpsf_uncertainty_and_sheet_family(tmp_path):
     # error bars are small next to the fitted values (bright bead)
     assert stds[1] < 0.1 * abs(doc["sheet"][1])
     assert "+-" in r.stdout and "sigma" in r.stdout
+
+
+def test_cli_deconv_field_varying_tiled(tmp_path):
+    """deconv --tile --field-json: per-tile PSFs interpolated from scattered
+    calibration JSONs (fitpsf output + a position entry)."""
+    import jax.numpy as jnp
+
+    from microtipi_tpu.io.tiffstack import read_stack, write_stack
+    from microtipi_tpu.models.widefield import WideFieldConfig
+    from microtipi_tpu.ops.convolution import convolve, convolve_spectrum
+
+    vol = (6, 24, 48)
+    tile = (6, 24, 24)
+    model = WideFieldConfig(shape=tile, na=1.2, wavelength=500e-9, ni=1.33,
+                            dxy=100e-9, dz=250e-9, n_phase=2, radial=True,
+                            dtype=jnp.float32)
+    p0 = model.init_params()
+    rng = np.random.default_rng(0)
+    obj = np.zeros(vol, np.float32)
+    obj[1:5, 4:20, 4:20] = 50.0
+    obj[2:5, 6:18, 28:44] = 80.0
+    data = np.zeros(vol, np.float32)
+    phases = {12.0: [0.2, -0.1], 36.0: [0.9, -0.4]}
+    for i, (x, ph) in enumerate(phases.items()):
+        h = model.compute_psf(p0._replace(phase=jnp.asarray(ph, jnp.float32)))
+        strip = jnp.asarray(obj[:, :, 24*i:24*(i+1)])
+        data[:, :, 24*i:24*(i+1)] = np.asarray(
+            convolve(strip, convolve_spectrum(h), tile))
+    write_stack(tmp_path / "d.tif", data, dxy=100e-9, dz=250e-9)
+    for i, (x, ph) in enumerate(phases.items()):
+        (tmp_path / f"cal{i}.json").write_text(json.dumps(
+            {"position": [12.0, x], "phase": ph, "model": "widefield"}))
+
+    r = _run(
+        ["deconv", str(tmp_path / "d.tif"), "--out", str(tmp_path / "o.tif"),
+         "--tile", "6", "24", "24", "--overlap", "0",
+         "--field-json", str(tmp_path / "cal0.json"), str(tmp_path / "cal1.json"),
+         "--na", "1.2", "--wavelength", "500e-9", "--ni", "1.33",
+         "--n-phase", "2", "--radial", "--iters", "20", "--mu", "2e-3"],
+        tmp_path,
+    )
+    assert r.returncode == 0, r.stderr
+    rec = read_stack(tmp_path / "o.tif")
+    assert rec.shape == vol and np.isfinite(rec).all()
+    # the aberrated right half must deconvolve with its local PSF: better
+    # than the raw data by a clear margin
+    err_rec = np.linalg.norm(rec[:, :, 24:] - obj[:, :, 24:])
+    err_raw = np.linalg.norm(data[:, :, 24:] - obj[:, :, 24:])
+    assert err_rec < 0.8 * err_raw
+
+    # position entry missing -> helpful failure
+    (tmp_path / "bad.json").write_text(json.dumps({"phase": [0.1, 0.0]}))
+    r = _run(
+        ["deconv", str(tmp_path / "d.tif"), "--out", str(tmp_path / "o2.tif"),
+         "--tile", "6", "24", "24", "--field-json", str(tmp_path / "bad.json"),
+         "--na", "1.2", "--wavelength", "500e-9", "--ni", "1.33",
+         "--n-phase", "2", "--radial"],
+        tmp_path,
+    )
+    assert r.returncode != 0 and "position" in (r.stderr + r.stdout)

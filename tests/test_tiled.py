@@ -91,3 +91,93 @@ def test_tiled_with_weights_and_ragged_tail():
     out = tiled_deconvolve(data, psf, weights=w, tile=(8, 24, 24),
                            overlap=(0, 6, 6), config=cfg, max_batch=3)
     assert out.shape == shape and np.isfinite(out).all()
+
+
+def test_tiled_constant_callable_matches_array_path():
+    """A psf_fn returning the same kernel everywhere must reproduce the
+    static-PSF path exactly (same solves, kernels just ride a batch axis)."""
+    psf, obj, data = _scene((8, 48, 48))
+    cfg = DeconvolutionConfig(mu=1e-3, epsilon=1.0, max_iter=8, grtol=0.0)
+    kw = dict(tile=(8, 32, 32), overlap=(0, 8, 8), config=cfg)
+    ref = tiled_deconvolve(data, psf, **kw)
+    got = tiled_deconvolve(data, lambda center: jnp.asarray(psf), **kw)
+    np.testing.assert_allclose(got, ref, atol=1e-10)
+
+
+def test_tiled_field_varying_psf_beats_single():
+    """Field-varying PSFs: a scene blurred with a defocus that grows across
+    the field (left tiles near-focus, right tiles aberrated) deconvolves
+    better with per-tile local PSFs than with either single-PSF choice."""
+    import jax
+    from microtipi_tpu.jobs.tiled import field_psf
+    from microtipi_tpu.models.widefield import WideFieldConfig
+
+    vol = (8, 32, 96)
+    tile_shape = (8, 32, 32)
+    model = WideFieldConfig(shape=tile_shape, na=1.2, wavelength=500e-9,
+                            ni=1.33, dxy=100e-9, dz=250e-9, n_phase=3,
+                            radial=True, dtype=jnp.float64)
+    p0 = model.init_params()
+
+    def params_at(x):  # aberration grows linearly across the field
+        t = x / vol[2]
+        return p0._replace(phase=jnp.asarray([3.2 * t, -1.54 * t, 0.77 * t]))
+
+    rng = np.random.default_rng(3)
+    obj = np.zeros(vol)
+    # extended structures: on sparse delta scenes the object-space L2 metric
+    # rewards peak compactness over model fidelity and cannot discriminate
+    # (measured while building this test)
+    for _ in range(12):
+        z = rng.integers(1, 5); y = rng.integers(2, 22); x = rng.integers(2, 84)
+        obj[z:z + 3, y:y + 8, x:x + 9] += rng.uniform(30, 80)
+
+    # Acquire per 32-wide strip with the strip's LOCAL tile-grid PSF
+    # (periodic per tile): this matches the tiled solver's forward model
+    # exactly, so the comparison isolates per-tile PSF *selection* — the
+    # tiling/halo approximation itself is pinned by the compact-PSF test
+    # above.
+    data = np.zeros(vol)
+    for i in range(3):
+        h = model.compute_psf(params_at(32 * i + 16))
+        strip = jnp.asarray(obj[:, :, 32*i:32*(i+1)])
+        blurred = convolve(strip, convolve_spectrum(h), tile_shape)
+        data[:, :, 32*i:32*(i+1)] = np.asarray(
+            blurred + 0.002 * jnp.max(blurred)
+            * jnp.asarray(rng.standard_normal(tile_shape)))
+    obj = jnp.asarray(obj)
+
+    anchors = [((16.0, 16.0), params_at(16)), ((16.0, 48.0), params_at(48)),
+               ((16.0, 80.0), params_at(80))]
+    cfg = DeconvolutionConfig(mu=2e-3, epsilon=1.0, max_iter=60, grtol=0.0)
+    kw = dict(tile=tile_shape, overlap=(0, 0, 0), config=cfg)
+
+    rec_fv = tiled_deconvolve(data, field_psf(model, anchors), **kw)
+    err_fv = np.linalg.norm(rec_fv - np.asarray(obj))
+    errs_single = []
+    for single in (params_at(16), params_at(80)):
+        rec_s = tiled_deconvolve(data, np.asarray(model.compute_psf(single)), **kw)
+        errs_single.append(np.linalg.norm(rec_s - np.asarray(obj)))
+    # strictly better than the BEST single-PSF compromise, clearly better
+    # than the worst (measured 0.91 / 0.785 on this deterministic fixture)
+    assert err_fv < 0.95 * min(errs_single), (err_fv, errs_single)
+    assert err_fv < 0.85 * max(errs_single), (err_fv, errs_single)
+
+
+def test_field_psf_interpolates_and_is_exact_at_anchors():
+    from microtipi_tpu.jobs.tiled import field_psf
+    from microtipi_tpu.models.widefield import WideFieldConfig
+
+    model = WideFieldConfig(shape=(4, 16, 16), na=1.2, wavelength=500e-9,
+                            ni=1.33, dxy=100e-9, dz=250e-9, n_phase=2,
+                            radial=True, dtype=jnp.float64)
+    pa = model.init_params()._replace(phase=jnp.asarray([0.4, 0.0]))
+    pb = model.init_params()._replace(phase=jnp.asarray([0.0, 0.4]))
+    fn = field_psf(model, [((0.0, 0.0), pa), ((0.0, 100.0), pb)])
+    np.testing.assert_allclose(np.asarray(fn((2, 0.0, 0.0))),
+                               np.asarray(model.compute_psf(pa)), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(fn((2, 0.0, 100.0))),
+                               np.asarray(model.compute_psf(pb)), atol=1e-12)
+    mid = np.asarray(fn((2, 0.0, 50.0)))
+    half = model.compute_psf(model.init_params()._replace(phase=jnp.asarray([0.2, 0.2])))
+    np.testing.assert_allclose(mid, np.asarray(half), atol=1e-12)
