@@ -27,8 +27,8 @@ from microtipi_tpu.jobs.deconv import DeconvolutionConfig, DeconvolutionResult, 
 from microtipi_tpu.jobs.depthvar import deconvolve_depthvar, depth_anchor_psfs
 from microtipi_tpu.jobs.psf_fit import (
     FitUncertainty, PsfFitConfig, PsfFitResult, average_beads, bead_anchor_term,
-    bead_fit_uncertainty, center_bead_stack, fit_psf, fit_psf_beads,
-    fit_psf_joint, fit_uncertainty,
+    bead_fit_uncertainty, calibrate_field, center_bead_stack, detect_beads,
+    fit_psf, fit_psf_beads, fit_psf_joint, fit_uncertainty,
 )
 from microtipi_tpu.jobs.richardson_lucy import multiview_richardson_lucy, richardson_lucy
 from microtipi_tpu.jobs.tiled import field_psf, tiled_deconvolve
@@ -58,6 +58,7 @@ __all__ = [
     "PsfFitConfig", "PsfFitResult", "average_beads", "bead_anchor_term", "center_bead_stack",
     "fit_psf", "fit_psf_beads", "fit_psf_joint",
     "FitUncertainty", "fit_uncertainty", "bead_fit_uncertainty",
+    "calibrate_field", "detect_beads",
     "multiview_richardson_lucy", "richardson_lucy", "field_psf", "tiled_deconvolve", "wiener",
     "PoissonConvCost", "WeightedConvolutionCost", "convolve", "convolve_spectrum",
     "fourier_shift", "register_translation",

@@ -544,11 +544,18 @@ def cmd_deconv(args):
         for path in field_json:
             with open(path) as fh:
                 doc = json.load(fh)
-            if "position" not in doc:
-                sys.exit(f"{path}: add a \"position\": [y, x] entry "
-                         "(field coordinates of the calibration, in voxels)")
-            anchors.append((tuple(float(v) for v in doc["position"]),
-                            _load_params_json(model, path)))
+            docs = doc["anchors"] if "anchors" in doc else [doc]  # fitpsf --field-out
+            for entry in docs:
+                if "position" not in entry:
+                    sys.exit(f"{path}: add a \"position\": [y, x] entry "
+                             "(field coordinates of the calibration, in voxels)")
+                params = model.init_params()
+                for name in params._fields:
+                    if name in entry:
+                        params = params._replace(
+                            **{name: jnp.asarray(entry[name], model.dtype)})
+                anchors.append(
+                    (tuple(float(v) for v in entry["position"]), params))
         psf = field_psf(model, anchors)
     else:
         psf = jnp.asarray(read_stack(args.psf))
@@ -890,6 +897,39 @@ def cmd_fitpsf(args):
 
     data = jnp.asarray(_read_input_volume(args, args.stack))
     _resolve_geometry(args, args.stack)
+    fam_map = {"defocus": DEFOCUS, "phase": PHASE, "modulus": MODULUS,
+               "depth": DEPTH, "sheet": SHEET}
+    if "depth" in args.families and args.model != "gl":
+        sys.exit("--families depth requires --model gl")
+    families = tuple(fam_map[f] for f in args.families)
+
+    if args.field_out:
+        # Field-varying calibration: one fit per detected bead -> anchors
+        # JSON for deconv --field-json (jobs.psf_fit.calibrate_field).
+        from microtipi_tpu.jobs.psf_fit import calibrate_field
+
+        patch = tuple(args.bead_patch) if args.bead_patch else \
+            (int(data.shape[0]), 32, 32)
+        model = _build_model(args, patch)
+        anchors, fits = calibrate_field(
+            model, np.asarray(data), families=families, n_beads=args.n_beads,
+            config=PsfFitConfig(max_iter=args.iters, grtol=0.0),
+            phase_freeze_head=1 if args.pin_z4 else 0,
+        )
+        entries = []
+        for ((y, x), params), res in zip(anchors, fits):
+            entry = {"position": [y, x], "cost": float(res.f)}
+            entry.update({name: np.asarray(getattr(params, name)).tolist()
+                          for name in params._fields})
+            entries.append(entry)
+            print(f"bead @ (y={y:.0f}, x={x:.0f}): cost {float(res.f):.4g}, "
+                  f"{int(res.iterations)} iters")
+        with open(args.field_out, "w") as fh:
+            json.dump({"model": args.model, "dxy": args.dxy, "dz": args.dz,
+                       "patch": list(patch), "anchors": entries}, fh, indent=1)
+        print(f"wrote {args.field_out} ({len(entries)} anchors)")
+        return
+
     if args.n_beads > 1:
         from microtipi_tpu.jobs.psf_fit import average_beads
 
@@ -898,11 +938,6 @@ def cmd_fitpsf(args):
         print(f"averaged {used} beads -> patch {avg.shape} (~{used**0.5:.1f}x SNR)")
         data = jnp.asarray(avg)
     model = _build_model(args, data.shape)
-    fam_map = {"defocus": DEFOCUS, "phase": PHASE, "modulus": MODULUS,
-               "depth": DEPTH, "sheet": SHEET}
-    if "depth" in args.families and args.model != "gl":
-        sys.exit("--families depth requires --model gl")
-    families = tuple(fam_map[f] for f in args.families)
 
     run = jax.jit(
         lambda d: fit_psf_beads(
@@ -1077,6 +1112,10 @@ def main(argv=None):
                    help="report 1-sigma error bars per coefficient "
                         "(Gauss-Newton/Laplace at the fit; adds a 'std' "
                         "object to --params-out)")
+    p.add_argument("--field-out", default=None, metavar="JSON",
+                   help="field-varying calibration: fit each of --n-beads "
+                        "detected beads individually and write position-"
+                        "tagged anchors for deconv --field-json")
     p.add_argument("--families", nargs="+", default=["defocus", "phase"],
                    choices=["defocus", "phase", "modulus", "depth", "sheet"])
     _model_args(p)

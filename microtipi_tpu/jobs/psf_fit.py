@@ -42,7 +42,9 @@ __all__ = [
     "average_beads",
     "bead_anchor_term",
     "bead_fit_uncertainty",
+    "calibrate_field",
     "center_bead_stack",
+    "detect_beads",
     "fit_psf",
     "fit_psf_beads",
     "fit_psf_joint",
@@ -138,6 +140,70 @@ def center_bead_stack(data: jax.Array, subvoxel: bool = True) -> jax.Array:
     return jnp.fft.irfftn(jnp.fft.rfftn(d) * ramp, s=shape).astype(d.dtype)
 
 
+def detect_beads(
+    data,
+    n_beads: int = 8,
+    patch: tuple[int, int, int] | None = None,
+    min_separation: int | None = None,
+    rel_threshold: float = 0.3,
+):
+    """Detect up to ``n_beads`` bead candidates and cut patches around them.
+
+    The shared detection front end of :func:`average_beads` (one high-SNR
+    synthetic bead) and :func:`calibrate_field` (per-position anchors):
+    median background subtraction, greedy peak picking with lateral
+    non-max suppression (``min_separation``, default the lateral patch
+    size), and patch extraction (peaks whose lateral tails would clip the
+    volume edge are skipped; z is clamped, not skipped — calibration
+    stacks often hold one z-range). Host-side NumPy (offline path).
+
+    Returns ``(patches, positions)``: background-free float64 patches and
+    the matching peak positions ``(z, y, x)`` in volume voxels, brightest
+    first. ``rel_threshold``: stop below this fraction of the brightest
+    peak (background bumps are not beads).
+    """
+    import numpy as np
+
+    d = np.asarray(data, np.float64)
+    d = d - np.median(d)
+    nz, ny, nx = d.shape
+    if patch is None:
+        # Square laterally: the patch often becomes a PSF-model grid, and
+        # the pupil models require Nx == Ny.
+        m = min(32, ny, nx)
+        patch = (nz, m, m)
+    pz, py, px = patch
+    if min_separation is None:
+        min_separation = max(py, px)
+
+    work = d.copy()
+    peaks = []
+    first = None
+    for _ in range(int(n_beads)):
+        idx = np.unravel_index(np.argmax(work), work.shape)
+        val = work[idx]
+        if first is None:
+            first = val
+        if val <= 0 or val < rel_threshold * first:
+            break
+        peaks.append((idx, val))
+        z0, y0, x0 = idx
+        s = min_separation
+        work[:, max(0, y0 - s):y0 + s + 1, max(0, x0 - s):x0 + s + 1] = -np.inf
+
+    patches, positions = [], []
+    cy, cx, cz = py // 2, px // 2, pz // 2
+    for (z0, y0, x0), val in peaks:
+        if not (cy <= y0 <= ny - (py - cy) and cx <= x0 <= nx - (px - cx)):
+            continue  # lateral tails would clip
+        zlo = min(max(z0 - cz, 0), nz - pz)  # clamp z: the stack often holds one z-range
+        patches.append(d[zlo:zlo + pz, y0 - cy:y0 + (py - cy), x0 - cx:x0 + (px - cx)])
+        positions.append((z0, y0, x0))
+    if not patches:
+        raise ValueError("no usable bead found (all candidates clip the patch edges)")
+    return patches, positions
+
+
 def average_beads(
     data,
     n_beads: int = 8,
@@ -176,43 +242,9 @@ def average_beads(
     """
     import numpy as np
 
-    d = np.asarray(data, np.float64)
-    bg = np.median(d)
-    d = d - bg
-    nz, ny, nx = d.shape
-    if patch is None:
-        # Square laterally: the patch often becomes a PSF-model grid, and
-        # the pupil models require Nx == Ny.
-        m = min(32, ny, nx)
-        patch = (nz, m, m)
-    pz, py, px = patch
-    if min_separation is None:
-        min_separation = max(py, px)
-
-    work = d.copy()
-    peaks = []
-    first = None
-    for _ in range(int(n_beads)):
-        idx = np.unravel_index(np.argmax(work), work.shape)
-        val = work[idx]
-        if first is None:
-            first = val
-        if val <= 0 or val < rel_threshold * first:
-            break
-        peaks.append((idx, val))
-        z0, y0, x0 = idx
-        s = min_separation
-        work[:, max(0, y0 - s):y0 + s + 1, max(0, x0 - s):x0 + s + 1] = -np.inf
-
-    patches = []
-    cy, cx, cz = py // 2, px // 2, pz // 2
-    for (z0, y0, x0), val in peaks:
-        if not (cy <= y0 <= ny - (py - cy) and cx <= x0 <= nx - (px - cx)):
-            continue  # lateral tails would clip
-        zlo = min(max(z0 - cz, 0), nz - pz)  # clamp z: the stack often holds one z-range
-        patches.append(d[zlo:zlo + pz, y0 - cy:y0 + (py - cy), x0 - cx:x0 + (px - cx)])
-    if not patches:
-        raise ValueError("no usable bead found (all candidates clip the patch edges)")
+    patches, _positions = detect_beads(
+        data, n_beads=n_beads, patch=patch,
+        min_separation=min_separation, rel_threshold=rel_threshold)
 
     def _np_shift(p, t):
         """NumPy Fourier shift by +t voxels per axis. Host math on purpose:
@@ -258,6 +290,53 @@ def average_beads(
         acc = acc + aligned / amp
         used += 1
     return (acc / used).astype(np.asarray(data).dtype), used
+
+
+def calibrate_field(
+    model,
+    data,
+    families: tuple[int, ...] = (0, 1),  # (DEFOCUS, PHASE)
+    n_beads: int = 8,
+    min_separation: int | None = None,
+    rel_threshold: float = 0.3,
+    config: PsfFitConfig = PsfFitConfig(),
+    phase_freeze_head: int = 0,
+    subvoxel: bool = True,
+):
+    """Field-varying calibration: one PSF fit per detected bead.
+
+    Where :func:`average_beads` assumes ONE PSF across the slide (and buys
+    SNR by averaging), this assumes the aberrations VARY across the field:
+    each detected bead is fitted individually (:func:`fit_psf_beads`, one
+    jitted program reused across beads — patches share a shape), and the
+    result is ``[( (y, x), params ), ...]`` anchors ready for
+    ``jobs.tiled.field_psf`` — the calibration front end of the
+    field-varying tiled solver. ``model`` must carry the patch shape
+    (``detect_beads``'s default 32x32 lateral patch at the full stack
+    depth, i.e. ``(Nz, 32, 32)``).
+
+    Each bead's fit sees that bead's local SNR — no averaging gain; prefer
+    bright beads and, when regions are densely seeded, a coarser
+    ``n_beads`` with IDW interpolation between them (``field_psf``) over
+    fitting every dim bead.
+
+    Returns ``(anchors, fits)`` with ``fits`` the per-bead
+    :class:`PsfFitResult` list (inspect ``f``/``status`` to drop bad
+    beads; pair with :func:`bead_fit_uncertainty` for error bars).
+    """
+    patches, positions = detect_beads(
+        data, n_beads=n_beads, patch=model.shape[-3:],
+        min_separation=min_separation, rel_threshold=rel_threshold)
+
+    fit = jax.jit(lambda d: fit_psf_beads(
+        model, d, families=families, config=config,
+        phase_freeze_head=phase_freeze_head, subvoxel=subvoxel)[0])
+    anchors, fits = [], []
+    for (z0, y0, x0), p in zip(positions, patches):
+        res = fit(jnp.asarray(p, model.dtype))
+        anchors.append(((float(y0), float(x0)), jax.tree.map(jnp.asarray, res.params)))
+        fits.append(res)
+    return anchors, fits
 
 
 def bead_anchor_term(model, bead_data: jax.Array, subvoxel: bool = True):

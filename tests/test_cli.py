@@ -712,3 +712,72 @@ def test_cli_deconv_field_varying_tiled(tmp_path):
         tmp_path,
     )
     assert r.returncode != 0 and "position" in (r.stderr + r.stdout)
+
+
+def test_cli_field_calibration_to_field_deconv(tmp_path):
+    """The full field-varying workflow: fitpsf --field-out detects beads
+    across the slide, fits each into a position-tagged anchor, and deconv
+    --tile --field-json consumes the combined anchors file directly."""
+    import jax.numpy as jnp
+
+    from microtipi_tpu.io.tiffstack import read_stack, write_stack
+    from microtipi_tpu.models.widefield import WideFieldConfig
+    from microtipi_tpu.ops.convolution import convolve, convolve_spectrum
+    from microtipi_tpu.utils.arrays import roll
+
+    patch = (6, 24, 24)
+    vol = (6, 48, 96)
+    model = WideFieldConfig(shape=patch, na=1.2, wavelength=500e-9, ni=1.33,
+                            dxy=100e-9, dz=250e-9, n_phase=2, radial=True,
+                            dtype=jnp.float32)
+    p0 = model.init_params()
+    phases = {24.0: [0.3, -0.1], 72.0: [-0.15, 0.2]}
+    slide = np.zeros(vol, np.float32)
+    for x0, ph in phases.items():
+        bead = 3000.0 * np.asarray(roll(model.compute_psf(
+            p0._replace(phase=jnp.asarray(ph, jnp.float32)))), np.float32)
+        slide[:, 12:36, int(x0) - 12:int(x0) + 12] += bead
+    slide += 1.0
+    write_stack(tmp_path / "slide.tif", slide, dxy=100e-9, dz=250e-9)
+
+    r = _run(
+        ["fitpsf", str(tmp_path / "slide.tif"), "--field-out",
+         str(tmp_path / "anchors.json"), "--n-beads", "2",
+         "--bead-patch", "6", "24", "24",
+         "--na", "1.2", "--wavelength", "500e-9", "--ni", "1.33",
+         "--n-phase", "2", "--radial", "--families", "phase", "--iters", "30"],
+        tmp_path,
+    )
+    assert r.returncode == 0, r.stderr
+    doc = json.loads((tmp_path / "anchors.json").read_text())
+    assert len(doc["anchors"]) == 2
+    for entry in doc["anchors"]:
+        true_x = min(phases, key=lambda t: abs(t - entry["position"][1]))
+        np.testing.assert_allclose(entry["phase"], phases[true_x], atol=0.06)
+
+    # consume the anchors in a field-varying tiled solve
+    data = np.zeros(vol, np.float32)
+    obj = np.zeros(vol, np.float32)
+    obj[1:5, 10:38, 6:90] = 40.0
+    tile = (6, 48, 48)
+    model_t = WideFieldConfig(shape=tile, na=1.2, wavelength=500e-9, ni=1.33,
+                              dxy=100e-9, dz=250e-9, n_phase=2, radial=True,
+                              dtype=jnp.float32)
+    for i, ph in enumerate(phases.values()):
+        h = model_t.compute_psf(model_t.init_params()._replace(
+            phase=jnp.asarray(ph, jnp.float32)))
+        s = jnp.asarray(obj[:, :, 48*i:48*(i+1)])
+        data[:, :, 48*i:48*(i+1)] = np.asarray(convolve(s, convolve_spectrum(h), tile))
+    write_stack(tmp_path / "d.tif", data, dxy=100e-9, dz=250e-9)
+    r = _run(
+        ["deconv", str(tmp_path / "d.tif"), "--out", str(tmp_path / "o.tif"),
+         "--tile", "6", "48", "48", "--overlap", "0",
+         "--field-json", str(tmp_path / "anchors.json"),
+         "--na", "1.2", "--wavelength", "500e-9", "--ni", "1.33",
+         "--n-phase", "2", "--radial", "--iters", "15", "--mu", "2e-3"],
+        tmp_path,
+    )
+    assert r.returncode == 0, r.stderr
+    rec = read_stack(tmp_path / "o.tif")
+    assert rec.shape == vol and np.isfinite(rec).all()
+    assert np.linalg.norm(rec - obj) < 0.9 * np.linalg.norm(data - obj)

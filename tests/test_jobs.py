@@ -605,3 +605,39 @@ def test_average_beads_skips_edge_clipped():
     stack[2, 32, 40] = 90.0
     avg, used = average_beads(stack, n_beads=4, patch=(4, 24, 24))
     assert used == 1  # only the interior bead
+
+
+def test_calibrate_field_recovers_per_region_aberrations():
+    """Field-varying calibration: beads planted in two field regions under
+    DIFFERENT aberrations each get their own fitted anchor (the calibration
+    front end of the field-varying tiled solver, jobs/tiled.py::field_psf)."""
+    from microtipi_tpu.jobs.psf_fit import calibrate_field
+    from microtipi_tpu.models.microscope import DEFOCUS, PHASE
+    from microtipi_tpu.models.widefield import WideFieldConfig
+    from microtipi_tpu.utils.arrays import roll
+
+    patch = (8, 24, 24)
+    vol = (8, 48, 96)
+    model = WideFieldConfig(shape=patch, na=1.2, wavelength=500e-9, ni=1.33,
+                            dxy=100e-9, dz=250e-9, n_phase=2, radial=True,
+                            dtype=jnp.float64)
+    p0 = model.init_params()
+    phases = {24.0: [0.35, -0.15], 72.0: [-0.2, 0.25]}  # left / right field
+    slide = np.zeros(vol)
+    rng = np.random.default_rng(0)
+    for x0, ph in phases.items():
+        bead = 3000.0 * np.asarray(roll(model.compute_psf(
+            p0._replace(phase=jnp.asarray(ph)))))
+        y0 = 24
+        slide[:, y0 - 12:y0 + 12, int(x0) - 12:int(x0) + 12] += bead
+    slide += 1.0 + 0.2 * rng.standard_normal(vol)
+
+    anchors, fits = calibrate_field(
+        model, slide, families=(PHASE,), n_beads=2,
+        config=PsfFitConfig(max_iter=40, grtol=0.0))
+    assert len(anchors) == 2
+    for (y, x), params in anchors:
+        true_x = min(phases, key=lambda t: abs(t - x))
+        assert abs(x - true_x) <= 1 and abs(y - 24) <= 1
+        np.testing.assert_allclose(np.asarray(params.phase), phases[true_x],
+                                   atol=0.05)
