@@ -274,7 +274,8 @@ def _write_out(args, path, volume, dxy=None, dz=None):
     elif str(path).rstrip("/").lower().endswith(".zarr"):
         from microtipi_tpu.io.zarrstack import write_ngff_hyperstack
 
-        write_ngff_hyperstack(path, volume, dxy=dxy, dz=dz)
+        write_ngff_hyperstack(path, volume, dxy=dxy, dz=dz,
+                              levels=getattr(args, "zarr_levels", 1))
     elif getattr(args, "ome", False):
         from microtipi_tpu.io.ome import write_ome_stack
 
@@ -1088,6 +1089,9 @@ def main(argv=None):
     p.add_argument("--centered", action="store_true", help="write centered layout instead of FFT layout")
     p.add_argument("--ome", action="store_true",
                    help="write outputs as OME-TIFF (OME-XML geometry in the description)")
+    p.add_argument("--zarr-levels", type=int, default=1, metavar="L",
+                   help="[.zarr outputs] write an L-level 2x mean-downsampled "
+                        "NGFF multiscale pyramid (viewers stream from it)")
     _model_args(p)
     p.set_defaults(fn=cmd_psf)
 
@@ -1099,6 +1103,9 @@ def main(argv=None):
                    help="write the fitted PSF in centered layout")
     p.add_argument("--ome", action="store_true",
                    help="write outputs as OME-TIFF (OME-XML geometry in the description)")
+    p.add_argument("--zarr-levels", type=int, default=1, metavar="L",
+                   help="[.zarr outputs] write an L-level 2x mean-downsampled "
+                        "NGFF multiscale pyramid (viewers stream from it)")
     p.add_argument("--iters", type=int, default=60, help="joint-fit VMLMB iterations")
     p.add_argument("--n-beads", type=int, default=1,
                    help="detect and average up to N beads before fitting "
@@ -1151,6 +1158,9 @@ def main(argv=None):
                    help="run sharded on a (batch, z) device mesh (needs BATCH*Z devices)")
     p.add_argument("--ome", action="store_true",
                    help="write outputs as OME-TIFF (OME-XML geometry in the description)")
+    p.add_argument("--zarr-levels", type=int, default=1, metavar="L",
+                   help="[.zarr outputs] write an L-level 2x mean-downsampled "
+                        "NGFF multiscale pyramid (viewers stream from it)")
     _model_args(p)  # used by --depthvar (anchor PSF synthesis); inert otherwise
     _deconv_args(p)
     _hyperstack_args(p)
@@ -1193,6 +1203,9 @@ def main(argv=None):
                         "multi-channel OME-TIFF")
     p.add_argument("--ome", action="store_true",
                    help="write outputs as OME-TIFF (OME-XML geometry in the description)")
+    p.add_argument("--zarr-levels", type=int, default=1, metavar="L",
+                   help="[.zarr outputs] write an L-level 2x mean-downsampled "
+                        "NGFF multiscale pyramid (viewers stream from it)")
     p.add_argument("--loops", type=int, default=5)
     p.add_argument("--psf-iters", type=int, default=20)
     p.add_argument("--phase-schedule", type=int, nargs="*", default=None,

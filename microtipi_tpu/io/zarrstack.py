@@ -333,18 +333,53 @@ def read_ngff_hyperstack(path):
     return arr, meta
 
 
+def _halve_spatial(v):
+    """One 2x mean-downsample step over the spatial axes of a TCZYX array.
+
+    Each of z/y/x with extent >= 2 is halved (a trailing odd plane is
+    trimmed — same convention as the BDV pyramid writer,
+    ``io.hdf5stack.write_bdv``); axes already at extent 1 pass through.
+    Returns ``(halved, per-axis factors)`` with factors in (z, y, x) order
+    (2.0 where halved, 1.0 where passed through) — None when nothing was
+    halved (pyramid exhausted).
+    """
+    facs = []
+    for ax in (2, 3, 4):
+        n = v.shape[ax]
+        if n < 2:
+            facs.append(1.0)
+            continue
+        sl = [slice(None)] * v.ndim
+        sl[ax] = slice(0, n - (n % 2))
+        v = v[tuple(sl)]
+        shape = list(v.shape)
+        shape[ax] //= 2
+        shape.insert(ax + 1, 2)
+        v = v.reshape(shape).mean(axis=ax + 1, dtype=np.float64).astype(v.dtype)
+        facs.append(2.0)
+    if all(f == 1.0 for f in facs):
+        return None, None
+    return v, tuple(facs)
+
+
 def write_ngff_hyperstack(path, arr, dxy=None, dz=None, channels=None,
                           compressor="zlib", level=1, chunks=None,
-                          zarr_format=2, shard=None):
+                          zarr_format=2, shard=None, levels=1):
     """Write ``(T, C, Nz, Ny, Nx)`` (or a plain 3D volume) as OME-NGFF.
 
     ``zarr_format=2`` emits NGFF 0.4 (``.zattrs`` metadata); ``zarr_format=3``
     emits NGFF 0.5 (attributes under the ``ome`` key of the group's
-    ``zarr.json``, optionally sharded chunks). Single-scale multiscales with
-    a TCZYX axes block and a scale transform (micrometers, the NGFF
-    convention — ``dxy``/``dz`` are meters like the rest of the package).
-    ``channels`` (list of dicts with ``name``/``emission_wavelength``) lands
-    in ``omero`` metadata.
+    ``zarr.json``, optionally sharded chunks). Multiscales carry a TCZYX
+    axes block and scale transforms (micrometers, the NGFF convention —
+    ``dxy``/``dz`` are meters like the rest of the package). ``levels > 1``
+    writes a 2x mean-downsampled spatial pyramid (datasets ``0..L-1``, the
+    per-level scale transforms doubling per halved axis) — what NGFF
+    viewers (napari, vizarr, neuroglancer) stream large volumes from; thin
+    axes stop halving at extent 1, and the pyramid stops early when no
+    axis can halve. ``channels`` (list of dicts with
+    ``name``/``emission_wavelength``) lands in ``omero`` metadata. Readers
+    here always pick dataset 0 (full resolution), so level-0 round-trips
+    are exact regardless of ``levels``.
     """
     path = str(path)
     arr = np.asarray(arr)
@@ -354,6 +389,17 @@ def write_ngff_hyperstack(path, arr, dxy=None, dz=None, channels=None,
         raise ValueError(f"expected 3D or 5D (TCZYX), got {arr.ndim}D")
     sx = (dxy or 1e-6) * 1e6
     sz = (dz or 1e-6) * 1e6
+
+    pyramid = [arr]
+    scales = [(1.0, 1.0, 1.0)]
+    for _ in range(1, max(1, int(levels))):
+        v, facs = _halve_spatial(pyramid[-1])
+        if v is None:
+            break
+        fz, fy, fx = scales[-1]
+        pyramid.append(v)
+        scales.append((fz * facs[0], fy * facs[1], fx * facs[2]))
+
     ms = {
         "version": "0.4" if zarr_format == 2 else "0.5",
         "name": os.path.basename(path.rstrip("/")),
@@ -365,11 +411,12 @@ def write_ngff_hyperstack(path, arr, dxy=None, dz=None, channels=None,
             {"name": "x", "type": "space", "unit": "micrometer"},
         ],
         "datasets": [{
-            "path": "0",
+            "path": str(l),
             "coordinateTransformations": [
-                {"type": "scale", "scale": [1.0, 1.0, sz, sx, sx]}
+                {"type": "scale",
+                 "scale": [1.0, 1.0, sz * fz, sx * fy, sx * fx]}
             ],
-        }],
+        } for l, (fz, fy, fx) in enumerate(scales)],
     }
     omero = None
     if channels:
@@ -387,9 +434,11 @@ def write_ngff_hyperstack(path, arr, dxy=None, dz=None, channels=None,
         if omero:
             ome["omero"] = omero
         zarr3.write_group(path, attributes={"ome": ome})
-        zarr3.write_array(os.path.join(path, "0"), arr, chunks=chunks,
-                          compressor=compressor, shard=shard,
-                          dimension_names=list(_AXES5))
+        for l, v in enumerate(pyramid):
+            zarr3.write_array(os.path.join(path, str(l)), v,
+                              chunks=chunks if l == 0 else None,
+                              compressor=compressor, shard=shard,
+                              dimension_names=list(_AXES5))
         return
     if shard is not None:
         raise ValueError("sharding needs zarr_format=3")
@@ -401,7 +450,9 @@ def write_ngff_hyperstack(path, arr, dxy=None, dz=None, channels=None,
         attrs["omero"] = omero
     with open(os.path.join(path, ".zattrs"), "w") as fh:
         json.dump(attrs, fh, indent=1)
-    _write_array(os.path.join(path, "0"), arr, chunks, compressor, level)
+    for l, v in enumerate(pyramid):
+        _write_array(os.path.join(path, str(l)), v,
+                     chunks if l == 0 else None, compressor, level)
 
 
 def read_pixel_size(path):

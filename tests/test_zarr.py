@@ -191,12 +191,16 @@ def test_cli_zarr_in_zarr_out(tmp_path):
     assert "dxy = 100 nm" in r.stdout  # geometry from the NGFF scale transform
 
     r = _run(["deconv", "d.zarr", "--psf", "psf.tif", "--out", "o.zarr",
-              "--iters", "5", "--mu", "1e-3"], tmp_path)
+              "--iters", "5", "--mu", "1e-3", "--zarr-levels", "3"], tmp_path)
     assert r.returncode == 0, r.stderr
     out, meta = read_ngff_hyperstack(tmp_path / "o.zarr")
     assert out.shape == (1, 1, *shape)
     assert np.isfinite(out).all()
     assert meta["dxy"] == pytest.approx(100e-9)
+    # --zarr-levels wrote the viewer pyramid
+    attrs = json.loads((tmp_path / "o.zarr" / ".zattrs").read_text())
+    assert [d["path"] for d in attrs["multiscales"][0]["datasets"]] == ["0", "1", "2"]
+    assert read_zarr(tmp_path / "o.zarr" / "2").shape == (1, 1, 2, 4, 4)
 
 
 def test_zarr_roundtrip_fuzz(tmp_path):
@@ -409,3 +413,53 @@ def test_zarr3_roundtrip_fuzz(tmp_path):
         out = read_zarr(p)
         assert out.dtype.kind == dt.kind and out.dtype.itemsize == dt.itemsize
         np.testing.assert_array_equal(out, arr)
+
+
+def test_ngff_multiscale_pyramid(tmp_path):
+    """levels > 1 writes a 2x mean-downsampled NGFF pyramid: datasets 0..L-1,
+    per-level doubled scale transforms, exact level-0 round-trip, thin axes
+    stop halving at extent 1."""
+    rng = np.random.default_rng(2)
+    arr = rng.normal(size=(1, 1, 4, 32, 32)).astype(np.float32)
+    for fmt in (2, 3):
+        p = tmp_path / f"pyr_v{fmt}.zarr"
+        write_ngff_hyperstack(p, arr, dxy=100e-9, dz=300e-9,
+                              zarr_format=fmt, levels=4)
+        # full-res round-trip unchanged
+        out, meta = read_ngff_hyperstack(p)
+        np.testing.assert_allclose(out, arr, rtol=1e-7)
+        assert meta["dxy"] == pytest.approx(100e-9)
+        # levels on disk: 4 requested; z stops halving at 1 (4->2->1)
+        import json as _json
+        import os as _os
+
+        if fmt == 2:
+            attrs = _json.loads((p / ".zattrs").read_text())
+        else:
+            attrs = _json.loads((p / "zarr.json").read_text())["attributes"]["ome"]
+        ds = attrs["multiscales"][0]["datasets"]
+        assert [d["path"] for d in ds] == ["0", "1", "2", "3"]
+        scales = [d["coordinateTransformations"][0]["scale"] for d in ds]
+        np.testing.assert_allclose(scales[0][2:], [0.3, 0.1, 0.1])
+        np.testing.assert_allclose(scales[1][2:], [0.6, 0.2, 0.2])
+        np.testing.assert_allclose(scales[2][2:], [1.2, 0.4, 0.4])
+        # z exhausted at extent 1
+        np.testing.assert_allclose(scales[3][2:], [1.2, 0.8, 0.8])
+        # level data: 2x mean over spatial axes, shapes halve
+        lv1 = read_zarr(p / "1")
+        assert lv1.shape == (1, 1, 2, 16, 16)
+        manual = arr.reshape(1, 1, 2, 2, 16, 2, 16, 2).mean(axis=(3, 5, 7))
+        np.testing.assert_allclose(lv1, manual, rtol=1e-5, atol=1e-6)
+        lv3 = read_zarr(p / "3")
+        assert lv3.shape == (1, 1, 1, 4, 4)
+
+
+def test_ngff_pyramid_stops_when_exhausted(tmp_path):
+    """A volume too small to halve writes a single level no matter the ask."""
+    arr = np.ones((1, 1, 1, 1, 1), np.float32)
+    p = tmp_path / "tiny.zarr"
+    write_ngff_hyperstack(p, arr, levels=5)
+    import json as _json
+
+    attrs = _json.loads((p / ".zattrs").read_text())
+    assert len(attrs["multiscales"][0]["datasets"]) == 1
