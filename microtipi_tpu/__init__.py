@@ -33,6 +33,11 @@ from microtipi_tpu.jobs.psf_fit import (
 from microtipi_tpu.jobs.richardson_lucy import multiview_richardson_lucy, richardson_lucy
 from microtipi_tpu.jobs.tiled import field_psf, tiled_deconvolve
 from microtipi_tpu.jobs.wiener import wiener
+from microtipi_tpu.ops.metrics import (
+    fourier_shell_correlation,
+    fsc_resolution,
+    strehl_ratio,
+)
 from microtipi_tpu.ops.convolution import (
     PoissonConvCost,
     WeightedConvolutionCost,
@@ -62,6 +67,7 @@ __all__ = [
     "multiview_richardson_lucy", "richardson_lucy", "field_psf", "tiled_deconvolve", "wiener",
     "PoissonConvCost", "WeightedConvolutionCost", "convolve", "convolve_spectrum",
     "fourier_shift", "register_translation",
+    "fourier_shell_correlation", "fsc_resolution", "strehl_ratio",
     "hyperbolic_tv", "hyperbolic_tv_and_gradient",
     "VMLMBResult", "VMLMBStatus", "minimize_vmlmb",
     "InverseVarianceWeights",

@@ -987,6 +987,47 @@ def cmd_fitpsf(args):
         print("wrote", args.out)
 
 
+def cmd_fsc(args):
+    """Fourier Shell Correlation resolution of two registered volumes."""
+    import json
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from microtipi_tpu.ops.metrics import fourier_shell_correlation, fsc_resolution
+
+    a = jnp.asarray(_read_input_volume(args, args.a))
+    b = jnp.asarray(_read_input_volume(args, args.b))
+    if a.shape != b.shape:
+        sys.exit(f"volume shapes differ: {tuple(a.shape)} vs {tuple(b.shape)}")
+    _resolve_geometry(args, args.a)
+    if args.register:
+        from microtipi_tpu.ops.register import fourier_shift, register_translation
+
+        t = register_translation(a, b)
+        b = jax.jit(fourier_shift)(b, t)
+        print(f"registered shift: {np.round(np.asarray(t), 3)}")
+    spacing = (args.dz, args.dxy, args.dxy)
+    freqs, fsc = jax.jit(
+        lambda a, b: fourier_shell_correlation(a, b, spacing=spacing)
+    )(a, b)
+    res = fsc_resolution(freqs, fsc, threshold=args.threshold)
+    crossed = bool((np.asarray(fsc)[1:] < args.threshold).any())
+    print(f"FSC resolution: {res*1e9:.1f} nm "
+          f"(threshold {args.threshold}"
+          f"{'' if crossed else '; never crossed - sampling-limited'})")
+    if args.report:
+        with open(args.report, "w") as fh:
+            json.dump({
+                "resolution_m": float(res),
+                "threshold": args.threshold,
+                "sampling_limited": not crossed,
+                "freqs_per_m": np.asarray(freqs).tolist(),
+                "fsc": np.asarray(fsc).tolist(),
+            }, fh, indent=1)
+        print("wrote", args.report)
+
+
 def cmd_fuse(args):
     """Multi-view RL fusion: K registered views, K PSFs, one estimate."""
     import numpy as np
@@ -1235,6 +1276,22 @@ def main(argv=None):
     _deconv_args(p)
     _hyperstack_args(p)
     p.set_defaults(fn=cmd_blind)
+
+    p = sub.add_parser("fsc", help="Fourier Shell Correlation resolution of two volumes")
+    p.add_argument("a", help="first volume (e.g. odd-frame or first acquisition)")
+    p.add_argument("b", help="second, independently-noised volume of the same scene")
+    p.add_argument("--threshold", type=float, default=0.143,
+                   help="FSC crossing threshold (0.143 for independent noise)")
+    p.add_argument("--register", action="store_true",
+                   help="subvoxel phase-correlation alignment of b to a first")
+    p.add_argument("--report", default=None, metavar="JSON",
+                   help="write the full FSC curve + resolution as JSON")
+    p.add_argument("--dxy", type=float, default=None,
+                   help="lateral pixel size [m] (default: input metadata)")
+    p.add_argument("--dz", type=float, default=None,
+                   help="axial step [m] (default: input metadata)")
+    _hyperstack_args(p)
+    p.set_defaults(fn=cmd_fsc)
 
     p = sub.add_parser("fuse", help="multi-view RL fusion (light-sheet: K registered views, K PSFs)")
     p.add_argument("views", nargs="+", help="registered view stacks (same grid)")
