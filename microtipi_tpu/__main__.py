@@ -458,7 +458,7 @@ def _plate_fan_out(args, solve_one, label):
         print(f"{label}: well {well} field {field} done "
               f"({time.time()-t0:.1f}s elapsed)")
     write_plate(args.out, out_wells, dxy=args.dxy, dz=args.dz,
-                zarr_format=fmt)
+                zarr_format=fmt, levels=getattr(args, "zarr_levels", 1))
     print("wrote", args.out, f"({len(images)} images, zarr v{fmt})")
 
 
@@ -1112,7 +1112,7 @@ def cmd_watch(args):
           model_factory=model_factory, blind_config=blind_cfg,
           channel=args.channel, timepoint=args.timepoint, devices=devices,
           bead_path=args.bead, bead_n=args.bead_n,
-          priority_patterns=args.priority)
+          priority_patterns=args.priority, zarr_levels=args.zarr_levels)
 
 
 def main(argv=None):
@@ -1329,6 +1329,8 @@ def main(argv=None):
     p.add_argument("--priority", action="append", default=None, metavar="GLOB",
                    help="process files matching this fnmatch pattern first "
                         "(repeatable; earlier flags outrank later ones)")
+    p.add_argument("--zarr-levels", type=int, default=1, metavar="L",
+                   help="[.zarr outputs] L-level NGFF multiscale pyramid")
     p.add_argument("--loops", type=int, default=5, help="[blind methods] blind rounds")
     p.add_argument("--psf-iters", type=int, default=20, help="[blind methods] fit iterations per family")
     p.add_argument("--families", nargs="+", default=["defocus", "phase"],

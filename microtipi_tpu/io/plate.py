@@ -150,7 +150,8 @@ def _write_group(path: str, attrs: dict | None, zarr_format: int):
 
 
 def write_plate(path, wells, dxy=None, dz=None, channels=None,
-                compressor="zlib", zarr_format=2, shard=None, name=None):
+                compressor="zlib", zarr_format=2, shard=None, name=None,
+                levels=1):
     """Write a plate store from ``wells``: dict well-path -> list of fields.
 
     Each field is a (Nz, Ny, Nx) volume or (T, C, Nz, Ny, Nx) hyperstack.
@@ -202,7 +203,7 @@ def write_plate(path, wells, dxy=None, dz=None, channels=None,
             write_ngff_hyperstack(
                 os.path.join(wdir, str(i)), np.asarray(vol), dxy=dxy, dz=dz,
                 channels=channels, compressor=compressor,
-                zarr_format=zarr_format, shard=shard)
+                zarr_format=zarr_format, shard=shard, levels=levels)
 
 
 def plate_info(path) -> str:

@@ -174,6 +174,7 @@ def watch(
     bead_path: str | os.PathLike | None = None,
     bead_n: int = 1,
     priority_patterns=None,
+    zarr_levels: int = 1,
 ):
     """Run the service loop. ``max_files`` bounds the run (None = forever).
 
@@ -436,9 +437,10 @@ def watch(
             if tmp.exists():
                 shutil.rmtree(tmp)
             if plate_wells is not None:
-                write_plate(tmp, plate_wells, zarr_format=zarr_format)
+                write_plate(tmp, plate_wells, zarr_format=zarr_format,
+                            levels=zarr_levels)
             else:
-                write_ngff_hyperstack(tmp, x)
+                write_ngff_hyperstack(tmp, x, levels=zarr_levels)
             if out.exists():
                 shutil.rmtree(out)
             os.replace(tmp, out)

@@ -335,12 +335,18 @@ def test_watch_zarr_store_in_and_out(tmp_path):
     logs = []
     out = watch(indir, outdir, tmp_path / "psf.tif",
                 config=DeconvolutionConfig(mu=0.001, epsilon=1.0, max_iter=6),
-                poll_seconds=0.05, max_files=1, log=logs.append)
+                poll_seconds=0.05, max_files=1, log=logs.append,
+                zarr_levels=2)
     assert [p.name for p in out] == ["v.zarr"]
     rec, _meta = read_ngff_hyperstack(outdir / "v.zarr")
     assert rec.shape == (1, 1, *d.shape)
     assert np.isfinite(rec).all()
     assert not (outdir / "v.zarr.tmp").exists()
+    # zarr_levels wrote the viewer pyramid into the served store
+    import json
+
+    attrs = json.loads((outdir / "v.zarr" / ".zattrs").read_text())
+    assert [ds["path"] for ds in attrs["multiscales"][0]["datasets"]] == ["0", "1"]
 
 
 def test_watch_multi_device_fan_out(tmp_path):
