@@ -139,14 +139,75 @@ def _resolve_geometry(args, stack_path=None, log=print):
         log("wavelength = 561 nm (default)")
 
 
+def _preprocess_args(p: argparse.ArgumentParser):
+    g = p.add_argument_group("preprocessing")
+    g.add_argument("--flat", default=None, metavar="STACK",
+                   help="flat-field reference (uniform slide); corrects "
+                        "illumination/gain before solving")
+    g.add_argument("--dark", default=None, metavar="STACK",
+                   help="dark (camera offset) frame, subtracted first")
+    g.add_argument("--hot-pixels", type=float, default=0.0, metavar="SIGMA",
+                   help="replace impulsive outliers beyond SIGMA robust "
+                        "sigmas with the local 3x3 median (0 = off; 5 is a "
+                        "good default)")
+    g.add_argument("--subtract-background", type=int, default=0, metavar="R",
+                   help="rolling-ball background subtraction with radius R "
+                        "pixels (0 = off)")
+
+
+def _build_preprocess(args):
+    """Preprocessing callable (or None) from the --flat/--dark/--hot-pixels/
+    --subtract-background flags; applied to every input volume right after
+    decode (``ops.preprocess``). Dark/flat first, then impulse removal,
+    then background — the order the physics composes in."""
+    flat = getattr(args, "flat", None)
+    dark = getattr(args, "dark", None)
+    hot = float(getattr(args, "hot_pixels", 0.0) or 0.0)
+    bg = int(getattr(args, "subtract_background", 0) or 0)
+    if not (flat or dark or hot or bg):
+        return None
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from microtipi_tpu.io.tiffstack import read_stack
+    from microtipi_tpu.ops import preprocess as pp
+
+    bright_c = jnp.asarray(read_stack(flat)) if flat else None
+    dark_c = jnp.asarray(read_stack(dark)) if dark else None
+
+    def inner(v):
+        v = jnp.asarray(v, jnp.float32)
+        if bright_c is not None:
+            v = pp.flat_field_correct(v, bright_c, dark_c)
+        elif dark_c is not None:
+            v = v - dark_c
+        if hot:
+            v = pp.remove_hot_pixels(v, hot)
+        if bg:
+            v = pp.subtract_background(v, bg)
+        return v
+
+    jfn = jax.jit(inner)
+    return lambda vol: np.asarray(jfn(np.ascontiguousarray(vol)))
+
+
 def _read_input_volume(args, path, log=print):
-    """Read one (Nz, Ny, Nx) volume from a TIFF input.
+    """Read one (Nz, Ny, Nx) volume and apply any preprocessing flags.
 
     OME hyperstacks (SizeC/SizeT > 1) are sliced at ``--timepoint``/
     ``--channel``; when the selected channel carries an OME
     ``EmissionWavelength`` and ``--wavelength`` was not given, the model
     wavelength is auto-filled from it (per-channel optics, ROADMAP io
     breadth)."""
+    vol = _read_raw_volume(args, path, log=log)
+    pre = _build_preprocess(args)
+    if pre is not None:
+        vol = pre(vol)
+        log("preprocessed input (ops.preprocess)")
+    return vol
+
+
+def _read_raw_volume(args, path, log=print):
     import numpy as np
 
     if _is_h5(path):
@@ -1112,7 +1173,8 @@ def cmd_watch(args):
           model_factory=model_factory, blind_config=blind_cfg,
           channel=args.channel, timepoint=args.timepoint, devices=devices,
           bead_path=args.bead, bead_n=args.bead_n,
-          priority_patterns=args.priority, zarr_levels=args.zarr_levels)
+          priority_patterns=args.priority, zarr_levels=args.zarr_levels,
+          preprocess=_build_preprocess(args))
 
 
 def main(argv=None):
@@ -1166,6 +1228,7 @@ def main(argv=None):
                         "tagged anchors for deconv --field-json")
     p.add_argument("--families", nargs="+", default=["defocus", "phase"],
                    choices=["defocus", "phase", "modulus", "depth", "sheet"])
+    _preprocess_args(p)
     _model_args(p)
     _hyperstack_args(p)
     p.set_defaults(fn=cmd_fitpsf)
@@ -1202,6 +1265,7 @@ def main(argv=None):
     p.add_argument("--zarr-levels", type=int, default=1, metavar="L",
                    help="[.zarr outputs] write an L-level 2x mean-downsampled "
                         "NGFF multiscale pyramid (viewers stream from it)")
+    _preprocess_args(p)
     _model_args(p)  # used by --depthvar (anchor PSF synthesis); inert otherwise
     _deconv_args(p)
     _hyperstack_args(p)
@@ -1272,6 +1336,7 @@ def main(argv=None):
                         "the reference's sequential per-family semantics")
     p.add_argument("--families", nargs="+", default=["defocus", "phase"],
                    choices=["defocus", "phase", "modulus", "depth", "sheet"])
+    _preprocess_args(p)
     _model_args(p)
     _deconv_args(p)
     _hyperstack_args(p)
@@ -1337,6 +1402,7 @@ def main(argv=None):
                    choices=["defocus", "phase", "modulus", "depth", "sheet"])
     p.add_argument("--recipe", choices=["parity", "quality"], default="quality",
                    help="[blind methods] quality = recommended() recipe (default for serving)")
+    _preprocess_args(p)
     _model_args(p)
     _deconv_args(p, methods=("vmlmb", "rl", "blind", "blind-once"))
     _hyperstack_args(p)

@@ -175,6 +175,7 @@ def watch(
     bead_n: int = 1,
     priority_patterns=None,
     zarr_levels: int = 1,
+    preprocess=None,
 ):
     """Run the service loop. ``max_files`` bounds the run (None = forever).
 
@@ -324,13 +325,18 @@ def watch(
             return out[0]
         return out
 
+    def _prep(v):
+        # input preprocessing (flat/dark/hot-pixels/background), applied to
+        # every decoded volume including the bead calibration stack
+        return v if preprocess is None else np.asarray(preprocess(v))
+
     def _slice_tc(arr, name):
         nt, nc = arr.shape[:2]
         if nt == 1 and nc == 1:
-            return np.ascontiguousarray(arr[0, 0])
+            return _prep(np.ascontiguousarray(arr[0, 0]))
         t, c = min(timepoint, nt - 1), min(channel, nc - 1)
         log(f"[watch] {name}: hyperstack T={nt} C={nc}, using t={t} c={c}")
-        return np.ascontiguousarray(arr[t, c])
+        return _prep(np.ascontiguousarray(arr[t, c]))
 
     def _decode(p):
         if str(p).lower().endswith(".zarr"):
@@ -355,7 +361,7 @@ def watch(
 
                 arr, _meta = read_ome_hyperstack(p)
             except Exception:
-                return read_stack(p)
+                return _prep(read_stack(p))
         return _slice_tc(arr, Path(p).name)
 
     if bead_path is not None:
