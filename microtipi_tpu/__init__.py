@@ -33,6 +33,13 @@ from microtipi_tpu.jobs.psf_fit import (
 from microtipi_tpu.jobs.richardson_lucy import multiview_richardson_lucy, richardson_lucy
 from microtipi_tpu.jobs.tiled import field_psf, tiled_deconvolve
 from microtipi_tpu.jobs.wiener import wiener
+from microtipi_tpu.ops.geometry import deskew
+from microtipi_tpu.ops.preprocess import (
+    flat_field_correct,
+    remove_hot_pixels,
+    rolling_ball_background,
+    subtract_background,
+)
 from microtipi_tpu.ops.metrics import (
     fourier_shell_correlation,
     fsc_resolution,
@@ -68,6 +75,8 @@ __all__ = [
     "PoissonConvCost", "WeightedConvolutionCost", "convolve", "convolve_spectrum",
     "fourier_shift", "register_translation",
     "fourier_shell_correlation", "fsc_resolution", "strehl_ratio",
+    "flat_field_correct", "remove_hot_pixels", "rolling_ball_background", "subtract_background",
+    "deskew",
     "hyperbolic_tv", "hyperbolic_tv_and_gradient",
     "VMLMBResult", "VMLMBStatus", "minimize_vmlmb",
     "InverseVarianceWeights",

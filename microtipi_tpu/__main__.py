@@ -1048,6 +1048,27 @@ def cmd_fitpsf(args):
         print("wrote", args.out)
 
 
+def cmd_deskew(args):
+    """Deskew a stage-scanned light-sheet stack onto an orthogonal grid."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from microtipi_tpu.ops.geometry import deskew, deskew_geometry
+
+    data = jnp.asarray(_read_input_volume(args, args.stack))
+    _resolve_geometry(args, args.stack)
+    run = jax.jit(lambda v: deskew(v, args.angle, args.dz, args.dxy,
+                                   invert=args.invert)[0])
+    t0 = time.time()
+    out = np.asarray(run(data))
+    _, _, dz_new = deskew_geometry(data.shape, args.angle, args.dz, args.dxy)
+    print(f"deskew: {tuple(data.shape)} -> {out.shape}, angle {args.angle} deg, "
+          f"dz {args.dz*1e9:.4g} -> {dz_new*1e9:.4g} nm, "
+          f"{time.time()-t0:.1f}s (incl. compile)")
+    _write_out(args, args.out, out, dxy=args.dxy, dz=dz_new)
+    print("wrote", args.out)
+
+
 def cmd_fsc(args):
     """Fourier Shell Correlation resolution of two registered volumes."""
     import json
@@ -1341,6 +1362,26 @@ def main(argv=None):
     _deconv_args(p)
     _hyperstack_args(p)
     p.set_defaults(fn=cmd_blind)
+
+    p = sub.add_parser("deskew", help="deskew a stage-scanned light-sheet stack")
+    p.add_argument("stack", help="raw (sheared) stage-scan stack")
+    p.add_argument("--out", required=True)
+    p.add_argument("--angle", type=float, required=True,
+                   help="detection-axis-to-scan angle in degrees "
+                        "(31.8 lattice, 45 diSPIM)")
+    p.add_argument("--invert", action="store_true",
+                   help="flip the shear direction (reverse stage scan)")
+    p.add_argument("--dxy", type=float, default=None,
+                   help="lateral pixel size [m] (default: input metadata)")
+    p.add_argument("--dz", type=float, default=None,
+                   help="stage step between frames [m] (default: input metadata)")
+    p.add_argument("--ome", action="store_true",
+                   help="write outputs as OME-TIFF (OME-XML geometry in the description)")
+    p.add_argument("--zarr-levels", type=int, default=1, metavar="L",
+                   help="[.zarr outputs] L-level NGFF multiscale pyramid")
+    _hyperstack_args(p)
+    _preprocess_args(p)
+    p.set_defaults(fn=cmd_deskew)
 
     p = sub.add_parser("fsc", help="Fourier Shell Correlation resolution of two volumes")
     p.add_argument("a", help="first volume (e.g. odd-frame or first acquisition)")
