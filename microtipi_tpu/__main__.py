@@ -1048,6 +1048,80 @@ def cmd_fitpsf(args):
         print("wrote", args.out)
 
 
+def cmd_register(args):
+    """Align volumes by subvoxel phase correlation + exact Fourier shift.
+
+    Two modes: ``register ref.tif mov.tif --out aligned.tif`` writes the
+    moving volume aligned to the reference (optionally blur-matched with
+    ``--psf-ref/--psf-mov`` when the two were imaged through different
+    optics — ops/register.py docstring); ``register stack.ome.tif
+    --align-channels --out aligned.ome.tif`` registers every channel of a
+    hyperstack to ``--to-channel`` (chromatic-shift correction), writing
+    the full corrected hyperstack.
+    """
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from microtipi_tpu.ops.register import fourier_shift, register_translation
+
+    if args.align_channels:
+        from microtipi_tpu.io.ome import read_ome_hyperstack, write_ome_hyperstack
+
+        arr, meta = read_ome_hyperstack(args.ref)
+        nt, nc = arr.shape[:2]
+        if nc < 2:
+            sys.exit(f"--align-channels: input has C={nc}")
+        if not 0 <= args.to_channel < nc:
+            sys.exit(f"--to-channel {args.to_channel} out of range (C={nc})")
+        reg = jax.jit(lambda a, b: fourier_shift(b, register_translation(a, b)))
+        out = np.array(arr)
+        for c in range(nc):
+            if c == args.to_channel:
+                continue
+            # one chromatic shift per channel, measured at timepoint 0 and
+            # applied to every timepoint (the offset is an optics property)
+            t_ref = jnp.asarray(arr[0, args.to_channel])
+            shift = register_translation(t_ref, jnp.asarray(arr[0, c]))
+            print(f"channel {c} -> {args.to_channel}: shift "
+                  f"{np.round(np.asarray(shift), 3)} voxels")
+            sh = jax.jit(fourier_shift)
+            for t in range(nt):
+                out[t, c] = np.asarray(sh(jnp.asarray(arr[t, c]), shift))
+        write_ome_hyperstack(args.out, out, dxy=meta.get("dxy"), dz=meta.get("dz"))
+        print("wrote", args.out)
+        return
+
+    if not args.mov:
+        sys.exit("two-volume mode needs REF MOV (or use --align-channels)")
+    a = jnp.asarray(_read_input_volume(args, args.ref))
+    b = jnp.asarray(_read_input_volume(args, args.mov))
+    if a.shape != b.shape:
+        sys.exit(f"volume shapes differ: {tuple(a.shape)} vs {tuple(b.shape)}")
+    _resolve_geometry(args, args.ref, log=lambda *a: None)
+    if args.psf_ref or args.psf_mov:
+        from microtipi_tpu.io.tiffstack import read_stack
+        from microtipi_tpu.ops.convolution import convolve, convolve_spectrum
+
+        if not (args.psf_ref and args.psf_mov):
+            sys.exit("--psf-ref and --psf-mov go together (blur matching)")
+        ha = jnp.asarray(read_stack(args.psf_ref))
+        hb = jnp.asarray(read_stack(args.psf_mov))
+
+        @jax.jit
+        def estimate(a, b):
+            am = convolve(a, convolve_spectrum(hb), a.shape)
+            bm = convolve(b, convolve_spectrum(ha), b.shape)
+            return register_translation(am, bm)
+
+        shift = estimate(a, b)
+    else:
+        shift = register_translation(a, b)
+    print(f"shift: {np.round(np.asarray(shift), 3)} voxels")
+    aligned = np.asarray(jax.jit(fourier_shift)(b, shift))
+    _write_out(args, args.out, aligned, dxy=args.dxy, dz=args.dz)
+    print("wrote", args.out)
+
+
 def cmd_deskew(args):
     """Deskew a stage-scanned light-sheet stack onto an orthogonal grid."""
     import numpy as np
@@ -1362,6 +1436,29 @@ def main(argv=None):
     _deconv_args(p)
     _hyperstack_args(p)
     p.set_defaults(fn=cmd_blind)
+
+    p = sub.add_parser("register", help="subvoxel volume / channel registration")
+    p.add_argument("ref", help="reference volume (or hyperstack with --align-channels)")
+    p.add_argument("mov", nargs="?", default=None, help="moving volume to align to ref")
+    p.add_argument("--out", required=True)
+    p.add_argument("--align-channels", action="store_true",
+                   help="chromatic-shift mode: register every channel of the "
+                        "input hyperstack to --to-channel, write the full stack")
+    p.add_argument("--to-channel", type=int, default=0,
+                   help="[--align-channels] reference channel (default 0)")
+    p.add_argument("--psf-ref", default=None,
+                   help="reference PSF for blur-matched registration of "
+                        "differently-blurred volumes")
+    p.add_argument("--psf-mov", default=None, help="moving volume's PSF")
+    p.add_argument("--dxy", type=float, default=None)
+    p.add_argument("--dz", type=float, default=None)
+    p.add_argument("--ome", action="store_true",
+                   help="write outputs as OME-TIFF (OME-XML geometry in the description)")
+    p.add_argument("--zarr-levels", type=int, default=1, metavar="L",
+                   help="[.zarr outputs] L-level NGFF multiscale pyramid")
+    _hyperstack_args(p)
+    _preprocess_args(p)
+    p.set_defaults(fn=cmd_register)
 
     p = sub.add_parser("deskew", help="deskew a stage-scanned light-sheet stack")
     p.add_argument("stack", help="raw (sheared) stage-scan stack")

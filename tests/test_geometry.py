@@ -99,3 +99,77 @@ def test_cli_deskew(tmp_path):
     got_dxy, got_dz = read_pixel_size(tmp_path / "d.tif")
     assert got_dz == pytest.approx(dz * math.sin(math.radians(angle)), rel=1e-4)
     assert got_dxy == pytest.approx(dxy, rel=1e-6)
+
+
+def _cli_env():
+    import os
+
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return env
+
+
+def test_cli_register_two_volumes(tmp_path):
+    """register REF MOV recovers a known subvoxel shift and writes the
+    aligned volume."""
+    import subprocess
+    import sys
+
+    from microtipi_tpu.io.tiffstack import read_stack, write_stack
+    from microtipi_tpu.ops.register import fourier_shift
+
+    shape = (8, 32, 32)
+    rng = np.random.default_rng(5)
+    ref = jnp.asarray(rng.random(shape).astype(np.float32))
+    mov = fourier_shift(ref, jnp.asarray([0.0, 1.4, -2.2]))
+    write_stack(tmp_path / "ref.tif", np.asarray(ref), dxy=100e-9, dz=250e-9)
+    write_stack(tmp_path / "mov.tif", np.asarray(mov, np.float32))
+
+    r = subprocess.run(
+        [sys.executable, "-m", "microtipi_tpu", "register",
+         str(tmp_path / "ref.tif"), str(tmp_path / "mov.tif"),
+         "--out", str(tmp_path / "ali.tif")],
+        capture_output=True, text=True, env=_cli_env(), timeout=600)
+    assert r.returncode == 0, r.stderr
+    assert "shift:" in r.stdout
+    ali = read_stack(tmp_path / "ali.tif")
+    # white-noise content is the interpolation worst case: a ~0.05-voxel
+    # estimate residual shows up as O(0.1) pixel-value differences
+    assert np.abs(ali - np.asarray(ref)).max() < 0.2
+    assert np.abs(ali - np.asarray(ref)).mean() < 0.03
+
+
+def test_cli_register_align_channels(tmp_path):
+    """register --align-channels corrects a chromatic shift on every
+    timepoint of a hyperstack, measured once at t=0."""
+    import subprocess
+    import sys
+
+    from microtipi_tpu.io.ome import read_ome_hyperstack, write_ome_hyperstack
+    from microtipi_tpu.ops.register import fourier_shift
+
+    shape = (6, 24, 24)
+    rng = np.random.default_rng(6)
+    base = [jnp.asarray(rng.random(shape).astype(np.float32)) for _ in range(2)]
+    shift = jnp.asarray([0.0, -1.2, 0.8])
+    arr = np.zeros((2, 2, *shape), np.float32)
+    for t in range(2):
+        arr[t, 0] = np.asarray(base[t])
+        arr[t, 1] = np.asarray(fourier_shift(base[t], shift))
+    write_ome_hyperstack(tmp_path / "h.ome.tif", arr, dxy=100e-9, dz=250e-9)
+
+    r = subprocess.run(
+        [sys.executable, "-m", "microtipi_tpu", "register",
+         str(tmp_path / "h.ome.tif"), "--align-channels",
+         "--out", str(tmp_path / "ali.ome.tif")],
+        capture_output=True, text=True, env=_cli_env(), timeout=600)
+    assert r.returncode == 0, r.stderr
+    assert "channel 1 -> 0" in r.stdout
+    out, _meta = read_ome_hyperstack(tmp_path / "ali.ome.tif")
+    assert out.shape == (2, 2, *shape)
+    for t in range(2):
+        assert np.abs(out[t, 1] - arr[t, 0]).max() < 0.2
+        assert np.abs(out[t, 1] - arr[t, 0]).mean() < 0.03
+        np.testing.assert_allclose(out[t, 0], arr[t, 0])  # ref channel untouched
