@@ -30,7 +30,11 @@ from microtipi_tpu.jobs.psf_fit import (
     bead_fit_uncertainty, calibrate_field, center_bead_stack, detect_beads,
     fit_psf, fit_psf_beads, fit_psf_joint, fit_uncertainty,
 )
-from microtipi_tpu.jobs.richardson_lucy import multiview_richardson_lucy, richardson_lucy
+from microtipi_tpu.jobs.richardson_lucy import (
+    multiview_richardson_lucy,
+    richardson_lucy,
+    wb_backprojector,
+)
 from microtipi_tpu.jobs.tiled import field_psf, tiled_deconvolve
 from microtipi_tpu.jobs.wiener import wiener
 from microtipi_tpu.ops.geometry import deskew
@@ -71,7 +75,7 @@ __all__ = [
     "fit_psf", "fit_psf_beads", "fit_psf_joint",
     "FitUncertainty", "fit_uncertainty", "bead_fit_uncertainty",
     "calibrate_field", "detect_beads",
-    "multiview_richardson_lucy", "richardson_lucy", "field_psf", "tiled_deconvolve", "wiener",
+    "multiview_richardson_lucy", "richardson_lucy", "wb_backprojector", "field_psf", "tiled_deconvolve", "wiener",
     "PoissonConvCost", "WeightedConvolutionCost", "convolve", "convolve_spectrum",
     "fourier_shift", "register_translation",
     "fourier_shell_correlation", "fsc_resolution", "strehl_ratio",

@@ -85,6 +85,11 @@ def _deconv_args(p: argparse.ArgumentParser, methods=("vmlmb", "rl")):
     g.add_argument("--rl-accelerate", action="store_true",
                    help="[rl] Biggs-Andrews vector extrapolation (~2-3x fewer "
                         "iterations to a given likelihood)")
+    g.add_argument("--rl-backprojector", choices=["matched", "wb"],
+                   default="matched",
+                   help="[rl] wb = Wiener-Butterworth backprojector (Guo 2020; "
+                        "~10x fewer iterations, semiconvergence arrives "
+                        "equally sooner on noisy data)")
     g.add_argument("--data-term", choices=["gaussian", "poisson"], default="gaussian",
                    help="data fidelity: gaussian least squares (reference semantics) "
                         "or poisson generalized-KL deviance (photon-counting data)")
@@ -626,9 +631,10 @@ def cmd_deconv(args):
     if args.method == "rl" and not getattr(args, "tile", None):
         from microtipi_tpu.jobs.richardson_lucy import richardson_lucy
 
+        bp = {"matched": "matched", "wb": "wiener-butterworth"}[args.rl_backprojector]
         run = jax.jit(lambda d, p: richardson_lucy(
             d, p, iterations=args.iters, mu=args.mu, epsilon=args.epsilon,
-            accelerate=args.rl_accelerate))
+            accelerate=args.rl_accelerate, backprojector=bp))
         t0 = time.time()
         x = run(data, psf)
         x.block_until_ready()
@@ -1220,8 +1226,10 @@ def cmd_fuse(args):
             print(f"view {k}: shift {np.round(np.asarray(t), 2).tolist()} voxels")
             regd.append(vk)
         views = jnp.stack(regd)
+    bp = {"matched": "matched", "wb": "wiener-butterworth"}[args.rl_backprojector]
     run = jax.jit(lambda v, p: multiview_richardson_lucy(
-        v, p, iterations=args.iters, background=args.background))
+        v, p, iterations=args.iters, background=args.background,
+        backprojector=bp))
     t0 = time.time()
     x = run(views, psfs)
     x.block_until_ready()
@@ -1503,6 +1511,10 @@ def main(argv=None):
     p.add_argument("--out", required=True)
     p.add_argument("--iters", type=int, default=50, help="RL iterations")
     p.add_argument("--background", type=float, default=0.0)
+    p.add_argument("--rl-backprojector", choices=["matched", "wb"],
+                   default="matched",
+                   help="wb = Wiener-Butterworth backprojector (Guo 2020; "
+                        "~10x fewer iterations)")
     p.add_argument("--register", action="store_true",
                    help="register views 1..K-1 to view 0 first (blur-matched "
                         "subvoxel phase correlation + Fourier shift)")

@@ -34,6 +34,7 @@ dispatches.
 
 from __future__ import annotations
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -41,7 +42,55 @@ from jax import lax
 from microtipi_tpu.ops.convolution import convolve, convolve_spectrum
 from microtipi_tpu.ops.regularization import hyperbolic_tv_and_gradient
 
-__all__ = ["richardson_lucy", "multiview_richardson_lucy"]
+__all__ = ["richardson_lucy", "multiview_richardson_lucy", "wb_backprojector"]
+
+
+def wb_backprojector(k_hat, shape, beta: float = 0.1, order: int = 10,
+                     cutoff_rel: float = 1e-2):
+    """Wiener-Butterworth backprojector OTF (Guo et al., Nat. Biotech 2020).
+
+    Classic RL backprojects the ratio image with the MATCHED filter
+    ``conj(OTF)``, which re-attenuates exactly the frequencies the forward
+    blur already suppressed — hence hundreds of iterations. The
+    Wiener-Butterworth backprojector replaces it with
+
+        B(k) = conj(OTF) / (|OTF|^2 + beta^2)         (Wiener: inverts the
+                                                       passband amplitude)
+              * 1 / sqrt(1 + (rho(k))^(2*order))      (Butterworth: hard
+                                                       stop at the support)
+
+    where ``rho`` is the frequency radius normalized by the OTF's PER-AXIS
+    support cutoffs (measured from the OTF itself: the largest |f_axis|
+    with ``|OTF| > cutoff_rel * |OTF(0)|`` — an ellipsoid, since axial
+    support is much smaller than lateral). Each iteration then advances
+    like many matched-filter iterations (the paper's measured ~10x; pinned
+    relatively by a test here). Normalized so ``B(0) = 1`` — the
+    backprojector conserves flux and the RL denominator becomes 1.
+
+    ``beta``: Wiener floor ~ inverse SNR; smaller = more aggressive.
+    Default 0.1 — measured on a noiseless high-dynamic-range scene: 0.1
+    converges monotonically (err 340 at 10 iters vs 790 for matched-RL at
+    100), 0.05 plateaus early, and 0.01 oscillates into divergence (the
+    near-inverse filter overshoots and the multiplicative update amplifies
+    it). Returns the rfftn-layout backprojector spectrum.
+    """
+    otf = k_hat
+    mag2 = jnp.real(otf * jnp.conj(otf))
+    dc = jnp.sqrt(mag2.reshape(-1)[0])
+    support = mag2 > (cutoff_rel * dc) ** 2
+    freqs = [np.fft.fftfreq(n) for n in shape[:-1]] + [np.fft.rfftfreq(shape[-1])]
+    tiny = jnp.asarray(np.finfo(np.float32).tiny, mag2.dtype)
+    rho2 = 0.0
+    for ax, f in enumerate(freqs):
+        fa = jnp.asarray(np.abs(f), mag2.dtype).reshape(
+            [-1 if i == ax else 1 for i in range(len(shape))])
+        kc = jnp.max(jnp.where(support, fa, 0.0))
+        rho2 = rho2 + (fa / jnp.maximum(kc, tiny)) ** 2
+    wiener = jnp.conj(otf) / (mag2 + jnp.asarray(beta, mag2.dtype) ** 2)
+    butter = 1.0 / jnp.sqrt(1.0 + rho2 ** order)
+    b_hat = wiener * butter
+    b0 = jnp.real(b_hat.reshape(-1)[0])
+    return b_hat / jnp.maximum(b0, tiny)
 
 
 def richardson_lucy(
@@ -53,14 +102,31 @@ def richardson_lucy(
     epsilon: float = 1e-2,
     x0: jax.Array | None = None,
     accelerate: bool = False,
+    backprojector: str = "matched",
+    wb_beta: float = 0.1,
 ) -> jax.Array:
     """RL (optionally RL-TV / Biggs-Andrews accelerated) estimate;
-    ``psf`` corner-origin at data shape."""
+    ``psf`` corner-origin at data shape.
+
+    ``backprojector="wiener-butterworth"`` swaps the matched backprojection
+    filter for the Guo et al. 2020 accelerated one (:func:`wb_backprojector`,
+    floor ``wb_beta``) — same fixed-point family, ~10x fewer iterations to a
+    given quality (pinned by a test); composes with ``accelerate`` and TV.
+    The speedup applies to SEMICONVERGENCE as well: on noisy data the best
+    iterate arrives ~10x sooner (measured: ~2 iterations on a Poisson scene
+    where matched-RL peaks near 20) — budget ``iterations`` accordingly, or
+    add TV to soften the post-peak noise amplification."""
     if psf.shape != data.shape:
         raise ValueError("richardson_lucy requires psf shape == data shape")
     k_hat = convolve_spectrum(psf)
-    k_hat_conj = jnp.conj(k_hat)
-    flux = jnp.sum(psf)
+    if backprojector == "wiener-butterworth":
+        k_hat_conj = wb_backprojector(k_hat, data.shape, beta=wb_beta)
+        flux = jnp.asarray(1.0, data.dtype)  # B(0) = 1 by construction
+    elif backprojector == "matched":
+        k_hat_conj = jnp.conj(k_hat)
+        flux = jnp.sum(psf)
+    else:
+        raise ValueError(f"unknown backprojector {backprojector!r}")
     d = jnp.maximum(data, 0.0)
     x = jnp.maximum(data, 1e-12) if x0 is None else jnp.maximum(x0, 1e-12)
     bg = jnp.asarray(background, data.dtype)
@@ -111,6 +177,8 @@ def multiview_richardson_lucy(
     iterations: int = 50,
     background: float = 0.0,
     x0: jax.Array | None = None,
+    backprojector: str = "matched",
+    wb_beta: float = 0.1,
 ) -> jax.Array:
     """Joint-MLE RL fusion of K registered views, shapes ``(K,) + vol``.
 
@@ -125,8 +193,19 @@ def multiview_richardson_lucy(
     vol = views.shape[1:]
     axes = tuple(range(1, views.ndim))
     k_hat = jnp.fft.rfftn(psfs, axes=axes)
-    k_hat_conj = jnp.conj(k_hat)
-    flux = jnp.sum(psfs)
+    if backprojector == "wiener-butterworth":
+        # per-view backprojectors (each arm has its own OTF support); the
+        # fused denominator is sum_v B_v(0) = K
+        k_hat_conj = jnp.stack([
+            wb_backprojector(k_hat[v], vol, beta=wb_beta)
+            for v in range(views.shape[0])
+        ])
+        flux = jnp.asarray(float(views.shape[0]), views.dtype)
+    elif backprojector == "matched":
+        k_hat_conj = jnp.conj(k_hat)
+        flux = jnp.sum(psfs)
+    else:
+        raise ValueError(f"unknown backprojector {backprojector!r}")
     d = jnp.maximum(views, 0.0)
     # Mean-of-views start, floored at a fraction of the mean intensity: the
     # floor removes absorbing zeros and (with the eps support-threshold

@@ -169,3 +169,63 @@ def test_sharded_multiview_matches_dense():
             v, psfs, mesh, iterations=8))(v_sh)
         np.testing.assert_allclose(np.asarray(sh), np.asarray(dense),
                                    rtol=1e-9, atol=1e-12)
+
+
+def test_wb_backprojector_properties():
+    """B(0) = 1 (flux conserving), bounded, and near-zero beyond the OTF
+    support (Butterworth stop)."""
+    from microtipi_tpu.jobs.richardson_lucy import wb_backprojector
+
+    obj, psf, data, noisy = _scene()
+    k_hat = convolve_spectrum(psf)
+    b = wb_backprojector(k_hat, psf.shape, beta=0.01)
+    assert float(jnp.real(b.reshape(-1)[0])) == 1.0
+    assert np.isfinite(np.asarray(jnp.abs(b))).all()
+    # far corner of frequency space (beyond every per-axis cutoff)
+    assert float(jnp.abs(b[4, 16, -1])) < 1e-3 * float(jnp.abs(b).max())
+
+
+def test_wb_rl_converges_in_far_fewer_iterations():
+    """The Guo 2020 claim, pinned relatively: WB-RL at 10 iterations reaches
+    at least the quality matched-RL needs 100 for (on this scene it is
+    strictly better), and stays nonnegative/finite."""
+    obj, psf, data, noisy = _scene()
+    err = lambda x: float(jnp.linalg.norm(x - obj))
+    x_wb = richardson_lucy(data, psf, iterations=10,
+                           backprojector="wiener-butterworth")
+    x_m100 = richardson_lucy(data, psf, iterations=100)
+    assert float(x_wb.min()) >= 0.0 and np.isfinite(np.asarray(x_wb)).all()
+    assert err(x_wb) < err(x_m100)
+
+
+def test_wb_rl_noisy_semiconverges_early():
+    """On Poisson data the WB speedup applies to SEMICONVERGENCE too: the
+    best iterate arrives ~10x sooner (here ~2 iterations), after which noise
+    amplifies — the measured reason wb docs say budget iterations by noise.
+    RL-TV composes and softens the overshoot."""
+    obj, psf, data, noisy = _scene()
+    err = lambda x: float(jnp.linalg.norm(x - obj))
+    kw = dict(mu=0.02, epsilon=1.0, backprojector="wiener-butterworth")
+    x2 = richardson_lucy(noisy, psf, iterations=2, **kw)
+    x10 = richardson_lucy(noisy, psf, iterations=10, **kw)
+    assert np.isfinite(np.asarray(x2)).all() and float(x2.min()) >= 0.0
+    assert err(x2) < err(noisy)  # the early iterate beats the data
+    assert err(x10) > err(x2)  # and semiconvergence has already passed
+
+
+def test_wb_multiview_fusion():
+    """Per-view WB backprojectors in the joint fusion: same quality gain
+    pattern, far fewer iterations than matched fusion."""
+    from microtipi_tpu.jobs.richardson_lucy import multiview_richardson_lucy
+
+    obj, psf, data, noisy = _scene()
+    psf_b = jnp.transpose(psf, (0, 2, 1))  # orthogonal-arm stand-in
+    data_b = convolve(obj, convolve_spectrum(psf_b), obj.shape)
+    views = jnp.stack([data, data_b])
+    psfs = jnp.stack([psf, psf_b])
+    err = lambda x: float(jnp.linalg.norm(x - obj))
+    x_wb = multiview_richardson_lucy(views, psfs, iterations=10,
+                                     backprojector="wiener-butterworth")
+    x_m = multiview_richardson_lucy(views, psfs, iterations=100)
+    assert err(x_wb) < err(x_m)
+    assert float(x_wb.min()) >= 0.0
