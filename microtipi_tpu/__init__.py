@@ -45,6 +45,7 @@ from microtipi_tpu.ops.preprocess import (
     subtract_background,
 )
 from microtipi_tpu.ops.metrics import (
+    checkerboard_split,
     fourier_shell_correlation,
     fsc_resolution,
     strehl_ratio,
@@ -78,7 +79,7 @@ __all__ = [
     "multiview_richardson_lucy", "richardson_lucy", "wb_backprojector", "field_psf", "tiled_deconvolve", "wiener",
     "PoissonConvCost", "WeightedConvolutionCost", "convolve", "convolve_spectrum",
     "fourier_shift", "register_translation",
-    "fourier_shell_correlation", "fsc_resolution", "strehl_ratio",
+    "checkerboard_split", "fourier_shell_correlation", "fsc_resolution", "strehl_ratio",
     "flat_field_correct", "remove_hot_pixels", "rolling_ball_background", "subtract_background",
     "deskew",
     "hyperbolic_tv", "hyperbolic_tv_and_gradient",

@@ -1158,11 +1158,25 @@ def cmd_fsc(args):
     import jax.numpy as jnp
     from microtipi_tpu.ops.metrics import fourier_shell_correlation, fsc_resolution
 
-    a = jnp.asarray(_read_input_volume(args, args.a))
-    b = jnp.asarray(_read_input_volume(args, args.b))
-    if a.shape != b.shape:
-        sys.exit(f"volume shapes differ: {tuple(a.shape)} vs {tuple(b.shape)}")
-    _resolve_geometry(args, args.a)
+    if args.split:
+        from microtipi_tpu.ops.metrics import checkerboard_split
+
+        if args.b is not None:
+            sys.exit("--split is single-volume mode; drop the second input")
+        _resolve_geometry(args, args.a)
+        a, b = checkerboard_split(jnp.asarray(_read_input_volume(args, args.a)))
+        args.dxy *= 2  # decimated lateral pitch
+        print("single-image FSC (checkerboard split): resolution bounded at "
+              f"{4 * args.dxy / 2 * 1e9:.0f} nm (2x-decimated Nyquist); "
+              "prefer two acquisitions when the answer is near that bound")
+    else:
+        if args.b is None:
+            sys.exit("fsc needs two volumes (or one with --split)")
+        a = jnp.asarray(_read_input_volume(args, args.a))
+        b = jnp.asarray(_read_input_volume(args, args.b))
+        if a.shape != b.shape:
+            sys.exit(f"volume shapes differ: {tuple(a.shape)} vs {tuple(b.shape)}")
+        _resolve_geometry(args, args.a)
     if args.register:
         from microtipi_tpu.ops.register import fourier_shift, register_translation
 
@@ -1490,7 +1504,13 @@ def main(argv=None):
 
     p = sub.add_parser("fsc", help="Fourier Shell Correlation resolution of two volumes")
     p.add_argument("a", help="first volume (e.g. odd-frame or first acquisition)")
-    p.add_argument("b", help="second, independently-noised volume of the same scene")
+    p.add_argument("b", nargs="?", default=None,
+                   help="second, independently-noised volume of the same scene")
+    p.add_argument("--split", action="store_true",
+                   help="single-volume mode: checkerboard-decimate one "
+                        "acquisition into two quasi-independent halves "
+                        "(Koho 2019 single-image FRC; lateral resolution "
+                        "bounded at the decimated Nyquist)")
     p.add_argument("--threshold", type=float, default=0.143,
                    help="FSC crossing threshold (0.143 for independent noise)")
     p.add_argument("--register", action="store_true",

@@ -26,7 +26,33 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["fourier_shell_correlation", "fsc_resolution", "strehl_ratio"]
+__all__ = [
+    "checkerboard_split",
+    "fourier_shell_correlation",
+    "fsc_resolution",
+    "strehl_ratio",
+]
+
+
+def checkerboard_split(vol):
+    """Two quasi-independent half-volumes from ONE acquisition (single-image
+    FRC, Koho et al. 2019): diagonal lateral decimation.
+
+    ``a = vol[:, 0::2, 0::2]``, ``b = vol[:, 1::2, 1::2]`` — the two
+    diagonal sub-lattices see the same continuous scene through the same
+    optics but carry independent noise realizations, so their FSC measures
+    resolution without a second acquisition. Caveats for the caller (the
+    CLI prints them): the sub-volumes sample at 2x the lateral pitch, so
+    the estimate is bounded at the decimated Nyquist (4 * dxy resolution),
+    and sub-pixel aliasing adds a small optimistic bias near that bound —
+    use a genuine two-acquisition FSC when it matters. Pass
+    ``spacing=(dz, 2*dxy, 2*dxy)`` to :func:`fourier_shell_correlation`.
+    Odd trailing rows/columns are trimmed.
+    """
+    vol = jnp.asarray(vol)
+    ny, nx = vol.shape[-2] & ~1, vol.shape[-1] & ~1
+    v = vol[..., :ny, :nx]
+    return v[..., 0::2, 0::2], v[..., 1::2, 1::2]
 
 
 def _shell_indices(shape, spacing, n_shells):

@@ -164,3 +164,63 @@ def test_cli_fsc(tmp_path):
     # strictly coarser than 2*dxy Nyquist
     assert 200e-9 < doc["resolution_m"] < 2e-6
     assert len(doc["fsc"]) == len(doc["freqs_per_m"])
+
+
+def test_checkerboard_split_and_single_image_fsc():
+    """checkerboard halves carry independent noise of the same scene; FSC at
+    the decimated spacing tracks blur like the two-acquisition estimate."""
+    from microtipi_tpu.ops.metrics import checkerboard_split
+
+    shape = (8, 64, 64)
+    rng = np.random.default_rng(7)
+    obj = rng.random(shape)
+    z, y, x = [np.fft.fftfreq(n) * n for n in shape]
+    k = np.exp(-(z[:, None, None]**2 + y[None, :, None]**2
+                 + x[None, None, :]**2) / (2 * 1.5**2))
+    blurred = np.fft.irfftn(np.fft.rfftn(obj) * np.fft.rfftn(k / k.sum()), s=shape)
+    noisy = jnp.asarray(blurred + 0.03 * rng.standard_normal(shape))
+    a, b = checkerboard_split(noisy)
+    assert a.shape == b.shape == (8, 32, 32)
+    freqs, fsc = fourier_shell_correlation(
+        a, b, spacing=(250e-9, 200e-9, 200e-9))  # dxy 100nm -> 200 decimated
+    res = fsc_resolution(freqs, fsc)
+    # two independent acquisitions of the same scene, for comparison
+    noisy2 = jnp.asarray(blurred + 0.03 * rng.standard_normal(shape))
+    f2, c2 = fourier_shell_correlation(
+        noisy, noisy2, spacing=(250e-9, 100e-9, 100e-9))
+    res2 = fsc_resolution(f2, c2)
+    # same blur, same noise level: estimates agree within ~2x
+    assert 0.5 < res / res2 < 2.0
+
+
+def test_cli_fsc_split(tmp_path):
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from microtipi_tpu.io.tiffstack import write_stack
+
+    shape = (8, 64, 64)
+    rng = np.random.default_rng(8)
+    obj = rng.random(shape)
+    z, y, x = [np.fft.fftfreq(n) * n for n in shape]
+    k = np.exp(-(z[:, None, None]**2 + y[None, :, None]**2
+                 + x[None, None, :]**2) / (2 * 1.5**2))
+    blurred = np.fft.irfftn(np.fft.rfftn(obj) * np.fft.rfftn(k / k.sum()), s=shape)
+    write_stack(tmp_path / "v.tif",
+                (blurred + 0.03 * rng.standard_normal(shape)).astype(np.float32),
+                dxy=100e-9, dz=250e-9)
+
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, "-m", "microtipi_tpu", "fsc", str(tmp_path / "v.tif"),
+         "--split", "--report", str(tmp_path / "f.json")],
+        capture_output=True, text=True, env=env, timeout=600)
+    assert r.returncode == 0, r.stderr
+    assert "single-image FSC" in r.stdout and "FSC resolution:" in r.stdout
+    doc = json.loads((tmp_path / "f.json").read_text())
+    assert 200e-9 < doc["resolution_m"] < 5e-6
