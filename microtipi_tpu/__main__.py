@@ -1054,6 +1054,50 @@ def cmd_fitpsf(args):
         print("wrote", args.out)
 
 
+def cmd_simulate(args):
+    """Synthesize a realistic acquisition: phantom -> PSF blur -> camera noise."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from microtipi_tpu.ops.convolution import convolve, convolve_spectrum
+    from microtipi_tpu.utils import phantoms
+
+    shape = tuple(args.shape)
+    _resolve_geometry(args)
+    gen = {
+        "beads": lambda: phantoms.beads_phantom(shape, n=args.n, seed=args.seed),
+        "filaments": lambda: phantoms.filaments_phantom(shape, n=args.n, seed=args.seed),
+        "shells": lambda: phantoms.shells_phantom(shape, n=args.n, seed=args.seed),
+    }[args.phantom]
+    obj = gen()
+    model = _build_model(args, shape)
+    params = model.init_params()
+    if args.params_json:
+        params = _load_params_json(model, args.params_json)
+    if args.phase:
+        params = params._replace(phase=jnp.asarray(args.phase, model.dtype))
+
+    @jax.jit
+    def blur(o, p):
+        return convolve(o, convolve_spectrum(model.compute_psf(p)), shape)
+
+    clean = np.asarray(blur(jnp.asarray(obj), params))
+    noisy = phantoms.apply_camera(
+        clean, photons_at_max=args.photons, gain=args.gain_sim,
+        readout_sigma=args.readout_sim, offset=args.offset, seed=args.seed)
+    _write_out(args, args.out, noisy, dxy=args.dxy, dz=args.dz)
+    print(f"wrote {args.out} ({args.phantom}, {shape}, ~{args.photons:.3g} "
+          f"photons at peak; deconvolve with --gain {args.gain_sim} "
+          f"--readout {args.readout_sim**2:.3g})")
+    if args.truth:
+        _write_out(args, args.truth, obj, dxy=args.dxy, dz=args.dz)
+        print("wrote", args.truth)
+    if args.psf_out:
+        psf = np.asarray(jax.jit(model.compute_psf)(params))
+        _write_out(args, args.psf_out, psf, dxy=args.dxy, dz=args.dz)
+        print("wrote", args.psf_out)
+
+
 def cmd_register(args):
     """Align volumes by subvoxel phase correlation + exact Fourier shift.
 
@@ -1458,6 +1502,31 @@ def main(argv=None):
     _deconv_args(p)
     _hyperstack_args(p)
     p.set_defaults(fn=cmd_blind)
+
+    p = sub.add_parser("simulate", help="synthesize a phantom acquisition (blur + camera noise)")
+    p.add_argument("out", help="output acquisition stack")
+    p.add_argument("--shape", type=int, nargs=3, required=True, metavar=("NZ", "NY", "NX"))
+    p.add_argument("--phantom", choices=["beads", "filaments", "shells"],
+                   default="beads")
+    p.add_argument("--n", type=int, default=20, help="number of structures")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--phase", type=float, nargs="*", default=None,
+                   help="inject Zernike phase aberration coefficients")
+    p.add_argument("--params-json", default=None,
+                   help="synthesize through a fitpsf calibration instead")
+    p.add_argument("--photons", type=float, default=1e4,
+                   help="expected photons at the brightest voxel")
+    p.add_argument("--gain-sim", type=float, default=2.0, help="camera gain e-/ADU")
+    p.add_argument("--readout-sim", type=float, default=1.5, help="readout sigma [ADU]")
+    p.add_argument("--offset", type=float, default=100.0, help="camera offset [ADU]")
+    p.add_argument("--truth", default=None, help="also write the ground-truth object")
+    p.add_argument("--psf-out", default=None, help="also write the blurring PSF")
+    p.add_argument("--ome", action="store_true",
+                   help="write outputs as OME-TIFF (OME-XML geometry in the description)")
+    p.add_argument("--zarr-levels", type=int, default=1, metavar="L",
+                   help="[.zarr outputs] L-level NGFF multiscale pyramid")
+    _model_args(p)
+    p.set_defaults(fn=cmd_simulate)
 
     p = sub.add_parser("register", help="subvoxel volume / channel registration")
     p.add_argument("ref", help="reference volume (or hyperstack with --align-channels)")
