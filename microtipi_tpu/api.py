@@ -281,6 +281,10 @@ class PSF_Estimation:
         self._iterations = 0
         self._evaluations = 0
         self._run = True
+        self._debug = False
+        self._lower_bound = float("-inf")
+        self._upper_bound = float("inf")
+        self._limited_memory_size = 5
 
     # setters mirroring PSF_Estimation.java:263-308,322-324,350,386
     def set_data(self, data):
@@ -302,11 +306,35 @@ class PSF_Estimation:
     def set_relative_tolerance(self, v):
         self._cfg = dataclasses.replace(self._cfg, grtol=float(v))
 
+    def set_debug_mode(self, value):
+        """Print per-fit cost traces (``PSF_Estimation.java:263-265``; the
+        reference's ``debug`` prints inside the reverse-communication loop)."""
+        self._debug = bool(value)
+
+    def set_limited_memory_size(self, value):
+        """Parity quirk: the reference's setter is dead — ``fitPSF`` forces
+        ``limitedMemorySize = 0`` then defaults the VMLMB memory to 5
+        (``PSF_Estimation.java:170,188,278-280``). Recorded, no effect."""
+        self._limited_memory_size = int(value)
+
+    def set_lower_bound(self, value):
+        """Parity quirk: bounds feed the ``bounded`` bitmask but the
+        projector stays ``null`` in PSF fitting
+        (``PSF_Estimation.java:168-189,299-301``). Recorded, inert."""
+        self._lower_bound = float(value)
+
+    def set_upper_bound(self, value):
+        """Inert like :meth:`set_lower_bound` (``PSF_Estimation.java:306-308``)."""
+        self._upper_bound = float(value)
+
     def enable_positivity(self, flag):
-        """Parity quirk: the reference computes bounds but never wires a
-        projector into the PSF fit (``PSF_Estimation.java:168-189``), so this
-        records intent and has no effect — same live behavior."""
-        self._positivity = bool(flag)
+        """``setLowerBound(positivity ? 0 : -inf)`` (``PSF_Estimation.java:94-96``);
+        inert in the fit itself — same live behavior as the reference."""
+        self.set_lower_bound(0.0 if flag else float("-inf"))
+
+    def set_pupil(self, pupil: WideFieldModel):
+        """Change the microscope model (``PSF_Estimation.java:329-331``)."""
+        self.pupil = pupil
 
     def abort(self):
         self._run = False
@@ -346,6 +374,11 @@ class PSF_Estimation:
         self._fcost = float(res.f)
         self._iterations = int(res.iterations)
         self._evaluations = int(res.evaluations)
+        if self._debug:
+            hist = np.asarray(res.f_history)[: self._iterations + 1]
+            print(f"fit_psf(flag={flag}): f={self._fcost:.6g} "
+                  f"iters={self._iterations} evals={self._evaluations} "
+                  f"f_history={np.array2string(hist, precision=6)}")
         return res
 
     # getters (PSF_Estimation.java:336-396)

