@@ -22,6 +22,7 @@ from microtipi_tpu.models.gibson_lanni import GibsonLanniConfig, GibsonLanniPara
 from microtipi_tpu.models.confocal import ConfocalConfig, TwoPhotonConfig
 from microtipi_tpu.models.lightsheet import LightSheetConfig, LightSheetParams
 from microtipi_tpu.models.vectorial import VectorialConfig
+from microtipi_tpu.jobs.autotune import AutoMuResult, deconvolve_auto_mu, estimate_noise_sigma
 from microtipi_tpu.jobs.blind import BlindDeconvConfig, BlindDeconvResult, blind_deconvolve
 from microtipi_tpu.jobs.deconv import DeconvolutionConfig, DeconvolutionResult, deconvolve
 from microtipi_tpu.jobs.depthvar import deconvolve_depthvar, depth_anchor_psfs
@@ -71,6 +72,7 @@ __all__ = [
     "LightSheetConfig", "LightSheetParams",
     "BlindDeconvConfig", "BlindDeconvResult", "blind_deconvolve",
     "DeconvolutionConfig", "DeconvolutionResult", "deconvolve",
+    "AutoMuResult", "deconvolve_auto_mu", "estimate_noise_sigma",
     "deconvolve_depthvar", "depth_anchor_psfs",
     "PsfFitConfig", "PsfFitResult", "average_beads", "bead_anchor_term", "center_bead_stack",
     "fit_psf", "fit_psf_beads", "fit_psf_joint",

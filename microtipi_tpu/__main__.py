@@ -73,6 +73,16 @@ def _hyperstack_args(p: argparse.ArgumentParser):
 def _deconv_args(p: argparse.ArgumentParser, methods=("vmlmb", "rl")):
     g = p.add_argument_group("object step")
     g.add_argument("--mu", type=float, default=0.01, help="TV weight")
+    g.add_argument("--auto-mu", action="store_true",
+                   help="pick the TV weight by the Morozov discrepancy "
+                        "principle (jobs/autotune.py) instead of --mu; noise "
+                        "sigma is estimated from the data unless --noise-sigma")
+    g.add_argument("--noise-sigma", type=float, default=None,
+                   help="[auto-mu] known Gaussian noise sigma (default: "
+                        "Immerkaer-MAD estimate from the data)")
+    g.add_argument("--tau", type=float, default=1.0,
+                   help="[auto-mu] Morozov safety factor on the discrepancy "
+                        "target (>=1; larger regularizes more)")
     g.add_argument("--epsilon", type=float, default=1.0, help="TV edge threshold")
     g.add_argument("--iters", type=int, default=50, help="VMLMB iterations")
     g.add_argument("--no-positivity", action="store_true")
@@ -662,15 +672,32 @@ def cmd_deconv(args):
         print("wrote", args.out)
         return
 
+    if getattr(args, "auto_mu", False) and getattr(args, "mesh", None):
+        sys.exit("--auto-mu runs on one chip; drop --mesh")
     mesh = _make_mesh(args)
-    if mesh is not None:
+    if getattr(args, "auto_mu", False):
+        from microtipi_tpu.jobs.autotune import deconvolve_auto_mu
+
+        run = jax.jit(lambda d, p, w: deconvolve_auto_mu(
+            d, p, weights=w, config=cfg, sigma=args.noise_sigma, tau=args.tau))
+        t0 = time.time()
+        auto = run(data, psf, w)
+        res = auto.result
+        print(f"auto-mu: mu={float(auto.mu):.4g} "
+              f"(discrepancy {float(auto.discrepancy):.4g} "
+              f"/ target {float(auto.target):.4g}"
+              + ("" if np.isnan(float(auto.sigma))
+                 else f", sigma={float(auto.sigma):.4g}") + ")")
+    elif mesh is not None:
         from microtipi_tpu.parallel.deconv import sharded_deconvolve
 
         run = jax.jit(lambda d, p, w: sharded_deconvolve(d, p, mesh, weights=w, config=cfg))
+        t0 = time.time()
+        res = run(data, psf, w)
     else:
         run = jax.jit(lambda d, p, w: deconvolve(d, p, weights=w, config=cfg))
-    t0 = time.time()
-    res = run(data, psf, w)
+        t0 = time.time()
+        res = run(data, psf, w)
     f = float(res.f)
     wall = time.time() - t0
     print(f"deconv: {int(res.iterations)} iters, cost {f:.6g}, {wall:.1f}s (incl. compile)")

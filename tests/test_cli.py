@@ -781,3 +781,45 @@ def test_cli_field_calibration_to_field_deconv(tmp_path):
     rec = read_stack(tmp_path / "o.tif")
     assert rec.shape == vol and np.isfinite(rec).all()
     assert np.linalg.norm(rec - obj) < 0.9 * np.linalg.norm(data - obj)
+
+
+def test_cli_deconv_auto_mu(tmp_path):
+    """--auto-mu selects the TV weight by discrepancy (jobs/autotune.py);
+    beyond parity — the reference takes mu as given (BlindDeconvJob.java:80-88)."""
+    from microtipi_tpu.io.tiffstack import read_stack, write_stack
+    from microtipi_tpu.models.widefield import WideFieldConfig
+    from microtipi_tpu.ops.convolution import convolve, convolve_spectrum
+    import jax.numpy as jnp
+
+    shape = (8, 32, 32)
+    model = WideFieldConfig(shape=shape, na=1.2, wavelength=500e-9, ni=1.33,
+                            dxy=100e-9, dz=250e-9, dtype=jnp.float32)
+    psf = model.compute_psf(model.init_params())
+    rng = np.random.default_rng(0)
+    obj = np.zeros(shape, np.float32)
+    obj[3:5, 10:22, 10:22] = 50.0
+    data = np.array(convolve(jnp.asarray(obj), convolve_spectrum(psf), shape))
+    data += (0.02 * data.max()) * rng.standard_normal(shape).astype(np.float32)
+    write_stack(tmp_path / "data.tif", data)
+    write_stack(tmp_path / "psf.tif", np.asarray(psf))
+
+    r = _run(
+        ["deconv", str(tmp_path / "data.tif"), "--psf", str(tmp_path / "psf.tif"),
+         "--out", str(tmp_path / "rec.tif"), "--iters", "15", "--auto-mu",
+         "--report", str(tmp_path / "rep.json")],
+        tmp_path,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "auto-mu: mu=" in r.stdout and "sigma=" in r.stdout
+    rec = read_stack(tmp_path / "rec.tif")
+    assert rec.shape == shape and np.isfinite(rec).all()
+    rep = json.loads((tmp_path / "rep.json").read_text())
+    assert rep["iterations"] > 0
+
+    # --auto-mu and --mesh are exclusive (auto-mu bisects on one chip)
+    r = _run(
+        ["deconv", str(tmp_path / "data.tif"), "--psf", str(tmp_path / "psf.tif"),
+         "--out", str(tmp_path / "x.tif"), "--auto-mu", "--mesh", "1", "2"],
+        tmp_path,
+    )
+    assert r.returncode != 0 and "auto-mu" in (r.stderr + r.stdout)
