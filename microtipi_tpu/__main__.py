@@ -1362,7 +1362,9 @@ def cmd_watch(args):
           channel=args.channel, timepoint=args.timepoint, devices=devices,
           bead_path=args.bead, bead_n=args.bead_n,
           priority_patterns=args.priority, zarr_levels=args.zarr_levels,
-          preprocess=_build_preprocess(args))
+          preprocess=_build_preprocess(args),
+          auto_mu=args.auto_mu, auto_mu_tau=args.tau,
+          auto_mu_sigma=args.noise_sigma)
 
 
 def main(argv=None):

@@ -176,6 +176,9 @@ def watch(
     priority_patterns=None,
     zarr_levels: int = 1,
     preprocess=None,
+    auto_mu: bool = False,
+    auto_mu_tau: float = 1.0,
+    auto_mu_sigma: float | None = None,
 ):
     """Run the service loop. ``max_files`` bounds the run (None = forever).
 
@@ -213,6 +216,13 @@ def watch(
     the calibration comes from a point source instead of an unknown
     object (measured stronger — BASELINE.md bead tables).
 
+    ``auto_mu`` (``method="vmlmb"`` only): the FIRST file's solve selects
+    the TV weight by the Morozov discrepancy principle
+    (``jobs/autotune.py``; safety factor ``auto_mu_tau``) and every later
+    file reuses the calibrated mu on the cheap fixed-mu solver — the mu
+    analog of ``blind-once``. Under device fan-out the loop serializes
+    until the calibration lands so all workers share one mu.
+
     OME hyperstack inputs (SizeC/SizeT > 1) are sliced at
     ``channel``/``timepoint`` — without this a multi-channel file's pages
     would all be misread as z-planes. Plain TIFFs are unaffected (and skip
@@ -241,6 +251,9 @@ def watch(
         raise ValueError(f"method {method!r} needs model_factory(shape) -> model config")
     if not blind and psf_path is None:
         raise ValueError(f"method {method!r} needs psf_path")
+    if auto_mu and method != "vmlmb":
+        raise ValueError("auto_mu calibrates the fixed-PSF VMLMB path; "
+                         f"method {method!r} does not take it")
 
     indir, outdir = Path(indir), Path(outdir)
     outdir.mkdir(parents=True, exist_ok=True)
@@ -250,6 +263,7 @@ def watch(
     solvers: dict[tuple, object] = {}
     solvers_lock = threading.Lock()
     calib = {"params": None}  # blind-once: fitted pupil parameters
+    mu_calib = {"mu": None}   # auto_mu: mu from the first file's bisection
 
     if bead_path is not None:
         if method != "blind-once":
@@ -261,7 +275,8 @@ def watch(
         # The lock covers concurrent device workers racing the first build
         # of a shape's solver (jit execution itself is thread-safe).
         calibrated = blind and calib["params"] is not None
-        key = (shape, calibrated)
+        mu_done = auto_mu and mu_calib["mu"] is not None
+        key = (shape, calibrated, mu_done)
         with solvers_lock:
             return _solver_for_locked(key, shape, calibrated)
 
@@ -302,11 +317,31 @@ def watch(
                     )
 
                 solvers[key] = jax.jit(run, donate_argnums=0)
-            else:
+            elif auto_mu and mu_calib["mu"] is None:
+                # First file calibrates mu by the discrepancy bisection
+                # (jobs/autotune.py); later files reuse it on the cheap
+                # fixed-mu solver. The fan-out loop serializes until the
+                # calibration lands (same gate as blind-once).
+                from microtipi_tpu.jobs.autotune import deconvolve_auto_mu
 
                 def run(d, psf=psf):
                     kern = pad_fft_kernel(psf, d.shape)
-                    return deconvolve(d, kern, config=config).x
+                    res = deconvolve_auto_mu(d, kern, config=config,
+                                             sigma=auto_mu_sigma,
+                                             tau=auto_mu_tau)
+                    return res.result.x, res.mu, res.sigma
+
+                solvers[key] = jax.jit(run, donate_argnums=0)
+            else:
+                cfg = config
+                if auto_mu:
+                    import dataclasses
+
+                    cfg = dataclasses.replace(config, mu=mu_calib["mu"])
+
+                def run(d, psf=psf, cfg=cfg):
+                    kern = pad_fft_kernel(psf, d.shape)
+                    return deconvolve(d, kern, config=cfg).x
 
                 solvers[key] = jax.jit(run, donate_argnums=0)
         return solvers[key]
@@ -323,6 +358,14 @@ def watch(
             return obj
         if blind and isinstance(out, tuple):
             return out[0]
+        if auto_mu and isinstance(out, tuple):
+            x, mu, sigma = out
+            if mu_calib["mu"] is None:
+                mu_calib["mu"] = float(mu)
+                log(f"[watch] calibrated mu={float(mu):.4g} from first file "
+                    f"(noise sigma {float(sigma):.4g}); later files use the "
+                    "fixed-mu solver")
+            return x
         return out
 
     def _prep(v):
@@ -550,7 +593,8 @@ def watch(
                 # fanning out anyway would blind-solve on every worker and
                 # race the calib write. method='blind' has no shared
                 # calibration and fans out immediately.
-                while method == "blind-once" and calib["params"] is None and futs:
+                while ((method == "blind-once" and calib["params"] is None)
+                       or (auto_mu and mu_calib["mu"] is None)) and futs:
                     p, size, fut = futs[0]
                     _process_one(p, size, fut, devices[0])
                     futs = futs[1:]

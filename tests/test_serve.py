@@ -515,3 +515,36 @@ def test_watch_priority_patterns_order_within_scan(tmp_path):
     names = [p.name for p in out]
     assert names == ["urgent_1.tif", "live_1.tif", "live_2.tif",
                      "a_bulk.tif", "b_bulk.tif"]
+
+
+def test_watch_auto_mu_calibrates_once_then_fixed(tmp_path):
+    """auto_mu = the mu analog of blind-once: the first file's solve runs
+    the discrepancy bisection (jobs/autotune.py), later files reuse the
+    calibrated mu on the fixed-mu solver (one calibration log line)."""
+    indir = tmp_path / "in"
+    outdir = tmp_path / "out"
+    indir.mkdir()
+    shape = (4, 16, 16)
+    psf, d = _mini_scene(tmp_path, shape)
+    rng = np.random.default_rng(2)
+    for i in range(3):
+        write_stack(indir / f"t{i}.tif",
+                    d + 0.05 * rng.standard_normal(shape).astype(np.float32))
+
+    logs = []
+    out = watch(indir, outdir, tmp_path / "psf.tif",
+                config=DeconvolutionConfig(mu=0.5, epsilon=1.0, max_iter=8),
+                poll_seconds=0.05, max_files=3, log=logs.append,
+                auto_mu=True)
+    assert len(out) == 3
+    cal = [m for m in logs if "calibrated mu=" in m]
+    assert len(cal) == 1 and "noise sigma" in cal[0]
+    for i in range(3):
+        rec = read_stack(outdir / f"t{i}.tif")
+        assert rec.shape == shape and np.isfinite(rec).all()
+
+
+def test_watch_auto_mu_rejects_other_methods(tmp_path):
+    with pytest.raises(ValueError, match="auto_mu"):
+        watch(tmp_path, tmp_path / "o", tmp_path / "psf.tif",
+              method="rl", auto_mu=True)
