@@ -60,7 +60,7 @@ from microtipi_tpu.ops.convolution import (
 from microtipi_tpu.ops.register import fourier_shift, register_translation
 from microtipi_tpu.ops.regularization import hyperbolic_tv, hyperbolic_tv_and_gradient
 from microtipi_tpu.optim.vmlmb import VMLMBResult, VMLMBStatus, minimize_vmlmb
-from microtipi_tpu.weights.updaters import InverseVarianceWeights
+from microtipi_tpu.weights.updaters import InverseVarianceWeights, estimate_gain_readout
 
 __version__ = "0.1.0"
 
@@ -86,6 +86,6 @@ __all__ = [
     "deskew",
     "hyperbolic_tv", "hyperbolic_tv_and_gradient",
     "VMLMBResult", "VMLMBStatus", "minimize_vmlmb",
-    "InverseVarianceWeights",
+    "InverseVarianceWeights", "estimate_gain_readout",
     "__version__",
 ]

@@ -89,6 +89,10 @@ def _deconv_args(p: argparse.ArgumentParser, methods=("vmlmb", "rl")):
     g.add_argument("--pad", type=int, default=0, help="pad object grid by this many voxels per side")
     g.add_argument("--gain", type=float, default=0.0, help="camera gain e-/ADU for variance weights (0 = uniform)")
     g.add_argument("--readout", type=float, default=1.0, help="readout variance [ADU^2]")
+    g.add_argument("--auto-gain", action="store_true",
+                   help="estimate camera gain + readout variance from the "
+                        "data by single-shot photon transfer "
+                        "(weights/updaters.py) and use variance weights")
     g.add_argument("--method", choices=list(methods), default="vmlmb",
                    help="object solver: VMLMB+TV (default), Richardson-Lucy, or "
                         "(watch only) blind / blind-once (calibrate on first file)")
@@ -363,6 +367,16 @@ def _write_out(args, path, volume, dxy=None, dz=None):
 
 
 def _weights(args, data):
+    if getattr(args, "auto_gain", False):
+        import jax
+
+        from microtipi_tpu.weights.updaters import (
+            InverseVarianceWeights, estimate_gain_readout)
+
+        gain, rv = jax.jit(estimate_gain_readout)(data)
+        gain, rv = float(gain), float(rv)
+        print(f"auto-gain: gain={gain:.4g} e-/ADU, readout variance={rv:.4g} ADU^2")
+        return InverseVarianceWeights(gain=gain, readout_variance=rv).from_data(data)
     if args.gain <= 0:
         return None
     from microtipi_tpu.weights.updaters import InverseVarianceWeights

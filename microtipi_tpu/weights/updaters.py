@@ -22,7 +22,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-__all__ = ["InverseVarianceWeights", "validity_mask"]
+__all__ = ["InverseVarianceWeights", "estimate_gain_readout", "validity_mask"]
 
 
 def validity_mask(data: jax.Array, saturation: float | None = None) -> jax.Array:
@@ -59,3 +59,95 @@ class InverseVarianceWeights:
             var = var + jnp.maximum(predictor, 0.0) / self.gain
         w = 1.0 / jnp.maximum(var, jnp.finfo(data.dtype).tiny)
         return w * validity_mask(data, self.saturation)
+
+
+def estimate_gain_readout(
+    data: jax.Array, *, bins: int = 16, min_bin_count: int = 64
+) -> tuple[jax.Array, jax.Array]:
+    """Estimate ``(gain, readout_variance)`` from a single image or stack.
+
+    Beyond parity (the reference takes the noise model as given — TiPi weight
+    updaters are constructed with gain/readout by the caller). Single-shot
+    photon-transfer estimation in the spirit of Foi et al. 2008: under mixed
+    Poisson-Gaussian detection the local noise variance is affine in the
+    local signal mean,
+
+        var(d) = mean(d) / gain + readout_variance,
+
+    so regressing structure-free local variance against local mean recovers
+    both camera constants. Per plane:
+
+    - pseudo-residuals ``r = (L * d) / 6`` with the 3x3 Laplacian-difference
+      L = [[1,-2,1],[-2,4,-2],[1,-2,1]] (unit noise gain after /6), which
+      annihilates locally planar signal — the same operator as
+      :func:`jobs.autotune.estimate_noise_sigma`, kept as a field here
+      rather than a scalar;
+    - local mean = 3x3 box average;
+    - voxels are binned by local-mean quantiles (``bins`` bins) and each
+      bin's variance is the mean of ``r^2`` after rejecting ``|r|`` beyond
+      10x the global MAD scale (edges land there);
+    - a count-weighted least-squares line through (mean_b, var_b) gives
+      slope ``1/gain`` and intercept ``readout_variance``.
+
+    Bins with fewer than ``min_bin_count`` accepted voxels are dropped.
+    Returns f64-on-CPU/f32-on-TPU scalars; ``gain`` is clipped positive and
+    ``readout_variance`` at zero (a negative intercept means shot noise
+    dominates everywhere). Fully jittable.
+
+    Identifiability: separating gain from readout needs signal dynamic
+    range. On a flat field the slope is pure noise (and is clipped at 0
+    BEFORE the intercept — a raw negative slope would inflate b by
+    ``-a*mx``, measured +78% pre-clip), so the split is arbitrary there,
+    but the *predicted variance at the observed intensity* (what the
+    weights consume) stays correct within the estimator's own error.
+    """
+    d = jnp.asarray(data)
+    if d.ndim == 2:
+        d = d[None]
+    if d.ndim != 3:
+        raise ValueError(f"expected a 2D image or 3D stack, got shape {d.shape}")
+    c = d[:, 1:-1, 1:-1]
+    lap = (
+        4.0 * c
+        - 2.0 * (d[:, :-2, 1:-1] + d[:, 2:, 1:-1] + d[:, 1:-1, :-2] + d[:, 1:-1, 2:])
+        + d[:, :-2, :-2]
+        + d[:, :-2, 2:]
+        + d[:, 2:, :-2]
+        + d[:, 2:, 2:]
+    )
+    r = (lap / 6.0).ravel()
+    box = (
+        c
+        + d[:, :-2, 1:-1] + d[:, 2:, 1:-1] + d[:, 1:-1, :-2] + d[:, 1:-1, 2:]
+        + d[:, :-2, :-2] + d[:, :-2, 2:] + d[:, 2:, :-2] + d[:, 2:, 2:]
+    ).ravel() / 9.0
+
+    scale = jnp.median(jnp.abs(r)) / 0.6745
+    keep = jnp.abs(r) <= 10.0 * scale
+
+    qs = jnp.linspace(0.0, 1.0, bins + 1)
+    edges = jnp.quantile(box, qs)
+    idx = jnp.clip(jnp.searchsorted(edges[1:-1], box), 0, bins - 1)
+    w = keep.astype(d.dtype)
+    cnt = jnp.zeros((bins,), d.dtype).at[idx].add(w)
+    sum_m = jnp.zeros((bins,), d.dtype).at[idx].add(w * box)
+    sum_r2 = jnp.zeros((bins,), d.dtype).at[idx].add(w * r * r)
+    ok = cnt >= min_bin_count
+    safe = jnp.maximum(cnt, 1.0)
+    mean_b = sum_m / safe
+    var_b = sum_r2 / safe
+
+    # count-weighted least squares var_b = a * mean_b + b over valid bins
+    wb = jnp.where(ok, cnt, 0.0)
+    sw = jnp.sum(wb)
+    mx = jnp.sum(wb * mean_b) / sw
+    my = jnp.sum(wb * var_b) / sw
+    sxx = jnp.sum(wb * (mean_b - mx) ** 2)
+    sxy = jnp.sum(wb * (mean_b - mx) * (var_b - my))
+    # Clip the slope BEFORE the intercept: a noisy negative slope (flat
+    # field, no dynamic range) must not inflate b by -a*mx — the consistent
+    # degenerate model is slope 0, intercept = mean bin variance.
+    a = jnp.maximum(sxy / jnp.maximum(sxx, jnp.finfo(d.dtype).tiny), 0.0)
+    b = my - a * mx
+    gain = 1.0 / jnp.maximum(a, jnp.finfo(d.dtype).tiny)
+    return gain, jnp.maximum(b, 0.0)

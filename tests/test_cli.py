@@ -823,3 +823,36 @@ def test_cli_deconv_auto_mu(tmp_path):
         tmp_path,
     )
     assert r.returncode != 0 and "auto-mu" in (r.stderr + r.stdout)
+
+
+def test_cli_deconv_auto_gain(tmp_path):
+    """--auto-gain estimates camera constants by single-shot photon transfer
+    and switches on variance weights (weights/updaters.py)."""
+    from microtipi_tpu.io.tiffstack import read_stack, write_stack
+    from microtipi_tpu.models.widefield import WideFieldConfig
+    from microtipi_tpu.ops.convolution import convolve, convolve_spectrum
+    import jax.numpy as jnp
+
+    shape = (6, 48, 48)
+    model = WideFieldConfig(shape=shape, na=1.2, wavelength=500e-9, ni=1.33,
+                            dxy=100e-9, dz=250e-9, dtype=jnp.float32)
+    psf = model.compute_psf(model.init_params())
+    rng = np.random.default_rng(1)
+    obj = np.zeros(shape, np.float32)
+    obj[2:4, 12:36, 12:36] = 400.0
+    blurred = np.array(convolve(jnp.asarray(obj), convolve_spectrum(psf), shape))
+    gain = 2.0
+    data = (rng.poisson(np.maximum(blurred, 0) * gain) / gain
+            + rng.normal(0, 2.0, shape)).astype(np.float32)
+    write_stack(tmp_path / "data.tif", data)
+    write_stack(tmp_path / "psf.tif", np.asarray(psf))
+
+    r = _run(
+        ["deconv", str(tmp_path / "data.tif"), "--psf", str(tmp_path / "psf.tif"),
+         "--out", str(tmp_path / "rec.tif"), "--iters", "10", "--auto-gain"],
+        tmp_path,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "auto-gain: gain=" in r.stdout
+    rec = read_stack(tmp_path / "rec.tif")
+    assert rec.shape == shape and np.isfinite(rec).all()

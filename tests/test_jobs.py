@@ -641,3 +641,31 @@ def test_calibrate_field_recovers_per_region_aberrations():
         assert abs(x - true_x) <= 1 and abs(y - 24) <= 1
         np.testing.assert_allclose(np.asarray(params.phase), phases[true_x],
                                    atol=0.05)
+
+
+def test_estimate_gain_readout_recovers_camera_constants():
+    """Single-shot photon transfer (weights/updaters.py): var = m/gain + rv
+    regressed from structure-free local statistics. Beyond parity — TiPi
+    weight updaters take gain/readout as constructor inputs."""
+    from microtipi_tpu.weights.updaters import estimate_gain_readout
+
+    rng = np.random.default_rng(0)
+    zz, yy, xx = np.meshgrid(np.arange(8), np.arange(128), np.arange(128),
+                             indexing="ij")
+    m = 50 + 800 * np.exp(-(((yy - 64) / 40) ** 2 + ((xx - 64) / 40) ** 2)) + 5 * zz
+    for gain, rv in [(2.0, 25.0), (4.0, 4.0)]:
+        e = rng.poisson(m * gain)
+        d = e / gain + rng.normal(0, np.sqrt(rv), m.shape)
+        g_est, rv_est = jax.jit(estimate_gain_readout)(jnp.asarray(d))
+        assert abs(float(g_est) - gain) / gain < 0.1
+        assert abs(float(rv_est) - rv) / rv < 0.35
+    # pure-Gaussian data on a flat field: gain and readout are not separable
+    # (no dynamic range to regress over), but the PREDICTED variance at the
+    # data level — what the weights actually use — must still be right.
+    d = 100 + rng.normal(0, 3.0, (6, 96, 96))
+    g_est, rv_est = estimate_gain_readout(jnp.asarray(d))
+    var_pred = 100.0 / float(g_est) + float(rv_est)
+    assert abs(var_pred - 9.0) / 9.0 < 0.2
+
+    with pytest.raises(ValueError, match="2D image or 3D stack"):
+        estimate_gain_readout(jnp.zeros((4,)))
