@@ -104,6 +104,12 @@ def _deconv_args(p: argparse.ArgumentParser, methods=("vmlmb", "rl")):
                    help="[rl] wb = Wiener-Butterworth backprojector (Guo 2020; "
                         "~10x fewer iterations, semiconvergence arrives "
                         "equally sooner on noisy data)")
+    g.add_argument("--rl-stop", choices=["fixed", "gaussian", "poisson"],
+                   default="fixed",
+                   help="[rl] discrepancy-principle early stopping: halt when "
+                        "the residual hits its noise expectation (--iters "
+                        "becomes the cap; gaussian uses --noise-sigma or a "
+                        "blind estimate, --tau scales the target)")
     g.add_argument("--data-term", choices=["gaussian", "poisson"], default="gaussian",
                    help="data fidelity: gaussian least squares (reference semantics) "
                         "or poisson generalized-KL deviance (photon-counting data)")
@@ -658,11 +664,15 @@ def cmd_deconv(args):
         bp = {"matched": "matched", "wb": "wiener-butterworth"}[args.rl_backprojector]
         run = jax.jit(lambda d, p: richardson_lucy(
             d, p, iterations=args.iters, mu=args.mu, epsilon=args.epsilon,
-            accelerate=args.rl_accelerate, backprojector=bp))
+            accelerate=args.rl_accelerate, backprojector=bp,
+            stop=args.rl_stop, stop_sigma=args.noise_sigma, stop_tau=args.tau,
+            return_iterations=True))
         t0 = time.time()
-        x = run(data, psf)
-        x.block_until_ready()
-        print(f"rl: {args.iters} iters, {time.time()-t0:.1f}s (incl. compile)")
+        x, iters_used = run(data, psf)
+        iters_used = int(iters_used)  # scalar fetch = sync on this runtime
+        tag = ("" if args.rl_stop == "fixed"
+               else f" ({args.rl_stop} discrepancy stop, cap {args.iters})")
+        print(f"rl: {iters_used} iters{tag}, {time.time()-t0:.1f}s (incl. compile)")
         _write_out(args, args.out, np.asarray(x), dxy=getattr(args, "dxy", None), dz=getattr(args, "dz", None))
         print("wrote", args.out)
         return

@@ -856,3 +856,40 @@ def test_cli_deconv_auto_gain(tmp_path):
     assert "auto-gain: gain=" in r.stdout
     rec = read_stack(tmp_path / "rec.tif")
     assert rec.shape == shape and np.isfinite(rec).all()
+
+
+def test_cli_rl_discrepancy_stop(tmp_path):
+    """--rl-stop gaussian self-selects the RL iteration count (semiconvergence);
+    --iters becomes the cap."""
+    from microtipi_tpu.io.tiffstack import read_stack, write_stack
+    from microtipi_tpu.models.widefield import WideFieldConfig
+    from microtipi_tpu.ops.convolution import convolve, convolve_spectrum
+    import jax.numpy as jnp
+
+    shape = (6, 32, 32)
+    model = WideFieldConfig(shape=shape, na=1.2, wavelength=500e-9, ni=1.33,
+                            dxy=100e-9, dz=250e-9, dtype=jnp.float32)
+    psf = model.compute_psf(model.init_params())
+    rng = np.random.default_rng(0)
+    zz, yy, xx = np.meshgrid(*[np.arange(s) for s in shape], indexing="ij")
+    obj = (150 * np.exp(-(((zz - 3) / 1.5) ** 2 + ((yy - 16) / 6) ** 2
+                          + ((xx - 16) / 6) ** 2))).astype(np.float32)
+    blurred = np.array(convolve(jnp.asarray(obj), convolve_spectrum(psf), shape))
+    data = blurred + (0.1 * blurred.max()) * rng.standard_normal(shape).astype(np.float32)
+    write_stack(tmp_path / "data.tif", data)
+    write_stack(tmp_path / "psf.tif", np.asarray(psf))
+
+    r = _run(
+        ["deconv", str(tmp_path / "data.tif"), "--psf", str(tmp_path / "psf.tif"),
+         "--out", str(tmp_path / "rec.tif"), "--method", "rl", "--iters", "120",
+         "--rl-stop", "gaussian"],
+        tmp_path,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "gaussian discrepancy stop, cap 120" in r.stdout
+    # the printed count is the actual stop, below the cap
+    import re
+    k = int(re.search(r"rl: (\d+) iters", r.stdout).group(1))
+    assert 0 < k < 120
+    rec = read_stack(tmp_path / "rec.tif")
+    assert rec.shape == shape and np.isfinite(rec).all()
