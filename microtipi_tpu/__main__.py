@@ -888,6 +888,11 @@ def cmd_blind(args):
     import jax.numpy as jnp
     from microtipi_tpu.jobs.blind import blind_deconvolve
 
+    if getattr(args, "auto_mu", False) and (
+            (_is_plate(args.data) and not getattr(args, "well", None))
+            or getattr(args, "all_channels", False)):
+        sys.exit("blind --auto-mu calibrates one volume; pick a --well / "
+                 "single channel (or use deconv --auto-mu per file)")
     if _is_plate(args.data) and not getattr(args, "well", None):
         _cmd_blind_plate(args)
         return
@@ -901,8 +906,26 @@ def cmd_blind(args):
     data = jnp.asarray(_read_input_volume(args, args.data))
     _resolve_geometry(args, args.data)
     model = _build_model(args, data.shape)
-    cfg = _blind_config(args, data.shape)
     params0 = _load_params_json(model, args.params_json) if args.params_json else None
+    w = _weights(args, data)
+    if getattr(args, "auto_mu", False):
+        # Calibrate the BASE TV weight by the discrepancy bisection against
+        # the nominal (or --params-json) PSF before the loop; the quality
+        # recipe's mu_schedule derives from args.mu, so annealing rescales
+        # with it. An explicit --mu-schedule stays absolute.
+        from microtipi_tpu.jobs.autotune import deconvolve_auto_mu
+
+        nominal = model.init_params() if params0 is None else params0
+        run0 = jax.jit(lambda d, p, wt: deconvolve_auto_mu(
+            d, model.compute_psf(p), weights=wt,
+            config=_deconv_config(args, data.shape),
+            sigma=args.noise_sigma, tau=args.tau))
+        auto = run0(data, nominal, w)
+        args.mu = float(auto.mu)
+        print(f"auto-mu (nominal PSF): mu={args.mu:.4g} "
+              f"(discrepancy {float(auto.discrepancy):.4g} "
+              f"/ target {float(auto.target):.4g})")
+    cfg = _blind_config(args, data.shape)
     bead = None
     if args.bead:
         bead = np.asarray(_read_input_volume(args, args.bead))
@@ -912,7 +935,6 @@ def cmd_blind(args):
             bead, used = average_beads(bead, n_beads=args.bead_n)
             print(f"averaged {used} beads for the anchor -> patch {bead.shape}")
         bead = jnp.asarray(bead)
-    w = _weights(args, data)
     t0 = time.time()
     mesh = _make_mesh(args)
     if mesh is not None:

@@ -893,3 +893,45 @@ def test_cli_rl_discrepancy_stop(tmp_path):
     assert 0 < k < 120
     rec = read_stack(tmp_path / "rec.tif")
     assert rec.shape == shape and np.isfinite(rec).all()
+
+
+def test_cli_blind_auto_mu(tmp_path):
+    """blind --auto-mu calibrates the base TV weight against the nominal
+    PSF before the loop (the quality recipe's annealing schedule rescales
+    with it)."""
+    from microtipi_tpu.io.tiffstack import read_stack, write_stack
+    from microtipi_tpu.models.widefield import WideFieldConfig
+    from microtipi_tpu.ops.convolution import convolve, convolve_spectrum
+    import jax.numpy as jnp
+
+    shape = (8, 32, 32)
+    model = WideFieldConfig(shape=shape, na=1.2, wavelength=500e-9, ni=1.33,
+                            dxy=100e-9, dz=250e-9, n_phase=3, radial=True)
+    true = model.init_params()._replace(phase=jnp.asarray([0.3, -0.15, 0.1]))
+    rng = np.random.default_rng(3)
+    obj = np.abs(rng.standard_normal(shape)).astype(np.float32) * 20
+    d = np.array(convolve(jnp.asarray(obj),
+                          convolve_spectrum(model.compute_psf(true)), shape))
+    d += (0.02 * d.max()) * rng.standard_normal(shape).astype(np.float32)
+    write_stack(tmp_path / "d.tif", d, dxy=100e-9, dz=250e-9)
+
+    r = _run(
+        ["blind", str(tmp_path / "d.tif"), "--out", str(tmp_path / "o.tif"),
+         "--auto-mu", "--loops", "2", "--iters", "5", "--psf-iters", "4",
+         "--na", "1.2", "--wavelength", "500e-9", "--ni", "1.33",
+         "--n-phase", "3", "--radial"],
+        tmp_path,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "auto-mu (nominal PSF): mu=" in r.stdout
+    rec = read_stack(tmp_path / "o.tif")
+    assert rec.shape == shape and np.isfinite(rec).all()
+
+    # plate/all-channels fan-outs reject the flag instead of ignoring it
+    r = _run(
+        ["blind", str(tmp_path / "d.tif"), "--out", str(tmp_path / "x.tif"),
+         "--auto-mu", "--all-channels",
+         "--na", "1.2", "--wavelength", "500e-9", "--ni", "1.33"],
+        tmp_path,
+    )
+    assert r.returncode != 0 and "auto-mu" in (r.stderr + r.stdout)
