@@ -58,7 +58,8 @@ from microtipi_tpu.ops.convolution import (
     convolve_spectrum,
 )
 from microtipi_tpu.ops.register import fourier_shift, register_translation
-from microtipi_tpu.ops.regularization import hyperbolic_tv, hyperbolic_tv_and_gradient
+from microtipi_tpu.ops.regularization import (
+    hyperbolic_hessian, hyperbolic_tv, hyperbolic_tv_and_gradient, smoothed_l1)
 from microtipi_tpu.optim.vmlmb import VMLMBResult, VMLMBStatus, minimize_vmlmb
 from microtipi_tpu.weights.updaters import InverseVarianceWeights, estimate_gain_readout
 
@@ -84,7 +85,7 @@ __all__ = [
     "checkerboard_split", "fourier_shell_correlation", "fsc_resolution", "strehl_ratio",
     "flat_field_correct", "remove_hot_pixels", "rolling_ball_background", "subtract_background",
     "deskew",
-    "hyperbolic_tv", "hyperbolic_tv_and_gradient",
+    "hyperbolic_hessian", "hyperbolic_tv", "hyperbolic_tv_and_gradient", "smoothed_l1",
     "VMLMBResult", "VMLMBStatus", "minimize_vmlmb",
     "InverseVarianceWeights", "estimate_gain_readout",
     "__version__",

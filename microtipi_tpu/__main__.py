@@ -84,6 +84,15 @@ def _deconv_args(p: argparse.ArgumentParser, methods=("vmlmb", "rl")):
                    help="[auto-mu] Morozov safety factor on the discrepancy "
                         "target (>=1; larger regularizes more)")
     g.add_argument("--epsilon", type=float, default=1.0, help="TV edge threshold")
+    g.add_argument("--sparsity", type=float, default=0.0,
+                   help="smoothed-L1 intensity prior weight (sparse "
+                        "deconvolution; confines background halo flux)")
+    g.add_argument("--sparsity-epsilon", type=float, default=None,
+                   help="L1 smoothing scale (default: --epsilon; smaller = "
+                        "closer to exact L1)")
+    g.add_argument("--hessian", type=float, default=0.0,
+                   help="Hessian continuity prior weight (anti-staircasing "
+                        "complement to --mu for smooth specimens)")
     g.add_argument("--iters", type=int, default=50, help="VMLMB iterations")
     g.add_argument("--no-positivity", action="store_true")
     g.add_argument("--pad", type=int, default=0, help="pad object grid by this many voxels per side")
@@ -329,6 +338,9 @@ def _deconv_config(args, shape):
         positivity=not args.no_positivity, var_shape=var_shape,
         data_term=getattr(args, "data_term", "gaussian"),
         background=getattr(args, "background", 0.0),
+        sparsity=getattr(args, "sparsity", 0.0),
+        hessian=getattr(args, "hessian", 0.0),
+        sparsity_epsilon=getattr(args, "sparsity_epsilon", None),
     )
 
 

@@ -171,11 +171,19 @@ def deconvolve_auto_mu(
         sigma_out = sig.astype(dtype)
         target = tau * data.size * sig.astype(dtype) ** 2
 
-    reg1 = make_regularizer(dataclasses.replace(config, mu=1.0), var_shape)
+    # mu scales the TV term ONLY; the sparse-deconvolution priors
+    # (config.sparsity/hessian) enter every probe at their fixed weights so
+    # the selected mu is consistent with the final deconvolve() objective.
+    reg1 = make_regularizer(
+        dataclasses.replace(config, mu=1.0, sparsity=0.0, hessian=0.0), var_shape
+    )
+    reg_fixed = make_regularizer(dataclasses.replace(config, mu=0.0), var_shape)
     mem_dtype = resolve_mem_dtype(config, jnp.zeros((), dtype))
 
     def solve(mu, x0, maxiter):
-        fun = jax.value_and_grad(lambda x: cost.cost(x) + mu * reg1(x))
+        fun = jax.value_and_grad(
+            lambda x: cost.cost(x) + mu * reg1(x) + reg_fixed(x)
+        )
         return minimize_vmlmb(
             fun,
             x0,

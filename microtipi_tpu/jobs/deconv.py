@@ -35,8 +35,10 @@ __all__ = [
     "DeconvolutionConfig",
     "DeconvolutionResult",
     "deconvolve",
+    "has_regularizer",
     "make_objective",
     "make_regularizer",
+    "regularization_cost",
 ]
 
 
@@ -53,6 +55,21 @@ class DeconvolutionConfig:
     mu: float = 0.01
     epsilon: float = 0.01
     scales: tuple[float, ...] | None = None
+    #: Sparse-deconvolution priors (beyond parity; the prior pair of Zhao
+    #: et al., Nat. Biotech. 2021): ``sparsity`` weighs a smoothed L1 on
+    #: intensity (pulls background to exact zero — pair with positivity),
+    #: ``hessian`` a hyperbolic penalty on the second-difference Hessian
+    #: (continuity: the anti-staircasing complement to TV — prefer it over
+    #: mu for smooth specimens). Both share ``epsilon`` as the smoothing
+    #: scale and compose additively with mu*TV; 0 = off. Auto-mu
+    #: (``jobs.autotune``) bisects mu only and holds these fixed.
+    #: ``sparsity_epsilon`` optionally gives the L1 smoothing its own scale
+    #: (None = ``epsilon``): smaller = closer to exact L1 = stronger
+    #: background-flux confinement (measured: halo flux 1104 -> 876 at the
+    #: same weight when dropping it from 0.5 to 0.01).
+    sparsity: float = 0.0
+    hessian: float = 0.0
+    sparsity_epsilon: float | None = None
     positivity: bool = True
     #: Data fidelity: "gaussian" (reference semantics, weighted least
     #: squares) or "poisson" (generalized-KL deviance for photon-counting
@@ -112,17 +129,53 @@ def make_regularizer(config: DeconvolutionConfig, var_shape: tuple[int, ...]):
     use_fused = use_fused and len(var_shape) == 3
 
     def reg(x):
-        if config.mu <= 0:
-            return jnp.zeros((), x.dtype)
-        if use_fused:
-            from microtipi_tpu.ops.pallas.hyperbolic_tv import hyperbolic_tv_value
+        total = jnp.zeros((), x.dtype)
+        if config.mu > 0:
+            if use_fused:
+                from microtipi_tpu.ops.pallas.hyperbolic_tv import hyperbolic_tv_value
 
-            tv = hyperbolic_tv_value(x, config.epsilon, config.scales)
-        else:
-            tv = hyperbolic_tv(x, config.epsilon, config.scales)
-        return config.mu * tv
+                tv = hyperbolic_tv_value(x, config.epsilon, config.scales)
+            else:
+                tv = hyperbolic_tv(x, config.epsilon, config.scales)
+            total = total + config.mu * tv
+        total = total + _extra_priors(x, config)
+        return total
 
     return reg
+
+
+def has_regularizer(config: DeconvolutionConfig) -> bool:
+    """True when any regularization weight is active."""
+    return config.mu > 0 or config.sparsity > 0 or config.hessian > 0
+
+
+def _extra_priors(x, config: DeconvolutionConfig, axes=None):
+    """The sparse-deconvolution terms (``sparsity``/``hessian`` fields)."""
+    from microtipi_tpu.ops.regularization import hyperbolic_hessian, smoothed_l1
+
+    total = jnp.zeros((), x.dtype)
+    if config.sparsity > 0:
+        eps_s = (config.epsilon if config.sparsity_epsilon is None
+                 else config.sparsity_epsilon)
+        total = total + config.sparsity * smoothed_l1(x, eps_s)
+    if config.hessian > 0:
+        total = total + config.hessian * hyperbolic_hessian(
+            x, config.epsilon, config.scales, axes=axes
+        )
+    return total
+
+
+def regularization_cost(x, config: DeconvolutionConfig, axes=None):
+    """mu*TV + sparsity*L1 + hessian*Hess as plain jnp (no Pallas) — the
+    form the sharded objectives inline (GSPMD handles the halo exchanges of
+    the finite differences; the Pallas kernel is single-device only).
+    ``axes`` restricts differencing for batched stacks."""
+    total = jnp.zeros((), x.dtype)
+    if config.mu > 0:
+        total = total + config.mu * hyperbolic_tv(
+            x, config.epsilon, config.scales, axes=axes
+        )
+    return total + _extra_priors(x, config, axes=axes)
 
 
 def make_objective(
@@ -171,7 +224,7 @@ def make_objective(
 
     def objective(x):
         f = cost.cost(x)
-        if config.mu > 0:
+        if has_regularizer(config):
             f = f + reg(x)
         return f
 

@@ -27,8 +27,13 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh
 
-from microtipi_tpu.jobs.deconv import DeconvolutionConfig, DeconvolutionResult, resolve_mem_dtype
-from microtipi_tpu.ops.regularization import hyperbolic_tv
+from microtipi_tpu.jobs.deconv import (
+    DeconvolutionConfig,
+    DeconvolutionResult,
+    has_regularizer,
+    regularization_cost,
+    resolve_mem_dtype,
+)
 from microtipi_tpu.optim.vmlmb import minimize_vmlmb
 from microtipi_tpu.parallel.fft import (
     sharded_convolve,
@@ -149,9 +154,9 @@ def make_sharded_objective(
         def objective(x):
             m = sharded_convolve(x, k_hat, var_shape, mesh) + bg
             f = generalized_kl(m, d, mask)
-            if config.mu > 0:
-                f = f + config.mu * hyperbolic_tv(
-                    x, config.epsilon, config.scales, axes=tv_axes if batched else None
+            if has_regularizer(config):
+                f = f + regularization_cost(
+                    x, config, axes=tv_axes if batched else None
                 )
             return f
 
@@ -173,9 +178,9 @@ def make_sharded_objective(
 
         def objective(x):
             f = data_term(x)
-            if config.mu > 0:
-                f = f + config.mu * hyperbolic_tv(
-                    x, config.epsilon, config.scales, axes=tv_axes if batched else None
+            if has_regularizer(config):
+                f = f + regularization_cost(
+                    x, config, axes=tv_axes if batched else None
                 )
             return f
 
@@ -199,9 +204,9 @@ def make_sharded_objective(
 
     def objective(x):
         f = data_term(x)
-        if config.mu > 0:
-            f = f + config.mu * hyperbolic_tv(
-                x, config.epsilon, config.scales, axes=tv_axes if batched else None
+        if has_regularizer(config):
+            f = f + regularization_cost(
+                x, config, axes=tv_axes if batched else None
             )
         return f
 

@@ -21,9 +21,14 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh
 
-from microtipi_tpu.jobs.deconv import DeconvolutionConfig, DeconvolutionResult, resolve_mem_dtype
+from microtipi_tpu.jobs.deconv import (
+    DeconvolutionConfig,
+    DeconvolutionResult,
+    has_regularizer,
+    regularization_cost,
+    resolve_mem_dtype,
+)
 from microtipi_tpu.ops.depthconv import depth_weights
-from microtipi_tpu.ops.regularization import hyperbolic_tv
 from microtipi_tpu.optim.vmlmb import minimize_vmlmb
 from microtipi_tpu.parallel.deconv import pad_trailing
 from microtipi_tpu.parallel.fft import sharded_convolve, sharded_spectrum
@@ -83,10 +88,9 @@ def sharded_deconvolve_depthvar(
     def objective(x):
         r = model(x) - d
         f = 0.5 * jnp.sum(r * r) if w is None else 0.5 * jnp.sum(w * r * r)
-        if config.mu > 0:
-            f = f + config.mu * hyperbolic_tv(
-                x, config.epsilon, config.scales,
-                axes=(-3, -2, -1) if batched else None,
+        if has_regularizer(config):
+            f = f + regularization_cost(
+                x, config, axes=(-3, -2, -1) if batched else None
             )
         return f
 

@@ -301,3 +301,18 @@ def test_sharded_fit_psf_preconditioned_sheet_matches_dense(mesh8):
     # ...and agree with each other to fit-level precision.
     np.testing.assert_allclose(np.asarray(got.params.sheet),
                                np.asarray(ref.params.sheet), rtol=5e-4)
+
+
+def test_sharded_sparse_hessian_priors_match_dense(mesh8, scene):
+    """The sparse-deconvolution priors (sparsity + hessian fields) take the
+    same value on the mesh as on one device (GSPMD halo exchange of the
+    second differences)."""
+    model, true, obj, psf, data = scene
+    cfg = DeconvolutionConfig(mu=0.002, epsilon=1.0, max_iter=12, grtol=0.0,
+                              sparsity=0.01, sparsity_epsilon=0.05,
+                              hessian=0.05)
+    ref = deconvolve(data, psf, config=cfg)
+    data_sh = jax.device_put(data, volume_sharding(mesh8, batched=False))
+    got = sharded_deconvolve(data_sh, psf, mesh8, config=cfg)
+    np.testing.assert_allclose(float(got.f), float(ref.f), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(got.x), np.asarray(ref.x), atol=1e-6)
