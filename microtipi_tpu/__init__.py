@@ -23,6 +23,8 @@ from microtipi_tpu.models.confocal import ConfocalConfig, TwoPhotonConfig
 from microtipi_tpu.models.lightsheet import LightSheetConfig, LightSheetParams
 from microtipi_tpu.models.vectorial import VectorialConfig
 from microtipi_tpu.jobs.autotune import AutoMuResult, deconvolve_auto_mu, estimate_noise_sigma
+from microtipi_tpu.jobs.phase_retrieval import (
+    PupilRetrievalResult, project_phase, remove_position_gauges, retrieve_pupil)
 from microtipi_tpu.jobs.blind import BlindDeconvConfig, BlindDeconvResult, blind_deconvolve
 from microtipi_tpu.jobs.deconv import DeconvolutionConfig, DeconvolutionResult, deconvolve
 from microtipi_tpu.jobs.depthvar import deconvolve_depthvar, depth_anchor_psfs
@@ -74,6 +76,7 @@ __all__ = [
     "BlindDeconvConfig", "BlindDeconvResult", "blind_deconvolve",
     "DeconvolutionConfig", "DeconvolutionResult", "deconvolve",
     "AutoMuResult", "deconvolve_auto_mu", "estimate_noise_sigma",
+    "PupilRetrievalResult", "project_phase", "remove_position_gauges", "retrieve_pupil",
     "deconvolve_depthvar", "depth_anchor_psfs",
     "PsfFitConfig", "PsfFitResult", "average_beads", "bead_anchor_term", "center_bead_stack",
     "fit_psf", "fit_psf_beads", "fit_psf_joint",

@@ -1131,8 +1131,37 @@ def cmd_fitpsf(args):
         with open(args.params_out, "w") as fh:
             json.dump(out, fh, indent=1)
         print("wrote", args.params_out)
+    psf_out = None
+    if args.retrieve_map and args.model != "widefield":
+        sys.exit("--retrieve-map needs the scalar pupil synthesis "
+                 "(--model widefield)")
+    if args.retrieve_map:
+        # Nonparametric pupil retrieval on top of the parametric fit
+        # (jobs/phase_retrieval.py): GS + VMLMB over pixelwise maps,
+        # warm-started/anchored at the fitted parameters.
+        from microtipi_tpu.jobs.phase_retrieval import (
+            project_phase, retrieve_pupil)
+
+        t0 = time.time()
+        ret = jax.jit(lambda d: retrieve_pupil(
+            model, d, params0=res.params, fit_modulus=args.retrieve_modulus,
+            config=PsfFitConfig(max_iter=args.iters * 3, grtol=0.0),
+        ))(data)
+        coefs = np.asarray(project_phase(model, ret.phi, ret.mask))
+        print(f"retrieve-map: cost {float(ret.f):.6g}, "
+              f"{int(ret.iterations)} iters, {time.time()-t0:.1f}s; "
+              f"Zernike projection {np.round(coefs, 4)}")
+        save = {"phi": np.asarray(ret.phi), "mask": np.asarray(ret.mask),
+                "zernike_projection": coefs,
+                "dxy": args.dxy, "dz": args.dz}
+        if ret.rho is not None:
+            save["rho"] = np.asarray(ret.rho)
+        np.savez(args.retrieve_map, **save)
+        print("wrote", args.retrieve_map)
+        psf_out = np.asarray(ret.psf)
     if args.out:
-        psf = np.asarray(jax.jit(model.compute_psf)(res.params))
+        psf = psf_out if psf_out is not None else \
+            np.asarray(jax.jit(model.compute_psf)(res.params))
         if args.centered:
             psf = np.asarray(roll(jnp.asarray(psf)))
         _write_out(args, args.out, psf, dxy=args.dxy, dz=args.dz)
@@ -1474,6 +1503,14 @@ def main(argv=None):
                    help="field-varying calibration: fit each of --n-beads "
                         "detected beads individually and write position-"
                         "tagged anchors for deconv --field-json")
+    p.add_argument("--retrieve-map", default=None, metavar="NPZ",
+                   help="nonparametric pupil retrieval on top of the "
+                        "parametric fit (GS + gradient, pixelwise phase "
+                        "map): writes phi/mask/zernike_projection; --out "
+                        "then carries the retrieved-pupil PSF. Needs a "
+                        "BRIGHT bead (SNR in the thousands)")
+    p.add_argument("--retrieve-modulus", action="store_true",
+                   help="[--retrieve-map] also free the pupil modulus map")
     p.add_argument("--families", nargs="+", default=["defocus", "phase"],
                    choices=["defocus", "phase", "modulus", "depth", "sheet"])
     _preprocess_args(p)

@@ -165,10 +165,41 @@ class WideFieldConfig:
         negative-frequency z fold (``WideFieldModel.java:232-246``).
         """
         rho, phi, psi, _ = self.compute_pupil(params)
+        return self._field_from_pupil(rho, phi, psi)
+
+    def _field_from_pupil(self, rho, phi, psi) -> jax.Array:
         _, _, zw = self._static()
-        defoc_scale = (2.0 * np.pi * self.dz) * zw  # (Nz,)
+        defoc_scale = (2.0 * np.pi * self.dz) * jnp.asarray(zw, self.dtype)
         phase = phi[None] + defoc_scale[:, None, None] * psi[None]
         return (rho[None] * jnp.exp(1j * phase.astype(self.cdtype))).astype(self.cdtype)
+
+    def compute_psf_from_pupil(
+        self, phi: jax.Array, rho: jax.Array | None = None, defocus=None
+    ) -> jax.Array:
+        """PSF from EXPLICIT pupil-plane maps, bypassing the Zernike
+        parameterization (nonparametric phase retrieval,
+        ``jobs/phase_retrieval.py``; beyond parity — the reference's pupil
+        is always the low-order expansion, ``WideFieldModel.java:1588-1665``).
+
+        ``phi``/``rho`` are (Ny, Nx) maps; both are masked by the full pupil
+        support (geometric & non-evanescent) internally, so values outside
+        the support are inert and carry zero gradient. ``rho`` None = the
+        nominal flat modulus (the parametric init [1, 0, ...]); ``defocus``
+        None = the nominal ``(ni/lambda, 0, 0)``.
+        """
+        zern, geom, _ = self._static()
+        nz, ny, nx = self.shape
+        d = (jnp.asarray(defocus, self.dtype) if defocus is not None
+             else self.init_params().defocus)
+        psi, mask = defocus_psi(d, ny, nx, self.dxy, geom)
+        if rho is None:
+            rho = synthesize_modulus(self.init_params().modulus, zern, mask)
+        else:
+            rho = jnp.asarray(rho, self.dtype) * mask
+        phi = jnp.asarray(phi, self.dtype) * mask
+        a_hat = jnp.fft.fft2(self._field_from_pupil(rho, phi, psi))
+        norm = jnp.asarray(1.0 / (nx * ny * nz), self.dtype)
+        return ((jnp.real(a_hat) ** 2 + jnp.imag(a_hat) ** 2) * norm).astype(self.dtype)
 
     def compute_psf_and_field(self, params: WideFieldParams):
         """(psf, FFT2(A)) — the latter is the reference's ``cpxPsf`` modulo the

@@ -34,6 +34,8 @@ from __future__ import annotations
 
 from typing import Any, Callable, NamedTuple
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -102,7 +104,11 @@ def _two_loop(g, s_mem, y_mem, rho, gamma, head, mem):
 def _normalize_bound(bound, x, default):
     if bound is None:
         return jax.tree.map(lambda l: jnp.full_like(l, default), x)
-    if jnp.ndim(bound) == 0 and not isinstance(bound, jax.Array):
+    # A bare scalar broadcasts to every leaf; anything else (array OR a
+    # pytree matching x, e.g. per-variable bounds of a dict iterate) is
+    # mapped leaf-wise against x.
+    if isinstance(bound, (int, float, np.integer, np.floating)) or (
+            isinstance(bound, np.ndarray) and bound.ndim == 0):
         return jax.tree.map(lambda l: jnp.full_like(l, bound), x)
     return jax.tree.map(lambda l, b: jnp.broadcast_to(jnp.asarray(b, l.dtype), l.shape), x, bound)
 

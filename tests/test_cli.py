@@ -935,3 +935,46 @@ def test_cli_blind_auto_mu(tmp_path):
         tmp_path,
     )
     assert r.returncode != 0 and "auto-mu" in (r.stderr + r.stdout)
+
+
+def test_cli_fitpsf_retrieve_map(tmp_path):
+    """fitpsf --retrieve-map: nonparametric pupil retrieval on top of the
+    parametric calibration (jobs/phase_retrieval.py)."""
+    from microtipi_tpu.io.tiffstack import read_stack, write_stack
+    from microtipi_tpu.models.widefield import WideFieldConfig
+    import jax.numpy as jnp
+
+    shape = (8, 32, 32)
+    model = WideFieldConfig(shape=shape, na=1.2, wavelength=500e-9, ni=1.33,
+                            dxy=100e-9, dz=250e-9, n_phase=3, radial=True,
+                            dtype=jnp.float32)
+    true = model.init_params()._replace(phase=jnp.asarray([0.35, -0.2, 0.1]))
+    psf = model.compute_psf(true)
+    rng = np.random.default_rng(0)
+    bead = 1e6 * np.asarray(psf) + 5.0 + 2.0 * rng.standard_normal(shape).astype(np.float32)
+    write_stack(tmp_path / "bead.tif", bead.astype(np.float32))
+
+    r = _run(
+        ["fitpsf", str(tmp_path / "bead.tif"), "--out", str(tmp_path / "psf.tif"),
+         "--retrieve-map", str(tmp_path / "pupil.npz"),
+         "--na", "1.2", "--wavelength", "500e-9", "--ni", "1.33",
+         "--n-phase", "3", "--radial", "--iters", "30"],
+        tmp_path,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "retrieve-map: cost" in r.stdout
+    saved = np.load(tmp_path / "pupil.npz")
+    assert saved["phi"].shape == (32, 32) and np.isfinite(saved["phi"]).all()
+    assert saved["mask"].sum() > 0
+    assert saved["zernike_projection"].shape == (3,)
+    out = read_stack(tmp_path / "psf.tif")
+    assert out.shape == shape and np.isfinite(out).all()
+
+    # non-widefield models are rejected (no scalar pupil synthesis)
+    r = _run(
+        ["fitpsf", str(tmp_path / "bead.tif"), "--retrieve-map",
+         str(tmp_path / "x.npz"), "--model", "gl",
+         "--na", "1.2", "--wavelength", "500e-9", "--ni", "1.33"],
+        tmp_path,
+    )
+    assert r.returncode != 0 and "retrieve-map" in (r.stderr + r.stdout)
