@@ -595,13 +595,29 @@ def _cmd_deconv_plate(args):
 
     def solve_one(vol):
         vol = jnp.asarray(vol)
+        if getattr(args, "auto_mu", False) and args.method != "rl":
+            # Calibrate-once across the plate (the serving watch semantics):
+            # the first well's discrepancy bisection sets mu, later wells
+            # reuse it on the cheap fixed-mu solver.
+            from microtipi_tpu.jobs.autotune import deconvolve_auto_mu
+
+            w = _weights(args, vol)
+            auto = jax.jit(lambda d, p, w: deconvolve_auto_mu(
+                d, p, weights=w, config=_deconv_config(args, vol.shape),
+                sigma=args.noise_sigma, tau=args.tau))(vol, psf, w)
+            args.mu = float(auto.mu)
+            args.auto_mu = False
+            print(f"auto-mu (first plate image): mu={args.mu:.4g}")
+            return auto.result.x
         if vol.shape not in runs:
             if args.method == "rl":
                 from microtipi_tpu.jobs.richardson_lucy import richardson_lucy
 
                 runs[vol.shape] = jax.jit(lambda d, p: richardson_lucy(
                     d, p, iterations=args.iters, mu=args.mu,
-                    epsilon=args.epsilon, accelerate=args.rl_accelerate))
+                    epsilon=args.epsilon, accelerate=args.rl_accelerate,
+                    stop=args.rl_stop, stop_sigma=args.noise_sigma,
+                    stop_tau=args.tau))
             else:
                 cfg = _deconv_config(args, vol.shape)
                 runs[vol.shape] = jax.jit(

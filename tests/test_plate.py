@@ -122,3 +122,36 @@ def test_cli_plate_info_well_selection_and_fan_out(tmp_path):
         after = np.linalg.norm(out[0, 0] - objs[wp])
         assert after < before
         assert meta["dxy"] == pytest.approx(100e-9)
+
+
+def test_cli_plate_deconv_auto_mu_calibrates_once(tmp_path):
+    """Plate fan-out with --auto-mu: the first well's discrepancy bisection
+    sets mu, later wells reuse it (one calibration line, the serving
+    calibrate-once semantics)."""
+    import jax.numpy as jnp
+
+    from microtipi_tpu.io.tiffstack import write_stack
+    from microtipi_tpu.models.widefield import WideFieldConfig
+    from microtipi_tpu.ops.convolution import convolve, convolve_spectrum
+
+    shape = (6, 16, 16)
+    model = WideFieldConfig(shape=shape, na=1.2, wavelength=500e-9, ni=1.33,
+                            dxy=100e-9, dz=250e-9, dtype=jnp.float32)
+    psf = model.compute_psf(model.init_params())
+    rng = np.random.default_rng(5)
+    wells = {}
+    for wp in ("A/1", "A/2"):
+        obj = np.abs(rng.standard_normal(shape)).astype(np.float32) * 10
+        d = np.asarray(convolve(jnp.asarray(obj), convolve_spectrum(psf), shape))
+        wells[wp] = [d + 0.3 * rng.standard_normal(shape).astype(np.float32)]
+    write_plate(tmp_path / "p.zarr", wells, dxy=100e-9, dz=250e-9)
+    write_stack(tmp_path / "psf.tif", np.asarray(psf))
+
+    r = _run(["deconv", "p.zarr", "--psf", "psf.tif", "--out", "out.zarr",
+              "--iters", "6", "--auto-mu"], tmp_path)
+    assert r.returncode == 0, r.stderr
+    assert r.stdout.count("auto-mu (first plate image): mu=") == 1
+    assert is_plate(tmp_path / "out.zarr")
+    for wp in wells:
+        out, _ = read_plate_image(tmp_path / "out.zarr", wp, 0)
+        assert np.isfinite(out).all()
