@@ -97,6 +97,21 @@ bead = jnp.asarray(bead_acq, DTYPE) - 100.0  # offset only (beads: flat field)
 print(f"preprocessed: hot pixel {float(jnp.asarray(acq)[8, 10, 50]):.0f} -> "
       f"{float(data[8, 10, 50]):.1f} ADU")
 
+# ---- 2b. camera self-calibration (no data sheet needed) ----------------
+# Photon-transfer gain/readout from the RAW acquisition (pre flat-field:
+# the correction rescales noise per-pixel) and the blind noise sigma of
+# the working data — the constants every later weighting/auto-mu step
+# would otherwise need typed in (docs/TUNING.md).
+from microtipi_tpu import estimate_gain_readout, estimate_noise_sigma
+
+g_est, rv_est = jax.jit(estimate_gain_readout)(jnp.asarray(acq, DTYPE) - 100.0)
+sig_est = float(jax.jit(estimate_noise_sigma)(data))
+print(f"camera self-calibration: gain {float(g_est):.2f} e-/ADU "
+      f"(true 2.0 — sharp filaments + the flat-field gradient bias the "
+      f"single-shot estimate ~30%, fine for weighting), readout var "
+      f"{float(rv_est):.2f} ADU^2 (shot-noise dominated here); "
+      f"working-data noise sigma {sig_est:.2f} ADU")
+
 # ---- 3. calibrate with error bars --------------------------------------
 t0 = time.time()
 fit, amp = jax.jit(lambda b: fit_psf_beads(
