@@ -20,7 +20,8 @@ import jax.numpy as jnp
 from microtipi_tpu.jobs.blind import BlindDeconvConfig, blind_deconvolve
 from microtipi_tpu.jobs.deconv import DeconvolutionConfig, DeconvolutionResult, deconvolve
 
-__all__ = ["batched_deconvolve", "batched_blind_deconvolve", "batched_deconvolve_depthvar"]
+__all__ = ["batched_deconvolve", "batched_blind_deconvolve",
+           "batched_deconvolve_auto_mu", "batched_deconvolve_depthvar"]
 
 
 def _unfused(config: DeconvolutionConfig) -> DeconvolutionConfig:
@@ -117,3 +118,34 @@ def batched_blind_deconvolve(
         in_axes=in_axes,
     )
     return fn(data, params0, weights)
+
+
+def batched_deconvolve_auto_mu(
+    data: jax.Array,
+    psf: jax.Array,
+    weights: jax.Array | None = None,
+    config: DeconvolutionConfig = DeconvolutionConfig(),
+    **auto_kw,
+):
+    """Discrepancy-principle auto-mu over a (B, ...) stack — PER FRAME.
+
+    Each lane runs its own bisection (``jobs.autotune.deconvolve_auto_mu``)
+    with its own blind noise estimate, so a bleaching time-lapse gets a mu
+    that tracks the decaying SNR frame by frame instead of one compromise
+    value. All probes across the batch run lockstep in one program (the
+    same vmap economics as :func:`batched_deconvolve`).
+
+    ``auto_kw`` forwards ``sigma``/``tau``/``bracket``/``steps``/
+    ``search_max_iter``/``init``; a ``sigma`` float is shared by all
+    lanes, None estimates per lane. Returns an ``AutoMuResult`` with a
+    leading batch axis on every field (``result.mu`` is (B,)).
+    """
+    from microtipi_tpu.jobs.autotune import deconvolve_auto_mu
+
+    config = _unfused(config)
+    in_axes = (0, 0 if weights is not None else None)
+    fn = jax.vmap(
+        lambda d, w: deconvolve_auto_mu(d, psf, weights=w, config=config, **auto_kw),
+        in_axes=in_axes,
+    )
+    return fn(data, weights)

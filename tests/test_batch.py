@@ -141,3 +141,39 @@ def test_batched_blind_bead_anchor():
     for k in range(2):
         np.testing.assert_allclose(np.asarray(res.params.phase[k]),
                                    np.asarray(true.phase), atol=3e-2)
+
+
+def test_batched_auto_mu_tracks_per_frame_noise():
+    """Per-frame discrepancy mu: frames with more noise get more
+    regularization, each lane's blind sigma estimate tracks its own noise
+    (the bleaching time-lapse scenario)."""
+    from microtipi_tpu.jobs.batch import batched_deconvolve_auto_mu
+
+    model = WideFieldConfig(shape=SHAPE, dtype=jnp.float64, **KW)
+    psf = model.compute_psf(model.init_params())
+    rng = np.random.default_rng(1)
+    obj = np.zeros(SHAPE)
+    obj[2:6, 8:24, 8:24] = 60.0
+    zz, yy, xx = np.meshgrid(*[np.arange(s) for s in SHAPE], indexing="ij")
+    obj += 25 * np.exp(-(((zz - 4) / 2) ** 2 + ((yy - 16) / 5) ** 2
+                         + ((xx - 16) / 5) ** 2))
+    clean = np.asarray(convolve(jnp.asarray(obj), convolve_spectrum(psf), SHAPE))
+    sigmas = [0.01, 0.04, 0.12]
+    data = jnp.stack([
+        jnp.asarray(clean + s * clean.max() * rng.standard_normal(SHAPE))
+        for s in sigmas
+    ])
+    cfg = DeconvolutionConfig(epsilon=2.0, max_iter=25, grtol=1e-9)
+    res = jax.jit(lambda d: batched_deconvolve_auto_mu(
+        d, psf, config=cfg, steps=10))(data)
+    assert res.mu.shape == (3,)
+    mus = np.asarray(res.mu)
+    sig_est = np.asarray(res.sigma)
+    # per-lane sigma estimates track the injected noise ordering
+    assert sig_est[0] < sig_est[1] < sig_est[2]
+    # noisier frames draw more regularization
+    assert mus[0] < mus[1] < mus[2]
+    # every lane's solution improves on its data
+    for i in range(3):
+        assert float(jnp.linalg.norm(res.result.x[i] - jnp.asarray(obj))) < \
+            float(jnp.linalg.norm(data[i] - jnp.asarray(obj)))
