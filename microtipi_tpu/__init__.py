@@ -52,6 +52,7 @@ from microtipi_tpu.ops.metrics import (
     fourier_shell_correlation,
     fsc_resolution,
     strehl_ratio,
+    strehl_ratio_from_pupil,
 )
 from microtipi_tpu.ops.convolution import (
     PoissonConvCost,
@@ -85,7 +86,7 @@ __all__ = [
     "multiview_richardson_lucy", "richardson_lucy", "wb_backprojector", "field_psf", "tiled_deconvolve", "wiener",
     "PoissonConvCost", "WeightedConvolutionCost", "convolve", "convolve_spectrum",
     "fourier_shift", "register_translation",
-    "checkerboard_split", "fourier_shell_correlation", "fsc_resolution", "strehl_ratio",
+    "checkerboard_split", "fourier_shell_correlation", "fsc_resolution", "strehl_ratio", "strehl_ratio_from_pupil",
     "flat_field_correct", "remove_hot_pixels", "rolling_ball_background", "subtract_background",
     "deskew",
     "hyperbolic_hessian", "hyperbolic_tv", "hyperbolic_tv_and_gradient", "smoothed_l1",

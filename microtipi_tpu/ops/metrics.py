@@ -31,6 +31,7 @@ __all__ = [
     "fourier_shell_correlation",
     "fsc_resolution",
     "strehl_ratio",
+    "strehl_ratio_from_pupil",
 ]
 
 
@@ -141,5 +142,20 @@ def strehl_ratio(model, params):
     conventionally diffraction-limited. Jittable.
     """
     h_ab = model.compute_psf(params)
+    h_0 = model.compute_psf(model.init_params())
+    return (jnp.max(h_ab) / jnp.sum(h_ab)) / (jnp.max(h_0) / jnp.sum(h_0))
+
+
+def strehl_ratio_from_pupil(model, phi, rho=None, defocus=None):
+    """Strehl of an explicit pupil map (``jobs.phase_retrieval`` output).
+
+    Same peak-over-energy ratio as :func:`strehl_ratio`, with the aberrated
+    PSF synthesized from the pixelwise maps
+    (``WideFieldConfig.compute_psf_from_pupil``) — grades a retrieved pupil,
+    including the localized defects a Zernike expansion can't represent.
+    Gauge note: retrieval output already has piston/tip/tilt/psi projected
+    out, so the ratio reflects genuine aberration, not bead position.
+    """
+    h_ab = model.compute_psf_from_pupil(phi, rho=rho, defocus=defocus)
     h_0 = model.compute_psf(model.init_params())
     return (jnp.max(h_ab) / jnp.sum(h_ab)) / (jnp.max(h_0) / jnp.sum(h_0))

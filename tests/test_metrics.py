@@ -224,3 +224,26 @@ def test_cli_fsc_split(tmp_path):
     assert "single-image FSC" in r.stdout and "FSC resolution:" in r.stdout
     doc = json.loads((tmp_path / "f.json").read_text())
     assert 200e-9 < doc["resolution_m"] < 5e-6
+
+
+def test_strehl_from_pupil_map_matches_parametric_and_sees_defects():
+    """strehl_ratio_from_pupil grades explicit pupil maps: equals the
+    parametric Strehl when the map IS the Zernike phase, and degrades when
+    a localized (non-Zernike) defect is added."""
+    from microtipi_tpu.models.widefield import WideFieldConfig
+    from microtipi_tpu.ops.metrics import strehl_ratio, strehl_ratio_from_pupil
+
+    model = WideFieldConfig(shape=(8, 32, 32), na=1.2, wavelength=500e-9,
+                            ni=1.33, dxy=100e-9, dz=250e-9, n_phase=3,
+                            radial=True, dtype=jnp.float64)
+    params = model.init_params()._replace(phase=jnp.asarray([0.3, -0.2, 0.1]))
+    _, phi, _, mask = model.compute_pupil(params)
+    s_param = float(strehl_ratio(model, params))
+    s_map = float(strehl_ratio_from_pupil(model, phi))
+    np.testing.assert_allclose(s_map, s_param, rtol=1e-10)
+
+    yy, xx = np.meshgrid(np.fft.fftfreq(32) * 32, np.fft.fftfreq(32) * 32,
+                         indexing="ij")
+    defect = 1.0 * np.exp(-(((yy - 2) / 1.5) ** 2 + ((xx - 2) / 1.5) ** 2))
+    s_defect = float(strehl_ratio_from_pupil(model, phi + jnp.asarray(defect) * mask))
+    assert s_defect < s_map < 1.0

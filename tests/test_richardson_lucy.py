@@ -301,3 +301,4 @@ def test_rl_discrepancy_stop_poisson_and_cap():
     import pytest
     with pytest.raises(ValueError, match="stop"):
         richardson_lucy(data, psf, stop="nope")
+
