@@ -1164,9 +1164,13 @@ def cmd_fitpsf(args):
             config=PsfFitConfig(max_iter=args.iters * 3, grtol=0.0),
         ))(data)
         coefs = np.asarray(project_phase(model, ret.phi, ret.mask))
+        from microtipi_tpu.ops.metrics import strehl_ratio_from_pupil
+
+        s = float(jax.jit(lambda p, r: strehl_ratio_from_pupil(
+            model, p, rho=r))(ret.phi, ret.rho))
         print(f"retrieve-map: cost {float(ret.f):.6g}, "
               f"{int(ret.iterations)} iters, {time.time()-t0:.1f}s; "
-              f"Zernike projection {np.round(coefs, 4)}")
+              f"Strehl {s:.3f}; Zernike projection {np.round(coefs, 4)}")
         save = {"phi": np.asarray(ret.phi), "mask": np.asarray(ret.mask),
                 "zernike_projection": coefs,
                 "dxy": args.dxy, "dz": args.dz}
