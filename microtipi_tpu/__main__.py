@@ -631,6 +631,71 @@ def _cmd_deconv_plate(args):
     _plate_fan_out(args, solve_one, "deconv")
 
 
+def _cmd_deconv_timeseries(args):
+    """deconv --mu-t: joint 4D solve over ALL timepoints of a hyperstack
+    with the temporal TV prior (jobs/timeseries.py)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from microtipi_tpu.io.tiffstack import read_stack
+    from microtipi_tpu.jobs.timeseries import deconvolve_timeseries
+    from microtipi_tpu.utils.arrays import unroll
+
+    if getattr(args, "mesh", None) or getattr(args, "tile", None) \
+            or getattr(args, "depthvar", 0) or getattr(args, "auto_mu", False):
+        sys.exit("--mu-t is the joint 4D time-series solve; drop "
+                 "--mesh/--tile/--depthvar/--auto-mu")
+    if not args.psf:
+        sys.exit("--psf is required for --mu-t")
+    try:
+        if _is_zarr(args.data):
+            from microtipi_tpu.io.zarrstack import read_ngff_hyperstack
+            arr, _meta = read_ngff_hyperstack(args.data)
+        else:
+            from microtipi_tpu.io.ome import read_ome_hyperstack
+            arr, _meta = read_ome_hyperstack(args.data)
+    except Exception as e:
+        sys.exit(f"--mu-t needs a (T, C, Z, Y, X) hyperstack input: {e}")
+    nt, nc = arr.shape[:2]
+    if nt < 2:
+        sys.exit(f"--mu-t couples timepoints; input has SizeT={nt}")
+    c = min(args.channel, nc - 1)
+    series = jnp.asarray(np.ascontiguousarray(arr[:, c]))
+    _resolve_geometry(args, args.data, log=lambda *a: None)
+    psf = jnp.asarray(read_stack(args.psf))
+    if args.psf_centered:
+        psf = unroll(psf)
+    cfg = _deconv_config(args, series.shape[1:])
+    w = None
+    if getattr(args, "auto_gain", False) or args.gain > 0:
+        from microtipi_tpu.weights.updaters import InverseVarianceWeights
+        gain, rv = args.gain, args.readout
+        if getattr(args, "auto_gain", False):
+            from microtipi_tpu.weights.updaters import estimate_gain_readout
+            g_est, rv_est = jax.jit(estimate_gain_readout)(series[0])
+            gain, rv = float(g_est), float(rv_est)
+            print(f"auto-gain (frame 0): gain={gain:.4g}, readout var={rv:.4g}")
+        w = InverseVarianceWeights(gain=gain, readout_variance=rv).from_data(series)
+    run = jax.jit(lambda d, p, w: deconvolve_timeseries(
+        d, p, weights=w, config=cfg, mu_t=args.mu_t,
+        epsilon_t=args.epsilon_t))
+    t0 = time.time()
+    res = run(series, psf, w)
+    f = float(res.f)
+    print(f"deconv[timeseries T={nt}]: {int(res.iterations)} iters, "
+          f"cost {f:.6g}, {time.time()-t0:.1f}s (incl. compile)")
+    out = np.asarray(res.x)[:, None]  # (T, 1, Z, Y, X)
+    if str(args.out).lower().endswith(".zarr"):
+        from microtipi_tpu.io.zarrstack import write_ngff_hyperstack
+        write_ngff_hyperstack(args.out, out, dxy=args.dxy, dz=args.dz,
+                              levels=getattr(args, "zarr_levels", 1))
+    else:
+        from microtipi_tpu.io.ome import write_ome_hyperstack
+        write_ome_hyperstack(args.out, out, dxy=args.dxy, dz=args.dz)
+    print("wrote", args.out)
+
+
 def cmd_deconv(args):
     import numpy as np
     import jax
@@ -639,6 +704,9 @@ def cmd_deconv(args):
     from microtipi_tpu.utils.arrays import unroll
     import jax.numpy as jnp
 
+    if getattr(args, "mu_t", None) is not None:
+        _cmd_deconv_timeseries(args)
+        return
     if _is_plate(args.data) and not getattr(args, "well", None):
         _cmd_deconv_plate(args)
         return
@@ -1543,6 +1611,15 @@ def main(argv=None):
     p.add_argument("--psf", default=None, help="PSF stack (required unless --depthvar)")
     p.add_argument("--psf-centered", action="store_true", help="PSF file is centered; unroll it")
     p.add_argument("--out", required=True)
+    p.add_argument("--mu-t", type=float, default=None, metavar="W",
+                   help="joint 4D time-series solve over ALL timepoints of a "
+                        "hyperstack input, coupled by temporal TV at this "
+                        "weight (measured ~11%% better recovery than "
+                        "per-frame at heavy noise; step events preserved)")
+    p.add_argument("--epsilon-t", type=float, default=None,
+                   help="[--mu-t] temporal edge threshold in intensity units "
+                        "(default: --epsilon); changes above it count as "
+                        "real events, not noise")
     p.add_argument("--depthvar", type=int, default=0, metavar="K",
                    help="depth-varying solve with K Gibson-Lanni anchor PSFs "
                         "blended along z (requires --model gl; PSF parameters "

@@ -1,0 +1,127 @@
+"""Joint time-series deconvolution with a temporal prior (4D solve).
+
+Beyond parity: the reference deconvolves one volume at a time
+(``BlindDeconvJob.java:97-138`` holds a single object array); a time-lapse
+is T independent solves. But live-cell frames are strongly correlated —
+most of the specimen moves slowly between exposures — and a JOINT solve
+over the (T, Nz, Ny, Nx) block with an edge-preserving prior along t lets
+every frame borrow photons from its neighbors without smearing motion
+events (hyperbolic/temporal TV prefers piecewise-constant-in-time
+intensity, so step changes — appearance, division, fusion — survive while
+uncorrelated noise is averaged down).
+
+    f(x) = sum_t [ 0.5 ||H x_t - d_t||^2_w  +  mu * TV_eps(x_t) ]
+           + mu_t * TV_eps_t(x; along t only),      x >= 0
+
+One VMLMB run over the whole 4D array; the data term runs through batched
+3D FFTs (leading t axis), so the chip sees the same large batched
+transforms as ``jobs.batch`` while the prior couples the lanes. All
+``DeconvolutionConfig`` knobs apply per frame (``data_term="poisson"``,
+``sparsity``/``hessian``, padded ``var_shape`` is not supported — pad the
+input instead).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from microtipi_tpu.jobs.deconv import (
+    DeconvolutionConfig,
+    DeconvolutionResult,
+    has_regularizer,
+    regularization_cost,
+    resolve_mem_dtype,
+)
+from microtipi_tpu.ops.convolution import generalized_kl
+from microtipi_tpu.ops.regularization import hyperbolic_tv
+from microtipi_tpu.optim.vmlmb import minimize_vmlmb
+from microtipi_tpu.utils.arrays import pad_fft_kernel
+
+__all__ = ["deconvolve_timeseries"]
+
+
+def deconvolve_timeseries(
+    data: jax.Array,
+    psf: jax.Array,
+    weights: jax.Array | None = None,
+    x0: jax.Array | None = None,
+    config: DeconvolutionConfig = DeconvolutionConfig(),
+    *,
+    mu_t: float = 0.0,
+    epsilon_t: float | None = None,
+) -> DeconvolutionResult:
+    """Jointly deconvolve a (T,) + volume stack sharing one PSF.
+
+    ``mu_t`` weighs the temporal hyperbolic TV (0 = decoupled frames — then
+    prefer :func:`jobs.batch.batched_deconvolve`, identical math);
+    ``epsilon_t`` is the temporal edge threshold in intensity units
+    (None = the spatial ``config.epsilon``): intensity changes well above
+    it are treated as real motion/events and not smoothed away. Measured
+    guidance lives in docs/TUNING.md. ``weights`` may be (T,)+vol or
+    per-volume (broadcast over t). Returns per-solve scalars (one joint
+    cost) with ``x`` of shape (T,)+vol.
+    """
+    data = jnp.asarray(data)
+    if data.ndim != 4:
+        raise ValueError(f"expected a (T, Nz, Ny, Nx) stack, got {data.shape}")
+    if config.var_shape is not None:
+        raise ValueError("var_shape is not supported for the joint 4D solve; "
+                         "pad the input data instead")
+    vol = data.shape[1:]
+    kernel = pad_fft_kernel(psf, vol)
+    k_hat = jnp.fft.rfftn(kernel)
+    axes = (1, 2, 3)
+    if weights is not None:
+        weights = jnp.asarray(weights)
+        if weights.shape == vol:
+            weights = weights[None]
+
+    def model(x):
+        return jnp.fft.irfftn(k_hat[None] * jnp.fft.rfftn(x, axes=axes),
+                              s=vol, axes=axes)
+
+    bg = jnp.asarray(config.background, data.dtype)
+    if config.data_term == "poisson":
+        if weights is not None:
+            raise ValueError("data_term='poisson' does not compose with weights")
+
+        def data_term(x):
+            return generalized_kl(model(x) + bg, jnp.maximum(data, 0.0))
+    elif config.data_term != "gaussian":
+        raise ValueError(f"unknown data_term {config.data_term!r}")
+    else:
+
+        def data_term(x):
+            r = model(x) - data
+            return (0.5 * jnp.sum(r * r) if weights is None
+                    else 0.5 * jnp.sum(weights * r * r))
+
+    eps_t = config.epsilon if epsilon_t is None else epsilon_t
+
+    def objective(x):
+        f = data_term(x)
+        if has_regularizer(config):
+            f = f + regularization_cost(x, config, axes=(-3, -2, -1))
+        if mu_t > 0:
+            f = f + mu_t * hyperbolic_tv(x, eps_t, axes=(0,))
+        return f
+
+    if x0 is None:
+        x0 = data
+    if config.positivity:
+        x0 = jnp.maximum(x0, 0.0)
+
+    res = minimize_vmlmb(
+        jax.value_and_grad(objective), x0,
+        lower=0.0 if config.positivity else None,
+        mem=config.mem, maxiter=config.max_iter, maxeval=config.max_eval,
+        gatol=config.gatol, grtol=config.grtol,
+        mem_dtype=resolve_mem_dtype(config, x0),
+    )
+    return DeconvolutionResult(
+        res.x, res.f, res.iterations, res.evaluations, res.status,
+        res.f_history, res.pg_history,
+    )

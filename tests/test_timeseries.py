@@ -1,0 +1,155 @@
+"""Joint 4D time-series deconvolution with temporal TV (jobs/timeseries.py).
+
+Beyond parity — the reference solves one volume at a time
+(BlindDeconvJob.java:97-138). Anchors: the temporal prior's measured ~11%
+recovery improvement over per-frame solves at 20% noise, preservation of
+step events (piecewise-constant-in-time preference), and decoupled
+equivalence at mu_t=0.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from microtipi_tpu.jobs.batch import batched_deconvolve
+from microtipi_tpu.jobs.deconv import DeconvolutionConfig
+from microtipi_tpu.jobs.timeseries import deconvolve_timeseries
+from microtipi_tpu.models.widefield import WideFieldConfig
+from microtipi_tpu.ops.convolution import convolve, convolve_spectrum
+
+VOL = (8, 48, 48)
+T = 8
+
+
+def _timelapse(noise=0.2, seed=0):
+    """Slow drifting blob + static bead + a bead that APPEARS at t=4."""
+    model = WideFieldConfig(shape=VOL, na=1.2, wavelength=500e-9, ni=1.33,
+                            dxy=100e-9, dz=250e-9, dtype=jnp.float64)
+    psf = model.compute_psf(model.init_params())
+    rng = np.random.default_rng(seed)
+    zz, yy, xx = np.meshgrid(*[np.arange(s) for s in VOL], indexing="ij")
+    objs = []
+    for t in range(T):
+        o = np.zeros(VOL)
+        o += 60 * np.exp(-(((zz - 4) / 2) ** 2 + ((yy - 20 - 0.7 * t) / 4) ** 2
+                           + ((xx - 16 - 1.0 * t) / 4) ** 2))
+        o[2, 10, 36] = 120.0
+        if t >= 4:
+            o[5, 34, 12] = 150.0
+        objs.append(o)
+    objs = np.stack(objs)
+    ks = convolve_spectrum(psf)
+    clean = np.stack([np.asarray(convolve(jnp.asarray(o), ks, VOL)) for o in objs])
+    sigma = noise * clean.max()
+    data = jnp.asarray(clean + sigma * rng.standard_normal(clean.shape))
+    return jnp.asarray(objs), psf, data
+
+
+def test_temporal_prior_beats_per_frame_and_keeps_events():
+    objs, psf, data = _timelapse(noise=0.2)
+    cfg = DeconvolutionConfig(mu=0.12, epsilon=1.0, max_iter=40, grtol=1e-9)
+    per = batched_deconvolve(data, psf, config=cfg)
+    err_per = float(jnp.linalg.norm(per.x - objs))
+    res = jax.jit(lambda d, p: deconvolve_timeseries(
+        d, p, config=cfg, mu_t=0.4))(data, psf)
+    err_joint = float(jnp.linalg.norm(res.x - objs))
+    # measured 11% at this noise; pin a conservative 6%
+    assert err_joint < 0.94 * err_per
+    assert float(res.x.min()) >= 0.0
+    # the appearing bead stays OFF before t=4 (no temporal smearing of the
+    # step) and ON after — 3x3x3 neighborhood sums (the point spreads a
+    # little under TV); measured pre ~1.5-3.6 vs post ~19-22
+    nb = lambda t: float(jnp.sum(res.x[t, 4:7, 33:36, 11:14]))
+    assert nb(2) < 6.0 and nb(3) < 6.0
+    assert min(nb(4), nb(5)) > 2.5 * max(nb(2), nb(3))
+
+
+def test_timeseries_mu_t_zero_matches_batched():
+    """Decoupled frames: the joint solve at mu_t=0 and the vmapped
+    per-frame solve minimize the same separable objective — costs agree
+    (iteration structure differs: one 4D VMLMB vs T lockstep solves)."""
+    objs, psf, data = _timelapse(noise=0.05)
+    cfg = DeconvolutionConfig(mu=0.05, epsilon=1.0, max_iter=60, grtol=1e-10)
+    per = batched_deconvolve(data, psf, config=cfg)
+    joint = deconvolve_timeseries(data, psf, config=cfg, mu_t=0.0)
+    f_per = float(jnp.sum(per.f))
+    f_joint = float(joint.f)
+    assert abs(f_joint - f_per) / f_per < 5e-3
+
+
+def test_timeseries_weights_poisson_and_validation():
+    objs, psf, data = _timelapse(noise=0.1)
+    cfg = DeconvolutionConfig(mu=0.05, epsilon=1.0, max_iter=15)
+    # per-volume weights broadcast over t
+    w = jnp.ones(VOL)
+    r = deconvolve_timeseries(data, psf, weights=w, config=cfg, mu_t=0.1)
+    assert r.x.shape == data.shape and np.isfinite(np.asarray(r.x)).all()
+    # poisson data term composes with the temporal prior
+    rng = np.random.default_rng(3)
+    counts = jnp.asarray(rng.poisson(np.maximum(np.asarray(data), 0.0)) + 0.0)
+    cfgp = DeconvolutionConfig(mu=0.05, epsilon=1.0, max_iter=15,
+                               data_term="poisson", background=0.1)
+    rp = deconvolve_timeseries(counts, psf, config=cfgp, mu_t=0.1)
+    assert np.isfinite(np.asarray(rp.x)).all()
+
+    with pytest.raises(ValueError, match="T, Nz"):
+        deconvolve_timeseries(data[0], psf, config=cfg)
+    with pytest.raises(ValueError, match="var_shape"):
+        deconvolve_timeseries(
+            data, psf, config=DeconvolutionConfig(var_shape=(10, 50, 50)))
+    with pytest.raises(ValueError, match="poisson"):
+        deconvolve_timeseries(data, psf, weights=w, config=cfgp)
+
+
+def test_cli_deconv_mu_t_hyperstack(tmp_path):
+    """deconv --mu-t: full-T joint solve of an OME hyperstack, hyperstack
+    output with the same T."""
+    import os
+    import subprocess
+    import sys
+
+    from microtipi_tpu.io.ome import read_ome_hyperstack, write_ome_hyperstack
+    from microtipi_tpu.io.tiffstack import write_stack
+
+    vol = (6, 24, 24)
+    model = WideFieldConfig(shape=vol, na=1.2, wavelength=500e-9, ni=1.33,
+                            dxy=100e-9, dz=250e-9, dtype=jnp.float32)
+    psf = model.compute_psf(model.init_params())
+    rng = np.random.default_rng(0)
+    ks = convolve_spectrum(psf)
+    frames = []
+    for t in range(4):
+        o = np.zeros(vol, np.float32)
+        o[2:4, 6 + t:14 + t, 8:16] = 40.0
+        d = np.asarray(convolve(jnp.asarray(o), ks, vol))
+        frames.append(d + 1.5 * rng.standard_normal(vol).astype(np.float32))
+    arr = np.stack(frames)[:, None]  # (T, 1, Z, Y, X)
+    write_ome_hyperstack(tmp_path / "ts.ome.tif", arr, dxy=100e-9, dz=250e-9)
+    write_stack(tmp_path / "psf.tif", np.asarray(psf))
+
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, "-m", "microtipi_tpu", "deconv",
+         str(tmp_path / "ts.ome.tif"), "--psf", str(tmp_path / "psf.tif"),
+         "--out", str(tmp_path / "rec.ome.tif"), "--iters", "8",
+         "--mu", "0.02", "--mu-t", "0.05"],
+        capture_output=True, text=True, env=env, cwd=tmp_path, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "deconv[timeseries T=4]" in r.stdout
+    out, _meta = read_ome_hyperstack(tmp_path / "rec.ome.tif")
+    assert out.shape == (4, 1) + vol and np.isfinite(out).all()
+
+    # single-timepoint inputs are refused clearly
+    write_ome_hyperstack(tmp_path / "one.ome.tif", arr[:1], dxy=100e-9, dz=250e-9)
+    r = subprocess.run(
+        [sys.executable, "-m", "microtipi_tpu", "deconv",
+         str(tmp_path / "one.ome.tif"), "--psf", str(tmp_path / "psf.tif"),
+         "--out", str(tmp_path / "x.ome.tif"), "--mu-t", "0.05"],
+        capture_output=True, text=True, env=env, cwd=tmp_path, timeout=600,
+    )
+    assert r.returncode != 0 and "SizeT=1" in (r.stderr + r.stdout)
