@@ -34,6 +34,7 @@ from microtipi_tpu.jobs.deconv import (
     regularization_cost,
     resolve_mem_dtype,
 )
+from microtipi_tpu.ops.regularization import hyperbolic_tv
 from microtipi_tpu.optim.vmlmb import minimize_vmlmb
 from microtipi_tpu.parallel.fft import (
     sharded_convolve,
@@ -110,6 +111,8 @@ def make_sharded_objective(
     weights: jax.Array | None,
     config: DeconvolutionConfig,
     mesh: Mesh,
+    mu_t: float = 0.0,
+    epsilon_t: float | None = None,
 ):
     """Fused sharded cost+gradient for the object step.
 
@@ -131,6 +134,22 @@ def make_sharded_objective(
     var_shape = tuple(config.var_shape) if config.var_shape is not None else vol_shape
     batched = data.ndim == 4
     tv_axes = (-3, -2, -1)
+    if mu_t > 0 and not batched:
+        raise ValueError("mu_t couples the leading batch axis; "
+                         "data must be (T, Nz, Ny, Nx)")
+    eps_t = config.epsilon if epsilon_t is None else epsilon_t
+
+    def _wrap(objective):
+        # Temporal TV across the batch-SHARDED axis: the forward differences
+        # along t cross shard boundaries, GSPMD inserts the halo exchange —
+        # the sharded analogue of jobs.timeseries.deconvolve_timeseries.
+        if mu_t <= 0:
+            return _wrap(objective)
+
+        def obj_t(x):
+            return objective(x) + mu_t * hyperbolic_tv(x, eps_t, axes=(0,))
+
+        return jax.value_and_grad(obj_t)
 
     if config.data_term == "poisson":
         # Generalized-KL deviance on the mesh (ops.convolution.PoissonConvCost
@@ -160,7 +179,7 @@ def make_sharded_objective(
                 )
             return f
 
-        return jax.value_and_grad(objective)
+        return _wrap(objective)
     if config.data_term != "gaussian":
         raise ValueError(f"unknown data_term {config.data_term!r}")
 
@@ -184,7 +203,7 @@ def make_sharded_objective(
                 )
             return f
 
-        return jax.value_and_grad(objective)
+        return _wrap(objective)
 
     k_hat = sharded_spectrum(psf, mesh)
 
@@ -210,7 +229,7 @@ def make_sharded_objective(
             )
         return f
 
-    return jax.value_and_grad(objective)
+    return _wrap(objective)
 
 
 def sharded_deconvolve(
@@ -220,10 +239,15 @@ def sharded_deconvolve(
     weights: jax.Array | None = None,
     x0: jax.Array | None = None,
     config: DeconvolutionConfig = DeconvolutionConfig(),
+    mu_t: float = 0.0,
+    epsilon_t: float | None = None,
 ) -> DeconvolutionResult:
     """Object update on the mesh; drop-in sharded analogue of
     ``jobs.deconv.deconvolve`` incl. padded-variable mode
-    (``config.var_shape``; the returned object lives on the padded grid)."""
+    (``config.var_shape``; the returned object lives on the padded grid).
+    ``mu_t`` > 0 on batched (T, Nz, Ny, Nx) data adds the temporal-TV
+    coupling of ``jobs.timeseries.deconvolve_timeseries`` — the time axis
+    is the mesh batch axis, so frame halos ride the ICI."""
     data = constrain_volume(data, mesh)
     var_shape = tuple(config.var_shape) if config.var_shape is not None else data.shape[-3:]
     if x0 is None:
@@ -231,7 +255,8 @@ def sharded_deconvolve(
         if config.positivity:
             x0 = jnp.maximum(x0, 0.0)
     x0 = constrain_volume(x0, mesh)
-    fun = make_sharded_objective(psf, data, weights, config, mesh)
+    fun = make_sharded_objective(psf, data, weights, config, mesh,
+                                 mu_t=mu_t, epsilon_t=epsilon_t)
     res = minimize_vmlmb(
         fun,
         x0,

@@ -153,3 +153,27 @@ def test_cli_deconv_mu_t_hyperstack(tmp_path):
         capture_output=True, text=True, env=env, cwd=tmp_path, timeout=600,
     )
     assert r.returncode != 0 and "SizeT=1" in (r.stderr + r.stdout)
+
+
+def test_sharded_timeseries_matches_dense():
+    """Temporal TV across the mesh batch axis: the sharded batched solve
+    with mu_t equals the dense joint 4D solve (GSPMD halos across the
+    frame shards)."""
+    from jax.sharding import Mesh
+
+    from microtipi_tpu.parallel.deconv import sharded_deconvolve
+    from microtipi_tpu.parallel.mesh import make_mesh, volume_sharding
+
+    objs, psf, data = _timelapse(noise=0.1)
+    cfg = DeconvolutionConfig(mu=0.05, epsilon=1.0, max_iter=12, grtol=0.0)
+    dense = deconvolve_timeseries(data, psf, config=cfg, mu_t=0.2)
+    mesh = make_mesh(batch=4, z=2)
+    data_sh = jax.device_put(data, volume_sharding(mesh, batched=True))
+    got = sharded_deconvolve(data_sh, psf, mesh, config=cfg, mu_t=0.2)
+    np.testing.assert_allclose(float(got.f), float(dense.f), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(got.x), np.asarray(dense.x), atol=1e-6)
+
+    # mu_t on unbatched data is rejected
+    import pytest
+    with pytest.raises(ValueError, match="batch axis"):
+        sharded_deconvolve(data[0], psf, mesh, config=cfg, mu_t=0.1)
