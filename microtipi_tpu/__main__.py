@@ -587,6 +587,8 @@ def _cmd_deconv_plate(args):
                  "drop --mesh/--tile/--depthvar (or select one --well)")
     if not args.psf:
         sys.exit("--psf is required for plate deconv")
+    if getattr(args, "auto_mu", False) and args.method == "rl":
+        sys.exit("--auto-mu does not apply to --method rl (use --rl-stop)")
     _resolve_geometry(args, args.data, log=lambda *a: None)
     psf = jnp.asarray(read_stack(args.psf))
     if args.psf_centered:
@@ -794,6 +796,11 @@ def cmd_deconv(args):
 
     if getattr(args, "auto_mu", False) and getattr(args, "mesh", None):
         sys.exit("--auto-mu runs on one chip; drop --mesh")
+    if getattr(args, "auto_mu", False) and (
+            args.method == "rl" or getattr(args, "tile", None)):
+        sys.exit("--auto-mu selects the VMLMB TV weight; it does not apply "
+                 "to --method rl (use --rl-stop) or --tile (tiles share one "
+                 "mu — run auto-mu on a representative crop first)")
     mesh = _make_mesh(args)
     if getattr(args, "auto_mu", False):
         from microtipi_tpu.jobs.autotune import deconvolve_auto_mu
@@ -1231,7 +1238,8 @@ def cmd_fitpsf(args):
             model, d, params0=res.params, fit_modulus=args.retrieve_modulus,
             config=PsfFitConfig(max_iter=args.iters * 3, grtol=0.0),
         ))(data)
-        coefs = np.asarray(project_phase(model, ret.phi, ret.mask))
+        coefs = np.asarray(jax.jit(lambda p, m: project_phase(
+            model, p, m))(ret.phi, ret.mask))
         from microtipi_tpu.ops.metrics import strehl_ratio_from_pupil
 
         s = float(jax.jit(lambda p, r: strehl_ratio_from_pupil(

@@ -67,21 +67,10 @@ def estimate_noise_sigma(data: jax.Array) -> jax.Array:
     microscopy stacks is typically coarse enough that a 3D Laplacian would
     see structure, not noise. Evaluated on the valid interior only.
     """
-    d = jnp.asarray(data)
-    if d.ndim == 2:
-        d = d[None]
-    if d.ndim != 3:
-        raise ValueError(f"expected a 2D image or 3D stack, got shape {d.shape}")
-    c = d[:, 1:-1, 1:-1]
-    lap = (
-        4.0 * c
-        - 2.0 * (d[:, :-2, 1:-1] + d[:, 2:, 1:-1] + d[:, 1:-1, :-2] + d[:, 1:-1, 2:])
-        + d[:, :-2, :-2]
-        + d[:, :-2, 2:]
-        + d[:, 2:, :-2]
-        + d[:, 2:, 2:]
-    )
-    return jnp.median(jnp.abs(lap)) / (0.6745 * 6.0)
+    from microtipi_tpu.weights.updaters import laplacian_residuals
+
+    r, _ = laplacian_residuals(data)
+    return jnp.median(jnp.abs(r)) / 0.6745
 
 
 class AutoMuResult(NamedTuple):

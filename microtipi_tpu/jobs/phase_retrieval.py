@@ -121,8 +121,11 @@ def retrieve_pupil(
         refine defocus parametrically first (``fit_psf_beads``), then
         retrieve the residual map on top.
       fit_modulus: also free the modulus map (lower-bounded at 0, started
-        at the nominal flat modulus). Off by default: modulus errors are
-        second-order in the PSF and the extra freedom slows the phase.
+        at ``params0``'s modulus). Off by default: modulus errors are
+        second-order in the PSF and the extra freedom slows the phase —
+        the ``params0`` modulus then stays FIXED through the objective and
+        the returned ``psf`` (so a parametric modulus calibration is
+        honored, not silently replaced by the nominal flat pupil).
       smooth: RELATIVE weight of the hyperbolic-TV smoothness prior on
         each map — the regularization that replaces the Zernike
         truncation. Scale-invariant: the prior enters as
@@ -213,13 +216,15 @@ def retrieve_pupil(
     # initial maps (see the `smooth` docstring for the measured failure of
     # an absolute weight).
     f0 = jax.lax.stop_gradient(bead_cost(
-        model.compute_psf_from_pupil(
-            phi0, rho=rho0 if fit_modulus else None, defocus=defocus)))
+        model.compute_psf_from_pupil(phi0, rho=rho0, defocus=defocus)))
     w_smooth = smooth * f0
 
     def objective(v):
         phi = v["phi"]
-        rho = v["rho"] if fit_modulus else None
+        # fit_modulus=False keeps params0's FITTED modulus fixed (rho0) —
+        # substituting the nominal flat modulus here would make the phase
+        # absorb modulus error (caught in review).
+        rho = v["rho"] if fit_modulus else rho0
         h = model.compute_psf_from_pupil(phi, rho=rho, defocus=defocus)
         f = bead_cost(h)
         if smooth > 0:
@@ -254,7 +259,8 @@ def retrieve_pupil(
     # anchored at the ``params0`` defocus.
     phi = remove_position_gauges(phi, mask, psi0)
     rho = res.x["rho"] * mask if fit_modulus else None
-    psf = model.compute_psf_from_pupil(phi, rho=rho, defocus=defocus)
+    psf = model.compute_psf_from_pupil(
+        phi, rho=rho if fit_modulus else rho0, defocus=defocus)
     return PupilRetrievalResult(
         phi, rho, mask, psf, res.f, res.iterations, res.evaluations, res.status
     )

@@ -144,7 +144,7 @@ def make_sharded_objective(
         # along t cross shard boundaries, GSPMD inserts the halo exchange —
         # the sharded analogue of jobs.timeseries.deconvolve_timeseries.
         if mu_t <= 0:
-            return _wrap(objective)
+            return jax.value_and_grad(objective)
 
         def obj_t(x):
             return objective(x) + mu_t * hyperbolic_tv(x, eps_t, axes=(0,))

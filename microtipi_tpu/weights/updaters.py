@@ -22,7 +22,41 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-__all__ = ["InverseVarianceWeights", "estimate_gain_readout", "validity_mask"]
+__all__ = ["InverseVarianceWeights", "estimate_gain_readout",
+           "laplacian_residuals", "validity_mask"]
+
+
+def laplacian_residuals(data: "jax.Array") -> tuple["jax.Array", "jax.Array"]:
+    """Structure-free noise residuals + local means of an image or stack.
+
+    The shared Immerkaer 3x3 Laplacian-difference machinery behind both
+    :func:`estimate_gain_readout` and
+    :func:`jobs.autotune.estimate_noise_sigma`: per z-plane,
+    ``r = (L * d)/6`` (L = [[1,-2,1],[-2,4,-2],[1,-2,1]], unit noise gain
+    after /6) annihilates locally planar signal, and ``m`` is the 3x3 box
+    mean — both flattened over the valid interior. 2D input is treated as
+    one plane.
+    """
+    d = jnp.asarray(data)
+    if d.ndim == 2:
+        d = d[None]
+    if d.ndim != 3:
+        raise ValueError(f"expected a 2D image or 3D stack, got shape {d.shape}")
+    c = d[:, 1:-1, 1:-1]
+    lap = (
+        4.0 * c
+        - 2.0 * (d[:, :-2, 1:-1] + d[:, 2:, 1:-1] + d[:, 1:-1, :-2] + d[:, 1:-1, 2:])
+        + d[:, :-2, :-2]
+        + d[:, :-2, 2:]
+        + d[:, 2:, :-2]
+        + d[:, 2:, 2:]
+    )
+    box = (
+        c
+        + d[:, :-2, 1:-1] + d[:, 2:, 1:-1] + d[:, 1:-1, :-2] + d[:, 1:-1, 2:]
+        + d[:, :-2, :-2] + d[:, :-2, 2:] + d[:, 2:, :-2] + d[:, 2:, 2:]
+    )
+    return (lap / 6.0).ravel(), (box / 9.0).ravel()
 
 
 def validity_mask(data: jax.Array, saturation: float | None = None) -> jax.Array:
@@ -101,26 +135,13 @@ def estimate_gain_readout(
     but the *predicted variance at the observed intensity* (what the
     weights consume) stays correct within the estimator's own error.
     """
+    r, box = laplacian_residuals(data)
     d = jnp.asarray(data)
-    if d.ndim == 2:
-        d = d[None]
-    if d.ndim != 3:
-        raise ValueError(f"expected a 2D image or 3D stack, got shape {d.shape}")
-    c = d[:, 1:-1, 1:-1]
-    lap = (
-        4.0 * c
-        - 2.0 * (d[:, :-2, 1:-1] + d[:, 2:, 1:-1] + d[:, 1:-1, :-2] + d[:, 1:-1, 2:])
-        + d[:, :-2, :-2]
-        + d[:, :-2, 2:]
-        + d[:, 2:, :-2]
-        + d[:, 2:, 2:]
-    )
-    r = (lap / 6.0).ravel()
-    box = (
-        c
-        + d[:, :-2, 1:-1] + d[:, 2:, 1:-1] + d[:, 1:-1, :-2] + d[:, 1:-1, 2:]
-        + d[:, :-2, :-2] + d[:, :-2, 2:] + d[:, 2:, :-2] + d[:, 2:, 2:]
-    ).ravel() / 9.0
+    # Small inputs: scale the per-bin occupancy requirement down so the fit
+    # still has bins to work with (a (4,16,16) stack has only 784 interior
+    # voxels — the default 16*64 would empty every bin and the unguarded
+    # regression returned NaN, caught in review).
+    min_bin_count = min(min_bin_count, max(1, r.size // (2 * bins)))
 
     scale = jnp.median(jnp.abs(r)) / 0.6745
     keep = jnp.abs(r) <= 10.0 * scale
@@ -137,11 +158,14 @@ def estimate_gain_readout(
     mean_b = sum_m / safe
     var_b = sum_r2 / safe
 
-    # count-weighted least squares var_b = a * mean_b + b over valid bins
+    # count-weighted least squares var_b = a * mean_b + b over valid bins.
+    # Degenerate guard: if NO bin qualifies (pathological data), fall back
+    # to the slope-0 model with the robust global variance instead of
+    # propagating 0/0 NaNs into the weights.
     wb = jnp.where(ok, cnt, 0.0)
-    sw = jnp.sum(wb)
+    sw = jnp.maximum(jnp.sum(wb), jnp.finfo(d.dtype).tiny)
     mx = jnp.sum(wb * mean_b) / sw
-    my = jnp.sum(wb * var_b) / sw
+    my = jnp.where(jnp.sum(wb) > 0, jnp.sum(wb * var_b) / sw, scale * scale)
     sxx = jnp.sum(wb * (mean_b - mx) ** 2)
     sxy = jnp.sum(wb * (mean_b - mx) * (var_b - my))
     # Clip the slope BEFORE the intercept: a noisy negative slope (flat

@@ -667,6 +667,14 @@ def test_estimate_gain_readout_recovers_camera_constants():
     var_pred = 100.0 / float(g_est) + float(rv_est)
     assert abs(var_pred - 9.0) / 9.0 < 0.2
 
+    # small inputs (fewer interior voxels than bins*min_bin_count) must
+    # return FINITE constants, not NaN (caught in review: the unguarded
+    # regression emptied every bin and poisoned --auto-gain weights)
+    for shape in [(32, 32), (4, 16, 16)]:
+        g_s, rv_s = estimate_gain_readout(
+            jnp.asarray(100 + rng.normal(0, 3.0, shape)))
+        assert np.isfinite(float(g_s)) and np.isfinite(float(rv_s))
+
     with pytest.raises(ValueError, match="2D image or 3D stack"):
         estimate_gain_readout(jnp.zeros((4,)))
 
