@@ -32,7 +32,7 @@ from microtipi_tpu.jobs.timeseries import deconvolve_timeseries
 from microtipi_tpu.jobs.psf_fit import (
     FitUncertainty, PsfFitConfig, PsfFitResult, average_beads, bead_anchor_term,
     bead_fit_uncertainty, calibrate_field, center_bead_stack, detect_beads,
-    fit_psf, fit_psf_beads, fit_psf_joint, fit_uncertainty,
+    empirical_psf, fit_psf, fit_psf_beads, fit_psf_joint, fit_uncertainty,
 )
 from microtipi_tpu.jobs.richardson_lucy import (
     multiview_richardson_lucy,
@@ -81,7 +81,7 @@ __all__ = [
     "PupilRetrievalResult", "project_phase", "remove_position_gauges", "retrieve_pupil",
     "deconvolve_depthvar", "depth_anchor_psfs", "deconvolve_timeseries",
     "PsfFitConfig", "PsfFitResult", "average_beads", "bead_anchor_term", "center_bead_stack",
-    "fit_psf", "fit_psf_beads", "fit_psf_joint",
+    "empirical_psf", "fit_psf", "fit_psf_beads", "fit_psf_joint",
     "FitUncertainty", "fit_uncertainty", "bead_fit_uncertainty",
     "calibrate_field", "detect_beads",
     "multiview_richardson_lucy", "richardson_lucy", "wb_backprojector", "field_psf", "tiled_deconvolve", "wiener",

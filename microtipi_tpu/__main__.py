@@ -1141,6 +1141,24 @@ def cmd_fitpsf(args):
 
     data = jnp.asarray(_read_input_volume(args, args.stack))
     _resolve_geometry(args, args.stack)
+    if args.empirical_out:
+        # Model-free path: distill the measurement itself into a PSF
+        # (center + clamp + unit-sum; see jobs.psf_fit.empirical_psf for
+        # the measured recipe incl. why tails must NOT be thresholded).
+        from microtipi_tpu.jobs.psf_fit import empirical_psf
+        from microtipi_tpu.utils.arrays import roll as _roll
+
+        patch = tuple(args.bead_patch) if args.bead_patch else None
+        h = np.asarray(jax.jit(
+            lambda d: empirical_psf(d, n_beads=args.n_beads, patch=patch)
+        )(data) if args.n_beads == 1 else
+            empirical_psf(data, n_beads=args.n_beads, patch=patch))
+        if args.centered:
+            h = np.asarray(_roll(jnp.asarray(h)))
+        _write_out(args, args.empirical_out, h, dxy=args.dxy, dz=args.dz)
+        print(f"wrote {args.empirical_out} (empirical PSF, "
+              f"{'centered' if args.centered else 'corner-origin'}, unit sum)")
+        return
     fam_map = {"defocus": DEFOCUS, "phase": PHASE, "modulus": MODULUS,
                "depth": DEPTH, "sheet": SHEET}
     if "depth" in args.families and args.model != "gl":
@@ -1607,6 +1625,11 @@ def main(argv=None):
                         "BRIGHT bead (SNR in the thousands)")
     p.add_argument("--retrieve-modulus", action="store_true",
                    help="[--retrieve-map] also free the pupil modulus map")
+    p.add_argument("--empirical-out", default=None, metavar="FILE",
+                   help="model-free: distill the bead measurement itself "
+                        "into a deconvolution-ready PSF (center + clamp + "
+                        "unit-sum; honors --n-beads averaging) and exit — "
+                        "no parametric fit")
     p.add_argument("--families", nargs="+", default=["defocus", "phase"],
                    choices=["defocus", "phase", "modulus", "depth", "sheet"])
     _preprocess_args(p)

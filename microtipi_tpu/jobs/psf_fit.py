@@ -45,6 +45,7 @@ __all__ = [
     "calibrate_field",
     "center_bead_stack",
     "detect_beads",
+    "empirical_psf",
     "fit_psf",
     "fit_psf_beads",
     "fit_psf_joint",
@@ -202,6 +203,49 @@ def detect_beads(
     if not patches:
         raise ValueError("no usable bead found (all candidates clip the patch edges)")
     return patches, positions
+
+
+def empirical_psf(
+    data,
+    *,
+    n_beads: int = 1,
+    patch: tuple[int, int, int] | None = None,
+    subvoxel: bool = True,
+) -> jax.Array:
+    """Distill a measured bead stack into a usable empirical PSF.
+
+    The model-free third calibration path (besides the parametric
+    :func:`fit_psf_beads` and the nonparametric ``retrieve_pupil``): when
+    the optics fit no model, use the measurement itself. Recipe, each step
+    measured on a synthetic off-center bead at SNR ~4e4 (deconvolution
+    recovery error vs the true-PSF oracle's 573):
+
+    - ``n_beads > 1``: detect + average beads first (:func:`average_beads`,
+      ~sqrt(N) SNR);
+    - center to the corner origin with sub-voxel lateral refinement and
+      median background subtraction (:func:`center_bead_stack`) — skipping
+      this is catastrophic: the raw median-subtracted bead scored 1904,
+      WORSE than no deconvolution at all (1780), because an off-center PSF
+      translates the whole reconstruction;
+    - clamp negatives (noise around zero) to 0 — scored 875;
+    - unit-sum normalize (flux-conserving convolution).
+
+    Do NOT threshold the faint tails: zeroing voxels below k*sigma was
+    measured to WRECK the result (1479/1582/1670 at k=2/3/5 vs 875 for
+    clamp-only) — the PSF's dim wings carry the OTF support that
+    deconvolution inverts. Returns a corner-origin, unit-sum volume ready
+    for ``deconvolve``/``richardson_lucy`` (note mu is per data-intensity
+    unit: a unit-sum PSF keeps blurred intensity at object scale, so the
+    usual mu guidance applies unchanged).
+    """
+    if n_beads > 1:
+        import numpy as np
+
+        avg, _used = average_beads(np.asarray(data), n_beads=n_beads, patch=patch)
+        data = jnp.asarray(avg)
+    c = center_bead_stack(jnp.asarray(data), subvoxel=subvoxel)
+    c = jnp.maximum(c, 0.0)
+    return c / jnp.maximum(jnp.sum(c), jnp.finfo(c.dtype).tiny)
 
 
 def average_beads(

@@ -978,3 +978,33 @@ def test_cli_fitpsf_retrieve_map(tmp_path):
         tmp_path,
     )
     assert r.returncode != 0 and "retrieve-map" in (r.stderr + r.stdout)
+
+
+def test_cli_fitpsf_empirical_out(tmp_path):
+    """fitpsf --empirical-out: model-free measured-PSF distillation
+    (center + clamp + unit-sum, psf_fit.empirical_psf)."""
+    from microtipi_tpu.io.tiffstack import read_stack, write_stack
+    from microtipi_tpu.models.widefield import WideFieldConfig
+    import jax.numpy as jnp
+
+    shape = (8, 32, 32)
+    model = WideFieldConfig(shape=shape, na=1.2, wavelength=500e-9, ni=1.33,
+                            dxy=100e-9, dz=250e-9, dtype=jnp.float32)
+    psf = model.compute_psf(model.init_params())
+    rng = np.random.default_rng(0)
+    bead = 1e5 * np.asarray(psf) + 20.0 + 2.0 * rng.standard_normal(shape)
+    bead = np.roll(bead, (1, 4, -2), axis=(0, 1, 2)).astype(np.float32)
+    write_stack(tmp_path / "bead.tif", bead)
+
+    r = _run(
+        ["fitpsf", str(tmp_path / "bead.tif"),
+         "--empirical-out", str(tmp_path / "psf.tif")],
+        tmp_path,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "empirical PSF" in r.stdout
+    h = read_stack(tmp_path / "psf.tif")
+    assert h.shape == shape and h.min() >= 0.0
+    assert abs(h.sum() - 1.0) < 1e-4
+    # centered: the peak moved back to the corner
+    assert np.unravel_index(np.argmax(h), shape)[1:] == (0, 0)
