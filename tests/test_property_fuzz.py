@@ -200,3 +200,50 @@ def test_depthconv_fuzz(shape, k, dtype):
     cost = DepthVaryingConvCost.build(kernels, jnp.abs(x))
     f, g = jax.value_and_grad(cost.cost)(jnp.abs(y))
     assert np.isfinite(float(f)) and np.isfinite(np.asarray(g)).all()
+
+
+@pytest.mark.parametrize("shape,dtype", [
+    ((16, 16), jnp.float32),
+    ((3, 12, 20), jnp.float64),
+    ((4, 16, 16), jnp.float32),
+    ((8, 33, 17), jnp.float64),
+    ((1, 64, 64), jnp.float32),
+])
+def test_estimators_fuzz_finite(shape, dtype):
+    """The self-configuration estimators must return FINITE values on any
+    valid input shape/dtype — small inputs, odd sizes, flat fields, single
+    planes (the auto-gain small-input NaN was caught in review)."""
+    from microtipi_tpu.jobs.autotune import estimate_noise_sigma
+    from microtipi_tpu.weights.updaters import (
+        InverseVarianceWeights, estimate_gain_readout)
+
+    rng = np.random.default_rng(abs(hash((shape, str(dtype)))) % 2**31)
+    for scale in (1.0, 1e4):
+        d = jnp.asarray(scale * (50 + 5 * rng.standard_normal(shape)), dtype)
+        sig = estimate_noise_sigma(d)
+        assert np.isfinite(float(sig)) and float(sig) >= 0
+        g, rv = estimate_gain_readout(d)
+        assert np.isfinite(float(g)) and np.isfinite(float(rv))
+        w = InverseVarianceWeights(gain=float(g), readout_variance=float(rv)
+                                   ).from_data(d)
+        assert bool(jnp.isfinite(w).all())
+    # constant input: degenerate but not NaN
+    flat = jnp.full(shape, 7.0, dtype)
+    assert np.isfinite(float(estimate_noise_sigma(flat)))
+    g, rv = estimate_gain_readout(flat)
+    assert np.isfinite(float(g)) and np.isfinite(float(rv))
+
+
+@pytest.mark.parametrize("shape", [(4, 16, 16), (7, 24, 24), (6, 18, 30)])
+def test_empirical_psf_fuzz(shape):
+    """empirical_psf: unit sum, nonnegative, finite for any bead position."""
+    from microtipi_tpu.jobs.psf_fit import empirical_psf
+
+    rng = np.random.default_rng(abs(hash(shape)) % 2**31)
+    d = 10.0 + rng.standard_normal(shape)
+    z, y, x = (rng.integers(0, s) for s in shape)
+    d[z, y, x] = 500.0
+    h = empirical_psf(jnp.asarray(d))
+    assert np.isfinite(np.asarray(h)).all()
+    assert float(h.min()) >= 0.0
+    assert float(h.sum()) == pytest.approx(1.0, rel=1e-6)
