@@ -24,6 +24,7 @@ input instead).
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -41,6 +42,31 @@ from microtipi_tpu.optim.vmlmb import minimize_vmlmb
 from microtipi_tpu.utils.arrays import pad_fft_kernel
 
 __all__ = ["deconvolve_timeseries"]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _batched_quadratic_cost(x, kernel_sq, b, c, vol):
+    """Sum over frames of the circulant quadratic data term — the batched
+    analogue of ``ops.convolution.QuadraticConvCost`` (one batched FFT pair
+    yields cost AND gradient; same harmless-cancellation caveat as the
+    object step, see ``jobs.deconv.make_objective``)."""
+    ax = jnp.fft.irfftn(kernel_sq[None] * jnp.fft.rfftn(x, axes=(1, 2, 3)),
+                        s=vol, axes=(1, 2, 3))
+    return (0.5 * jnp.vdot(x, ax) - jnp.vdot(x, b) + c).real.astype(x.dtype)
+
+
+def _batched_quadratic_fwd(x, kernel_sq, b, c, vol):
+    ax = jnp.fft.irfftn(kernel_sq[None] * jnp.fft.rfftn(x, axes=(1, 2, 3)),
+                        s=vol, axes=(1, 2, 3))
+    f = (0.5 * jnp.vdot(x, ax) - jnp.vdot(x, b) + c).real.astype(x.dtype)
+    return f, (ax - b)
+
+
+def _batched_quadratic_bwd(vol, res, g):
+    return (g * res, None, None, None)
+
+
+_batched_quadratic_cost.defvjp(_batched_quadratic_fwd, _batched_quadratic_bwd)
 
 
 def deconvolve_timeseries(
@@ -92,12 +118,20 @@ def deconvolve_timeseries(
             return generalized_kl(model(x) + bg, jnp.maximum(data, 0.0))
     elif config.data_term != "gaussian":
         raise ValueError(f"unknown data_term {config.data_term!r}")
+    elif weights is None:
+        # Uniform weights: the 2-FFT quadratic fast path, batched over t.
+        kernel_sq = jnp.real(k_hat) ** 2 + jnp.imag(k_hat) ** 2
+        b = jnp.fft.irfftn(jnp.conj(k_hat)[None] * jnp.fft.rfftn(data, axes=axes),
+                           s=vol, axes=axes)
+        c = 0.5 * jnp.sum(data * data)
+
+        def data_term(x):
+            return _batched_quadratic_cost(x, kernel_sq, b, c, vol)
     else:
 
         def data_term(x):
             r = model(x) - data
-            return (0.5 * jnp.sum(r * r) if weights is None
-                    else 0.5 * jnp.sum(weights * r * r))
+            return 0.5 * jnp.sum(weights * r * r)
 
     eps_t = config.epsilon if epsilon_t is None else epsilon_t
 
