@@ -698,6 +698,61 @@ def _cmd_deconv_timeseries(args):
     print("wrote", args.out)
 
 
+def _cmd_deconv_superres(args, data):
+    """deconv --superres FZ FY FX: solve on a finer object grid
+    (jobs/superres.py). The fine PSF comes from --psf (already at the fine
+    pitch/shape) or is synthesized from the model flags at dxy/f, dz/f."""
+    import argparse
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from microtipi_tpu.io.tiffstack import read_stack
+    from microtipi_tpu.jobs.superres import deconvolve_superres
+    from microtipi_tpu.utils.arrays import unroll
+
+    if getattr(args, "mesh", None) or getattr(args, "tile", None) \
+            or getattr(args, "depthvar", 0) or getattr(args, "auto_mu", False):
+        sys.exit("--superres is a single-chip fine-grid solve; drop "
+                 "--mesh/--tile/--depthvar/--auto-mu")
+    f = tuple(int(v) for v in args.superres)
+    fine_shape = tuple(fi * s for fi, s in zip(f, data.shape))
+    if args.psf:
+        psf_fine = jnp.asarray(read_stack(args.psf))
+        if args.psf_centered:
+            psf_fine = unroll(psf_fine)
+        if psf_fine.shape != fine_shape:
+            sys.exit(f"--superres {f}: --psf must be sampled at the FINE "
+                     f"grid {fine_shape}, got {psf_fine.shape} (synthesize "
+                     "one with `psf --shape ...` at dxy/f, or drop --psf to "
+                     "build it from the model flags)")
+    else:
+        sub = argparse.Namespace(**vars(args))
+        sub.dxy = args.dxy / f[2]
+        sub.dz = args.dz / f[0]
+        if f[1] != f[2]:
+            sys.exit("--superres needs equal y/x factors (square pixels)")
+        model = _build_model(sub, fine_shape)
+        params = (_load_params_json(model, args.params_json)
+                  if args.params_json else model.init_params())
+        psf_fine = jax.jit(model.compute_psf)(params)
+    cfg = _deconv_config(args, data.shape)
+    w = _weights(args, data)
+    run = jax.jit(lambda d, p, w: deconvolve_superres(
+        d, p, factor=f, weights=w, config=cfg))
+    t0 = time.time()
+    res = run(data, psf_fine, w)
+    fval = float(res.f)
+    print(f"deconv[superres x{f}]: {int(res.iterations)} iters, cost "
+          f"{fval:.6g}, {time.time()-t0:.1f}s (incl. compile); fine grid "
+          f"{fine_shape}")
+    _write_out(args, args.out, np.asarray(res.x),
+               dxy=(args.dxy / f[2] if args.dxy else None),
+               dz=(args.dz / f[0] if args.dz else None))
+    print("wrote", args.out)
+
+
 def cmd_deconv(args):
     import numpy as np
     import jax
@@ -715,6 +770,10 @@ def cmd_deconv(args):
     data = jnp.asarray(_read_input_volume(args, args.data))
     if getattr(args, "depthvar", 0):
         _cmd_deconv_depthvar(args, data)
+        return
+    if getattr(args, "superres", None):
+        _resolve_geometry(args, args.data, log=lambda *a: None)
+        _cmd_deconv_superres(args, data)
         return
     field_json = getattr(args, "field_json", None)
     if not args.psf and not field_json:
@@ -1651,6 +1710,13 @@ def main(argv=None):
                    help="[--mu-t] temporal edge threshold in intensity units "
                         "(default: --epsilon); changes above it count as "
                         "real events, not noise")
+    p.add_argument("--superres", type=int, nargs=3, default=None,
+                   metavar=("FZ", "FY", "FX"),
+                   help="solve on an FZxFYxFX finer object grid (sub-pixel "
+                        "localization; dealiases undersampled cameras). The "
+                        "fine PSF is synthesized from the model flags at "
+                        "dxy/FX, dz/FZ (use --params-json for calibrated "
+                        "optics) or supplied via --psf at the fine grid")
     p.add_argument("--depthvar", type=int, default=0, metavar="K",
                    help="depth-varying solve with K Gibson-Lanni anchor PSFs "
                         "blended along z (requires --model gl; PSF parameters "

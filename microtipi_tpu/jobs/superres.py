@@ -1,0 +1,149 @@
+"""Finer-grid ("super-resolution") deconvolution: solve below the camera pixel.
+
+Beyond parity: the reference reconstructs on the acquisition grid
+(``BlindDeconvJob.java:97-138`` — object and data share one TiPi space).
+But the camera pixel is a hard sampling floor only for the DATA; the
+forward model extends naturally to an object on an f-times finer lattice,
+
+    d  =  Bin_f( h_fine (*) x_fine ) + noise,
+
+where ``Bin_f`` integrates each camera pixel over its f_z x f_y x f_x
+fine-grid block (photon counting sums, it does not average) and ``h_fine``
+is the PSF sampled at the fine pitch — which the pupil models synthesize
+exactly (``WideFieldConfig`` at ``dxy/f``): the optical transfer function
+is band-limited by NA/lambda, not by the camera, so when the camera
+undersamples the optics (pixel pitch above lambda/(4 NA)) the fine grid
+recovers real frequencies the coarse grid aliases. Even at adequate
+sampling it removes pixelation: point sources land at their true
+sub-pixel positions instead of snapping to the acquisition lattice
+(pinned by a test).
+
+TPU shape: everything is the ordinary circulant solve at the FINE size —
+the FFTs just get f^3 bigger — plus a reshape-sum (bin) and its
+broadcast adjoint, both bandwidth-trivial; positivity + TV(+sparsity)
+priors act on the fine grid where they are most informative.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from microtipi_tpu.jobs.deconv import (
+    DeconvolutionConfig,
+    DeconvolutionResult,
+    has_regularizer,
+    regularization_cost,
+    resolve_mem_dtype,
+)
+from microtipi_tpu.ops.convolution import generalized_kl
+from microtipi_tpu.optim.vmlmb import minimize_vmlmb
+from microtipi_tpu.utils.arrays import pad_fft_kernel
+
+__all__ = ["bin_volume", "deconvolve_superres", "upsample_volume"]
+
+
+def bin_volume(x: jax.Array, factor: tuple[int, int, int]) -> jax.Array:
+    """Integrate f_z x f_y x f_x fine-grid blocks into camera pixels (sum)."""
+    fz, fy, fx = factor
+    nz, ny, nx = x.shape
+    return x.reshape(nz // fz, fz, ny // fy, fy, nx // fx, fx).sum(axis=(1, 3, 5))
+
+
+def upsample_volume(d: jax.Array, factor: tuple[int, int, int]) -> jax.Array:
+    """Adjoint-direction start: replicate each camera pixel over its block,
+    dividing by the block size so ``bin(upsample(d)) == d`` (flux split
+    evenly — the minimum-information inverse of :func:`bin_volume`)."""
+    fz, fy, fx = factor
+    n = fz * fy * fx
+    up = jnp.broadcast_to(
+        d[:, None, :, None, :, None],
+        (d.shape[0], fz, d.shape[1], fy, d.shape[2], fx),
+    )
+    return (up / n).reshape(d.shape[0] * fz, d.shape[1] * fy, d.shape[2] * fx)
+
+
+def deconvolve_superres(
+    data: jax.Array,
+    psf_fine: jax.Array,
+    factor: tuple[int, int, int] = (1, 2, 2),
+    weights: jax.Array | None = None,
+    x0: jax.Array | None = None,
+    config: DeconvolutionConfig = DeconvolutionConfig(),
+) -> DeconvolutionResult:
+    """Deconvolve onto a ``factor``-times finer object grid.
+
+    ``psf_fine`` is the corner-origin PSF sampled at the FINE pitch and
+    fine shape ``(fz*Nz, fy*Ny, fx*Nx)`` — synthesize it from the model at
+    ``dxy/f_x`` / ``dz/f_z`` (the CLI does this automatically); binning a
+    fine PSF of the same optics is NOT equivalent to a coarse PSF, that is
+    the whole point. ``weights`` live on the DATA grid. ``config.scales``
+    (TV voxel sizes) should be the fine pitches. ``config.var_shape`` is
+    unsupported (the fine grid is already the variable grid; pad the data
+    instead). Returns the fine-grid object; ``bin_volume(res.x, factor)``
+    is the model's camera-plane prediction (before PSF re-blur it is NOT
+    the data — it is the deconvolved image integrated to camera pixels).
+    """
+    data = jnp.asarray(data)
+    if data.ndim != 3:
+        raise ValueError(f"expected a (Nz, Ny, Nx) volume, got {data.shape}")
+    if config.var_shape is not None:
+        raise ValueError("var_shape is not supported on the superres path; "
+                         "pad the data instead")
+    fz, fy, fx = (int(f) for f in factor)
+    if min(fz, fy, fx) < 1:
+        raise ValueError(f"factor components must be >= 1, got {factor}")
+    if (fz, fy, fx) == (1, 1, 1):
+        raise ValueError("factor (1, 1, 1) is the ordinary solve; use deconvolve")
+    factor = (fz, fy, fx)
+    fine_shape = (fz * data.shape[0], fy * data.shape[1], fx * data.shape[2])
+    if psf_fine.shape != fine_shape:
+        raise ValueError(
+            f"psf_fine shape {psf_fine.shape} != fine grid {fine_shape} "
+            f"(= factor {factor} x data {data.shape})")
+
+    kernel = pad_fft_kernel(psf_fine, fine_shape)
+    k_hat = jnp.fft.rfftn(kernel)
+
+    def model(x):
+        conv = jnp.fft.irfftn(k_hat * jnp.fft.rfftn(x), s=fine_shape)
+        return bin_volume(conv, factor)
+
+    bg = jnp.asarray(config.background, data.dtype)
+    if config.data_term == "poisson":
+        if weights is not None:
+            raise ValueError("data_term='poisson' does not compose with weights")
+
+        def data_term(x):
+            return generalized_kl(model(x) + bg, jnp.maximum(data, 0.0))
+    elif config.data_term != "gaussian":
+        raise ValueError(f"unknown data_term {config.data_term!r}")
+    else:
+
+        def data_term(x):
+            r = model(x) - data
+            return (0.5 * jnp.sum(r * r) if weights is None
+                    else 0.5 * jnp.sum(weights * r * r))
+
+    def objective(x):
+        f = data_term(x)
+        if has_regularizer(config):
+            f = f + regularization_cost(x, config)
+        return f
+
+    if x0 is None:
+        x0 = upsample_volume(data, factor)
+    if config.positivity:
+        x0 = jnp.maximum(x0, 0.0)
+
+    res = minimize_vmlmb(
+        jax.value_and_grad(objective), x0,
+        lower=0.0 if config.positivity else None,
+        mem=config.mem, maxiter=config.max_iter, maxeval=config.max_eval,
+        gatol=config.gatol, grtol=config.grtol,
+        mem_dtype=resolve_mem_dtype(config, x0),
+    )
+    return DeconvolutionResult(
+        res.x, res.f, res.iterations, res.evaluations, res.status,
+        res.f_history, res.pg_history,
+    )
