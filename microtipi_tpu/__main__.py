@@ -713,9 +713,10 @@ def _cmd_deconv_superres(args, data):
     from microtipi_tpu.utils.arrays import unroll
 
     if getattr(args, "mesh", None) or getattr(args, "tile", None) \
-            or getattr(args, "depthvar", 0) or getattr(args, "auto_mu", False):
-        sys.exit("--superres is a single-chip fine-grid solve; drop "
-                 "--mesh/--tile/--depthvar/--auto-mu")
+            or getattr(args, "depthvar", 0) or getattr(args, "auto_mu", False) \
+            or args.method == "rl" or getattr(args, "pad", 0):
+        sys.exit("--superres is a single-chip fine-grid VMLMB solve; drop "
+                 "--mesh/--tile/--depthvar/--auto-mu/--method rl/--pad")
     f = tuple(int(v) for v in args.superres)
     fine_shape = tuple(fi * s for fi, s in zip(f, data.shape))
     if args.psf:
@@ -744,13 +745,27 @@ def _cmd_deconv_superres(args, data):
     t0 = time.time()
     res = run(data, psf_fine, w)
     fval = float(res.f)
+    wall = time.time() - t0
     print(f"deconv[superres x{f}]: {int(res.iterations)} iters, cost "
-          f"{fval:.6g}, {time.time()-t0:.1f}s (incl. compile); fine grid "
+          f"{fval:.6g}, {wall:.1f}s (incl. compile); fine grid "
           f"{fine_shape}")
     _write_out(args, args.out, np.asarray(res.x),
                dxy=(args.dxy / f[2] if args.dxy else None),
                dz=(args.dz / f[0] if args.dz else None))
     print("wrote", args.out)
+    if args.report:
+        import json
+
+        it = int(res.iterations)
+        with open(args.report, "w") as fh:
+            json.dump({
+                "cost": fval, "iterations": it,
+                "evaluations": int(res.evaluations), "status": int(res.status),
+                "wall_seconds": round(wall, 3), "superres_factor": list(f),
+                "f_history": np.asarray(res.f_history)[:it + 1].tolist(),
+                "pg_history": np.asarray(res.pg_history)[:it + 1].tolist(),
+            }, fh, indent=1)
+        print("wrote", args.report)
 
 
 def cmd_deconv(args):
@@ -762,6 +777,9 @@ def cmd_deconv(args):
     import jax.numpy as jnp
 
     if getattr(args, "mu_t", None) is not None:
+        if getattr(args, "superres", None):
+            sys.exit("--mu-t and --superres do not compose yet; run the "
+                     "fine-grid solve per timepoint or drop --superres")
         _cmd_deconv_timeseries(args)
         return
     if _is_plate(args.data) and not getattr(args, "well", None):
@@ -1208,10 +1226,17 @@ def cmd_fitpsf(args):
         from microtipi_tpu.utils.arrays import roll as _roll
 
         patch = tuple(args.bead_patch) if args.bead_patch else None
-        h = np.asarray(jax.jit(
-            lambda d: empirical_psf(d, n_beads=args.n_beads, patch=patch)
-        )(data) if args.n_beads == 1 else
-            empirical_psf(data, n_beads=args.n_beads, patch=patch))
+        if args.n_beads > 1:
+            # averaging is host-side detection/registration; the centering
+            # tail must still be jitted (eager dispatch remote-compiles
+            # per op on the axon runtime — CLAUDE.md platform rules)
+            from microtipi_tpu.jobs.psf_fit import average_beads
+
+            avg, used = average_beads(np.asarray(data), n_beads=args.n_beads,
+                                      patch=patch)
+            print(f"averaged {used} beads -> patch {avg.shape}")
+            data = jnp.asarray(avg)
+        h = np.asarray(jax.jit(empirical_psf)(data))
         if args.centered:
             h = np.asarray(_roll(jnp.asarray(h)))
         _write_out(args, args.empirical_out, h, dxy=args.dxy, dz=args.dz)

@@ -33,7 +33,7 @@ from microtipi_tpu.jobs.deconv import (
     DeconvolutionConfig,
     DeconvolutionResult,
     has_regularizer,
-    regularization_cost,
+    make_regularizer,
     resolve_mem_dtype,
 )
 from microtipi_tpu.ops.convolution import generalized_kl
@@ -125,10 +125,16 @@ def deconvolve_superres(
             return (0.5 * jnp.sum(r * r) if weights is None
                     else 0.5 * jnp.sum(weights * r * r))
 
+    # make_regularizer (not the sharded-objective jnp form): the fine grid
+    # is a plain single-device 3D volume, so the fused Pallas TV kernel
+    # applies — and TV is a proportionally bigger share of each evaluation
+    # here (the grid is f^3 larger than the camera's).
+    reg = make_regularizer(config, fine_shape)
+
     def objective(x):
         f = data_term(x)
         if has_regularizer(config):
-            f = f + regularization_cost(x, config)
+            f = f + reg(x)
         return f
 
     if x0 is None:

@@ -217,7 +217,10 @@ def test_estimators_fuzz_finite(shape, dtype):
     from microtipi_tpu.weights.updaters import (
         InverseVarianceWeights, estimate_gain_readout)
 
-    rng = np.random.default_rng(abs(hash((shape, str(dtype)))) % 2**31)
+    import zlib
+
+    rng = np.random.default_rng(
+        zlib.crc32(f"{shape}-{jnp.dtype(dtype).name}".encode()))
     for scale in (1.0, 1e4):
         d = jnp.asarray(scale * (50 + 5 * rng.standard_normal(shape)), dtype)
         sig = estimate_noise_sigma(d)
@@ -239,7 +242,9 @@ def test_empirical_psf_fuzz(shape):
     """empirical_psf: unit sum, nonnegative, finite for any bead position."""
     from microtipi_tpu.jobs.psf_fit import empirical_psf
 
-    rng = np.random.default_rng(abs(hash(shape)) % 2**31)
+    import zlib
+
+    rng = np.random.default_rng(zlib.crc32(str(shape).encode()))
     d = 10.0 + rng.standard_normal(shape)
     z, y, x = (rng.integers(0, s) for s in shape)
     d[z, y, x] = 500.0
