@@ -723,11 +723,22 @@ def _cmd_deconv_superres(args, data):
         psf_fine = jnp.asarray(read_stack(args.psf))
         if args.psf_centered:
             psf_fine = unroll(psf_fine)
-        if psf_fine.shape != fine_shape:
+        if psf_fine.shape == tuple(data.shape):
+            # Measured coarse-grid PSF (e.g. fitpsf --empirical-out):
+            # band-limited Fourier upsampling — exact when the PSF
+            # measurement itself was adequately sampled (see
+            # jobs.superres.upsample_psf for the aliasing caveat).
+            from microtipi_tpu.jobs.superres import upsample_psf
+
+            psf_fine = jax.jit(lambda p: upsample_psf(p, f))(psf_fine)
+            print(f"upsampled the coarse --psf to the fine grid {fine_shape} "
+                  "(band-limited; only valid if the PSF measurement was "
+                  "adequately sampled)")
+        elif psf_fine.shape != fine_shape:
             sys.exit(f"--superres {f}: --psf must be sampled at the FINE "
-                     f"grid {fine_shape}, got {psf_fine.shape} (synthesize "
-                     "one with `psf --shape ...` at dxy/f, or drop --psf to "
-                     "build it from the model flags)")
+                     f"grid {fine_shape} or the data grid {tuple(data.shape)} "
+                     f"(got {psf_fine.shape}); or drop --psf to synthesize "
+                     "from the model flags)")
     else:
         sub = argparse.Namespace(**vars(args))
         sub.dxy = args.dxy / f[2]

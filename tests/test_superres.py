@@ -175,3 +175,44 @@ def test_cli_deconv_superres(tmp_path):
     # the bright bead localizes at its true fine position
     z, y, x = np.unravel_index(np.argmax(rec), FINE)
     assert (z, y, x) == (4, 31, 41)
+
+    # measured-PSF path: a COARSE --psf is band-limited-upsampled in place
+    _, psf_coarse = _models()
+    write_stack(tmp_path / "pc.tif", np.asarray(psf_coarse))
+    r = subprocess.run(
+        [sys.executable, "-m", "microtipi_tpu", "deconv", str(tmp_path / "d.tif"),
+         "--out", str(tmp_path / "rec2.tif"), "--superres", "1", "2", "2",
+         "--psf", str(tmp_path / "pc.tif"), "--iters", "15", "--mu", "0.01"],
+        capture_output=True, text=True, env=env, cwd=tmp_path, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "upsampled the coarse --psf" in r.stdout
+    rec2 = read_stack(tmp_path / "rec2.tif")
+    assert rec2.shape == FINE and np.isfinite(rec2).all()
+
+
+def test_upsample_psf_matches_model_when_adequately_sampled():
+    """Band-limited Fourier upsampling of an adequately sampled PSF equals
+    the model synthesized at the fine pitch to machine precision (the OTF
+    lives below the coarse Nyquist)."""
+    from microtipi_tpu.jobs.superres import upsample_psf
+
+    kw = dict(na=0.8, wavelength=500e-9, ni=1.33, dz=400e-9, dtype=jnp.float64)
+    mc = WideFieldConfig(shape=(8, 32, 32), dxy=150e-9, **kw)
+    mf = WideFieldConfig(shape=(8, 64, 64), dxy=75e-9, **kw)
+    pc = mc.compute_psf(mc.init_params())
+    pf = np.asarray(mf.compute_psf(mf.init_params()))
+    up = np.asarray(jax.jit(lambda p: upsample_psf(p, (1, 2, 2)))(pc))
+    # directly comparable: the model's flux convention (sum invariant to
+    # refinement) is exactly what the zero-pad interpolation produces
+    assert np.linalg.norm(up - pf) / np.linalg.norm(pf) < 1e-10
+    # flux preserved and nonnegative
+    up2 = np.asarray(upsample_psf(pc, (2, 2, 2)))
+    assert up2.min() >= 0.0
+    # axial x2 rides at the edge of the coarse axial band: the clamped
+    # sinc ringing adds ~2e-6 relative mass — still flux-preserving
+    assert abs(up2.sum() - float(pc.sum())) < 1e-5 * float(pc.sum())
+    # odd sizes work too (no Nyquist split needed)
+    pc_odd = mc.compute_psf(mc.init_params())[:7, :31, :31]
+    up_odd = np.asarray(upsample_psf(pc_odd, (1, 2, 2)))
+    assert up_odd.shape == (7, 62, 62) and np.isfinite(up_odd).all()
