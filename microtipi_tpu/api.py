@@ -264,6 +264,30 @@ class WideFieldModel:
     def free_mem(self):
         """Reference-parity no-op: purity + jit make the PState cache moot."""
 
+    def compute_defocus(self):
+        """Reference-parity no-op: psi and the evanescent mask are re-derived
+        from the current defocus parameters on every access (pure functions),
+        so the explicit recompute + invalidation the reference needs
+        (``WideFieldModel.java:1452-1499,1532``) has nothing to do here."""
+
+    def get_parameters_flags(self):
+        """The canonical family order ``{DEFOCUS, PHASE, MODULUS}``
+        (``WideFieldModel.java:123,1999-2002``; the abstract contract at
+        ``MicroscopeModel.java:96``)."""
+        return [DEFOCUS, PHASE, MODULUS]
+
+    # Per-family adjoints, named like the reference's hand-written versions
+    # (``WideFieldModel.java:429,738,1029``) — all three route through the
+    # same autodiff VJP that replaces them.
+    def apply_j_defocus(self, q):
+        return self.apply_jacobian(q, DEFOCUS)
+
+    def apply_j_phase(self, q):
+        return self.apply_jacobian(q, PHASE)
+
+    def apply_j_modulus(self, q):
+        return self.apply_jacobian(q, MODULUS)
+
 
 class PSF_Estimation:
     """PSF-parameter fitting driver, reference-parity surface

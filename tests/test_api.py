@@ -243,3 +243,22 @@ def test_psf_estimation_parity_setters(capsys):
     est.fit_psf(PHASE)
     fitted = np.asarray(m2.get_phase_coefs())
     np.testing.assert_allclose(fitted, [0.5, -0.3, 0.2], atol=0.1)
+
+
+def test_remaining_widefield_parity_surface():
+    """getParametersFlags / computeDefocus / the named per-family adjoints
+    (WideFieldModel.java:123,1452-1499,429,738,1029)."""
+    m = WideFieldModel(SHAPE, n_phase=3, n_modulus=2, radial=True, single=False, **KW)
+    assert m.get_parameters_flags() == [DEFOCUS, PHASE, MODULUS]
+    m.compute_defocus()  # no-op, must not raise
+
+    m.set_phase([0.2, -0.1, 0.05])
+    rng = np.random.default_rng(0)
+    q = rng.standard_normal(SHAPE)
+    # the named adjoints equal the dispatching apply_jacobian
+    np.testing.assert_allclose(m.apply_j_phase(q), m.apply_jacobian(q, PHASE))
+    np.testing.assert_allclose(m.apply_j_defocus(q), m.apply_jacobian(q, DEFOCUS))
+    np.testing.assert_allclose(m.apply_j_modulus(q), m.apply_jacobian(q, MODULUS))
+    assert m.apply_j_phase(q).shape == (3,)
+    assert m.apply_j_defocus(q).shape == (3,)
+    assert m.apply_j_modulus(q).shape == (2,)
