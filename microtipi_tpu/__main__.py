@@ -402,6 +402,97 @@ def _weights(args, data):
     return InverseVarianceWeights(gain=args.gain, readout_variance=args.readout).from_data(data)
 
 
+def cmd_doctor(args):
+    """Deployment self-check: backend, jitted solve, platform quirks.
+
+    The axon-attached TPU runtime has sharp edges (CLAUDE.md): eager
+    dispatch remote-compiles per op, complex device->host transfers are
+    UNIMPLEMENTED and poison the process, block_until_ready does not
+    synchronize. This probes each one non-destructively and reports what
+    THIS runtime actually does, plus a tiny end-to-end solve timing.
+    """
+    import time as _time
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    print(f"jax {jax.__version__}; backend: {jax.default_backend()}; "
+          f"devices: {[str(d) for d in jax.devices()]}")
+    print(f"x64 enabled: {jax.config.jax_enable_x64}")
+    cache = jax.config.jax_compilation_cache_dir
+    print(f"compile cache: {cache or 'DISABLED (first FFT compile will be slow; '
+          'set jax_compilation_cache_dir)'}")
+
+    # Complex transfer quirk — probed in a SUBPROCESS: on the axon runtime a
+    # failed complex fetch poisons the whole process (later real uploads
+    # start failing UNIMPLEMENTED too — observed while writing this), so it
+    # must never run in the process that continues the checks.
+    import subprocess
+
+    probe = ("import numpy, jax, jax.numpy as jnp; "
+             "numpy.asarray(jax.jit(lambda: jnp.fft.rfft(jnp.arange(8.0)))())")
+    r = subprocess.run([sys.executable, "-c", probe], capture_output=True,
+                       timeout=300)
+    if r.returncode == 0:
+        print("complex device->host transfer: OK")
+    else:
+        print("complex device->host transfer: UNAVAILABLE (and poisons the "
+              "process!) - fetch jnp.real/jnp.imag separately (the library "
+              "getters do), never np.asarray a complex device array")
+
+    # end-to-end tiny solve, jitted, timed by scalar fetch
+    from microtipi_tpu.jobs.deconv import DeconvolutionConfig, deconvolve
+    from microtipi_tpu.models.widefield import WideFieldConfig
+    from microtipi_tpu.ops.convolution import convolve, convolve_spectrum
+
+    shape = (8, 64, 64)
+    m = WideFieldConfig(shape=shape, na=1.2, wavelength=500e-9, ni=1.33,
+                        dxy=100e-9, dz=300e-9, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    obj = jnp.asarray(np.abs(rng.standard_normal(shape)).astype(np.float32) * 20)
+    noise = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+
+    @jax.jit
+    def solve(o, n):
+        psf = m.compute_psf(m.init_params())
+        d = convolve(o, convolve_spectrum(psf), shape) + 0.5 * n
+        return deconvolve(d, psf, config=DeconvolutionConfig(
+            mu=0.01, epsilon=1.0, max_iter=10, grtol=0.0)).f
+
+    t0 = _time.perf_counter()
+    f = float(solve(obj, noise))
+    t_compile = _time.perf_counter() - t0
+    t0 = _time.perf_counter()
+    f = float(solve(obj, noise))
+    t_steady = _time.perf_counter() - t0
+    ok = np.isfinite(f)
+    print(f"jitted solve (8x64x64, 10 iters): compile+run {t_compile:.1f}s, "
+          f"steady {t_steady*1000:.0f} ms, cost finite: {ok}")
+
+    # does block_until_ready actually synchronize here? (compare against
+    # the scalar-fetch timing — a large ratio means it does not)
+    t0 = _time.perf_counter()
+    jax.block_until_ready(solve(obj, noise))
+    t_bur = _time.perf_counter() - t0
+    if t_bur < 0.5 * t_steady:
+        print(f"block_until_ready: does NOT synchronize on this runtime "
+              f"({t_bur*1000:.0f} ms vs {t_steady*1000:.0f} ms scalar fetch) "
+              "- time by fetching a scalar")
+    else:
+        print(f"block_until_ready: synchronizes ({t_bur*1000:.0f} ms)")
+
+    # virtual-mesh availability (sharding tests / dryruns)
+    n = jax.device_count()
+    print(f"device count: {n} "
+          + ("(multi-chip sharding available)" if n > 1 else
+             "(single chip; sharded paths validate on a virtual CPU mesh — "
+             "see __graft_entry__.dryrun_multichip)"))
+    print("doctor: OK" if ok else "doctor: PROBLEMS FOUND")
+    if not ok:
+        sys.exit(1)
+
+
 def cmd_info(args):
     from microtipi_tpu.io.tiffstack import read_pixel_size, stack_info
 
@@ -1666,6 +1757,10 @@ def cmd_watch(args):
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="microtipi_tpu", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("doctor", help="deployment self-check: backend, jitted "
+                                      "solve timing, platform quirks")
+    p.set_defaults(fn=cmd_doctor)
 
     p = sub.add_parser("info", help="print TIFF stack geometry")
     p.add_argument("stack")

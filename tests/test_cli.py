@@ -1008,3 +1008,12 @@ def test_cli_fitpsf_empirical_out(tmp_path):
     assert abs(h.sum() - 1.0) < 1e-4
     # centered: the peak moved back to the corner
     assert np.unravel_index(np.argmax(h), shape)[1:] == (0, 0)
+
+
+def test_cli_doctor(tmp_path):
+    """doctor: deployment self-check runs green on the CPU backend."""
+    r = _run(["doctor"], tmp_path)
+    assert r.returncode == 0, r.stderr
+    assert "doctor: OK" in r.stdout
+    assert "jitted solve" in r.stdout
+    assert "complex device->host transfer" in r.stdout
