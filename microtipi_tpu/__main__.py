@@ -1751,7 +1751,7 @@ def cmd_watch(args):
           priority_patterns=args.priority, zarr_levels=args.zarr_levels,
           preprocess=_build_preprocess(args),
           auto_mu=args.auto_mu, auto_mu_tau=args.tau,
-          auto_mu_sigma=args.noise_sigma)
+          auto_mu_sigma=args.noise_sigma, auto_gain=args.auto_gain)
 
 
 def main(argv=None):

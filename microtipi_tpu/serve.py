@@ -179,6 +179,7 @@ def watch(
     auto_mu: bool = False,
     auto_mu_tau: float = 1.0,
     auto_mu_sigma: float | None = None,
+    auto_gain: bool = False,
 ):
     """Run the service loop. ``max_files`` bounds the run (None = forever).
 
@@ -215,6 +216,12 @@ def watch(
     fast fixed-PSF path. No sample file is burned on a blind solve, and
     the calibration comes from a point source instead of an unknown
     object (measured stronger — BASELINE.md bead tables).
+
+    ``auto_gain`` (``method="vmlmb"`` only): single-shot photon-transfer
+    camera calibration on the FIRST file (``estimate_gain_readout``); every
+    solve then uses inverse-variance weights built in-graph from its own
+    data with the calibrated constants. Composes with ``auto_mu`` (the
+    discrepancy target becomes the positive-weight count).
 
     ``auto_mu`` (``method="vmlmb"`` only): the FIRST file's solve selects
     the TV weight by the Morozov discrepancy principle
@@ -254,6 +261,9 @@ def watch(
     if auto_mu and method != "vmlmb":
         raise ValueError("auto_mu calibrates the fixed-PSF VMLMB path; "
                          f"method {method!r} does not take it")
+    if auto_gain and method != "vmlmb":
+        raise ValueError("auto_gain builds variance weights for the VMLMB "
+                         f"path; method {method!r} does not take it")
 
     indir, outdir = Path(indir), Path(outdir)
     outdir.mkdir(parents=True, exist_ok=True)
@@ -264,6 +274,18 @@ def watch(
     solvers_lock = threading.Lock()
     calib = {"params": None}  # blind-once: fitted pupil parameters
     mu_calib = {"mu": None}   # auto_mu: mu from the first file's bisection
+    gain_calib = {"gr": None}  # auto_gain: (gain, readout var) from file 1
+
+    def _weights_of(d):
+        # Per-file inverse-variance weights from the ONE-time photon-transfer
+        # calibration (constants baked into the jitted solver; the weights
+        # themselves are computed in-graph from each file's own data).
+        if not auto_gain:
+            return None
+        from microtipi_tpu.weights.updaters import InverseVarianceWeights
+
+        g, rv = gain_calib["gr"]
+        return InverseVarianceWeights(gain=g, readout_variance=rv).from_data(d)
 
     if bead_path is not None:
         if method != "blind-once":
@@ -326,7 +348,8 @@ def watch(
 
                 def run(d, psf=psf):
                     kern = pad_fft_kernel(psf, d.shape)
-                    res = deconvolve_auto_mu(d, kern, config=config,
+                    res = deconvolve_auto_mu(d, kern, weights=_weights_of(d),
+                                             config=config,
                                              sigma=auto_mu_sigma,
                                              tau=auto_mu_tau)
                     return res.result.x, res.mu, res.sigma
@@ -341,13 +364,22 @@ def watch(
 
                 def run(d, psf=psf, cfg=cfg):
                     kern = pad_fft_kernel(psf, d.shape)
-                    return deconvolve(d, kern, config=cfg).x
+                    return deconvolve(d, kern, weights=_weights_of(d),
+                                      config=cfg).x
 
                 solvers[key] = jax.jit(run, donate_argnums=0)
         return solvers[key]
 
     def solve(data):
         """One file -> the output volume (handles the blind state machine)."""
+        if auto_gain and gain_calib["gr"] is None:
+            from microtipi_tpu.weights.updaters import estimate_gain_readout
+
+            g, rv = jax.jit(estimate_gain_readout)(data)
+            gain_calib["gr"] = (float(g), float(rv))
+            log(f"[watch] calibrated camera from first file: gain="
+                f"{float(g):.4g} e-/ADU, readout var {float(rv):.4g} ADU^2 "
+                "(single-shot photon transfer)")
         out = solver_for(data.shape)(data)
         if blind and calib["params"] is None:
             obj, params = out
@@ -594,7 +626,8 @@ def watch(
                 # race the calib write. method='blind' has no shared
                 # calibration and fans out immediately.
                 while ((method == "blind-once" and calib["params"] is None)
-                       or (auto_mu and mu_calib["mu"] is None)) and futs:
+                       or (auto_mu and mu_calib["mu"] is None)
+                       or (auto_gain and gain_calib["gr"] is None)) and futs:
                     p, size, fut = futs[0]
                     _process_one(p, size, fut, devices[0])
                     futs = futs[1:]

@@ -548,3 +548,40 @@ def test_watch_auto_mu_rejects_other_methods(tmp_path):
     with pytest.raises(ValueError, match="auto_mu"):
         watch(tmp_path, tmp_path / "o", tmp_path / "psf.tif",
               method="rl", auto_mu=True)
+
+
+def test_watch_auto_gain_calibrates_once_and_composes_with_auto_mu(tmp_path):
+    """auto_gain: single-shot photon transfer on the first file, variance
+    weights in-graph thereafter; composes with auto_mu (whose target
+    becomes the positive-weight count)."""
+    indir = tmp_path / "in"
+    outdir = tmp_path / "out"
+    indir.mkdir()
+    shape = (4, 24, 24)
+    psf = np.zeros(shape, np.float32)
+    psf[0, 0, 0] = 0.6
+    psf[0, 0, 1] = 0.4
+    write_stack(tmp_path / "psf.tif", psf)
+    rng = np.random.default_rng(4)
+    o = np.abs(rng.standard_normal(shape)).astype(np.float32) * 200
+    d = np.asarray(convolve(jnp.asarray(o), convolve_spectrum(jnp.asarray(psf)), shape))
+    for i in range(2):
+        noisy = rng.poisson(np.maximum(d, 0) * 2.0) / 2.0 \
+            + rng.normal(0, 1.0, shape)
+        write_stack(indir / f"t{i}.tif", noisy.astype(np.float32))
+
+    logs = []
+    out = watch(indir, outdir, tmp_path / "psf.tif",
+                config=DeconvolutionConfig(mu=0.01, epsilon=1.0, max_iter=6),
+                poll_seconds=0.05, max_files=2, log=logs.append,
+                auto_mu=True, auto_gain=True)
+    assert len(out) == 2
+    assert sum("calibrated camera from first file" in m for m in logs) == 1
+    assert sum("calibrated mu=" in m for m in logs) == 1
+    for i in range(2):
+        rec = read_stack(outdir / f"t{i}.tif")
+        assert rec.shape == shape and np.isfinite(rec).all()
+
+    with pytest.raises(ValueError, match="auto_gain"):
+        watch(tmp_path, tmp_path / "o", tmp_path / "psf.tif",
+              method="rl", auto_gain=True)
