@@ -421,8 +421,9 @@ def cmd_doctor(args):
           f"devices: {[str(d) for d in jax.devices()]}")
     print(f"x64 enabled: {jax.config.jax_enable_x64}")
     cache = jax.config.jax_compilation_cache_dir
-    print(f"compile cache: {cache or 'DISABLED (first FFT compile will be slow; '
-          'set jax_compilation_cache_dir)'}")
+    cache_msg = cache or ("DISABLED (first FFT compile will be slow; "
+                          "set jax_compilation_cache_dir)")
+    print(f"compile cache: {cache_msg}")
 
     # Complex transfer quirk — probed in a SUBPROCESS: on the axon runtime a
     # failed complex fetch poisons the whole process (later real uploads
@@ -432,14 +433,27 @@ def cmd_doctor(args):
 
     probe = ("import numpy, jax, jax.numpy as jnp; "
              "numpy.asarray(jax.jit(lambda: jnp.fft.rfft(jnp.arange(8.0)))())")
-    r = subprocess.run([sys.executable, "-c", probe], capture_output=True,
-                       timeout=300)
-    if r.returncode == 0:
+    try:
+        r = subprocess.run([sys.executable, "-c", probe], capture_output=True,
+                           text=True, timeout=300)
+    except subprocess.TimeoutExpired:
+        print("complex device->host transfer: probe TIMED OUT after 300 s "
+              "(likely a cold remote FFT compile) - rerun doctor once the "
+              "compile cache is warm")
+        r = None
+    if r is None:
+        pass
+    elif r.returncode == 0:
         print("complex device->host transfer: OK")
-    else:
-        print("complex device->host transfer: UNAVAILABLE (and poisons the "
+    elif "UNIMPLEMENTED" in (r.stderr or ""):
+        print("complex device->host transfer: UNIMPLEMENTED (and poisons the "
               "process!) - fetch jnp.real/jnp.imag separately (the library "
               "getters do), never np.asarray a complex device array")
+    else:
+        tail = (r.stderr or "").strip().splitlines()[-1:]
+        print("complex device->host transfer: probe FAILED for another "
+              f"reason ({tail[0] if tail else 'no stderr'}) - not the "
+              "UNIMPLEMENTED quirk; investigate separately")
 
     # end-to-end tiny solve, jitted, timed by scalar fetch
     from microtipi_tpu.jobs.deconv import DeconvolutionConfig, deconvolve
@@ -810,22 +824,23 @@ def _cmd_deconv_superres(args, data):
                  "--mesh/--tile/--depthvar/--auto-mu/--method rl/--pad")
     f = tuple(int(v) for v in args.superres)
     fine_shape = tuple(fi * s for fi, s in zip(f, data.shape))
+    needs_upsample = False
     if args.psf:
         psf_fine = jnp.asarray(read_stack(args.psf))
         if args.psf_centered:
             psf_fine = unroll(psf_fine)
-        if psf_fine.shape == tuple(data.shape):
+        needs_upsample = psf_fine.shape == tuple(data.shape)
+        if needs_upsample:
             # Measured coarse-grid PSF (e.g. fitpsf --empirical-out):
             # band-limited Fourier upsampling — exact when the PSF
             # measurement itself was adequately sampled (see
-            # jobs.superres.upsample_psf for the aliasing caveat).
-            from microtipi_tpu.jobs.superres import upsample_psf
-
-            psf_fine = jax.jit(lambda p: upsample_psf(p, f))(psf_fine)
-            print(f"upsampled the coarse --psf to the fine grid {fine_shape} "
+            # jobs.superres.upsample_psf for the aliasing caveat). The
+            # upsampling runs INSIDE the solve jit below: a separate jitted
+            # FFT program would double the cold-start remote compile.
+            print(f"upsampling the coarse --psf to the fine grid {fine_shape} "
                   "(band-limited; only valid if the PSF measurement was "
                   "adequately sampled)")
-        elif psf_fine.shape != fine_shape:
+        if not needs_upsample and psf_fine.shape != fine_shape:
             sys.exit(f"--superres {f}: --psf must be sampled at the FINE "
                      f"grid {fine_shape} or the data grid {tuple(data.shape)} "
                      f"(got {psf_fine.shape}); or drop --psf to synthesize "
@@ -842,8 +857,16 @@ def _cmd_deconv_superres(args, data):
         psf_fine = jax.jit(model.compute_psf)(params)
     cfg = _deconv_config(args, data.shape)
     w = _weights(args, data)
-    run = jax.jit(lambda d, p, w: deconvolve_superres(
-        d, p, factor=f, weights=w, config=cfg))
+    up = args.psf and needs_upsample
+
+    def _solve(d, p, w):
+        if up:
+            from microtipi_tpu.jobs.superres import upsample_psf
+
+            p = upsample_psf(p, f)
+        return deconvolve_superres(d, p, factor=f, weights=w, config=cfg)
+
+    run = jax.jit(_solve)
     t0 = time.time()
     res = run(data, psf_fine, w)
     fval = float(res.f)

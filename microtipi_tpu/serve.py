@@ -394,9 +394,11 @@ def watch(
             x, mu, sigma = out
             if mu_calib["mu"] is None:
                 mu_calib["mu"] = float(mu)
+                sig = float(sigma)
+                sig_txt = ("weighted target" if sig != sig  # nan: weights set
+                           else f"noise sigma {sig:.4g}")
                 log(f"[watch] calibrated mu={float(mu):.4g} from first file "
-                    f"(noise sigma {float(sigma):.4g}); later files use the "
-                    "fixed-mu solver")
+                    f"({sig_txt}); later files use the fixed-mu solver")
             return x
         return out
 

@@ -186,7 +186,7 @@ def test_cli_deconv_superres(tmp_path):
         capture_output=True, text=True, env=env, cwd=tmp_path, timeout=600,
     )
     assert r.returncode == 0, r.stderr
-    assert "upsampled the coarse --psf" in r.stdout
+    assert "upsampling the coarse --psf" in r.stdout
     rec2 = read_stack(tmp_path / "rec2.tif")
     assert rec2.shape == FINE and np.isfinite(rec2).all()
 
