@@ -28,7 +28,8 @@ from microtipi_tpu.jobs.phase_retrieval import (
 from microtipi_tpu.jobs.blind import BlindDeconvConfig, BlindDeconvResult, blind_deconvolve
 from microtipi_tpu.jobs.deconv import DeconvolutionConfig, DeconvolutionResult, deconvolve
 from microtipi_tpu.jobs.depthvar import deconvolve_depthvar, depth_anchor_psfs
-from microtipi_tpu.jobs.superres import bin_volume, deconvolve_superres, upsample_volume
+from microtipi_tpu.jobs.superres import (
+    bin_volume, deconvolve_superres, upsample_psf, upsample_volume)
 from microtipi_tpu.jobs.timeseries import deconvolve_timeseries
 from microtipi_tpu.jobs.psf_fit import (
     FitUncertainty, PsfFitConfig, PsfFitResult, average_beads, bead_anchor_term,
@@ -81,7 +82,7 @@ __all__ = [
     "AutoMuResult", "deconvolve_auto_mu", "estimate_noise_sigma",
     "PupilRetrievalResult", "project_phase", "remove_position_gauges", "retrieve_pupil",
     "deconvolve_depthvar", "depth_anchor_psfs", "deconvolve_timeseries",
-    "bin_volume", "deconvolve_superres", "upsample_volume",
+    "bin_volume", "deconvolve_superres", "upsample_psf", "upsample_volume",
     "PsfFitConfig", "PsfFitResult", "average_beads", "bead_anchor_term", "center_bead_stack",
     "empirical_psf", "fit_psf", "fit_psf_beads", "fit_psf_joint",
     "FitUncertainty", "fit_uncertainty", "bead_fit_uncertainty",
