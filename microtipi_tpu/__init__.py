@@ -16,11 +16,12 @@ Two API levels:
   / ``api.DeconvolutionJob`` / ``api.BlindDeconvJob``.
 """
 
-from microtipi_tpu.models.microscope import DEFOCUS, DEPTH, MODULUS, PARAMETER_FLAGS, PHASE, SHEET
+from microtipi_tpu.models.microscope import DEFOCUS, DEPTH, MODULUS, PARAMETER_FLAGS, PHASE, SHEET, STED
 from microtipi_tpu.models.widefield import WideFieldConfig, WideFieldParams
 from microtipi_tpu.models.gibson_lanni import GibsonLanniConfig, GibsonLanniParams
 from microtipi_tpu.models.confocal import ConfocalConfig, TwoPhotonConfig
 from microtipi_tpu.models.lightsheet import LightSheetConfig, LightSheetParams
+from microtipi_tpu.models.sted import STEDConfig, STEDParams
 from microtipi_tpu.models.vectorial import VectorialConfig
 from microtipi_tpu.jobs.autotune import AutoMuResult, deconvolve_auto_mu, estimate_noise_sigma
 from microtipi_tpu.jobs.phase_retrieval import (
@@ -72,10 +73,10 @@ from microtipi_tpu.weights.updaters import InverseVarianceWeights, estimate_gain
 __version__ = "0.1.0"
 
 __all__ = [
-    "DEFOCUS", "PHASE", "MODULUS", "DEPTH", "SHEET", "PARAMETER_FLAGS",
+    "DEFOCUS", "PHASE", "MODULUS", "DEPTH", "SHEET", "STED", "PARAMETER_FLAGS",
     "WideFieldConfig", "WideFieldParams",
     "GibsonLanniConfig", "GibsonLanniParams",
-    "ConfocalConfig", "TwoPhotonConfig", "VectorialConfig",
+    "ConfocalConfig", "TwoPhotonConfig", "VectorialConfig", "STEDConfig", "STEDParams",
     "LightSheetConfig", "LightSheetParams",
     "BlindDeconvConfig", "BlindDeconvResult", "blind_deconvolve",
     "DeconvolutionConfig", "DeconvolutionResult", "deconvolve",

@@ -22,7 +22,8 @@ import time
 def _model_args(p: argparse.ArgumentParser):
     g = p.add_argument_group("optics")
     g.add_argument("--model",
-                   choices=["widefield", "gl", "confocal", "2p", "vectorial", "lightsheet"],
+                   choices=["widefield", "gl", "confocal", "2p", "vectorial",
+                            "lightsheet", "sted"],
                    default="widefield",
                    help="PSF model family: widefield (reference parity), "
                         "gl (Gibson-Lanni depth aberration), confocal, "
@@ -37,6 +38,14 @@ def _model_args(p: argparse.ArgumentParser):
                         "(0 = same as emission)")
     g.add_argument("--pinhole", type=float, default=0.0,
                    help="[confocal] object-space pinhole radius [m] (0 = ideal)")
+    g.add_argument("--wavelength-dep", type=float, default=0.0,
+                   help="[sted] depletion wavelength [m] (0 = emission)")
+    g.add_argument("--depletion", choices=["donut", "bottle"], default="donut",
+                   help="[sted] depletion mask: lateral vortex donut or "
+                        "axial pi-disk bottle beam")
+    g.add_argument("--saturation", type=float, default=0.0,
+                   help="[sted] saturation factor zeta = I_peak/I_sat "
+                        "(fittable via --families sted)")
     g.add_argument("--sheet-na", type=float, default=0.1,
                    help="[lightsheet] illumination NA of the sheet-forming "
                         "optics (sets the default waist)")
@@ -321,6 +330,14 @@ def _build_model(args, shape):
         return LightSheetConfig(
             sheet_na=args.sheet_na, wavelength_exc=args.wavelength_exc,
             divergence=not args.no_sheet_divergence, **common
+        )
+    if kind == "sted":
+        from microtipi_tpu.models.sted import STEDConfig
+
+        return STEDConfig(
+            wavelength_exc=args.wavelength_exc, pinhole=args.pinhole,
+            wavelength_dep=args.wavelength_dep, depletion=args.depletion,
+            saturation=args.saturation, **common
         )
     from microtipi_tpu.models.widefield import WideFieldConfig
 
@@ -1059,14 +1076,16 @@ def _make_mesh(args):
 def _blind_config(args, data_shape):
     from microtipi_tpu.jobs.blind import BlindDeconvConfig
     from microtipi_tpu.jobs.psf_fit import PsfFitConfig
-    from microtipi_tpu.models.microscope import DEFOCUS, DEPTH, MODULUS, PHASE, SHEET
+    from microtipi_tpu.models.microscope import DEFOCUS, DEPTH, MODULUS, PHASE, SHEET, STED
 
     fam_map = {"defocus": DEFOCUS, "phase": PHASE, "modulus": MODULUS,
-               "depth": DEPTH, "sheet": SHEET}
+               "depth": DEPTH, "sheet": SHEET, "sted": STED}
     if "depth" in args.families and args.model != "gl":
         sys.exit("--families depth requires --model gl (the DEPTH family lives on the Gibson-Lanni model)")
     if "sheet" in args.families and args.model != "lightsheet":
         sys.exit("--families sheet requires --model lightsheet (the SHEET family is the excitation-sheet geometry)")
+    if "sted" in args.families and args.model != "sted":
+        sys.exit("--families sted requires --model sted (the STED family is the depletion saturation factor)")
     families = tuple(fam_map[f] for f in args.families)
     kw = dict(
         loops=args.loops,
@@ -1338,7 +1357,7 @@ def cmd_fitpsf(args):
     import jax
     import jax.numpy as jnp
     from microtipi_tpu.jobs.psf_fit import PsfFitConfig, fit_psf_beads
-    from microtipi_tpu.models.microscope import DEFOCUS, DEPTH, MODULUS, PHASE, SHEET
+    from microtipi_tpu.models.microscope import DEFOCUS, DEPTH, MODULUS, PHASE, SHEET, STED
     from microtipi_tpu.utils.arrays import roll
 
     data = jnp.asarray(_read_input_volume(args, args.stack))
@@ -1369,9 +1388,11 @@ def cmd_fitpsf(args):
               f"{'centered' if args.centered else 'corner-origin'}, unit sum)")
         return
     fam_map = {"defocus": DEFOCUS, "phase": PHASE, "modulus": MODULUS,
-               "depth": DEPTH, "sheet": SHEET}
+               "depth": DEPTH, "sheet": SHEET, "sted": STED}
     if "depth" in args.families and args.model != "gl":
         sys.exit("--families depth requires --model gl")
+    if "sted" in args.families and args.model != "sted":
+        sys.exit("--families sted requires --model sted")
     families = tuple(fam_map[f] for f in args.families)
 
     if args.field_out:
@@ -1744,11 +1765,11 @@ def cmd_watch(args):
     model_factory = blind_cfg = None
     if args.method in ("blind", "blind-once"):
         from microtipi_tpu.jobs.blind import BlindDeconvConfig
-        from microtipi_tpu.models.microscope import DEFOCUS, DEPTH, MODULUS, PHASE, SHEET
+        from microtipi_tpu.models.microscope import DEFOCUS, DEPTH, MODULUS, PHASE, SHEET, STED
 
         _resolve_geometry(args)  # no single input stack: flags or defaults
         fam_map = {"defocus": DEFOCUS, "phase": PHASE, "modulus": MODULUS,
-               "depth": DEPTH, "sheet": SHEET}
+               "depth": DEPTH, "sheet": SHEET, "sted": STED}
         families = tuple(fam_map[f] for f in args.families)
         kw = dict(loops=args.loops, families=families,
                   psf_max_iter=tuple(args.psf_iters for _ in families), deconv=cfg)
@@ -1844,7 +1865,7 @@ def main(argv=None):
                         "unit-sum; honors --n-beads averaging) and exit — "
                         "no parametric fit")
     p.add_argument("--families", nargs="+", default=["defocus", "phase"],
-                   choices=["defocus", "phase", "modulus", "depth", "sheet"])
+                   choices=["defocus", "phase", "modulus", "depth", "sheet", "sted"])
     _preprocess_args(p)
     _model_args(p)
     _hyperstack_args(p)
@@ -1968,7 +1989,7 @@ def main(argv=None):
                         "(joint fit + pin-Z4 + wiener init); 'parity' (default) keeps "
                         "the reference's sequential per-family semantics")
     p.add_argument("--families", nargs="+", default=["defocus", "phase"],
-                   choices=["defocus", "phase", "modulus", "depth", "sheet"])
+                   choices=["defocus", "phase", "modulus", "depth", "sheet", "sted"])
     _preprocess_args(p)
     _model_args(p)
     _deconv_args(p)
@@ -2110,7 +2131,7 @@ def main(argv=None):
     p.add_argument("--loops", type=int, default=5, help="[blind methods] blind rounds")
     p.add_argument("--psf-iters", type=int, default=20, help="[blind methods] fit iterations per family")
     p.add_argument("--families", nargs="+", default=["defocus", "phase"],
-                   choices=["defocus", "phase", "modulus", "depth", "sheet"])
+                   choices=["defocus", "phase", "modulus", "depth", "sheet", "sted"])
     p.add_argument("--recipe", choices=["parity", "quality"], default="quality",
                    help="[blind methods] quality = recommended() recipe (default for serving)")
     _preprocess_args(p)

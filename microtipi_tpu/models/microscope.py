@@ -20,7 +20,7 @@ from typing import Protocol, runtime_checkable
 import jax
 
 __all__ = [
-    "DEFOCUS", "PHASE", "MODULUS", "DEPTH", "SHEET",
+    "DEFOCUS", "PHASE", "MODULUS", "DEPTH", "SHEET", "STED",
     "PARAMETER_FLAGS", "FAMILY_NAMES", "PsfModel",
 ]
 
@@ -33,6 +33,8 @@ MODULUS = 2
 DEPTH = 3
 #: extension family (light-sheet excitation geometry; not in the reference).
 SHEET = 4
+#: extension family (STED depletion saturation factor; not in the reference).
+STED = 5
 PARAMETER_FLAGS = (DEFOCUS, PHASE, MODULUS)
 FAMILY_NAMES = {
     DEFOCUS: "defocus",
@@ -40,6 +42,7 @@ FAMILY_NAMES = {
     MODULUS: "modulus",
     DEPTH: "depth",
     SHEET: "sheet",
+    STED: "sted",
 }
 
 
