@@ -151,5 +151,6 @@ class STEDConfig(ConfocalConfig):
         h_conf = ConfocalConfig.compute_psf(self, wf)
         d = self.depletion_intensity(params)
         zeta = jnp.maximum(params.sted[0], 0.0)  # physical: no "anti-depletion"
-        h = h_conf * jnp.exp((-np.log(2.0)) * zeta * d)
+        ln2 = jnp.asarray(np.log(2.0), self.dtype)  # f64 scalar would promote
+        h = h_conf * jnp.exp(-ln2 * zeta * d)
         return h / jnp.sum(h)

@@ -127,6 +127,8 @@ FAMILY_CASES = [
     ("vectorial", (4, 20, 20), 2, True, jnp.float64),
     ("vectorial", (5, 16, 16), 3, False, jnp.float32),
     ("gl", (4, 24, 24), 2, True, jnp.float64),
+    ("sted", (4, 16, 16), 2, True, jnp.float64),
+    ("sted", (5, 24, 24), 3, False, jnp.float32),
 ]
 
 
@@ -136,6 +138,7 @@ def test_model_family_fuzz(kind, shape, n_phase, radial, dtype):
     across random shapes/bases/dtypes."""
     from microtipi_tpu.models.confocal import ConfocalConfig, TwoPhotonConfig
     from microtipi_tpu.models.gibson_lanni import GibsonLanniConfig
+    from microtipi_tpu.models.sted import STEDConfig
     from microtipi_tpu.models.vectorial import VectorialConfig
 
     common = dict(shape=shape, n_phase=n_phase, radial=radial, dtype=dtype, **KW)
@@ -144,6 +147,9 @@ def test_model_family_fuzz(kind, shape, n_phase, radial, dtype):
         "2p": lambda: TwoPhotonConfig(**common),
         "vectorial": lambda: VectorialConfig(**common),
         "gl": lambda: GibsonLanniConfig(ns=1.36, depth=3e-6, **common),
+        "sted": lambda: STEDConfig(wavelength_exc=488e-9, pinhole=120e-9,
+                                   wavelength_dep=660e-9, saturation=8.0,
+                                   **common),
     }[kind]()
     rng = np.random.default_rng(abs(hash((kind,) + shape)) % 2**31)
     p = cfg.init_params()
