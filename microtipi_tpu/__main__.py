@@ -627,34 +627,116 @@ def _load_params_json(model, path):
     return params
 
 
-def _cmd_deconv_depthvar(args, data):
-    """deconv --depthvar K: depth-varying solve with K Gibson-Lanni anchor
-    PSFs synthesized from --params-json (fitpsf output) or model defaults."""
+def _load_pupil_maps(args, model, paths):
+    """Load K ``fitpsf --retrieve-map`` npz files and return (phis, rhos,
+    defocus) stacks on the SAMPLE model's pupil grid — resampling each map
+    from its bead-crop frequency grid when the geometry differs
+    (``jobs/phase_retrieval.resample_pupil_map``)."""
     import numpy as np
     import jax
-    from microtipi_tpu.jobs.depthvar import deconvolve_depthvar, depth_anchor_psfs
+    from microtipi_tpu.jobs.phase_retrieval import resample_pupil_map
 
-    if getattr(args, "model", "gl") != "gl":
-        sys.exit("--depthvar requires --model gl (anchors vary the DEPTH family)")
+    # jit (static geometry) so the eager CLI path is one dispatch per map,
+    # not one remote compile per gather op (platform rule: CLAUDE.md).
+    resample = jax.jit(resample_pupil_map, static_argnums=(1, 2, 3))
+    ny_d, nx_d = model.shape[1], model.shape[2]
+    nominal_defocus = np.asarray(model.init_params().defocus)
+    phis, rhos, defoc = [], [], []
+    for path in paths:
+        with np.load(path) as z:
+            if "phi" not in z.files:
+                sys.exit(f"{path}: not a fitpsf --retrieve-map npz (no 'phi')")
+            phi = np.asarray(z["phi"])
+            mask = np.asarray(z["mask"]) if "mask" in z.files else None
+            rho = np.asarray(z["rho"]) if "rho" in z.files else None
+            src_dxy = float(z["dxy"]) if "dxy" in z.files else args.dxy
+            d = np.asarray(z["defocus"]) if "defocus" in z.files \
+                else nominal_defocus
+        if phi.shape != (ny_d, nx_d) or abs(src_dxy - args.dxy) > 1e-15:
+            phi = resample(phi, src_dxy, (ny_d, nx_d), args.dxy, mask=mask)
+            if rho is not None:
+                rho = resample(rho, src_dxy, (ny_d, nx_d), args.dxy, mask=mask)
+        phis.append(np.asarray(phi))
+        rhos.append(None if rho is None else np.asarray(rho))
+        defoc.append(d)
+    have_rho = [r is not None for r in rhos]
+    if any(have_rho) and not all(have_rho):
+        sys.exit("--depthvar-maps: maps mix --retrieve-modulus and "
+                 "phase-only retrievals; re-run fitpsf consistently "
+                 "(the nominal flat modulus cannot be spliced per-anchor)")
+    return (np.stack(phis),
+            np.stack(rhos) if all(have_rho) else None,
+            np.stack(defoc))
+
+
+def _cmd_deconv_depthvar(args, data):
+    """deconv --depthvar K / --depthvar-maps NPZ...: depth-varying solve
+    with K anchor PSFs blended along z — synthesized from Gibson-Lanni
+    parameters (--params-json, the parametric route) or from measured
+    retrieved pupil maps (fitpsf --retrieve-map outputs, one per
+    calibration depth)."""
+    import numpy as np
+    import jax
+    from microtipi_tpu.jobs.depthvar import (
+        deconvolve_depthvar, depth_anchor_psfs, depth_anchor_psfs_from_maps)
+
+    maps = getattr(args, "depthvar_maps", None)
+    if maps and getattr(args, "depthvar", 0):
+        sys.exit("--depthvar K and --depthvar-maps are alternative anchor "
+                 "routes; pass one")
     if getattr(args, "mesh", None):
         sys.exit("--depthvar is single-device for now (no --mesh)")
     _resolve_geometry(args, args.data)
-    model = _build_model(args, data.shape)
-    params = _load_params_json(model, args.params_json) if args.params_json \
-        else model.init_params()
-    anchors = np.linspace(0.0, data.shape[0] - 1.0, args.depthvar)
+    k = len(maps) if maps else args.depthvar
+    if getattr(args, "depthvar_anchors", None):
+        anchors = np.asarray(args.depthvar_anchors, np.float64)
+        if anchors.size != k:
+            sys.exit(f"--depthvar-anchors needs {k} depths "
+                     f"(one per anchor), got {anchors.size}")
+        if np.unique(anchors).size != anchors.size:
+            sys.exit("--depthvar-anchors must be distinct depths")
+    else:
+        anchors = np.linspace(0.0, data.shape[0] - 1.0, k)
     cfg = _deconv_config(args, data.shape)
     w = _weights(args, data)
-
-    @jax.jit
-    def run(d, w):
-        psfs = depth_anchor_psfs(model, params, anchors)
-        return deconvolve_depthvar(d, psfs, anchors, weights=w, config=cfg)
-
     t0 = time.time()
-    res = run(data, w)
+
+    if maps:
+        if getattr(args, "model", "widefield") != "widefield":
+            sys.exit("--depthvar-maps synthesizes through the scalar pupil "
+                     "(--model widefield)")
+        model = _build_model(args, data.shape)
+        phis, rhos, defoc = _load_pupil_maps(args, model, maps)
+        order = np.argsort(anchors, kind="stable")
+        anchors = anchors[order]
+        phis, defoc = phis[order], defoc[order]
+        rhos = None if rhos is None else rhos[order]
+        label = f"depthvar maps K={k}"
+
+        run = jax.jit(lambda d, w, ph, df, *rh: deconvolve_depthvar(
+            d, depth_anchor_psfs_from_maps(model, ph, rh[0] if rh else None,
+                                           df),
+            anchors, weights=w, config=cfg))
+        res = run(data, w, phis, defoc) if rhos is None \
+            else run(data, w, phis, defoc, rhos)
+    else:
+        if getattr(args, "model", "gl") != "gl":
+            sys.exit("--depthvar requires --model gl "
+                     "(anchors vary the DEPTH family)")
+        model = _build_model(args, data.shape)
+        params = _load_params_json(model, args.params_json) if args.params_json \
+            else model.init_params()
+        anchors = np.sort(anchors)
+        label = f"depthvar K={k}"
+
+        @jax.jit
+        def run(d, w):
+            psfs = depth_anchor_psfs(model, params, anchors)
+            return deconvolve_depthvar(d, psfs, anchors, weights=w, config=cfg)
+
+        res = run(data, w)
     f = float(res.f)
-    print(f"deconv[depthvar K={args.depthvar}]: {int(res.iterations)} iters, "
+    print(f"deconv[{label}]: {int(res.iterations)} iters, "
           f"cost {f:.6g}, {time.time()-t0:.1f}s (incl. compile)")
     _write_out(args, args.out, np.asarray(res.x), dxy=args.dxy, dz=args.dz)
     print("wrote", args.out)
@@ -704,7 +786,7 @@ def _cmd_deconv_plate(args):
     from microtipi_tpu.utils.arrays import unroll
 
     if getattr(args, "mesh", None) or getattr(args, "tile", None) \
-            or getattr(args, "depthvar", 0):
+            or getattr(args, "depthvar", 0) or getattr(args, "depthvar_maps", None):
         sys.exit("plate fan-out composes per-image dispatches; "
                  "drop --mesh/--tile/--depthvar (or select one --well)")
     if not args.psf:
@@ -767,7 +849,8 @@ def _cmd_deconv_timeseries(args):
     from microtipi_tpu.utils.arrays import unroll
 
     if getattr(args, "mesh", None) or getattr(args, "tile", None) \
-            or getattr(args, "depthvar", 0) or getattr(args, "auto_mu", False):
+            or getattr(args, "depthvar", 0) or getattr(args, "depthvar_maps", None) \
+            or getattr(args, "auto_mu", False):
         sys.exit("--mu-t is the joint 4D time-series solve; drop "
                  "--mesh/--tile/--depthvar/--auto-mu")
     if not args.psf:
@@ -835,7 +918,8 @@ def _cmd_deconv_superres(args, data):
     from microtipi_tpu.utils.arrays import unroll
 
     if getattr(args, "mesh", None) or getattr(args, "tile", None) \
-            or getattr(args, "depthvar", 0) or getattr(args, "auto_mu", False) \
+            or getattr(args, "depthvar", 0) or getattr(args, "depthvar_maps", None) \
+            or getattr(args, "auto_mu", False) \
             or args.method == "rl" or getattr(args, "pad", 0):
         sys.exit("--superres is a single-chip fine-grid VMLMB solve; drop "
                  "--mesh/--tile/--depthvar/--auto-mu/--method rl/--pad")
@@ -928,7 +1012,7 @@ def cmd_deconv(args):
         _cmd_deconv_plate(args)
         return
     data = jnp.asarray(_read_input_volume(args, args.data))
-    if getattr(args, "depthvar", 0):
+    if getattr(args, "depthvar", 0) or getattr(args, "depthvar_maps", None):
         _cmd_deconv_depthvar(args, data)
         return
     if getattr(args, "superres", None):
@@ -937,7 +1021,8 @@ def cmd_deconv(args):
         return
     field_json = getattr(args, "field_json", None)
     if not args.psf and not field_json:
-        sys.exit("--psf is required (or --depthvar K / --tile with --field-json)")
+        sys.exit("--psf is required (or --depthvar K / --depthvar-maps / "
+                 "--tile with --field-json)")
     # No model is built on the plain path, but the output metadata should
     # still inherit the input's pixel sizes (TIFF tags / NGFF scale
     # transform).
@@ -1497,6 +1582,7 @@ def cmd_fitpsf(args):
               f"Strehl {s:.3f}; Zernike projection {np.round(coefs, 4)}")
         save = {"phi": np.asarray(ret.phi), "mask": np.asarray(ret.mask),
                 "zernike_projection": coefs,
+                "defocus": np.asarray(res.params.defocus),
                 "dxy": args.dxy, "dz": args.dz}
         if ret.rho is not None:
             save["rho"] = np.asarray(ret.rho)
@@ -1896,6 +1982,18 @@ def main(argv=None):
                    help="depth-varying solve with K Gibson-Lanni anchor PSFs "
                         "blended along z (requires --model gl; PSF parameters "
                         "from --params-json)")
+    p.add_argument("--depthvar-maps", nargs="+", default=None, metavar="NPZ",
+                   help="depth-varying solve with MEASURED anchors: one "
+                        "fitpsf --retrieve-map npz per calibration depth "
+                        "(resampled onto the sample pupil grid; anchor PSFs "
+                        "synthesized through the scalar pupil, --model "
+                        "widefield). Pair with --depthvar-anchors for the "
+                        "bead depths")
+    p.add_argument("--depthvar-anchors", type=float, nargs="+", default=None,
+                   metavar="Z",
+                   help="anchor depths as (fractional) z indices of the data "
+                        "grid, one per anchor (default: evenly spaced over "
+                        "the stack)")
     p.add_argument("--params-json", default=None,
                    help="fitpsf --params-out JSON with the calibrated PSF parameters")
     p.add_argument("--tile", type=int, nargs=3, default=None, metavar=("TZ", "TY", "TX"),

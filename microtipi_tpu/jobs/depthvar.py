@@ -25,7 +25,11 @@ from microtipi_tpu.ops.depthconv import DepthVaryingConvCost
 from microtipi_tpu.optim.vmlmb import minimize_vmlmb
 from microtipi_tpu.utils.arrays import pad_fft_kernel, pad_to_shape
 
-__all__ = ["depth_anchor_psfs", "deconvolve_depthvar"]
+__all__ = [
+    "depth_anchor_psfs",
+    "depth_anchor_psfs_from_maps",
+    "deconvolve_depthvar",
+]
 
 
 def depth_anchor_psfs(model, params, anchors, depth0: float | None = None) -> jax.Array:
@@ -50,6 +54,51 @@ def depth_anchor_psfs(model, params, anchors, depth0: float | None = None) -> ja
         return model.compute_psf(p)
 
     return jax.vmap(one)(depths)
+
+
+def depth_anchor_psfs_from_maps(
+    model, phis, rhos=None, defocus=None
+) -> jax.Array:
+    """Anchor PSFs from K *retrieved* (nonparametric) pupil maps, shape
+    ``(K, Nz, Ny, Nx)``.
+
+    The measured-calibration route to depth-varying deconvolution: retrieve a
+    pixelwise pupil map from a bead at each of K depths
+    (:func:`~microtipi_tpu.jobs.phase_retrieval.retrieve_pupil`, resampled to
+    the SAMPLE grid with
+    :func:`~microtipi_tpu.jobs.phase_retrieval.resample_pupil_map` if the
+    bead crop geometry differs), then synthesize the anchor stack here —
+    depth variation that the parametric route
+    (:func:`depth_anchor_psfs` + Gibson-Lanni's linear-in-depth model,
+    ``models/gibson_lanni.py``) cannot represent (dust, SLM ripple,
+    sample-induced higher-order aberration) rides in with the maps. One
+    ``vmap`` over ``model.compute_psf_from_pupil`` — a single batched FFT
+    program on TPU, like the parametric anchors.
+
+    ``model``: a ``WideFieldConfig`` (scalar pupil synthesis) at the SAMPLE
+    geometry. ``phis``: (K, Ny, Nx) phase maps on that grid. ``rhos``:
+    optional (K, Ny, Nx) modulus maps (None = nominal flat modulus).
+    ``defocus``: None (nominal), one (3,) vector, or (K, 3) per-anchor
+    defocus — each retrieval is anchored at its own fitted defocus, which
+    the npz from ``fitpsf --retrieve-map`` records.
+    """
+    phis = jnp.asarray(phis, model.dtype)
+    if phis.ndim != 3:
+        raise ValueError(f"phis must be (K, Ny, Nx), got {phis.shape}")
+    k = phis.shape[0]
+    if defocus is None:
+        defocus = model.init_params().defocus
+    defocus = jnp.asarray(defocus, model.dtype)
+    if defocus.ndim == 1:
+        defocus = jnp.broadcast_to(defocus, (k,) + defocus.shape)
+    if rhos is None:
+        return jax.vmap(
+            lambda p, d: model.compute_psf_from_pupil(p, defocus=d)
+        )(phis, defocus)
+    rhos = jnp.asarray(rhos, model.dtype)
+    return jax.vmap(
+        lambda p, r, d: model.compute_psf_from_pupil(p, rho=r, defocus=d)
+    )(phis, rhos, defocus)
 
 
 def deconvolve_depthvar(

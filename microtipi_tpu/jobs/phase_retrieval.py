@@ -42,8 +42,74 @@ __all__ = [
     "PupilRetrievalResult",
     "project_phase",
     "remove_position_gauges",
+    "resample_pupil_map",
     "retrieve_pupil",
 ]
+
+
+def resample_pupil_map(
+    m: jax.Array,
+    src_dxy: float,
+    dst_shape: tuple[int, int],
+    dst_dxy: float,
+    mask: jax.Array | None = None,
+) -> jax.Array:
+    """Resample a wrapped pupil-plane map onto another frequency grid.
+
+    A retrieved map (:func:`retrieve_pupil`) lives on the BEAD crop's wrapped
+    FFT-frequency grid — ``k = fft_index(n)/(n*dxy)`` cycles/m, the
+    reference's pupil sampling (``WideFieldModel.java:1378-1391``) — which
+    differs from the sample stack's grid whenever the crop size (or pixel
+    pitch) differs. This bridges the two: bilinear interpolation *in physical
+    frequency*, so the same pupil phase field lands on the sample model's
+    grid and can feed ``compute_psf_from_pupil`` /
+    :func:`~microtipi_tpu.jobs.depthvar.depth_anchor_psfs_from_maps`.
+
+    ``mask``: the source support (``PupilRetrievalResult.mask``). When given,
+    interpolation is mask-normalized (numerator ``m*mask`` and denominator
+    ``mask`` interpolated separately, ratio kept where the interpolated
+    support weight exceeds 0.5) so support-edge pixels extrapolate from
+    inside the pupil instead of drooping toward the zeros outside — without
+    it a one-pixel dark rim appears at the destination support edge. The
+    output is NOT re-masked by a destination support; the synthesis masks
+    internally (``compute_psf_from_pupil``).
+
+    All index arithmetic is static (shapes and pitches are Python numbers),
+    so this traces to pure gathers — jit-friendly.
+    """
+    ny_s, nx_s = m.shape
+    ny_d, nx_d = int(dst_shape[0]), int(dst_shape[1])
+    dtype = m.dtype
+    # Destination physical frequencies -> fractional signed source indices.
+    fy = fft_index(ny_d) / (ny_d * dst_dxy) * (ny_s * src_dxy)
+    fx = fft_index(nx_d) / (nx_d * dst_dxy) * (nx_s * src_dxy)
+    # Frequencies beyond the source Nyquist were never sampled: zero them
+    # (they only occur outside any physical pupil support anyway).
+    valid = jnp.asarray(
+        (np.abs(fy)[:, None] <= ny_s / 2.0) & (np.abs(fx)[None, :] <= nx_s / 2.0),
+        dtype,
+    )
+    y0 = np.floor(fy).astype(np.int64)
+    x0 = np.floor(fx).astype(np.int64)
+    ty = jnp.asarray(fy - y0, dtype)[:, None]
+    tx = jnp.asarray(fx - x0, dtype)[None, :]
+    iy0, iy1 = y0 % ny_s, (y0 + 1) % ny_s
+    ix0, ix1 = x0 % nx_s, (x0 + 1) % nx_s
+
+    def bilerp(a):
+        v00, v01 = a[np.ix_(iy0, ix0)], a[np.ix_(iy0, ix1)]
+        v10, v11 = a[np.ix_(iy1, ix0)], a[np.ix_(iy1, ix1)]
+        return ((1 - ty) * ((1 - tx) * v00 + tx * v01)
+                + ty * ((1 - tx) * v10 + tx * v11))
+
+    if mask is None:
+        return bilerp(jnp.asarray(m, dtype)) * valid
+    mask = jnp.asarray(mask, dtype)
+    num = bilerp(jnp.asarray(m, dtype) * mask)
+    den = bilerp(mask)
+    tiny = jnp.asarray(np.finfo(np.float32).tiny, dtype)
+    keep = (den > 0.5).astype(dtype) * valid
+    return jnp.where(keep > 0, num / jnp.maximum(den, tiny), 0.0).astype(dtype)
 
 
 def remove_position_gauges(phi: jax.Array, mask: jax.Array, psi: jax.Array) -> jax.Array:

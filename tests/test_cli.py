@@ -1017,3 +1017,64 @@ def test_cli_doctor(tmp_path):
     assert "doctor: OK" in r.stdout
     assert "jitted solve" in r.stdout
     assert "complex device->host transfer" in r.stdout
+
+
+def test_cli_deconv_depthvar_maps(tmp_path):
+    """deconv --depthvar-maps: measured-calibration depth-varying route —
+    fitpsf --retrieve-map style npzs (one on a DIFFERENT bead-crop grid, so
+    the pupil-map resampler runs) anchor the solve."""
+    import jax.numpy as jnp
+
+    from microtipi_tpu.io.tiffstack import read_stack, write_stack
+    from microtipi_tpu.models.widefield import WideFieldConfig
+    from microtipi_tpu.ops.convolution import convolve, convolve_spectrum
+
+    shape = (8, 32, 32)
+    common = dict(na=1.2, wavelength=500e-9, ni=1.33, dxy=100e-9, dz=250e-9,
+                  n_phase=3, radial=True, dtype=jnp.float32)
+    model = WideFieldConfig(shape=shape, **common)
+    p0 = model.init_params()
+    psf = model.compute_psf(p0)
+    rng = np.random.default_rng(0)
+    obj = (rng.random(shape) > 0.99) * rng.random(shape) * 100
+    data = np.asarray(convolve(jnp.asarray(obj, jnp.float32),
+                               convolve_spectrum(psf), shape))
+    write_stack(tmp_path / "d.tif", data, dxy=100e-9, dz=250e-9)
+
+    # map A on a 24x24 bead-crop grid (resampled by the loader), aberrated
+    crop = WideFieldConfig(shape=(8, 24, 24), **common)
+    pc = crop.init_params()._replace(phase=jnp.asarray([0.3, -0.2, 0.1]))
+    _, phi_a, _, mask_a = crop.compute_pupil(pc)
+    np.savez(tmp_path / "a.npz", phi=np.asarray(phi_a),
+             mask=np.asarray(mask_a), dxy=100e-9,
+             defocus=np.asarray(pc.defocus))
+    # map B on the sample grid, unaberrated
+    _, phi_b, _, mask_b = model.compute_pupil(p0)
+    np.savez(tmp_path / "b.npz", phi=np.asarray(phi_b),
+             mask=np.asarray(mask_b), dxy=100e-9,
+             defocus=np.asarray(p0.defocus))
+
+    # anchors deliberately unsorted: the CLI pairs-and-sorts (a=7, b=0)
+    r = _run(
+        ["deconv", "d.tif", "--out", "o.tif",
+         "--depthvar-maps", "a.npz", "b.npz", "--depthvar-anchors", "7", "0",
+         "--na", "1.2", "--wavelength", "500e-9", "--ni", "1.33",
+         "--n-phase", "3", "--radial", "--iters", "3", "--mu", "1e-3"],
+        tmp_path,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "depthvar maps K=2" in r.stdout
+    out = read_stack(tmp_path / "o.tif")
+    assert out.shape == shape and np.isfinite(out).all()
+
+    # guard rails (cheap: all exit before any solve)
+    r = _run(["deconv", "d.tif", "--out", "o.tif", "--depthvar", "2",
+              "--depthvar-maps", "a.npz", "b.npz"], tmp_path)
+    assert r.returncode != 0 and "alternative anchor routes" in (r.stdout + r.stderr)
+    r = _run(["deconv", "d.tif", "--out", "o.tif",
+              "--depthvar-maps", "a.npz", "b.npz",
+              "--depthvar-anchors", "0"], tmp_path)
+    assert r.returncode != 0 and "needs 2 depths" in (r.stdout + r.stderr)
+    r = _run(["deconv", "d.tif", "--out", "o.tif", "--model", "gl",
+              "--depthvar-maps", "a.npz", "b.npz"], tmp_path)
+    assert r.returncode != 0 and "scalar pupil" in (r.stdout + r.stderr)

@@ -175,3 +175,43 @@ def test_sharded_depthvar_padded_odd_nz():
         d, psfs, mesh, anchors, config=cfg))(data)
     assert res.x.shape == (16, 24, 24)
     assert np.isfinite(float(res.f))
+
+
+def test_depth_anchor_psfs_from_maps_matches_single():
+    """Each anchor slice == compute_psf_from_pupil at that map/defocus;
+    flat maps at the nominal defocus reproduce the parametric init PSF."""
+    import pytest
+    from microtipi_tpu.jobs.depthvar import depth_anchor_psfs_from_maps
+    from microtipi_tpu.models.widefield import WideFieldConfig
+
+    model = WideFieldConfig(shape=SHAPE, na=1.2, wavelength=500e-9, ni=1.33,
+                            dxy=100e-9, dz=250e-9, n_phase=3, radial=True,
+                            dtype=jnp.float64)
+    p0 = model.init_params()
+    _, phi1, _, mask = model.compute_pupil(
+        p0._replace(phase=jnp.asarray([0.4, -0.2, 0.1])))
+    phis = jnp.stack([jnp.zeros_like(phi1), phi1])
+    defoc = jnp.stack([p0.defocus, p0.defocus.at[1].set(1e5)])
+
+    stack = depth_anchor_psfs_from_maps(model, phis, defocus=defoc)
+    assert stack.shape == (2,) + SHAPE
+    for i in range(2):
+        np.testing.assert_allclose(
+            np.asarray(stack[i]),
+            np.asarray(model.compute_psf_from_pupil(phis[i], defocus=defoc[i])),
+            rtol=1e-12)
+    # the flat map at the nominal defocus IS the parametric init PSF
+    np.testing.assert_allclose(np.asarray(stack[0]),
+                               np.asarray(model.compute_psf(p0)), rtol=1e-10)
+
+    # one (3,) defocus broadcasts over K; modulus maps ride along
+    rhos = jnp.stack([mask, 0.5 * mask])
+    stack_r = depth_anchor_psfs_from_maps(model, phis, rhos=rhos,
+                                          defocus=p0.defocus)
+    np.testing.assert_allclose(
+        np.asarray(stack_r[1]),
+        np.asarray(model.compute_psf_from_pupil(phis[1], rho=rhos[1],
+                                                defocus=p0.defocus)),
+        rtol=1e-12)
+    with pytest.raises(ValueError, match="K, Ny, Nx"):
+        depth_anchor_psfs_from_maps(model, phi1)

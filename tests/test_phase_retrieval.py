@@ -127,3 +127,93 @@ def test_gauge_removal_is_projection():
     np.testing.assert_allclose(
         np.asarray(remove_position_gauges(shifted, mask, psi)),
         np.asarray(g1), atol=1e-8)
+
+
+def _freq_field(n, dxy, f):
+    """Sample a smooth function of PHYSICAL frequency on a wrapped n-grid."""
+    from microtipi_tpu.utils.grids import fft_index
+
+    k = fft_index(n) / (n * dxy)
+    return f(k[:, None], k[None, :])
+
+
+def test_resample_pupil_map_identity_grid():
+    """Same grid in, same map out (within the support, masked route)."""
+    from microtipi_tpu.jobs.phase_retrieval import resample_pupil_map
+
+    model, phi_true, psi, mask, _, _ = _scene()
+    out = resample_pupil_map(phi_true, 100e-9, (48, 48), 100e-9, mask=mask)
+    np.testing.assert_allclose(np.asarray(out * mask),
+                               np.asarray(phi_true * mask), atol=1e-12)
+    # unmasked route: exact everywhere (integer source indices, t == 0)
+    out2 = resample_pupil_map(phi_true, 100e-9, (48, 48), 100e-9)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(phi_true),
+                               atol=1e-12)
+
+
+def test_resample_pupil_map_physical_frequency():
+    """A smooth function of physical frequency resampled from a 48@100nm
+    grid onto a 64@80nm grid matches direct sampling on the destination,
+    well inside the (source-covered) pupil support."""
+    from microtipi_tpu.jobs.phase_retrieval import resample_pupil_map
+
+    sigma = 2.0e6  # cycles/m
+    f = lambda ky, kx: np.exp(-(ky**2 + kx**2) / (2 * sigma**2)) \
+        + 0.3 * np.sin(ky / 1.5e6)
+    cutoff = 3.5e6  # a pupil-like support well inside both Nyquists
+    src = _freq_field(48, 100e-9, f)
+    src_mask = (_freq_field(48, 100e-9, lambda ky, kx: ky**2 + kx**2)
+                < cutoff**2).astype(np.float64)
+    want = _freq_field(64, 80e-9, f)
+    # interior = more than one source cell inside the cutoff, where the
+    # masked route reduces to pure bilinear interpolation
+    h_src = 1.0 / (48 * 100e-9)
+    interior = (_freq_field(64, 80e-9, lambda ky, kx: ky**2 + kx**2)
+                < (cutoff - 1.5 * h_src) ** 2)
+
+    got = np.asarray(resample_pupil_map(
+        jnp.asarray(src * src_mask), 100e-9, (64, 64), 80e-9,
+        mask=jnp.asarray(src_mask)))
+    err = np.abs(got - want)[interior]
+    assert err.max() < 0.02  # bilinear on a smooth field at this sampling
+
+
+def test_resample_pupil_map_mask_normalization_at_edge():
+    """Support-edge pixels extrapolate from INSIDE the pupil: a constant
+    field stays exactly constant under the masked route, while the raw
+    route droops toward the zeros outside the support."""
+    from microtipi_tpu.jobs.phase_retrieval import resample_pupil_map
+
+    cutoff = 3.5e6
+    src_mask = (_freq_field(48, 100e-9, lambda ky, kx: ky**2 + kx**2)
+                < cutoff**2).astype(np.float64)
+    src = src_mask.copy()  # constant 1 on the support
+
+    got = np.asarray(resample_pupil_map(
+        jnp.asarray(src), 100e-9, (64, 64), 80e-9, mask=jnp.asarray(src_mask)))
+    kept = got != 0
+    assert kept.any()
+    np.testing.assert_allclose(got[kept], 1.0, atol=1e-12)
+
+    raw = np.asarray(resample_pupil_map(jnp.asarray(src), 100e-9,
+                                        (64, 64), 80e-9))
+    assert ((raw > 0) & (raw < 0.99)).any()  # the one-pixel dark rim
+
+
+def test_resample_pupil_map_zeroes_beyond_source_nyquist():
+    """Destination frequencies the source never sampled come back 0."""
+    from microtipi_tpu.jobs.phase_retrieval import resample_pupil_map
+
+    src = np.ones((32, 32))
+    # dst pitch half the source's: the outer half of the dst grid is beyond
+    # the source Nyquist
+    got = np.asarray(resample_pupil_map(jnp.asarray(src), 100e-9,
+                                        (32, 32), 50e-9))
+    from microtipi_tpu.utils.grids import fft_index
+
+    k_dst = fft_index(32) / (32 * 50e-9)
+    k_nyq_src = 1.0 / (2 * 100e-9)
+    beyond = (np.abs(k_dst[:, None]) > k_nyq_src) \
+        | (np.abs(k_dst[None, :]) > k_nyq_src)
+    assert (got[beyond] == 0).all()
+    assert (got[~beyond] != 0).any()
