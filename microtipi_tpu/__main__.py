@@ -669,6 +669,22 @@ def _load_pupil_maps(args, model, paths):
             np.stack(defoc))
 
 
+def _depthvar_anchor_array(args, k, nz):
+    """K anchor depths from --depthvar-anchors (validated) or evenly spaced
+    over the stack."""
+    import numpy as np
+
+    if getattr(args, "depthvar_anchors", None):
+        anchors = np.asarray(args.depthvar_anchors, np.float64)
+        if anchors.size != k:
+            sys.exit(f"--depthvar-anchors needs {k} depths "
+                     f"(one per anchor), got {anchors.size}")
+        if np.unique(anchors).size != anchors.size:
+            sys.exit("--depthvar-anchors must be distinct depths")
+        return anchors
+    return np.linspace(0.0, nz - 1.0, k)
+
+
 def _cmd_deconv_depthvar(args, data):
     """deconv --depthvar K / --depthvar-maps NPZ...: depth-varying solve
     with K anchor PSFs blended along z — synthesized from Gibson-Lanni
@@ -688,15 +704,7 @@ def _cmd_deconv_depthvar(args, data):
         sys.exit("--depthvar is single-device for now (no --mesh)")
     _resolve_geometry(args, args.data)
     k = len(maps) if maps else args.depthvar
-    if getattr(args, "depthvar_anchors", None):
-        anchors = np.asarray(args.depthvar_anchors, np.float64)
-        if anchors.size != k:
-            sys.exit(f"--depthvar-anchors needs {k} depths "
-                     f"(one per anchor), got {anchors.size}")
-        if np.unique(anchors).size != anchors.size:
-            sys.exit("--depthvar-anchors must be distinct depths")
-    else:
-        anchors = np.linspace(0.0, data.shape[0] - 1.0, k)
+    anchors = _depthvar_anchor_array(args, k, data.shape[0])
     cfg = _deconv_config(args, data.shape)
     w = _weights(args, data)
     t0 = time.time()
@@ -1291,12 +1299,104 @@ def _cmd_blind_plate(args):
     _plate_fan_out(args, solve_one, "blind")
 
 
+def _cmd_blind_depthvar(args):
+    """blind --depthvar K: the blind alternation with the shift-invariant
+    forward model replaced by the depth-varying anchor blend end to end
+    (jobs/depthvar.blind_deconvolve_depthvar). Composes with --params-json
+    (calibrated pupil/ns start), --bead (structural anchor on every fit),
+    --phase-prior, --recipe quality, and the schedules; the PSF written by
+    --psf-out is the (K, Nz, Ny, Nx) anchor stack, one file per anchor."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from microtipi_tpu.jobs.depthvar import blind_deconvolve_depthvar
+
+    if args.model != "gl":
+        sys.exit("blind --depthvar requires --model gl (the anchor stack "
+                 "varies the DEPTH family; calibrate ns with "
+                 "fitpsf --depth-ladder or fit it with --families ... depth)")
+    if getattr(args, "mesh", None) or args.checkpoint \
+            or getattr(args, "all_channels", False) \
+            or getattr(args, "auto_mu", False):
+        sys.exit("blind --depthvar is single-device without checkpoints for "
+                 "now; drop --mesh/--checkpoint/--all-channels/--auto-mu")
+    data = jnp.asarray(_read_input_volume(args, args.data))
+    _resolve_geometry(args, args.data)
+    model = _build_model(args, data.shape)
+    params0 = _load_params_json(model, args.params_json) if args.params_json else None
+    w = _weights(args, data)
+    cfg = _blind_config(args, data.shape)
+    anchors = _depthvar_anchor_array(args, args.depthvar, data.shape[0])
+    bead = None
+    if args.bead:
+        bead = np.asarray(_read_input_volume(args, args.bead))
+        if getattr(args, "bead_n", 1) > 1:
+            from microtipi_tpu.jobs.psf_fit import average_beads
+
+            bead, used = average_beads(bead, n_beads=args.bead_n)
+            print(f"averaged {used} beads for the anchor -> patch {bead.shape}")
+        bead = jnp.asarray(bead)
+    t0 = time.time()
+    run = jax.jit(lambda d, w, b: blind_deconvolve_depthvar(
+        d, model, anchors, params0=params0, weights=w, config=cfg,
+        bead_data=b))
+    res = run(data, w, bead)
+    df = np.asarray(res.deconv_f)
+    wall = time.time() - t0
+    print(f"blind[depthvar K={args.depthvar}]: {args.loops} rounds in "
+          f"{wall:.1f}s (incl. compile); object cost {df[0]:.6g} -> {df[-1]:.6g}")
+    print("defocus:", np.asarray(res.params.defocus))
+    if model.n_phase:
+        print("phase:", np.round(np.asarray(res.params.phase), 4))
+    ns = float(res.params.depth[0]) * args.wavelength
+    print(f"depth family: ns={ns:.4f}, z0 offset={float(res.params.depth[1]):.4g} m"
+          + ("" if "depth" in args.families else " (held at the start values)"))
+    _write_out(args, args.out, np.asarray(res.obj), dxy=args.dxy, dz=args.dz)
+    print("wrote", args.out)
+    if args.psf_out:
+        import os
+
+        root, ext = os.path.splitext(args.psf_out)
+        for i in range(res.psf.shape[0]):
+            path = f"{root}_a{i}{ext}"
+            _write_out(args, path, np.asarray(res.psf[i]), dxy=args.dxy, dz=args.dz)
+            print("wrote", path)
+    if args.params_out:
+        import json
+
+        doc = {"model": args.model, "dxy": args.dxy, "dz": args.dz}
+        for name in res.params._fields:
+            doc[name] = np.asarray(getattr(res.params, name)).tolist()
+        with open(args.params_out, "w") as fh:
+            json.dump(doc, fh, indent=1)
+        print("wrote", args.params_out)
+    if args.report:
+        import json
+
+        with open(args.report, "w") as fh:
+            json.dump({
+                "rounds": args.loops, "wall_seconds": round(wall, 3),
+                "anchors": np.asarray(anchors).tolist(),
+                "deconv_f": np.asarray(res.deconv_f).tolist(),
+                "fit_f": np.asarray(res.fit_f).tolist(),
+                "deconv_iters": np.asarray(res.deconv_iters).tolist(),
+                "defocus": np.asarray(res.params.defocus).tolist(),
+                "phase": np.asarray(res.params.phase).tolist(),
+                "modulus": np.asarray(res.params.modulus).tolist(),
+                "depth": np.asarray(res.params.depth).tolist(),
+            }, fh, indent=1)
+        print("wrote", args.report)
+
+
 def cmd_blind(args):
     import numpy as np
     import jax
     import jax.numpy as jnp
     from microtipi_tpu.jobs.blind import blind_deconvolve
 
+    if getattr(args, "depthvar", 0):
+        _cmd_blind_depthvar(args)
+        return
     if getattr(args, "auto_mu", False) and (
             (_is_plate(args.data) and not getattr(args, "well", None))
             or getattr(args, "all_channels", False)):
@@ -1435,6 +1535,94 @@ def cmd_blind(args):
         print("wrote", args.params_out)
 
 
+def _cmd_fitpsf_ladder(args, stacks):
+    """fitpsf S1..SK --depth-ladder Z1..ZK: depth-ladder calibration of the
+    Gibson-Lanni DEPTH family (jobs/depthvar.calibrate_depth) — beads at K
+    known depths pin the sample index ns through the slope of the spherical
+    aberration vs depth. Feeds deconv/blind --depthvar via --params-out."""
+    import json
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from microtipi_tpu.jobs.depthvar import calibrate_depth
+    from microtipi_tpu.jobs.psf_fit import PsfFitConfig
+    from microtipi_tpu.models.microscope import DEFOCUS, DEPTH, MODULUS, PHASE
+    from microtipi_tpu.utils.arrays import roll
+
+    if args.model != "gl":
+        sys.exit("--depth-ladder requires --model gl (it calibrates the "
+                 "DEPTH family of the Gibson-Lanni model)")
+    for flag in ("empirical_out", "field_out", "retrieve_map"):
+        if getattr(args, flag, None):
+            sys.exit(f"--depth-ladder does not compose with --{flag.replace('_', '-')}")
+    ladder_z = np.asarray(args.depth_ladder, np.float64)
+    if len(stacks) != ladder_z.size:
+        sys.exit(f"--depth-ladder needs one bead stack per depth: got "
+                 f"{len(stacks)} stacks for {ladder_z.size} depths")
+    _resolve_geometry(args, stacks[0])
+    beads = []
+    for path in stacks:
+        b = np.asarray(_read_input_volume(args, path))
+        if args.n_beads > 1:
+            from microtipi_tpu.jobs.psf_fit import average_beads
+
+            patch = tuple(args.bead_patch) if args.bead_patch else None
+            b, used = average_beads(b, n_beads=args.n_beads, patch=patch)
+            print(f"{path}: averaged {used} beads -> patch {b.shape}")
+        beads.append(b)
+    if len({b.shape for b in beads}) != 1:
+        sys.exit(f"ladder bead stacks must share one shape, got "
+                 f"{[b.shape for b in beads]} (use --n-beads/--bead-patch "
+                 f"to crop a common patch)")
+    beads = jnp.asarray(np.stack(beads))
+    model = _build_model(args, tuple(beads.shape[1:]))
+    params0 = _load_params_json(model, args.params_json) if args.params_json else None
+
+    fam_map = {"defocus": DEFOCUS, "phase": PHASE, "modulus": MODULUS,
+               "depth": DEPTH}
+    fams = list(args.families)
+    if any(f not in fam_map for f in fams):
+        sys.exit("--depth-ladder fits defocus/phase/modulus/depth families")
+    if "depth" not in fams:
+        fams.append("depth")
+        print("(DEPTH family added to --families: it is what the ladder "
+              "calibrates)")
+    families = tuple(fam_map[f] for f in fams)
+
+    run = jax.jit(lambda b: calibrate_depth(
+        model, b, ladder_z, families=families, params0=params0,
+        config=PsfFitConfig(max_iter=args.iters, grtol=0.0),
+        phase_freeze_head=1 if args.pin_z4 else 0,
+    ))
+    t0 = time.time()
+    fit, zshifts = run(beads)
+    ns = float(fit.params.depth[0]) * args.wavelength
+    print(f"depth ladder ({ladder_z.size} rungs): {int(fit.iterations)} iters, "
+          f"cost {float(fit.f):.6g}, {time.time()-t0:.1f}s (incl. compile)")
+    print(f"ns = {ns:.4f}, z0 depth offset = {float(fit.params.depth[1]):.4g} m")
+    print("per-rung axial origins (voxels):",
+          np.round(np.asarray(zshifts), 3))
+    params = {name: np.asarray(getattr(fit.params, name)).tolist()
+              for name in fit.params._fields}
+    for name, vals in params.items():
+        print(f"{name}: {np.round(np.asarray(vals), 5)}")
+    if args.params_out:
+        out = {"cost": float(fit.f), "model": args.model,
+               "dxy": args.dxy, "dz": args.dz, "ns_fit": ns,
+               "ladder_z": ladder_z.tolist(),
+               "zshifts": np.asarray(zshifts).tolist(), **params}
+        with open(args.params_out, "w") as fh:
+            json.dump(out, fh, indent=1)
+        print("wrote", args.params_out)
+    if args.out:
+        h = jax.jit(model.compute_psf)(fit.params)
+        if args.centered:
+            h = roll(h)
+        _write_out(args, args.out, np.asarray(h), dxy=args.dxy, dz=args.dz)
+        print(f"wrote {args.out} (fitted PSF at the calibration origin)")
+
+
 def cmd_fitpsf(args):
     import json
 
@@ -1445,6 +1633,14 @@ def cmd_fitpsf(args):
     from microtipi_tpu.models.microscope import DEFOCUS, DEPTH, MODULUS, PHASE, SHEET, STED
     from microtipi_tpu.utils.arrays import roll
 
+    stacks = args.stack if isinstance(args.stack, list) else [args.stack]
+    if getattr(args, "depth_ladder", None):
+        _cmd_fitpsf_ladder(args, stacks)
+        return
+    if len(stacks) > 1:
+        sys.exit("several bead stacks only make sense with --depth-ladder "
+                 "Z1..ZK (one stack per known depth)")
+    args.stack = stacks[0]
     data = jnp.asarray(_read_input_volume(args, args.stack))
     _resolve_geometry(args, args.stack)
     if args.empirical_out:
@@ -1910,7 +2106,23 @@ def main(argv=None):
     p.set_defaults(fn=cmd_psf)
 
     p = sub.add_parser("fitpsf", help="calibrate PSF parameters from a bead stack")
-    p.add_argument("stack", help="bead (point-source) TIFF stack")
+    p.add_argument("stack", nargs="+",
+                   help="bead (point-source) TIFF stack; several (one per "
+                        "known depth) with --depth-ladder")
+    p.add_argument("--depth-ladder", type=float, nargs="+", default=None,
+                   metavar="Z",
+                   help="depth-ladder calibration: the K bead stacks were "
+                        "acquired at these K KNOWN z positions (data-grid "
+                        "voxels, e.g. stage offsets / dz); jointly fits the "
+                        "Gibson-Lanni DEPTH family (sample index ns + z=0 "
+                        "depth offset) — requires --model gl. Beads at >=2 "
+                        "depths pin ns (a single depth cannot; fully-blind "
+                        "ns is a measured dead end, BASELINE.md)")
+    p.add_argument("--params-json", default=None,
+                   help="[--depth-ladder] start from calibrated parameters "
+                        "(fitpsf --params-out JSON): the pre-calibrated-pupil "
+                        "DEPTH-only ladder is the measured noise-robust "
+                        "workflow (TUNING.md)")
     p.add_argument("--out", default=None, help="write the fitted PSF stack here")
     p.add_argument("--params-out", default=None, help="write fitted parameters as JSON")
     p.add_argument("--centered", action="store_true",
@@ -2086,6 +2298,17 @@ def main(argv=None):
                    help="'quality' switches on the measured-best recipe in one flag "
                         "(joint fit + pin-Z4 + wiener init); 'parity' (default) keeps "
                         "the reference's sequential per-family semantics")
+    p.add_argument("--depthvar", type=int, default=0, metavar="K",
+                   help="blind solve under the DEPTH-VARYING forward model: "
+                        "K Gibson-Lanni anchor PSFs blended along z, "
+                        "re-synthesized from the fitted parameters every "
+                        "round (requires --model gl; start from a "
+                        "fitpsf --depth-ladder calibration via --params-json "
+                        "— fully-blind ns is a measured dead end, BASELINE.md)")
+    p.add_argument("--depthvar-anchors", type=float, nargs="+", default=None,
+                   metavar="Z",
+                   help="[--depthvar] anchor depths as (fractional) z indices "
+                        "of the data grid (default: evenly spaced)")
     p.add_argument("--families", nargs="+", default=["defocus", "phase"],
                    choices=["defocus", "phase", "modulus", "depth", "sheet", "sted"])
     _preprocess_args(p)

@@ -26,9 +26,12 @@ from microtipi_tpu.optim.vmlmb import minimize_vmlmb
 from microtipi_tpu.utils.arrays import pad_fft_kernel, pad_to_shape
 
 __all__ = [
+    "blind_deconvolve_depthvar",
+    "calibrate_depth",
     "depth_anchor_psfs",
     "depth_anchor_psfs_from_maps",
     "deconvolve_depthvar",
+    "fit_psf_depthvar",
 ]
 
 
@@ -158,3 +161,476 @@ def deconvolve_depthvar(
         res.x, res.f, res.iterations, res.evaluations, res.status,
         res.f_history, res.pg_history,
     )
+
+
+def _depthvar_fit_cost(obj, data, weights, anchors):
+    """Data term for depth-varying PSF fits: the OBJECT is fixed and the K
+    anchor PSFs are the variable.
+
+    The depth-varying analog of the reference's object-as-kernel trick
+    (``PSF_Estimation.java:147-157``): with ``H_theta x = sum_k h_k(theta)
+    (*) (w_k ⊙ x)``, the K masked objects ``w_k ⊙ x`` are fixed during a
+    PSF fit, so their spectra are computed ONCE here and each cost
+    evaluation is K batched forward FFTs of the anchor stack + one inverse.
+    Residual form on purpose — the quadratic shortcut's catastrophic f32
+    cancellation near convergence is measured in ``psf_fit._fit_data_term``.
+    """
+    from microtipi_tpu.ops.depthconv import depth_weights
+
+    shape = data.shape
+    zw = jnp.asarray(depth_weights(shape[0], anchors), data.dtype)
+    xk_hat = jnp.fft.rfftn(zw[:, :, None, None] * obj[None], axes=(1, 2, 3))
+
+    def cost(psfs):
+        h_hat = jnp.fft.rfftn(psfs, axes=(1, 2, 3))
+        pred = jnp.fft.irfftn(jnp.sum(h_hat * xk_hat, axis=0), s=shape)
+        r = pred - data
+        if weights is None:
+            return 0.5 * jnp.sum(r * r)
+        return 0.5 * jnp.sum(weights * r * r)
+
+    return cost
+
+
+def fit_psf_depthvar(
+    model,
+    params,
+    flags: tuple[int, ...],
+    data: jax.Array,
+    obj: jax.Array,
+    anchors,
+    weights: jax.Array | None = None,
+    config=None,
+    phase_active: int | None = None,
+    phase_freeze_head: int = 0,
+    phase_anchor: jax.Array | None = None,
+    phase_prior_weight: float = 0.0,
+    aux_terms: tuple = (),
+):
+    """Fit PSF parameter families under the DEPTH-VARYING forward operator.
+
+    The depth-varying counterpart of ``psf_fit.fit_psf`` (one family, with
+    ``phase_active``/``phase_freeze_head`` mode scheduling) and
+    ``psf_fit.fit_psf_joint`` (several families at once, gradient-balanced):
+    pass one flag for the former, several for the latter. The anchor stack
+    is re-synthesized from the CURRENT parameters at every evaluation
+    (:func:`depth_anchor_psfs` with ``depth0 = params.depth[1]``), so the
+    GL DEPTH family — sample index ``ns/lambda`` and the depth offset of
+    plane z=0 — is itself fittable: blind sample-index estimation.
+
+    Reference semantics carried over from ``PSF_Estimation.java`` via the
+    shared pieces: VMLMB defaults (``PsfFitConfig``), per-component
+    preconditioning for the heterogeneous DEPTH family
+    (``psf_fit.joint_variable`` rationale), the scale-invariant phase
+    calibration prior, and auxiliary bead-anchor terms.
+    """
+    from microtipi_tpu.jobs.psf_fit import (
+        PsfFitConfig, _combine_aux_terms, joint_variable)
+    from microtipi_tpu.models.microscope import FAMILY_NAMES
+
+    if config is None:
+        config = PsfFitConfig()
+    if not hasattr(params, "depth"):
+        raise ValueError(
+            "fit_psf_depthvar needs a model with a DEPTH family "
+            "(models/gibson_lanni.py) — the anchors vary that family")
+    names = tuple(FAMILY_NAMES[f] for f in flags)
+    for n in names:
+        if getattr(params, n).shape[0] == 0:
+            raise ValueError(f"family {n!r} has no coefficients to fit")
+    if weights is not None and weights.shape != data.shape:
+        weights = pad_to_shape(weights, data.shape)
+    cost = _depthvar_fit_cost(obj, data, weights, anchors)
+
+    def synth(p):
+        return depth_anchor_psfs(model, p, anchors, depth0=p.depth[1])
+
+    if len(names) == 1:
+        family = names[0]
+        full0 = getattr(params, family)
+        active = full0.shape[0]
+        freeze = 0
+        if family == "phase":
+            if phase_active is not None and phase_active < active:
+                active = phase_active
+            freeze = phase_freeze_head
+            if not 0 <= freeze < active:
+                raise ValueError(
+                    f"phase_freeze_head={freeze} must be in [0, active={active})")
+        x0 = full0[freeze:active]
+
+        def rebuild(v):
+            return params._replace(
+                **{family: full0.at[freeze:freeze + v.shape[0]].set(v)})
+
+        def data_objective(v):
+            return cost(synth(rebuild(v)))
+
+        extra_parts = []
+        if phase_prior_weight > 0 and family == "phase":
+            anchor_v = (full0 if phase_anchor is None
+                        else phase_anchor)[freeze:active]
+            f0 = data_objective(x0)
+            extra_parts.append(
+                lambda v: phase_prior_weight * f0 * jnp.sum((v - anchor_v) ** 2))
+        if aux_terms:
+            extra_parts.append(_combine_aux_terms(rebuild, aux_terms))
+
+        def objective(v):
+            out = data_objective(v)
+            for e in extra_parts:
+                out = out + e(v)
+            return out
+
+        if family in ("depth", "sheet"):
+            # Per-component preconditioning: these families mix physical
+            # scales (ns/lambda ~ 1e6 1/m next to d ~ 1e-6 m) — see
+            # psf_fit.fit_psf(precondition=True) for the measured stall.
+            g0 = jax.grad(objective)(x0)
+            gmax = jnp.max(jnp.abs(g0))
+            tiny = jnp.asarray(jnp.finfo(gmax.dtype).tiny, gmax.dtype)
+            scale = 1.0 / jnp.maximum(jnp.abs(g0), jnp.maximum(1e-12 * gmax, tiny))
+            res = minimize_vmlmb(
+                jax.value_and_grad(lambda u: objective(u * scale)), x0 / scale,
+                mem=config.mem, maxiter=config.max_iter, maxeval=config.max_eval,
+                gatol=config.gatol, grtol=config.grtol,
+            )
+            x_fit = res.x * scale
+        else:
+            res = minimize_vmlmb(
+                jax.value_and_grad(objective), x0,
+                mem=config.mem, maxiter=config.max_iter, maxeval=config.max_eval,
+                gatol=config.gatol, grtol=config.grtol,
+            )
+            x_fit = res.x
+        from microtipi_tpu.jobs.psf_fit import PsfFitResult
+
+        return PsfFitResult(rebuild(x_fit), res.f, res.iterations,
+                            res.evaluations, res.status, res.f_history)
+
+    # Joint path: gradient-balanced multi-family variable.
+    f0, g0 = jax.value_and_grad(
+        lambda sub: cost(synth(params._replace(**sub)))
+    )({n: getattr(params, n) for n in names})
+    x0, rebuild = joint_variable(params, names, phase_freeze_head, grads=g0)
+
+    use_prior = phase_prior_weight > 0 and "phase" in names
+    if use_prior and phase_anchor is None:
+        phase_anchor = params.phase
+    extra = _combine_aux_terms(rebuild, aux_terms) if aux_terms else None
+
+    def objective(v):
+        p = rebuild(v)
+        f = cost(synth(p))
+        if use_prior:
+            f = f + phase_prior_weight * f0 * jnp.sum((p.phase - phase_anchor) ** 2)
+        if extra is not None:
+            f = f + extra(v)
+        return f
+
+    res = minimize_vmlmb(
+        jax.value_and_grad(objective), x0,
+        mem=config.mem, maxiter=config.max_iter, maxeval=config.max_eval,
+        gatol=config.gatol, grtol=config.grtol,
+    )
+    from microtipi_tpu.jobs.psf_fit import PsfFitResult
+
+    return PsfFitResult(rebuild(res.x), res.f, res.iterations,
+                        res.evaluations, res.status, res.f_history)
+
+
+def blind_deconvolve_depthvar(
+    data: jax.Array,
+    model,
+    anchors,
+    params0=None,
+    x0: jax.Array | None = None,
+    weights: jax.Array | None = None,
+    weight_updater=None,
+    config=None,
+    bead_data: jax.Array | None = None,
+    phase_anchor: jax.Array | None = None,
+):
+    """Blind deconvolution under a DEPTH-VARYING PSF.
+
+    The flagship blind loop (``jobs/blind.py``, reference semantics per
+    ``BlindDeconvJob.java:97-138``) with the shift-invariant forward model
+    replaced by the Preza-Conchello anchor-blend operator end to end: the
+    object step is :func:`deconvolve_depthvar`, every PSF fit is
+    :func:`fit_psf_depthvar`, and the anchor stack is re-synthesized from
+    the current parameters each round. Include ``DEPTH`` in
+    ``config.families`` to estimate the sample refractive index and the
+    z=0 depth offset BLIND — the physics knob the shift-invariant blind
+    loop cannot even represent. Same one-jitted-program structure: rounds
+    are a ``lax.fori_loop`` (or unrolled under schedules), zero host
+    round-trips.
+
+    ``anchors``: K anchor z indices of the data grid (int K = evenly
+    spaced). All ``BlindDeconvConfig`` knobs apply (joint_fit,
+    mu/phase schedules, calibration priors, bead anchor); the PSF handed
+    back in the result is the (K, Nz, Ny, Nx) anchor stack.
+    """
+    import dataclasses as _dc
+
+    from microtipi_tpu.jobs.blind import BlindDeconvConfig, BlindDeconvResult, run_blind_loop
+    from microtipi_tpu.models.microscope import PHASE
+    from microtipi_tpu.utils.arrays import crop_to_shape
+
+    if config is None:
+        config = BlindDeconvConfig()
+    if params0 is None:
+        params0 = model.init_params()
+    if not hasattr(params0, "depth"):
+        raise ValueError(
+            "blind_deconvolve_depthvar needs a model with a DEPTH family "
+            "(models/gibson_lanni.py)")
+    if isinstance(anchors, int):
+        anchors = np.linspace(0.0, data.shape[0] - 1.0, anchors)
+    anchors = np.asarray(anchors, np.float64)
+
+    var_shape = (tuple(config.deconv.var_shape)
+                 if config.deconv.var_shape is not None else data.shape)
+
+    def synth(p):
+        return depth_anchor_psfs(model, p, anchors, depth0=p.depth[1])
+
+    if x0 is None:
+        if config.init == "wiener":
+            from microtipi_tpu.jobs.wiener import wiener
+
+            # Regularized-inverse warm start with the MIDDLE anchor — the
+            # best shift-invariant stand-in for the depth-varying blur.
+            mid = synth(params0)[anchors.shape[0] // 2]
+            x0 = pad_to_shape(wiener(data, mid), var_shape)
+        else:
+            x0 = pad_to_shape(data, var_shape)
+        x0 = jnp.maximum(x0, 0.0)
+
+    fit_cfg = _dc.replace(config.fit, grtol=0.0)  # BlindDeconvJob.java:124
+
+    def object_step(x, params, mu):
+        psfs = synth(params)
+        dcfg = config.deconv if mu is None else _dc.replace(config.deconv, mu=mu)
+        dres = deconvolve_depthvar(
+            data, psfs, anchors, weights=weights, x0=x, config=dcfg)
+        return dres.x, dres.f, dres.iterations, psfs
+
+    def fit_weights(x, psfs):
+        if weight_updater is None:
+            return weights
+        if psfs.shape[1:] != var_shape:
+            psfs = jax.vmap(lambda h: pad_fft_kernel(h, var_shape))(psfs)
+        full_cost = DepthVaryingConvCost.build(psfs, data, None, var_shape, anchors)
+        return weight_updater(full_cost.model(x), data)
+
+    def _obj_at_data(x):
+        return crop_to_shape(x, data.shape) if x.shape != data.shape else x
+
+    if phase_anchor is None:
+        phase_anchor = params0.phase if config.phase_prior_weight > 0 else None
+
+    aux_terms = ()
+    if bead_data is not None:
+        from microtipi_tpu.jobs.psf_fit import bead_anchor_term
+
+        if bead_data.shape[-1] != bead_data.shape[-2]:
+            raise ValueError(
+                f"bead stack must be laterally square for the pupil model, "
+                f"got {tuple(bead_data.shape)}")
+        bead_model = _dc.replace(model, shape=tuple(bead_data.shape))
+        aux_terms = (
+            (bead_anchor_term(bead_model, bead_data,
+                              subvoxel=config.bead_subvoxel),
+             config.bead_weight),
+        )
+
+    def fit_one(params, x, w_fit, j, phase_active):
+        flag = config.families[j]
+        fres = fit_psf_depthvar(
+            model, params, (flag,), data, _obj_at_data(x), anchors,
+            weights=w_fit,
+            config=_dc.replace(fit_cfg, max_iter=config.psf_max_iter[j]),
+            phase_active=phase_active,
+            phase_freeze_head=config.phase_freeze_head if flag == PHASE else 0,
+            phase_anchor=phase_anchor if flag == PHASE else None,
+            phase_prior_weight=config.phase_prior_weight if flag == PHASE else 0.0,
+            aux_terms=aux_terms,
+        )
+        return fres.params, fres.f
+
+    def fit_joint(params, x, w_fit, jfams):
+        fres = fit_psf_depthvar(
+            model, params, jfams, data, _obj_at_data(x), anchors,
+            weights=w_fit,
+            config=_dc.replace(fit_cfg, max_iter=max(config.psf_max_iter)),
+            phase_freeze_head=config.phase_freeze_head,
+            phase_anchor=phase_anchor,
+            phase_prior_weight=config.phase_prior_weight,
+            aux_terms=aux_terms,
+        )
+        return fres.params, fres.f
+
+    x, params, deconv_f, fit_f, deconv_iters = run_blind_loop(
+        config, data.dtype, x0, params0, object_step, fit_weights,
+        fit_one, fit_joint,
+    )
+    return BlindDeconvResult(
+        x, params, synth(params), deconv_f, fit_f, deconv_iters
+    )
+
+
+def calibrate_depth(
+    model,
+    beads,
+    anchors_z,
+    families: tuple[int, ...] = (3,),  # (DEPTH,)
+    params0=None,
+    config=None,
+    phase_freeze_head: int = 0,
+    subvoxel: bool = True,
+):
+    """Depth-ladder calibration: fit the GL DEPTH family (sample index
+    ``ns/lambda`` and the z=0 depth offset ``d0``) from bead stacks measured
+    at K KNOWN z positions — the measured production route to depth-varying
+    deconvolution.
+
+    Why a ladder: a single bead at one depth cannot separate ``ns`` from
+    ``d0`` (one SA magnitude fits many (ns, d) pairs), and estimating ns
+    fully blind from the sample is a measured identifiability dead end —
+    the object absorbs the depth aberration and the joint cost's minimum
+    sits AT the wrong index (BASELINE.md depth-blind table). Beads at two
+    or more known depths pin the *slope* of aberration vs depth, which is
+    exactly ns. Each bead contributes the profiled-amplitude/background
+    objective of ``psf_fit.bead_anchor_term`` (delta object — no FFTs in
+    the data term) with its depth tied to the shared variable as
+    ``d_j = d0 + anchors_z[j] * model.dz``; all other families are shared
+    across the ladder. One joint VMLMB run over the gradient-balanced
+    variable (``psf_fit.joint_variable``).
+
+    Per-bead axial origin nuisance: a depth-aberrated PSF carries a real
+    FOCAL SHIFT (the z=7.5-voxel ladder rung peaks at plane 14 of a
+    16-plane grid, measured), while each acquisition's absolute z origin
+    is an arbitrary stage coordinate — so the data's integer peak
+    centering (``center_bead_stack``) leaves a bead-dependent axial offset
+    that would otherwise bias ns hard (measured: with it unmodeled the
+    known-pupil ladder fit converges to ns 1.557 for truth 1.36, the TRUE
+    params costing 100x more than the wrong ones). Each bead therefore
+    gets a free z-shift ``s_j`` (voxels, possibly several planes) applied
+    to the MODEL as a cyclic Fourier shift (differentiable, exact),
+    initialized at the model's own focal shift under ``params0`` so the
+    fit starts within a fraction of a voxel of aligned; ns identification
+    then rides on the depth-SA *shape* (the k^4-and-up structure a shift
+    cannot absorb), not on absolute focal position.
+
+    ``beads``: (K, nz, ny, nx) stack or list of same-shape stacks (each is
+    centered internally); ``anchors_z``: the K bead z positions in data-grid
+    voxels (floats allowed; KNOWN, e.g. stage positions). ``families``
+    defaults to DEPTH alone — include DEFOCUS/PHASE to calibrate the pupil
+    from the same ladder. Returns ``(PsfFitResult, zshifts)``; feed
+    ``result.params`` to :func:`depth_anchor_psfs` / ``deconv --depthvar``.
+    """
+    from microtipi_tpu.jobs.psf_fit import (
+        PsfFitConfig, PsfFitResult, center_bead_stack, joint_variable)
+    from microtipi_tpu.models.microscope import FAMILY_NAMES
+
+    if config is None:
+        config = PsfFitConfig()
+    if params0 is None:
+        params0 = model.init_params()
+    if not hasattr(params0, "depth"):
+        raise ValueError("calibrate_depth needs a model with a DEPTH family "
+                         "(models/gibson_lanni.py)")
+    beads = jnp.asarray(beads, model.dtype)
+    if beads.ndim != 4:
+        raise ValueError(f"beads must be (K, nz, ny, nx), got {beads.shape}")
+    anchors_z = np.asarray(anchors_z, np.float64)
+    if anchors_z.shape != (beads.shape[0],):
+        raise ValueError(
+            f"anchors_z needs one z position per bead, got {anchors_z.shape} "
+            f"for {beads.shape[0]} beads")
+    names = tuple(FAMILY_NAMES[f] for f in families)
+    if "depth" not in names:
+        raise ValueError("calibrate_depth fits the DEPTH family; include it "
+                         "in families")
+    for n in names:
+        if getattr(params0, n).shape[0] == 0:
+            raise ValueError(f"family {n!r} has no coefficients to fit")
+
+    import dataclasses as _dc
+
+    k, nz = int(beads.shape[0]), int(beads.shape[1])
+    bead_model = _dc.replace(model, shape=tuple(beads.shape[1:]))
+    offsets = jnp.asarray(anchors_z * model.dz, model.dtype)
+    # Unit-peak normalize + center each rung (same measured rationale as
+    # fit_psf_beads: raw ADU scales stall the f32 line search).
+    centered, s1d = [], []
+    for j in range(k):
+        peak = jnp.maximum(jnp.max(jnp.abs(beads[j])),
+                           jnp.asarray(jnp.finfo(beads.dtype).tiny, beads.dtype))
+        d0j = center_bead_stack(beads[j] / peak, subvoxel=subvoxel)
+        centered.append(d0j)
+        s1d.append(jnp.sum(d0j))
+    n_vox = float(beads[0].size)
+    fz = jnp.asarray(np.fft.rfftfreq(nz), model.dtype)
+
+    def _shift_z(h, s):
+        # Cyclic z-shift of the model PSF by +s voxels (the per-bead axial
+        # origin nuisance): shifted[0] = h[-s], so s = -(wrapped peak plane)
+        # aligns the model peak with the peak-centered data.
+        ramp = jnp.exp((-2j * jnp.pi) * (fz * s).astype(model.cdtype))
+        return jnp.fft.irfft(
+            jnp.fft.rfft(h, axis=0) * ramp[:, None, None], n=nz, axis=0
+        ).astype(h.dtype)
+
+    def _rung_cost(h, d0j, s1dj):
+        # Profiled amplitude+background residual (bead_anchor_term math).
+        shh = jnp.sum(h * h)
+        sh1 = jnp.sum(h)
+        shd = jnp.sum(h * d0j)
+        det = jnp.maximum(shh * n_vox - sh1 * sh1,
+                          jnp.asarray(jnp.finfo(h.dtype).tiny, h.dtype))
+        amp = (n_vox * shd - sh1 * s1dj) / det
+        c = (shh * s1dj - sh1 * shd) / det
+        r = amp * h + c - d0j
+        return 0.5 * jnp.sum(r * r)
+
+    def ladder_cost(p, zshifts):
+        # p.depth = (ns/lambda, d0); bead j sits at d0 + z_j*dz.
+        out = 0.0
+        for j in range(k):
+            h = bead_model.compute_psf(
+                p._replace(depth=p.depth.at[1].add(offsets[j])))
+            out = out + _rung_cost(_shift_z(h, zshifts[j]), centered[j], s1d[j])
+        return out
+
+    # Start each s_j at the params0 model's own focal shift: the data peak
+    # sits at plane 0 after centering, the model's at its wrapped argmax
+    # plane, and a zero start several planes off can strand deep-stack fits
+    # in a cyclic-shift local minimum.
+    def _peak_shift(p, off):
+        h = bead_model.compute_psf(p._replace(depth=p.depth.at[1].add(off)))
+        prof = jnp.max(h.reshape(nz, -1), axis=1)
+        i = jnp.argmax(prof)
+        return -jnp.where(i > nz // 2, i - nz, i).astype(model.dtype)
+
+    zs0 = jax.lax.stop_gradient(
+        jnp.stack([_peak_shift(params0, offsets[j]) for j in range(k)]))
+    g0 = jax.grad(
+        lambda sub: ladder_cost(params0._replace(**sub), zs0)
+    )({n: getattr(params0, n) for n in names})
+    x0, rebuild = joint_variable(params0, names, phase_freeze_head, grads=g0)
+    assert "zshift" not in x0  # family names can never collide
+    var0 = dict(x0, zshift=zs0)
+
+    def objective(v):
+        return ladder_cost(rebuild({n: v[n] for n in names}), v["zshift"])
+
+    res = minimize_vmlmb(
+        jax.value_and_grad(objective), var0,
+        mem=config.mem, maxiter=config.max_iter, maxeval=config.max_eval,
+        gatol=config.gatol, grtol=config.grtol,
+    )
+    fit = PsfFitResult(rebuild({n: res.x[n] for n in names}), res.f,
+                       res.iterations, res.evaluations, res.status,
+                       res.f_history)
+    return fit, res.x["zshift"]

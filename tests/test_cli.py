@@ -340,6 +340,84 @@ def test_cli_depthvar_requires_gl(tmp_path):
     assert "--model gl" in (r.stdout + r.stderr)
 
 
+def test_cli_depth_ladder_to_blind_depthvar(tmp_path):
+    """fitpsf --depth-ladder (K bead stacks at known z) -> blind --depthvar
+    --params-json: the calibrated depth-varying blind workflow end to end."""
+    import jax.numpy as jnp
+
+    from microtipi_tpu.io.tiffstack import read_stack, write_stack
+    from microtipi_tpu.jobs.depthvar import depth_anchor_psfs
+    from microtipi_tpu.models.gibson_lanni import GibsonLanniConfig
+    from microtipi_tpu.ops.depthconv import depth_weights, depth_varying_convolve
+
+    shape = (8, 20, 20)
+    model = GibsonLanniConfig(shape=shape, na=1.2, wavelength=500e-9, ni=1.518,
+                              dxy=100e-9, dz=300e-9, n_phase=0, ns=1.36,
+                              dtype=jnp.float32)
+    p_true = model.init_params()
+    ladder_z = [0.0, 7.0]
+    rng = np.random.default_rng(5)
+    names = []
+    for zj in ladder_z:
+        h = model.compute_psf(p_true._replace(
+            depth=p_true.depth.at[1].set(zj * model.dz)))
+        b = 1e4 * np.asarray(h) + 5.0 + rng.standard_normal(shape)
+        name = f"bead_z{zj:g}.tif"
+        write_stack(tmp_path / name, b.astype(np.float32))
+        names.append(name)
+
+    r = _run(
+        ["fitpsf", *names, "--depth-ladder", "0", "7", "--model", "gl",
+         "--ns", "1.43", "--na", "1.2", "--wavelength", "500e-9",
+         "--dxy", "100e-9", "--dz", "300e-9", "--n-phase", "0",
+         "--families", "depth", "--iters", "25",
+         "--params-out", "ladder.json"],
+        tmp_path,
+    )
+    assert r.returncode == 0, r.stderr
+    doc = json.loads((tmp_path / "ladder.json").read_text())
+    assert abs(doc["ns_fit"] - 1.36) < 0.02, doc["ns_fit"]
+    assert len(doc["zshifts"]) == 2
+
+    anchors = np.array([0.0, 7.0])
+    stack = depth_anchor_psfs(model, p_true, anchors, depth0=0.0)
+    zw = jnp.asarray(depth_weights(shape[0], anchors), jnp.float32)
+    obj = (rng.random(shape) > 0.98) * rng.random(shape) * 100
+    data = np.asarray(depth_varying_convolve(
+        jnp.asarray(obj, jnp.float32),
+        jnp.fft.rfftn(stack, axes=(1, 2, 3)), zw, shape))
+    write_stack(tmp_path / "d.tif", data, dxy=100e-9, dz=300e-9)
+    r = _run(
+        ["blind", "d.tif", "--out", "o.tif", "--depthvar", "2",
+         "--model", "gl", "--params-json", "ladder.json",
+         "--ns", "1.43", "--na", "1.2", "--wavelength", "500e-9",
+         "--dxy", "100e-9", "--dz", "300e-9", "--n-phase", "0",
+         "--families", "defocus", "--loops", "2", "--iters", "3",
+         "--psf-iters", "2", "--mu", "1e-3",
+         "--psf-out", "p.tif", "--params-out", "bp.json"],
+        tmp_path,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "blind[depthvar K=2]" in r.stdout
+    # the ladder ns rode in through --params-json
+    bp = json.loads((tmp_path / "bp.json").read_text())
+    assert abs(bp["depth"][0] * 500e-9 - doc["ns_fit"]) < 1e-6
+    out = read_stack(tmp_path / "o.tif")
+    assert out.shape == shape and np.isfinite(out).all()
+    # one PSF file per anchor
+    assert (tmp_path / "p_a0.tif").exists() and (tmp_path / "p_a1.tif").exists()
+
+
+def test_cli_multiple_stacks_need_depth_ladder(tmp_path):
+    from microtipi_tpu.io.tiffstack import write_stack
+
+    write_stack(tmp_path / "a.tif", np.zeros((4, 16, 16), np.float32))
+    write_stack(tmp_path / "b.tif", np.zeros((4, 16, 16), np.float32))
+    r = _run(["fitpsf", "a.tif", "b.tif"], tmp_path)
+    assert r.returncode != 0
+    assert "--depth-ladder" in (r.stdout + r.stderr)
+
+
 def test_cli_deconv_requires_psf_or_depthvar(tmp_path):
     from microtipi_tpu.io.tiffstack import write_stack
 

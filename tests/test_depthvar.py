@@ -177,6 +177,131 @@ def test_sharded_depthvar_padded_odd_nz():
     assert np.isfinite(float(res.f))
 
 
+def _depthvar_scene(model, p_true, anchors, seed=9, n_points=8):
+    """Sparse-point object blurred by the depth-varying operator at p_true."""
+    rng = np.random.default_rng(seed)
+    obj = np.zeros(SHAPE)
+    for _ in range(n_points):
+        z, y, x = rng.integers(1, 11), rng.integers(4, 20), rng.integers(4, 20)
+        obj[z, y, x] = rng.uniform(50, 200)
+    obj = jnp.asarray(obj)
+    stack = depth_anchor_psfs(model, p_true, anchors, depth0=float(p_true.depth[1]))
+    zw = jnp.asarray(depth_weights(SHAPE[0], anchors))
+    data = depth_varying_convolve(obj, jnp.fft.rfftn(stack, axes=(1, 2, 3)), zw, SHAPE)
+    return obj, data
+
+
+def test_fit_psf_depthvar_recovers_phase():
+    """Depth-varying PSF fit (true object fixed) recovers the phase family —
+    the depth-varying analog of psf_fit.fit_psf's object-as-kernel trick."""
+    from microtipi_tpu.jobs.depthvar import fit_psf_depthvar
+    from microtipi_tpu.jobs.psf_fit import PsfFitConfig
+    from microtipi_tpu.models.microscope import PHASE
+
+    model = GibsonLanniConfig(
+        shape=SHAPE, na=1.3, wavelength=500e-9, ni=1.518, dxy=100e-9, dz=250e-9,
+        n_phase=3, ns=1.36, depth=0.0, dtype=jnp.float64,
+    )
+    anchors = np.array([0.0, 5.5, 11.0])
+    phase_true = jnp.asarray([0.2, -0.1, 0.05])
+    p_true = model.init_params()._replace(phase=phase_true)
+    obj, data = _depthvar_scene(model, p_true, anchors)
+
+    res = fit_psf_depthvar(
+        model, model.init_params(), (PHASE,), data, obj, anchors,
+        config=PsfFitConfig(max_iter=40, grtol=0.0),
+    )
+    np.testing.assert_allclose(np.asarray(res.params.phase),
+                               np.asarray(phase_true), atol=2e-3)
+
+
+def test_fit_psf_depthvar_joint_depth_family():
+    """Joint (DEFOCUS, DEPTH) fit under the depth-varying operator moves the
+    sample index toward truth when the true object is known (the fixed-object
+    identifiability regime — blind ns is a measured dead end, BASELINE.md)."""
+    from microtipi_tpu.jobs.depthvar import fit_psf_depthvar
+    from microtipi_tpu.jobs.psf_fit import PsfFitConfig
+    from microtipi_tpu.models.microscope import DEFOCUS, DEPTH
+
+    model = _gl_model()
+    anchors = np.array([0.0, 5.5, 11.0])
+    p_true = model.init_params()._replace(
+        depth=jnp.asarray([1.36 / 500e-9, 0.0]))
+    obj, data = _depthvar_scene(model, p_true, anchors, seed=10)
+
+    p0 = p_true._replace(depth=jnp.asarray([1.42 / 500e-9, 0.0]))
+    res = fit_psf_depthvar(
+        model, p0, (DEFOCUS, DEPTH), data, obj, anchors,
+        config=PsfFitConfig(max_iter=50, grtol=0.0),
+    )
+    ns_fit = float(res.params.depth[0]) * 500e-9
+    assert abs(ns_fit - 1.36) < abs(1.42 - 1.36) / 4
+    assert np.isfinite(float(res.f))
+
+
+def test_blind_deconvolve_depthvar_recovers_phase():
+    """End-to-end blind alternation under the depth-varying operator: the
+    phase family converges toward truth and the anchor stack is returned."""
+    from microtipi_tpu.jobs.blind import BlindDeconvConfig
+    from microtipi_tpu.jobs.depthvar import blind_deconvolve_depthvar
+    from microtipi_tpu.jobs.psf_fit import PsfFitConfig
+    from microtipi_tpu.models.microscope import PHASE
+
+    model = GibsonLanniConfig(
+        shape=SHAPE, na=1.3, wavelength=500e-9, ni=1.518, dxy=100e-9, dz=250e-9,
+        n_phase=3, ns=1.36, depth=0.0, dtype=jnp.float64,
+    )
+    anchors = np.array([0.0, 5.5, 11.0])
+    phase_true = jnp.asarray([0.3, -0.15, 0.0])
+    p_true = model.init_params()._replace(phase=phase_true)
+    obj, data = _depthvar_scene(model, p_true, anchors, seed=11, n_points=12)
+    data = data + 1e-4 * float(jnp.max(data)) * _rand(SHAPE, 12)
+
+    cfg = BlindDeconvConfig(
+        loops=3, families=(PHASE,), psf_max_iter=(15,),
+        deconv=DeconvolutionConfig(mu=1e-4, epsilon=1.0, max_iter=15, grtol=0.0),
+        fit=PsfFitConfig(max_iter=15),
+    )
+    res = blind_deconvolve_depthvar(data, model, anchors, config=cfg)
+    assert res.psf.shape == (3,) + SHAPE
+    err0 = float(jnp.linalg.norm(model.init_params().phase - phase_true))
+    err1 = float(jnp.linalg.norm(res.params.phase - phase_true))
+    assert err1 < 0.5 * err0  # 0.335 -> ~0.134 measured at this tiny budget
+    assert np.isfinite(float(jnp.sum(res.obj)))
+
+
+def test_calibrate_depth_ladder_recovers_ns():
+    """Depth-ladder bead calibration: beads at K known depths pin the sample
+    index (single-depth cannot — the slope of aberration vs depth IS ns)."""
+    from microtipi_tpu.jobs.depthvar import calibrate_depth
+    from microtipi_tpu.jobs.psf_fit import PsfFitConfig
+    from microtipi_tpu.models.microscope import DEPTH
+
+    model = _gl_model()
+    ns_true = 1.36
+    p_true = model.init_params()._replace(
+        depth=jnp.asarray([ns_true / 500e-9, 0.0]))
+    ladder_z = np.array([0.0, 5.5, 11.0])
+    rng = np.random.default_rng(13)
+    beads = []
+    for zj in ladder_z:
+        h = model.compute_psf(p_true._replace(
+            depth=jnp.asarray([ns_true / 500e-9, zj * model.dz])))
+        beads.append(2e4 * np.asarray(h) + 10.0
+                     + 1.0 * rng.standard_normal(SHAPE))
+    beads = jnp.asarray(np.stack(beads))
+
+    p0 = p_true._replace(depth=jnp.asarray([1.45 / 500e-9, 0.0]))
+    fit, zshifts = calibrate_depth(
+        model, beads, ladder_z, families=(DEPTH,), params0=p0,
+        config=PsfFitConfig(max_iter=50, grtol=0.0),
+    )
+    ns_fit = float(fit.params.depth[0]) * 500e-9
+    assert abs(ns_fit - ns_true) < 5e-3
+    assert zshifts.shape == (3,)
+    assert np.all(np.isfinite(np.asarray(zshifts)))
+
+
 def test_depth_anchor_psfs_from_maps_matches_single():
     """Each anchor slice == compute_psf_from_pupil at that map/defocus;
     flat maps at the nominal defocus reproduce the parametric init PSF."""
