@@ -92,3 +92,72 @@ print(f"  single PSF (top of stack)     {top:.4f}")
 print(f"  single PSF (mid compromise)   {mid:.4f}")
 print(f"  depth-varying (K={K} anchors)  {dv:.4f}")
 assert dv < mid < top or dv < top, "depth-aware solve should win"
+
+# ---------------------------------------------------------------------------
+# Act 2 — where does ns come from? A depth LADDER: beads at known z positions.
+#
+# Estimating the sample index blind from the sample alone is a measured dead
+# end (the object absorbs the depth aberration — BASELINE.md), but beads at
+# K >= 2 KNOWN depths pin ns through the slope of spherical aberration vs
+# depth (``jobs/depthvar.calibrate_depth``; CLI ``fitpsf --depth-ladder``).
+# ---------------------------------------------------------------------------
+from microtipi_tpu.jobs.depthvar import calibrate_depth
+from microtipi_tpu.jobs.psf_fit import PsfFitConfig
+from microtipi_tpu.models.microscope import DEPTH
+
+BEAD_SHAPE = (SHAPE[0], 32, 32)
+bead_model = GibsonLanniConfig(
+    shape=BEAD_SHAPE, na=1.3, wavelength=520e-9, ni=1.518, dxy=100e-9,
+    dz=300e-9, n_phase=0, n_modulus=1, ns=1.36, depth=0.0, dtype=DTYPE,
+)
+ladder_z = np.array([0.0, (SHAPE[0] - 1) / 2.0, SHAPE[0] - 1.0])
+p_truth = bead_model.init_params()  # carries the TRUE ns=1.36
+
+
+@jax.jit
+def make_ladder(noise_rungs):
+    def one(zj, nz):
+        h = bead_model.compute_psf(
+            p_truth._replace(depth=p_truth.depth.at[1].set(zj * bead_model.dz)))
+        return 2e4 * h + 20.0 + 3.0 * nz
+    return jnp.stack([one(z, noise_rungs[j]) for j, z in enumerate(ladder_z)])
+
+
+beads = make_ladder(jnp.asarray(
+    rng.standard_normal((3,) + BEAD_SHAPE), DTYPE))
+
+# Start from the WRONG index (1.45) — a typical "mounting medium datasheet
+# said so" guess — and let the ladder pull it back.
+p_wrong = p_truth._replace(
+    depth=jnp.asarray([1.45 / bead_model.wavelength, 0.0], DTYPE))
+fit, zshifts = jax.jit(lambda b: calibrate_depth(
+    bead_model, b, ladder_z, families=(DEPTH,), params0=p_wrong,
+    config=PsfFitConfig(max_iter=50, grtol=0.0)))(beads)
+ns_fit = float(fit.params.depth[0]) * bead_model.wavelength
+print(f"\ndepth ladder ({ladder_z.size} rungs, init ns=1.45): "
+      f"calibrated ns = {ns_fit:.4f} (truth 1.36)")
+assert abs(ns_fit - 1.36) < 0.01, "ladder should recover ns"
+
+# Re-solve the SAMPLE with anchors synthesized from the calibrated ns — the
+# production workflow (``deconv --depthvar K --params-json ladder.json``).
+cal_params = model.init_params()._replace(
+    depth=jnp.asarray(np.asarray(fit.params.depth), DTYPE))
+
+
+@jax.jit
+def resolve(obj, noise):
+    true_stack = depth_anchor_psfs(model, model.init_params(), anchors)
+    zw = jnp.asarray(depth_weights(SHAPE[0], anchors), DTYPE)
+    data = depth_varying_convolve(obj, jnp.fft.rfftn(true_stack, axes=(1, 2, 3)),
+                                  zw, SHAPE)
+    data = data + 0.005 * jnp.max(data) * noise
+    cal_stack = depth_anchor_psfs(model, cal_params, anchors,
+                                  depth0=cal_params.depth[1])
+    res = deconvolve_depthvar(data, cal_stack, anchors, config=cfg)
+    return jnp.linalg.norm(res.x - obj) / jnp.linalg.norm(obj)
+
+
+err_cal = float(resolve(obj, noise))
+print(f"calibrated-anchor solve error {err_cal:.4f} "
+      f"(oracle anchors gave {dv:.4f})")
+assert err_cal < mid, "calibrated depth-varying solve should beat the best single PSF"

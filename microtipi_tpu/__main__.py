@@ -2044,7 +2044,7 @@ def cmd_watch(args):
 
     cfg = DeconvolutionConfig(mu=args.mu, epsilon=args.epsilon, max_iter=args.iters,
                               positivity=not args.no_positivity)
-    model_factory = blind_cfg = None
+    model_factory = blind_cfg = depthvar_params = None
     if args.method in ("blind", "blind-once"):
         from microtipi_tpu.jobs.blind import BlindDeconvConfig
         from microtipi_tpu.models.microscope import DEFOCUS, DEPTH, MODULUS, PHASE, SHEET, STED
@@ -2058,6 +2058,18 @@ def cmd_watch(args):
         blind_cfg = (BlindDeconvConfig.recommended(**kw) if args.recipe == "quality"
                      else BlindDeconvConfig(**kw))
         model_factory = lambda shape: _build_model(args, shape)
+        if getattr(args, "depthvar", 0):
+            sys.exit("watch --depthvar rides the vmlmb path")
+    elif getattr(args, "depthvar", 0):
+        if args.model != "gl":
+            sys.exit("watch --depthvar requires --model gl")
+        _resolve_geometry(args)
+        model_factory = lambda shape: _build_model(args, shape)
+        if args.params_json:
+            # Parameters live on the pupil, not the grid: load against a
+            # nominal-shape model, serve at every arriving shape.
+            depthvar_params = _load_params_json(
+                model_factory((8, 32, 32)), args.params_json)
     elif not args.psf:
         sys.exit("--psf is required for method vmlmb/rl")
     devices = None
@@ -2077,7 +2089,9 @@ def cmd_watch(args):
           priority_patterns=args.priority, zarr_levels=args.zarr_levels,
           preprocess=_build_preprocess(args),
           auto_mu=args.auto_mu, auto_mu_tau=args.tau,
-          auto_mu_sigma=args.noise_sigma, auto_gain=args.auto_gain)
+          auto_mu_sigma=args.noise_sigma, auto_gain=args.auto_gain,
+          depthvar_k=getattr(args, "depthvar", 0),
+          depthvar_params=depthvar_params)
 
 
 def main(argv=None):
@@ -2455,6 +2469,14 @@ def main(argv=None):
                    choices=["defocus", "phase", "modulus", "depth", "sheet", "sted"])
     p.add_argument("--recipe", choices=["parity", "quality"], default="quality",
                    help="[blind methods] quality = recommended() recipe (default for serving)")
+    p.add_argument("--depthvar", type=int, default=0, metavar="K",
+                   help="serve with the DEPTH-VARYING solver: K Gibson-Lanni "
+                        "anchor PSFs synthesized at each file's shape from "
+                        "--model gl + --params-json (a fitpsf --depth-ladder "
+                        "calibration) — thick index-mismatched samples")
+    p.add_argument("--params-json", default=None,
+                   help="[--depthvar] calibrated PSF parameters "
+                        "(fitpsf --params-out / --depth-ladder JSON)")
     _preprocess_args(p)
     _model_args(p)
     _deconv_args(p, methods=("vmlmb", "rl", "blind", "blind-once"))

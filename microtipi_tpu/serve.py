@@ -180,6 +180,8 @@ def watch(
     auto_mu_tau: float = 1.0,
     auto_mu_sigma: float | None = None,
     auto_gain: bool = False,
+    depthvar_k: int = 0,
+    depthvar_params=None,
 ):
     """Run the service loop. ``max_files`` bounds the run (None = forever).
 
@@ -223,6 +225,15 @@ def watch(
     data with the calibrated constants. Composes with ``auto_mu`` (the
     discrepancy target becomes the positive-weight count).
 
+    ``depthvar_k`` (``method="vmlmb"`` only): serve every file with the
+    DEPTH-VARYING solver (``jobs/depthvar.deconvolve_depthvar``) — K anchor
+    PSFs synthesized in-graph at each file's shape from
+    ``model_factory(shape)`` (a Gibson-Lanni config) and ``depthvar_params``
+    (a ladder calibration, ``fitpsf --depth-ladder``; None = the model's
+    nominal parameters). The thick-index-mismatched-sample serving story:
+    one calibration, depth-correct solves forever after. Costs ~(K+2)/2 of
+    a fixed-PSF solve (BASELINE.md measured points).
+
     ``auto_mu`` (``method="vmlmb"`` only): the FIRST file's solve selects
     the TV weight by the Morozov discrepancy principle
     (``jobs/autotune.py``; safety factor ``auto_mu_tau``) and every later
@@ -256,7 +267,17 @@ def watch(
     blind = method in ("blind", "blind-once")
     if blind and model_factory is None:
         raise ValueError(f"method {method!r} needs model_factory(shape) -> model config")
-    if not blind and psf_path is None:
+    if depthvar_k:
+        if method != "vmlmb":
+            raise ValueError("depthvar_k rides the fixed-parameter VMLMB "
+                             f"path; method {method!r} does not take it")
+        if model_factory is None:
+            raise ValueError("depthvar_k needs model_factory(shape) -> "
+                             "Gibson-Lanni config (anchors vary its DEPTH family)")
+        if auto_mu:
+            raise ValueError("auto_mu does not take the depth-varying path "
+                             "yet; calibrate mu offline (deconv --auto-mu)")
+    if not blind and not depthvar_k and psf_path is None:
         raise ValueError(f"method {method!r} needs psf_path")
     if auto_mu and method != "vmlmb":
         raise ValueError("auto_mu calibrates the fixed-PSF VMLMB path; "
@@ -337,6 +358,28 @@ def watch(
                     return richardson_lucy(
                         d, kern, iterations=rl_iterations, mu=config.mu, epsilon=config.epsilon
                     )
+
+                solvers[key] = jax.jit(run, donate_argnums=0)
+            elif depthvar_k:
+                # Depth-varying serving: anchors synthesized in-graph at this
+                # shape from the calibrated parameters (ladder or nominal).
+                from microtipi_tpu.jobs.depthvar import (
+                    deconvolve_depthvar, depth_anchor_psfs)
+
+                model = model_factory(shape)
+                params = (depthvar_params if depthvar_params is not None
+                          else model.init_params())
+                if not hasattr(params, "depth"):
+                    raise ValueError("depthvar_k needs a model with a DEPTH "
+                                     "family (models/gibson_lanni.py)")
+                anchors = np.linspace(0.0, shape[0] - 1.0, depthvar_k)
+
+                def run(d, model=model, params=params, anchors=anchors):
+                    psfs = depth_anchor_psfs(model, params, anchors,
+                                             depth0=params.depth[1])
+                    return deconvolve_depthvar(
+                        d.astype(model.dtype), psfs, anchors,
+                        weights=_weights_of(d), config=config).x
 
                 solvers[key] = jax.jit(run, donate_argnums=0)
             elif auto_mu and mu_calib["mu"] is None:

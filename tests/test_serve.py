@@ -293,6 +293,52 @@ def test_watch_fixed_psf_requires_path(tmp_path):
         watch(tmp_path, tmp_path / "o", None, method="vmlmb", max_files=0)
 
 
+def test_watch_depthvar_serves_with_calibrated_params(tmp_path):
+    """watch(depthvar_k=K): each file solved by the depth-varying operator
+    with anchors synthesized at its shape from the (ladder-)calibrated
+    parameters — and two different shapes share the one calibration."""
+    from microtipi_tpu.models.gibson_lanni import GibsonLanniConfig
+
+    indir = tmp_path / "in"
+    outdir = tmp_path / "out"
+    indir.mkdir()
+
+    def factory(shape):
+        return GibsonLanniConfig(
+            shape=shape, na=1.2, wavelength=500e-9, ni=1.518, dxy=100e-9,
+            dz=300e-9, n_phase=0, ns=1.36, depth=0.0, dtype=jnp.float32)
+
+    params = factory((4, 16, 16)).init_params()._replace(
+        depth=jnp.asarray([1.37 / 500e-9, 0.0], jnp.float32))
+    rng = np.random.default_rng(7)
+    shapes = [(4, 16, 16), (8, 16, 16)]
+    for i, shape in enumerate(shapes):
+        d = np.abs(rng.standard_normal(shape)).astype(np.float32) * 10
+        write_stack(indir / f"s{i}.tif", d)
+
+    out = watch(indir, outdir, None, method="vmlmb",
+                config=DeconvolutionConfig(mu=1e-3, epsilon=1.0, max_iter=4),
+                poll_seconds=0.05, max_files=2, model_factory=factory,
+                depthvar_k=2, depthvar_params=params)
+    assert len(out) == 2
+    for i, shape in enumerate(shapes):
+        rec = read_stack(outdir / f"s{i}.tif")
+        assert rec.shape == shape and np.isfinite(rec).all()
+        assert (rec >= 0).all()  # positivity rode through
+
+
+def test_watch_depthvar_validation(tmp_path):
+    with pytest.raises(ValueError, match="model_factory"):
+        watch(tmp_path, tmp_path / "o", None, method="vmlmb", max_files=0,
+              depthvar_k=2)
+    with pytest.raises(ValueError, match="VMLMB"):
+        watch(tmp_path, tmp_path / "o", None, method="rl", max_files=0,
+              depthvar_k=2, model_factory=lambda s: None)
+    with pytest.raises(ValueError, match="auto_mu"):
+        watch(tmp_path, tmp_path / "o", None, method="vmlmb", max_files=0,
+              depthvar_k=2, model_factory=lambda s: None, auto_mu=True)
+
+
 def test_watch_slices_hyperstack_channel(tmp_path):
     """A multi-channel OME input is sliced at the requested channel instead
     of being misread as a deep z-stack."""
