@@ -1020,7 +1020,13 @@ def cmd_deconv(args):
         _cmd_deconv_plate(args)
         return
     data = jnp.asarray(_read_input_volume(args, args.data))
-    if getattr(args, "depthvar", 0) or getattr(args, "depthvar_maps", None):
+    depthvar_tiled = bool(getattr(args, "depthvar", 0)) and bool(getattr(args, "tile", None))
+    if getattr(args, "depthvar_maps", None) and getattr(args, "tile", None):
+        sys.exit("--depthvar-maps does not compose with --tile; use the "
+                 "parametric route (--depthvar K --params-json) for tiled "
+                 "space-variant solves")
+    if (getattr(args, "depthvar", 0) or getattr(args, "depthvar_maps", None)) \
+            and not depthvar_tiled:
         _cmd_deconv_depthvar(args, data)
         return
     if getattr(args, "superres", None):
@@ -1028,27 +1034,33 @@ def cmd_deconv(args):
         _cmd_deconv_superres(args, data)
         return
     field_json = getattr(args, "field_json", None)
-    if not args.psf and not field_json:
+    if not args.psf and not field_json and not depthvar_tiled:
         sys.exit("--psf is required (or --depthvar K / --depthvar-maps / "
                  "--tile with --field-json)")
     # No model is built on the plain path, but the output metadata should
     # still inherit the input's pixel sizes (TIFF tags / NGFF scale
     # transform).
     _resolve_geometry(args, args.data, log=lambda *a: None)
-    if field_json:
+    depthvar_zs = None
+    if field_json or depthvar_tiled:
         # Field-varying tiled solve: each JSON is a fitpsf --params-out
         # file with an added "position": [y, x] (field voxels) entry.
+        # With --depthvar K on top: the FULLY space-variant composition
+        # (lateral IDW x axial anchor blend, jobs.tiled.field_depthvar_psf).
         import json
 
-        from microtipi_tpu.jobs.tiled import field_psf
+        from microtipi_tpu.jobs.tiled import field_depthvar_psf, field_psf
 
         if not getattr(args, "tile", None):
             sys.exit("--field-json is the per-tile PSF source; it requires --tile")
         if args.psf:
-            sys.exit("--field-json and --psf are exclusive")
+            sys.exit("--field-json/--depthvar and --psf are exclusive under --tile")
+        if depthvar_tiled and args.model != "gl":
+            sys.exit("--tile --depthvar requires --model gl "
+                     "(anchors vary the DEPTH family)")
         model = _build_model(args, tuple(args.tile))
         anchors = []
-        for path in field_json:
+        for path in field_json or ():
             with open(path) as fh:
                 doc = json.load(fh)
             docs = doc["anchors"] if "anchors" in doc else [doc]  # fitpsf --field-out
@@ -1063,7 +1075,18 @@ def cmd_deconv(args):
                             **{name: jnp.asarray(entry[name], model.dtype)})
                 anchors.append(
                     (tuple(float(v) for v in entry["position"]), params))
-        psf = field_psf(model, anchors)
+        if depthvar_tiled and not anchors:
+            # One calibration (e.g. a depth ladder), laterally constant:
+            # the single-anchor degenerate IDW mix.
+            params = (_load_params_json(model, args.params_json)
+                      if args.params_json else model.init_params())
+            anchors = [((0.0, 0.0), params)]
+        if depthvar_tiled:
+            depthvar_zs = _depthvar_anchor_array(
+                args, args.depthvar, args.tile[0])
+            psf = field_depthvar_psf(model, anchors, depthvar_zs)
+        else:
+            psf = field_psf(model, anchors)
     else:
         psf = jnp.asarray(read_stack(args.psf))
         if args.psf_centered:
@@ -1099,8 +1122,10 @@ def cmd_deconv(args):
             np.asarray(data), psf, weights=w, tile=tuple(args.tile),
             overlap=args.overlap, config=cfg, method=args.method,
             rl_iterations=args.iters, max_batch=args.tile_batch,
+            depthvar_anchors=depthvar_zs,
         )
-        print(f"deconv[tiled {tuple(args.tile)}+{args.overlap}]: "
+        tag = f" depthvar K={args.depthvar}" if depthvar_zs is not None else ""
+        print(f"deconv[tiled {tuple(args.tile)}+{args.overlap}{tag}]: "
               f"{time.time()-t0:.1f}s (incl. compile)")
         _write_out(args, args.out, x, dxy=args.dxy, dz=args.dz)
         print("wrote", args.out)
@@ -2207,7 +2232,10 @@ def main(argv=None):
     p.add_argument("--depthvar", type=int, default=0, metavar="K",
                    help="depth-varying solve with K Gibson-Lanni anchor PSFs "
                         "blended along z (requires --model gl; PSF parameters "
-                        "from --params-json)")
+                        "from --params-json). With --tile: FULLY space-variant "
+                        "solve — per-tile anchor stacks at each tile's "
+                        "absolute depth, laterally interpolated from "
+                        "--field-json calibrations (K anchors span the TILE z)")
     p.add_argument("--depthvar-maps", nargs="+", default=None, metavar="NPZ",
                    help="depth-varying solve with MEASURED anchors: one "
                         "fitpsf --retrieve-map npz per calibration depth "

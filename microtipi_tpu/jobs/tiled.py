@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from microtipi_tpu.jobs.deconv import DeconvolutionConfig
 from microtipi_tpu.utils.arrays import crop_to_shape, pad_fft_kernel, roll, unroll
 
-__all__ = ["field_psf", "tile_plan", "tiled_deconvolve"]
+__all__ = ["field_depthvar_psf", "field_psf", "tile_plan", "tiled_deconvolve"]
 
 
 def tile_plan(shape: tuple[int, ...], tile: tuple[int, ...], overlap: tuple[int, ...]):
@@ -82,30 +82,81 @@ def field_psf(model, anchors, power: float = 2.0):
     anchors = list(anchors)
     if not anchors:
         raise ValueError("field_psf needs at least one (position, params) anchor")
-    positions = np.asarray([p for p, _ in anchors], np.float64).reshape(len(anchors), 2)
     # One jitted synthesis shared by every tile (same pytree shapes): the
     # axon TPU runtime cannot eager-dispatch the complex pupil math, and
     # even where it can, per-op dispatch per tile would dominate.
     compute = jax.jit(model.compute_psf)
 
     def psf_fn(center):
-        cy, cx = float(center[-2]), float(center[-1])
-        d2 = np.sum((positions - np.asarray([cy, cx])) ** 2, axis=1)
-        i_near = int(np.argmin(d2))
-        if d2[i_near] < 1e-12:
-            w = np.zeros(len(anchors)); w[i_near] = 1.0
-        else:
-            w = 1.0 / d2 ** (power / 2.0)
-            w = w / w.sum()
-        p0 = anchors[0][1]
-        # host-side mixing (tiny vectors): no per-tile eager device ops
-        mixed = p0._replace(**{
-            name: jnp.asarray(sum(
-                wi * np.asarray(getattr(p, name), np.float64)
-                for wi, (_, p) in zip(w, anchors)), model.dtype)
-            for name in p0._fields
-        })
-        return compute(mixed)
+        return compute(_idw_params(anchors, center, power, model.dtype))
+
+    return psf_fn
+
+
+def _idw_params(anchors, center, power, dtype):
+    """Inverse-distance-weighted parameter mix at a field position — the
+    host-side interpolation shared by :func:`field_psf` and
+    :func:`field_depthvar_psf` (tiny vectors: no per-tile device ops)."""
+    positions = np.asarray([p for p, _ in anchors], np.float64).reshape(len(anchors), 2)
+    cy, cx = float(center[-2]), float(center[-1])
+    d2 = np.sum((positions - np.asarray([cy, cx])) ** 2, axis=1)
+    i_near = int(np.argmin(d2))
+    if d2[i_near] < 1e-12:
+        w = np.zeros(len(anchors)); w[i_near] = 1.0
+    else:
+        w = 1.0 / d2 ** (power / 2.0)
+        w = w / w.sum()
+    p0 = anchors[0][1]
+    return p0._replace(**{
+        name: jnp.asarray(sum(
+            wi * np.asarray(getattr(p, name), np.float64)
+            for wi, (_, p) in zip(w, anchors)), dtype)
+        for name in p0._fields
+    })
+
+
+def field_depthvar_psf(model, anchors, zs, power: float = 2.0):
+    """FULLY space-variant PSF field: lateral field variation x axial depth
+    variation — a ``psf_fn(center)`` for
+    ``tiled_deconvolve(..., depthvar_anchors=zs)``.
+
+    Composes the two space-variance mechanisms at their natural scales:
+    laterally the PSF drifts on the field-curvature scale (wider than a
+    tile), so parameters are IDW-interpolated per tile like
+    :func:`field_psf`; axially it drifts continuously with imaging depth
+    (``models/gibson_lanni.py`` DEPTH family), so each tile gets a
+    ``(K, tz, ty, tx)`` anchor stack synthesized at the tile's ABSOLUTE
+    depths — z-tiled solves see the correct deep-stack aberration, not a
+    restarted-at-zero one.
+
+    ``model``: Gibson-Lanni config at the TILE shape. ``anchors``:
+    ``[((y, x), params), ...]`` calibrations (each params carries the DEPTH
+    family — e.g. ``fitpsf --depth-ladder`` per field position, or one
+    ladder calibration replicated by :func:`field_psf`'s single-anchor
+    degenerate case). ``zs``: the K anchor z indices in TILE coordinates —
+    pass the SAME array as ``tiled_deconvolve``'s ``depthvar_anchors``.
+    The anchor depth for a tile starting at volume plane ``Z0`` is
+    ``params.depth[1] + (Z0 + zs[j]) * model.dz``.
+    """
+    anchors = list(anchors)
+    if not anchors:
+        raise ValueError("field_depthvar_psf needs at least one "
+                         "(position, params) anchor")
+    if not hasattr(anchors[0][1], "depth"):
+        raise ValueError("field_depthvar_psf needs params with a DEPTH "
+                         "family (models/gibson_lanni.py)")
+    zs = np.asarray(zs, np.float64)
+    nz_tile = model.shape[0]
+
+    compute_stack = jax.jit(lambda p, depths: jax.vmap(
+        lambda d: model.compute_psf(p._replace(depth=p.depth.at[1].set(d))))(depths))
+
+    def psf_fn(center):
+        mixed = _idw_params(anchors, center, power, model.dtype)
+        z0 = float(center[0]) - nz_tile / 2.0  # tile z start, volume coords
+        d1 = float(np.asarray(mixed.depth)[1])
+        depths = jnp.asarray(d1 + (z0 + zs) * model.dz, model.dtype)
+        return compute_stack(mixed, depths)
 
     return psf_fn
 
@@ -120,6 +171,7 @@ def tiled_deconvolve(
     method: str = "vmlmb",
     rl_iterations: int = 50,
     max_batch: int = 8,
+    depthvar_anchors=None,
 ) -> np.ndarray:
     """Deconvolve a volume tile by tile; returns the blended NumPy volume.
 
@@ -139,9 +191,20 @@ def tiled_deconvolve(
     approximated piecewise-constant per tile, accurate when the PSF drifts
     on scales wider than a tile (lateral field curvature does).
 
+    ``depthvar_anchors``: K anchor z indices in TILE coordinates — each tile
+    solves with the DEPTH-VARYING operator (``jobs.depthvar``) instead of a
+    single kernel; ``psf`` must then carry a leading K axis (a static
+    ``(K, ...)`` stack, or a callable returning one — build a fully
+    space-variant field with :func:`field_depthvar_psf`). vmlmb only.
+
     ``config.var_shape`` is ignored (padding is what the halo is for).
     """
     data = np.asarray(data)
+    if depthvar_anchors is not None:
+        depthvar_anchors = np.asarray(depthvar_anchors, np.float64)
+        if method != "vmlmb":
+            raise ValueError("depthvar_anchors rides the vmlmb path; "
+                             f"method {method!r} does not take it")
     if tile is None:
         tile = tuple(min(n, 256) for n in data.shape)
     tile = tuple(min(t, n) for t, n in zip(tile, data.shape))
@@ -169,12 +232,29 @@ def tiled_deconvolve(
         return pad_fft_kernel(k, tile)
 
     varying = callable(psf)
+    if depthvar_anchors is not None:
+        prep_one = prep_kernel
+        prep_kernel = jax.vmap(prep_one)  # (K, ...) anchor stacks
     if varying:
         prep_jit = jax.jit(prep_kernel)  # per-tile: avoid eager dispatch
     else:
+        if depthvar_anchors is not None and np.ndim(psf) != 4:
+            raise ValueError("depthvar_anchors needs a (K, ...) anchor "
+                             f"stack, got ndim={np.ndim(psf)}")
         kern = prep_kernel(psf)
 
-    if method == "rl":
+    if depthvar_anchors is not None:
+        import dataclasses
+
+        from microtipi_tpu.jobs.depthvar import deconvolve_depthvar
+
+        cfg = dataclasses.replace(config, var_shape=None, fused_tv=False)
+
+        def solve_one(d, w, k):
+            return deconvolve_depthvar(d, k, depthvar_anchors,
+                                       weights=w, config=cfg).x
+
+    elif method == "rl":
         from microtipi_tpu.jobs.richardson_lucy import richardson_lucy
 
         def solve_one(d, w, k):

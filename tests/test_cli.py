@@ -408,6 +408,33 @@ def test_cli_depth_ladder_to_blind_depthvar(tmp_path):
     assert (tmp_path / "p_a0.tif").exists() and (tmp_path / "p_a1.tif").exists()
 
 
+def test_cli_tiled_depthvar_space_variant(tmp_path):
+    """deconv --tile --depthvar K --params-json: the fully space-variant
+    solve (lateral tiles x absolute-depth anchor stacks) end to end."""
+    from microtipi_tpu.io.tiffstack import read_stack, write_stack
+
+    shape = (8, 32, 32)
+    rng = np.random.default_rng(9)
+    write_stack(tmp_path / "d.tif",
+                np.abs(rng.standard_normal(shape)).astype(np.float32) * 10,
+                dxy=100e-9, dz=300e-9)
+    params = {"defocus": [1.518 / 500e-9, 0.0, 0.0], "phase": [],
+              "modulus": [1.0], "depth": [1.36 / 500e-9, 0.0]}
+    (tmp_path / "p.json").write_text(json.dumps(params))
+    r = _run(
+        ["deconv", "d.tif", "--out", "o.tif", "--tile", "8", "24", "24",
+         "--overlap", "4", "--depthvar", "2", "--model", "gl",
+         "--params-json", "p.json", "--ns", "1.36", "--na", "1.2",
+         "--wavelength", "500e-9", "--n-phase", "0",
+         "--iters", "3", "--mu", "1e-3"],
+        tmp_path,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "depthvar K=2" in r.stdout
+    out = read_stack(tmp_path / "o.tif")
+    assert out.shape == shape and np.isfinite(out).all()
+
+
 def test_cli_multiple_stacks_need_depth_ladder(tmp_path):
     from microtipi_tpu.io.tiffstack import write_stack
 

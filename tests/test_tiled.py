@@ -164,6 +164,103 @@ def test_tiled_field_varying_psf_beats_single():
     assert err_fv < 0.85 * max(errs_single), (err_fv, errs_single)
 
 
+def test_tiled_depthvar_single_tile_is_exact():
+    """One tile covering the volume: the tiled depth-varying solve IS the
+    dense deconvolve_depthvar (modulo the fused-TV toggle both sides skip)."""
+    import dataclasses
+
+    from microtipi_tpu.jobs.depthvar import deconvolve_depthvar, depth_anchor_psfs
+    from microtipi_tpu.models.gibson_lanni import GibsonLanniConfig
+
+    shape = (8, 24, 24)
+    model = GibsonLanniConfig(shape=shape, na=1.2, wavelength=500e-9, ni=1.518,
+                              dxy=100e-9, dz=300e-9, n_phase=0, ns=1.36,
+                              depth=0.0, dtype=jnp.float64)
+    anchors_z = np.array([0.0, 7.0])
+    stack = depth_anchor_psfs(model, model.init_params(), anchors_z)
+    rng = np.random.default_rng(11)
+    data = np.abs(rng.standard_normal(shape)) * 10
+    cfg = DeconvolutionConfig(mu=1e-3, epsilon=1.0, max_iter=6, grtol=0.0)
+
+    dense = deconvolve_depthvar(
+        jnp.asarray(data), stack, anchors_z,
+        config=dataclasses.replace(cfg, fused_tv=False)).x
+    tiled = tiled_deconvolve(data, np.asarray(stack), tile=shape, overlap=0,
+                             config=cfg, depthvar_anchors=anchors_z)
+    np.testing.assert_allclose(tiled, np.asarray(dense), atol=1e-10)
+
+
+def test_field_depthvar_psf_synthesizes_at_absolute_depth():
+    """The per-tile anchor stack reflects the tile's ABSOLUTE z position:
+    a tile starting at volume plane Z0 gets PSFs at depth d0+(Z0+zs)*dz."""
+    from microtipi_tpu.jobs.tiled import field_depthvar_psf
+    from microtipi_tpu.models.gibson_lanni import GibsonLanniConfig
+
+    tile_shape = (8, 16, 16)
+    model = GibsonLanniConfig(shape=tile_shape, na=1.2, wavelength=500e-9,
+                              ni=1.518, dxy=100e-9, dz=300e-9, n_phase=0,
+                              ns=1.36, depth=0.0, dtype=jnp.float64)
+    params = model.init_params()
+    zs = np.array([0.0, 7.0])
+    fn = field_depthvar_psf(model, [((0.0, 0.0), params)], zs)
+
+    for z0 in (0.0, 12.0):  # tile starting at volume plane Z0
+        stack = fn((z0 + tile_shape[0] / 2.0, 8.0, 8.0))
+        assert stack.shape == (2,) + tile_shape
+        for j, zj in enumerate(zs):
+            expect = model.compute_psf(params._replace(
+                depth=params.depth.at[1].set(
+                    float(params.depth[1]) + (z0 + zj) * model.dz)))
+            np.testing.assert_allclose(np.asarray(stack[j]),
+                                       np.asarray(expect), rtol=1e-10)
+
+
+def test_tiled_depthvar_ztile_tracks_absolute_depth():
+    """z-tiled depth-varying solve: anchors synthesized at each tile's
+    absolute depth beat a depth-restarted-per-tile stack on a deep scene."""
+    from microtipi_tpu.jobs.depthvar import depth_anchor_psfs
+    from microtipi_tpu.jobs.tiled import field_depthvar_psf
+    from microtipi_tpu.models.gibson_lanni import GibsonLanniConfig
+    from microtipi_tpu.ops.depthconv import depth_varying_convolve, depth_weights
+
+    vol = (16, 24, 24)
+    tile_shape = (12, 24, 24)
+    model_v = GibsonLanniConfig(shape=vol, na=1.3, wavelength=500e-9, ni=1.518,
+                                dxy=100e-9, dz=400e-9, n_phase=0, ns=1.33,
+                                depth=0.0, dtype=jnp.float64)
+    model_t = GibsonLanniConfig(shape=tile_shape, na=1.3, wavelength=500e-9,
+                                ni=1.518, dxy=100e-9, dz=400e-9, n_phase=0,
+                                ns=1.33, depth=0.0, dtype=jnp.float64)
+    p0 = model_v.init_params()
+    rng = np.random.default_rng(12)
+    obj = np.zeros(vol)
+    for _ in range(14):
+        z, y, x = rng.integers(1, 15), rng.integers(3, 21), rng.integers(3, 21)
+        obj[z, y, x] = rng.uniform(50, 200)
+    anchors_v = np.linspace(0.0, vol[0] - 1.0, 5)
+    stack_v = depth_anchor_psfs(model_v, p0, anchors_v)
+    zw = jnp.asarray(depth_weights(vol[0], anchors_v))
+    data = np.array(depth_varying_convolve(
+        jnp.asarray(obj), jnp.fft.rfftn(stack_v, axes=(1, 2, 3)), zw, vol))
+    data += 1e-3 * data.max() * rng.standard_normal(vol)
+
+    zs = np.array([0.0, 5.5, 11.0])  # anchor z in TILE coordinates
+    cfg = DeconvolutionConfig(mu=1e-4, epsilon=1.0, max_iter=25, grtol=0.0)
+    kw = dict(tile=tile_shape, overlap=(4, 0, 0), config=cfg,
+              depthvar_anchors=zs)
+
+    fn_abs = field_depthvar_psf(model_t, [((0.0, 0.0), p0)], zs)
+    rec_abs = tiled_deconvolve(data, fn_abs, **kw)
+
+    def fn_restart(center):  # WRONG: every tile believes it starts at z=0
+        return fn_abs((tile_shape[0] / 2.0, center[1], center[2]))
+
+    rec_restart = tiled_deconvolve(data, fn_restart, **kw)
+    err_abs = np.linalg.norm(rec_abs - obj) / np.linalg.norm(obj)
+    err_restart = np.linalg.norm(rec_restart - obj) / np.linalg.norm(obj)
+    assert err_abs < err_restart, (err_abs, err_restart)
+
+
 def test_field_psf_interpolates_and_is_exact_at_anchors():
     from microtipi_tpu.jobs.tiled import field_psf
     from microtipi_tpu.models.widefield import WideFieldConfig
