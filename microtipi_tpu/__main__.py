@@ -693,6 +693,7 @@ def _cmd_deconv_depthvar(args, data):
     calibration depth)."""
     import numpy as np
     import jax
+    import jax.numpy as jnp
     from microtipi_tpu.jobs.depthvar import (
         deconvolve_depthvar, depth_anchor_psfs, depth_anchor_psfs_from_maps)
 
@@ -709,6 +710,24 @@ def _cmd_deconv_depthvar(args, data):
     w = _weights(args, data)
     t0 = time.time()
 
+    rl = args.method == "rl"
+    if rl and w is not None:
+        sys.exit("--method rl is Poisson-MLE; it does not take weights "
+                 "(drop --gain/--auto-gain or use the VMLMB path)")
+
+    def solve(d, psfs, wt):
+        if rl:
+            from microtipi_tpu.jobs.depthvar import richardson_lucy_depthvar
+
+            x, iters = richardson_lucy_depthvar(
+                d, psfs, anchors, iterations=args.iters, mu=cfg.mu,
+                epsilon=cfg.epsilon, accelerate=args.rl_accelerate,
+                stop=args.rl_stop, stop_sigma=args.noise_sigma,
+                stop_tau=args.tau, return_iterations=True)
+            return x, iters, jnp.zeros((), d.dtype)
+        res = deconvolve_depthvar(d, psfs, anchors, weights=wt, config=cfg)
+        return res.x, res.iterations, res.f
+
     if maps:
         if getattr(args, "model", "widefield") != "widefield":
             sys.exit("--depthvar-maps synthesizes through the scalar pupil "
@@ -721,11 +740,10 @@ def _cmd_deconv_depthvar(args, data):
         rhos = None if rhos is None else rhos[order]
         label = f"depthvar maps K={k}"
 
-        run = jax.jit(lambda d, w, ph, df, *rh: deconvolve_depthvar(
+        run = jax.jit(lambda d, w, ph, df, *rh: solve(
             d, depth_anchor_psfs_from_maps(model, ph, rh[0] if rh else None,
-                                           df),
-            anchors, weights=w, config=cfg))
-        res = run(data, w, phis, defoc) if rhos is None \
+                                           df), w))
+        out = run(data, w, phis, defoc) if rhos is None \
             else run(data, w, phis, defoc, rhos)
     else:
         if getattr(args, "model", "gl") != "gl":
@@ -740,13 +758,14 @@ def _cmd_deconv_depthvar(args, data):
         @jax.jit
         def run(d, w):
             psfs = depth_anchor_psfs(model, params, anchors)
-            return deconvolve_depthvar(d, psfs, anchors, weights=w, config=cfg)
+            return solve(d, psfs, w)
 
-        res = run(data, w)
-    f = float(res.f)
-    print(f"deconv[{label}]: {int(res.iterations)} iters, "
-          f"cost {f:.6g}, {time.time()-t0:.1f}s (incl. compile)")
-    _write_out(args, args.out, np.asarray(res.x), dxy=args.dxy, dz=args.dz)
+        out = run(data, w)
+    x, iters, f = out
+    tail = f"{'' if rl else f'cost {float(f):.6g}, '}"
+    print(f"deconv[{label}{' rl' if rl else ''}]: {int(iters)} iters, "
+          f"{tail}{time.time()-t0:.1f}s (incl. compile)")
+    _write_out(args, args.out, np.asarray(x), dxy=args.dxy, dz=args.dz)
     print("wrote", args.out)
 
 
@@ -1630,13 +1649,30 @@ def _cmd_fitpsf_ladder(args, stacks):
           np.round(np.asarray(zshifts), 3))
     params = {name: np.asarray(getattr(fit.params, name)).tolist()
               for name in fit.params._fields}
+    std = None
+    if args.uncertainty:
+        from microtipi_tpu.jobs.depthvar import ladder_fit_uncertainty
+
+        unc = jax.jit(lambda b, p, z: ladder_fit_uncertainty(
+            model, p, families, b, ladder_z, z))(beads, fit.params, zshifts)
+        std = {k: (np.asarray(v).tolist() if np.ndim(v) else float(v))
+               for k, v in unc.std.items()}
+        dns = float(np.asarray(unc.std["depth"])[0]) * args.wavelength
+        print(f"ns 1-sigma: +- {dns:.4g} (GN/Laplace at the ladder fit; "
+              f"noise sigma {float(unc.sigma):.4g})")
     for name, vals in params.items():
-        print(f"{name}: {np.round(np.asarray(vals), 5)}")
+        line = f"{name}: {np.round(np.asarray(vals), 5)}"
+        if std is not None and name in std:
+            line += f"  +- {np.round(np.asarray(std[name]), 5)}"
+        print(line)
     if args.params_out:
         out = {"cost": float(fit.f), "model": args.model,
                "dxy": args.dxy, "dz": args.dz, "ns_fit": ns,
                "ladder_z": ladder_z.tolist(),
                "zshifts": np.asarray(zshifts).tolist(), **params}
+        if std is not None:
+            out["std"] = std
+            out["ns_std"] = float(np.asarray(std["depth"])[0]) * args.wavelength
         with open(args.params_out, "w") as fh:
             json.dump(out, fh, indent=1)
         print("wrote", args.params_out)

@@ -32,6 +32,8 @@ __all__ = [
     "depth_anchor_psfs_from_maps",
     "deconvolve_depthvar",
     "fit_psf_depthvar",
+    "ladder_fit_uncertainty",
+    "richardson_lucy_depthvar",
 ]
 
 
@@ -161,6 +163,68 @@ def deconvolve_depthvar(
         res.x, res.f, res.iterations, res.evaluations, res.status,
         res.f_history, res.pg_history,
     )
+
+
+def richardson_lucy_depthvar(
+    data: jax.Array,
+    psfs: jax.Array,
+    anchors=None,
+    iterations: int = 50,
+    background: float = 0.0,
+    mu: float = 0.0,
+    epsilon: float = 1e-2,
+    x0: jax.Array | None = None,
+    accelerate: bool = False,
+    stop: str = "fixed",
+    stop_sigma=None,
+    stop_tau: float = 1.0,
+    return_iterations: bool = False,
+):
+    """Richardson-Lucy under the DEPTH-VARYING blur operator.
+
+    The RL fixed point generalizes verbatim to a spatially-variant H (the
+    EM derivation never uses shift invariance): the update divides by the
+    per-voxel sensitivity ``H^T 1`` — a scalar for circulant H, here a
+    per-z profile ``sum_k w_k(z) * sum(h_k)``. Forward is the anchor blend
+    ``sum_k h_k (*) (w_k ⊙ x)`` (``ops/depthconv.py``), the backprojection
+    its exact adjoint ``sum_k w_k ⊙ (h_k^T (*) r)`` — K batched FFTs each.
+    All :func:`~microtipi_tpu.jobs.richardson_lucy.richardson_lucy`
+    semantics ride along unchanged through the shared engine (RL-TV,
+    Biggs-Andrews acceleration, gaussian/poisson discrepancy stopping);
+    the matched backprojector only (no per-anchor Wiener-Butterworth yet).
+
+    ``psfs``: (K, ...) corner-origin anchor stack (e.g.
+    :func:`depth_anchor_psfs`); ``anchors``: matching z indices of the data
+    grid (default evenly spaced). A constant stack reproduces plain RL
+    exactly (partition of unity).
+    """
+    from microtipi_tpu.jobs.richardson_lucy import _rl_engine
+    from microtipi_tpu.ops.depthconv import depth_varying_convolve, depth_weights
+
+    shape = data.shape
+    if psfs.shape[1:] != shape:
+        psfs = jax.vmap(lambda h: pad_fft_kernel(h, shape))(psfs)
+    k = psfs.shape[0]
+    if anchors is None:
+        anchors = np.linspace(0.0, shape[0] - 1.0, k)
+    zw = jnp.asarray(depth_weights(shape[0], anchors), data.dtype)
+    h_hat = jnp.fft.rfftn(psfs, axes=(1, 2, 3))
+
+    def forward(y):
+        return depth_varying_convolve(y, h_hat, zw, shape)
+
+    def backward(r):
+        r_hat = jnp.fft.rfftn(r)
+        backs = jnp.fft.irfftn(jnp.conj(h_hat) * r_hat[None], s=shape,
+                               axes=(1, 2, 3))
+        return jnp.sum(zw[:, :, None, None] * backs, axis=0)
+
+    # Per-voxel sensitivity H^T 1 = sum_k w_k(z) * flux(h_k): a z profile.
+    flux = jnp.sum(zw * jnp.sum(psfs, axis=(1, 2, 3))[:, None],
+                   axis=0)[:, None, None]
+    return _rl_engine(data, forward, backward, flux, iterations, background,
+                      mu, epsilon, x0, accelerate, stop, stop_sigma,
+                      stop_tau, return_iterations)
 
 
 def _depthvar_fit_cost(obj, data, weights, anchors):
@@ -479,6 +543,19 @@ def blind_deconvolve_depthvar(
     )
 
 
+def _cyclic_shift_z(h, s, cdtype):
+    """Cyclic z-shift of a stack by +s voxels via a Fourier phase ramp (the
+    per-bead axial origin nuisance of :func:`calibrate_depth`):
+    ``shifted[0] = h[-s]``, so ``s = -(wrapped peak plane)`` aligns the model
+    peak with peak-centered data. Differentiable and exact."""
+    nz = h.shape[0]
+    fz = jnp.asarray(np.fft.rfftfreq(nz), h.dtype)
+    ramp = jnp.exp((-2j * jnp.pi) * (fz * s).astype(cdtype))
+    return jnp.fft.irfft(
+        jnp.fft.rfft(h, axis=0) * ramp[:, None, None], n=nz, axis=0
+    ).astype(h.dtype)
+
+
 def calibrate_depth(
     model,
     beads,
@@ -571,16 +648,9 @@ def calibrate_depth(
         centered.append(d0j)
         s1d.append(jnp.sum(d0j))
     n_vox = float(beads[0].size)
-    fz = jnp.asarray(np.fft.rfftfreq(nz), model.dtype)
 
     def _shift_z(h, s):
-        # Cyclic z-shift of the model PSF by +s voxels (the per-bead axial
-        # origin nuisance): shifted[0] = h[-s], so s = -(wrapped peak plane)
-        # aligns the model peak with the peak-centered data.
-        ramp = jnp.exp((-2j * jnp.pi) * (fz * s).astype(model.cdtype))
-        return jnp.fft.irfft(
-            jnp.fft.rfft(h, axis=0) * ramp[:, None, None], n=nz, axis=0
-        ).astype(h.dtype)
+        return _cyclic_shift_z(h, s, model.cdtype)
 
     def _rung_cost(h, d0j, s1dj):
         # Profiled amplitude+background residual (bead_anchor_term math).
@@ -634,3 +704,99 @@ def calibrate_depth(
                        res.iterations, res.evaluations, res.status,
                        res.f_history)
     return fit, res.x["zshift"]
+
+
+def ladder_fit_uncertainty(
+    model,
+    params,
+    families: tuple[int, ...],
+    beads,
+    anchors_z,
+    zshifts,
+    subvoxel: bool = True,
+    sigma: float | None = None,
+):
+    """Error bars for a :func:`calibrate_depth` solution.
+
+    The ladder analog of ``psf_fit.bead_fit_uncertainty`` (same GN/Laplace
+    recipe, reference-parity rationale there): the Jacobian stacks every
+    rung's prediction ``amp_j * shift_z(h(theta, d0 + z_j dz), s_j) + c_j``
+    over the SHARED geometry variable, with the per-rung nuisances — axial
+    origin ``s_j`` and profiled ``(amp_j, c_j)`` — included as columns and
+    marginalized, so their uncertainty correctly inflates what they trade
+    against (s_j trades against the depth offset d0; amp/background against
+    the diffuse SA tails). ``std`` gains ``"zshift"``/``"amp"``/
+    ``"background"`` ``(K,)`` entries next to the family vectors; the
+    headline number is ``std["depth"][0] * wavelength`` — the 1-sigma error
+    bar on the calibrated sample index ns.
+
+    Pass the SAME ``model``/``beads``/``anchors_z``/``subvoxel`` as the
+    :func:`calibrate_depth` call and its fitted ``(params, zshifts)``.
+    """
+    import dataclasses as _dc
+
+    from microtipi_tpu.jobs.psf_fit import (
+        FitUncertainty, _gn_covariance, center_bead_stack)
+    from microtipi_tpu.models.microscope import FAMILY_NAMES
+
+    names = tuple(FAMILY_NAMES[f] for f in families)
+    beads = jnp.asarray(beads, model.dtype)
+    k, nz = int(beads.shape[0]), int(beads.shape[1])
+    anchors_z = np.asarray(anchors_z, np.float64)
+    bead_model = _dc.replace(model, shape=tuple(beads.shape[1:]))
+    offsets = jnp.asarray(anchors_z * model.dz, model.dtype)
+    n_vox = float(beads[0].size)
+
+    centered = []
+    for j in range(k):
+        peak = jnp.maximum(jnp.max(jnp.abs(beads[j])),
+                           jnp.asarray(jnp.finfo(beads.dtype).tiny, beads.dtype))
+        centered.append(center_bead_stack(beads[j] / peak, subvoxel=subvoxel))
+    d_all = jnp.stack(centered)
+
+    def _h(p, j, s):
+        h = bead_model.compute_psf(p._replace(depth=p.depth.at[1].add(offsets[j])))
+        return _cyclic_shift_z(h, s, model.cdtype)
+
+    # Profiled (amp_j, c_j) at the solution — the _rung_cost normal equations.
+    amps, cs = [], []
+    tiny = jnp.asarray(jnp.finfo(model.dtype).tiny, model.dtype)
+    for j in range(k):
+        h = _h(params, j, zshifts[j])
+        shh, sh1 = jnp.sum(h * h), jnp.sum(h)
+        shd, s1d = jnp.sum(h * d_all[j]), jnp.sum(d_all[j])
+        det = jnp.maximum(shh * n_vox - sh1 * sh1, tiny)
+        amps.append((n_vox * shd - sh1 * s1d) / det)
+        cs.append((shh * s1d - sh1 * shd) / det)
+
+    sizes = [int(getattr(params, nm).shape[0]) for nm in names]
+    x0 = jnp.concatenate(
+        [getattr(params, nm) for nm in names]
+        + [jnp.asarray(zshifts, model.dtype),
+           jnp.stack(amps), jnp.stack(cs)])
+
+    def predict(v):
+        sub, off = {}, 0
+        for nm, sz in zip(names, sizes):
+            sub[nm] = v[off:off + sz]
+            off += sz
+        s_all = v[off:off + k]
+        a_all = v[off + k:off + 2 * k]
+        c_all = v[off + 2 * k:off + 3 * k]
+        p = params._replace(**sub)
+        return jnp.stack([a_all[j] * _h(p, j, s_all[j]) + c_all[j]
+                          for j in range(k)])
+
+    jac = jax.jacfwd(predict)(x0).reshape(-1, x0.shape[0])
+    resid = (predict(x0) - d_all).ravel()
+    cov, sigma_out = _gn_covariance(jac, None, x0.shape[0], sigma, resid,
+                                    d_all.dtype)
+    std_all = jnp.sqrt(jnp.diagonal(cov))
+    std, off = {}, 0
+    for nm, sz in zip(names, sizes):
+        std[nm] = std_all[off:off + sz]
+        off += sz
+    std["zshift"] = std_all[off:off + k]
+    std["amp"] = std_all[off + k:off + 2 * k]
+    std["background"] = std_all[off + 2 * k:off + 3 * k]
+    return FitUncertainty(std, cov, sigma_out)

@@ -156,6 +156,30 @@ def richardson_lucy(
         flux = jnp.sum(psf)
     else:
         raise ValueError(f"unknown backprojector {backprojector!r}")
+
+    def forward(y):
+        return convolve(y, k_hat, data.shape)
+
+    def backward(r):
+        return jnp.fft.irfftn(k_hat_conj * jnp.fft.rfftn(r), s=data.shape)
+
+    return _rl_engine(data, forward, backward, flux, iterations, background,
+                      mu, epsilon, x0, accelerate, stop, stop_sigma,
+                      stop_tau, return_iterations)
+
+
+def _rl_engine(data, forward, backward, flux, iterations, background, mu,
+               epsilon, x0, accelerate, stop, stop_sigma, stop_tau,
+               return_iterations):
+    """The RL fixed-point loop over an abstract linear operator:
+    ``forward(y) = H y``, ``backward(r) = B r`` (the backprojector —
+    ``H^T`` matched, or a filtered variant), ``flux = B^T H 1`` (scalar for
+    shift-invariant H; an array, e.g. per-z, for spatially-variant
+    operators like ``jobs.depthvar.richardson_lucy_depthvar``). All the
+    docstring semantics of :func:`richardson_lucy` (TV, Biggs-Andrews,
+    discrepancy stopping) live here, shared by every operator."""
+    if stop not in ("fixed", "gaussian", "poisson"):
+        raise ValueError(f"unknown stop {stop!r}")
     d = jnp.maximum(data, 0.0)
     x = jnp.maximum(data, 1e-12) if x0 is None else jnp.maximum(x0, 1e-12)
     bg = jnp.asarray(background, data.dtype)
@@ -189,9 +213,9 @@ def richardson_lucy(
         )
 
     def update(y):
-        model = convolve(y, k_hat, data.shape) + bg
+        model = forward(y) + bg
         ratio = jnp.where(model > eps, d / jnp.maximum(model, eps), 0.0)
-        back = jnp.fft.irfftn(k_hat_conj * jnp.fft.rfftn(ratio), s=data.shape)
+        back = backward(ratio)
         denom = flux
         if mu > 0:
             _, tv_grad = hyperbolic_tv_and_gradient(y, epsilon)

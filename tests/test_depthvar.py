@@ -302,6 +302,103 @@ def test_calibrate_depth_ladder_recovers_ns():
     assert np.all(np.isfinite(np.asarray(zshifts)))
 
 
+def test_rl_depthvar_constant_stack_matches_plain_rl():
+    """Partition of unity: identical anchors reduce depth-varying RL to the
+    plain (shift-invariant) RL update exactly — incl. TV and acceleration."""
+    from microtipi_tpu.jobs.depthvar import richardson_lucy_depthvar
+    from microtipi_tpu.jobs.richardson_lucy import richardson_lucy
+
+    rng = np.random.default_rng(17)
+    h = jnp.asarray(rng.random(SHAPE))
+    h = h / jnp.sum(h)
+    data = jnp.asarray(rng.random(SHAPE) * 50)
+    for kw in (dict(iterations=8), dict(iterations=8, mu=1e-3),
+               dict(iterations=8, accelerate=True)):
+        x_si = richardson_lucy(data, h, **kw)
+        x_dv = richardson_lucy_depthvar(
+            data, jnp.stack([h, h, h]), np.array([0.0, 5.0, 11.0]), **kw)
+        np.testing.assert_allclose(np.asarray(x_dv), np.asarray(x_si),
+                                   rtol=1e-8, atol=1e-10)
+
+
+def test_rl_depthvar_beats_mismatched_single_psf():
+    """On a depth-variant scene, depth-aware RL recovers better than RL with
+    the best shift-invariant compromise (mid-depth) PSF."""
+    from microtipi_tpu.jobs.depthvar import richardson_lucy_depthvar
+    from microtipi_tpu.jobs.richardson_lucy import richardson_lucy
+
+    model = _gl_model(depth=0.0)
+    params = model.init_params()
+    anchors = np.array([0.0, 5.5, 11.0])
+    stack = depth_anchor_psfs(model, params, anchors, depth0=0.0)
+
+    rng = np.random.default_rng(18)
+    obj = np.zeros(SHAPE)
+    for _ in range(8):
+        z, y, x = rng.integers(1, 11), rng.integers(4, 20), rng.integers(4, 20)
+        obj[z, y, x] = rng.uniform(50, 200)
+    obj = jnp.asarray(obj)
+    zw = jnp.asarray(depth_weights(SHAPE[0], anchors))
+    data = depth_varying_convolve(obj, jnp.fft.rfftn(stack, axes=(1, 2, 3)),
+                                  zw, SHAPE)
+    data = jnp.maximum(data + 1e-3 * float(jnp.max(data)) * _rand(SHAPE, 19), 0.0)
+
+    x_dv, iters = richardson_lucy_depthvar(
+        data, stack, anchors, iterations=30, accelerate=True,
+        return_iterations=True)
+    x_si = richardson_lucy(data, stack[1], iterations=30, accelerate=True)
+    err_dv = float(jnp.linalg.norm(x_dv - obj) / jnp.linalg.norm(obj))
+    err_si = float(jnp.linalg.norm(x_si - obj) / jnp.linalg.norm(obj))
+    assert int(iters) == 30
+    assert err_dv < err_si, (err_dv, err_si)
+
+
+def test_ladder_fit_uncertainty_monte_carlo():
+    """The GN/Laplace ns error bar from ladder_fit_uncertainty matches the
+    Monte-Carlo scatter of calibrate_depth over noise draws (within the
+    usual 2.5x/0.4x band), with the per-rung axial-origin and amp/background
+    nuisances marginalized."""
+    from microtipi_tpu.jobs.depthvar import calibrate_depth, ladder_fit_uncertainty
+    from microtipi_tpu.jobs.psf_fit import PsfFitConfig
+    from microtipi_tpu.models.microscope import DEPTH
+
+    model = _gl_model()
+    ns_true = 1.36
+    p_true = model.init_params()._replace(
+        depth=jnp.asarray([ns_true / 500e-9, 0.0]))
+    ladder_z = np.array([0.0, 5.5, 11.0])
+    clean = []
+    for zj in ladder_z:
+        h = model.compute_psf(p_true._replace(
+            depth=jnp.asarray([ns_true / 500e-9, zj * model.dz])))
+        clean.append(2e3 * np.asarray(h) + 10.0)
+    clean = np.stack(clean)
+    noise_sd = 1.0
+    rng = np.random.default_rng(21)
+    p0 = p_true._replace(depth=jnp.asarray([1.40 / 500e-9, 0.0]))
+    cal = jax.jit(lambda b: calibrate_depth(
+        model, b, ladder_z, families=(DEPTH,), params0=p0,
+        config=PsfFitConfig(max_iter=40, grtol=0.0)))
+
+    fits, zss, beads0 = [], None, None
+    for i in range(8):
+        b = jnp.asarray(clean + noise_sd * rng.standard_normal(clean.shape))
+        fit, zs = cal(b)
+        fits.append(float(fit.params.depth[0]))
+        if i == 0:
+            zss, beads0, params0_fit = zs, b, fit.params
+    empirical = np.std(fits, ddof=1)
+
+    unc = jax.jit(lambda b, p, z: ladder_fit_uncertainty(
+        model, p, (DEPTH,), b, ladder_z, z))(beads0, params0_fit, zss)
+    predicted = float(np.asarray(unc.std["depth"])[0])
+    assert predicted < 2.5 * empirical, (predicted, empirical)
+    assert predicted > 0.4 * empirical, (predicted, empirical)
+    for key in ("zshift", "amp", "background"):
+        v = np.asarray(unc.std[key])
+        assert v.shape == (3,) and np.isfinite(v).all() and (v > 0).all()
+
+
 def test_depth_anchor_psfs_from_maps_matches_single():
     """Each anchor slice == compute_psf_from_pupil at that map/defocus;
     flat maps at the nominal defocus reproduce the parametric init PSF."""
