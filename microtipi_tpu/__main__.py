@@ -813,20 +813,68 @@ def _cmd_deconv_plate(args):
     from microtipi_tpu.utils.arrays import unroll
 
     if getattr(args, "mesh", None) or getattr(args, "tile", None) \
-            or getattr(args, "depthvar", 0) or getattr(args, "depthvar_maps", None):
+            or getattr(args, "depthvar_maps", None):
         sys.exit("plate fan-out composes per-image dispatches; "
-                 "drop --mesh/--tile/--depthvar (or select one --well)")
-    if not args.psf:
+                 "drop --mesh/--tile/--depthvar-maps (or select one --well)")
+    dv = getattr(args, "depthvar", 0)
+    if dv:
+        # Depth-varying plate fan-out (thick HCS samples: organoids,
+        # spheroids): anchors synthesized per well shape from one
+        # calibration — the parametric (--params-json) route only.
+        if args.model != "gl":
+            sys.exit("plate --depthvar requires --model gl")
+        if getattr(args, "auto_mu", False):
+            sys.exit("--auto-mu does not compose with --depthvar yet")
+        psf = None
+    elif not args.psf:
         sys.exit("--psf is required for plate deconv")
     if getattr(args, "auto_mu", False) and args.method == "rl":
         sys.exit("--auto-mu does not apply to --method rl (use --rl-stop)")
     _resolve_geometry(args, args.data, log=lambda *a: None)
-    psf = jnp.asarray(read_stack(args.psf))
-    if args.psf_centered:
-        psf = unroll(psf)
+    if not dv:
+        psf = jnp.asarray(read_stack(args.psf))
+        if args.psf_centered:
+            psf = unroll(psf)
     runs = {}
 
     def solve_one(vol):
+        if dv:
+            return _solve_one_depthvar(vol)
+        return _solve_one_fixed(vol)
+
+    def _solve_one_depthvar(vol):
+        import numpy as np
+
+        from microtipi_tpu.jobs.depthvar import (
+            deconvolve_depthvar, depth_anchor_psfs, richardson_lucy_depthvar)
+
+        vol = jnp.asarray(vol)
+        if vol.shape not in runs:
+            model = _build_model(args, vol.shape)
+            params = (_load_params_json(model, args.params_json)
+                      if args.params_json else model.init_params())
+            anchors = _depthvar_anchor_array(args, dv, vol.shape[0])
+            if args.method == "rl":
+                runs[vol.shape] = jax.jit(
+                    lambda d, m=model, p=params, a=anchors:
+                    richardson_lucy_depthvar(
+                        d, depth_anchor_psfs(m, p, a, depth0=p.depth[1]), a,
+                        iterations=args.iters, mu=args.mu,
+                        epsilon=args.epsilon, accelerate=args.rl_accelerate,
+                        stop=args.rl_stop, stop_sigma=args.noise_sigma,
+                        stop_tau=args.tau))
+            else:
+                cfg = _deconv_config(args, vol.shape)
+                runs[vol.shape] = jax.jit(
+                    lambda d, w, m=model, p=params, a=anchors, cfg=cfg:
+                    deconvolve_depthvar(
+                        d, depth_anchor_psfs(m, p, a, depth0=p.depth[1]), a,
+                        weights=w, config=cfg).x)
+        if args.method == "rl":
+            return runs[vol.shape](vol)
+        return runs[vol.shape](vol, _weights(args, vol))
+
+    def _solve_one_fixed(vol):
         vol = jnp.asarray(vol)
         if getattr(args, "auto_mu", False) and args.method != "rl":
             # Calibrate-once across the plate (the serving watch semantics):
@@ -1878,9 +1926,27 @@ def cmd_simulate(args):
     if args.phase:
         params = params._replace(phase=jnp.asarray(args.phase, model.dtype))
 
-    @jax.jit
-    def blur(o, p):
-        return convolve(o, convolve_spectrum(model.compute_psf(p)), shape)
+    dv = getattr(args, "depthvar", 0)
+    if dv:
+        if args.model != "gl":
+            sys.exit("simulate --depthvar requires --model gl")
+        from microtipi_tpu.jobs.depthvar import depth_anchor_psfs
+        from microtipi_tpu.ops.depthconv import depth_varying_convolve, depth_weights
+
+        anchors = _depthvar_anchor_array(args, dv, shape[0])
+        zw = depth_weights(shape[0], anchors)
+
+        @jax.jit
+        def blur(o, p):
+            psfs = depth_anchor_psfs(model, p, anchors, depth0=p.depth[1])
+            return depth_varying_convolve(
+                o, jnp.fft.rfftn(psfs, axes=(1, 2, 3)),
+                jnp.asarray(zw, model.dtype), shape)
+    else:
+
+        @jax.jit
+        def blur(o, p):
+            return convolve(o, convolve_spectrum(model.compute_psf(p)), shape)
 
     clean = np.asarray(blur(jnp.asarray(obj), params))
     noisy = phantoms.apply_camera(
@@ -2413,6 +2479,12 @@ def main(argv=None):
     p.add_argument("--offset", type=float, default=100.0, help="camera offset [ADU]")
     p.add_argument("--truth", default=None, help="also write the ground-truth object")
     p.add_argument("--psf-out", default=None, help="also write the blurring PSF")
+    p.add_argument("--depthvar", type=int, default=0, metavar="K",
+                   help="blur with the DEPTH-VARYING operator (K Gibson-"
+                        "Lanni anchors; --model gl) — phantoms for testing "
+                        "deconv/blind --depthvar workflows")
+    p.add_argument("--depthvar-anchors", type=float, nargs="+", default=None,
+                   metavar="Z", help="[--depthvar] anchor z indices")
     p.add_argument("--ome", action="store_true",
                    help="write outputs as OME-TIFF (OME-XML geometry in the description)")
     p.add_argument("--zarr-levels", type=int, default=1, metavar="L",

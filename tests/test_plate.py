@@ -124,6 +124,42 @@ def test_cli_plate_info_well_selection_and_fan_out(tmp_path):
         assert meta["dxy"] == pytest.approx(100e-9)
 
 
+def test_cli_plate_deconv_depthvar_fan_out(tmp_path):
+    """deconv --depthvar on a plate without --well: every well solves with
+    the depth-varying operator (thick HCS samples), params from one JSON."""
+    import json
+
+    import jax.numpy as jnp
+
+    shape = (8, 16, 16)
+    rng = np.random.default_rng(4)
+    wells = {wp: [np.abs(rng.standard_normal(shape)).astype(np.float32) * 10]
+             for wp in ("A/1", "B/2")}
+    write_plate(tmp_path / "p.zarr", wells, dxy=100e-9, dz=300e-9)
+    (tmp_path / "cal.json").write_text(json.dumps(
+        {"defocus": [1.518 / 500e-9, 0.0, 0.0], "phase": [],
+         "modulus": [1.0], "depth": [1.36 / 500e-9, 0.0]}))
+
+    r = _run(["deconv", "p.zarr", "--out", "out.zarr", "--depthvar", "2",
+              "--model", "gl", "--params-json", "cal.json", "--ns", "1.36",
+              "--na", "1.2", "--wavelength", "500e-9", "--n-phase", "0",
+              "--iters", "3", "--mu", "1e-3"], tmp_path)
+    assert r.returncode == 0, r.stderr
+    assert is_plate(tmp_path / "out.zarr")
+    for wp in wells:
+        out, _ = read_plate_image(tmp_path / "out.zarr", wp, 0)
+        assert out.shape == (1, 1, *shape) and np.isfinite(out).all()
+
+    # the RL variant rides the same fan-out
+    r = _run(["deconv", "p.zarr", "--out", "rl.zarr", "--depthvar", "2",
+              "--model", "gl", "--params-json", "cal.json", "--ns", "1.36",
+              "--na", "1.2", "--wavelength", "500e-9", "--n-phase", "0",
+              "--method", "rl", "--iters", "4"], tmp_path)
+    assert r.returncode == 0, r.stderr
+    out, _ = read_plate_image(tmp_path / "rl.zarr", "A/1", 0)
+    assert np.isfinite(out).all() and (out >= 0).all()
+
+
 def test_cli_plate_deconv_auto_mu_calibrates_once(tmp_path):
     """Plate fan-out with --auto-mu: the first well's discrepancy bisection
     sets mu, later wells reuse it (one calibration line, the serving

@@ -258,3 +258,39 @@ def test_empirical_psf_fuzz(shape):
     assert np.isfinite(np.asarray(h)).all()
     assert float(h.min()) >= 0.0
     assert float(h.sum()) == pytest.approx(1.0, rel=1e-6)
+
+
+@pytest.mark.parametrize("shape,k", [
+    ((5, 12, 12), 2), ((8, 16, 16), 3), ((11, 12, 12), 4),
+])
+def test_rl_depthvar_adjoint_and_sensitivity_fuzz(shape, k):
+    """richardson_lucy_depthvar's hand-written backprojection equals the
+    autodiff adjoint of its forward, and its per-z sensitivity map equals
+    H^T 1 — across odd shapes and anchor counts."""
+    from microtipi_tpu.ops.depthconv import depth_varying_convolve, depth_weights
+
+    rng = np.random.default_rng(shape[0] * 100 + k)
+    anchors = np.sort(rng.uniform(0, shape[0] - 1, k))
+    kernels = jnp.asarray(rng.random((k,) + shape))
+    zw = jnp.asarray(depth_weights(shape[0], anchors))
+    h_hat = jnp.fft.rfftn(kernels, axes=(1, 2, 3))
+
+    # the exact implementation from richardson_lucy_depthvar
+    def backward(r):
+        backs = jnp.fft.irfftn(jnp.conj(h_hat) * jnp.fft.rfftn(r)[None],
+                               s=shape, axes=(1, 2, 3))
+        return jnp.sum(zw[:, :, None, None] * backs, axis=0)
+
+    flux = jnp.sum(zw * jnp.sum(kernels, axis=(1, 2, 3))[:, None],
+                   axis=0)[:, None, None]
+
+    fwd = lambda v: depth_varying_convolve(v, h_hat, zw, shape)
+    y = jnp.asarray(rng.standard_normal(shape))
+    _, vjp = jax.vjp(fwd, jnp.zeros(shape))
+    (hty,) = vjp(y)
+    np.testing.assert_allclose(np.asarray(backward(y)), np.asarray(hty),
+                               rtol=1e-9, atol=1e-12)
+    # H^T 1: the per-z sensitivity the RL denominator divides by
+    np.testing.assert_allclose(
+        np.broadcast_to(np.asarray(flux), shape),
+        np.asarray(backward(jnp.ones(shape))), rtol=1e-8, atol=1e-10)
