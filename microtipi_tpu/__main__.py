@@ -1407,11 +1407,10 @@ def _cmd_blind_depthvar(args):
         sys.exit("blind --depthvar requires --model gl (the anchor stack "
                  "varies the DEPTH family; calibrate ns with "
                  "fitpsf --depth-ladder or fit it with --families ... depth)")
-    if getattr(args, "mesh", None) or args.checkpoint \
-            or getattr(args, "all_channels", False) \
+    if args.checkpoint or getattr(args, "all_channels", False) \
             or getattr(args, "auto_mu", False):
-        sys.exit("blind --depthvar is single-device without checkpoints for "
-                 "now; drop --mesh/--checkpoint/--all-channels/--auto-mu")
+        sys.exit("blind --depthvar runs without checkpoints for now; "
+                 "drop --checkpoint/--all-channels/--auto-mu")
     data = jnp.asarray(_read_input_volume(args, args.data))
     _resolve_geometry(args, args.data)
     model = _build_model(args, data.shape)
@@ -1429,13 +1428,26 @@ def _cmd_blind_depthvar(args):
             print(f"averaged {used} beads for the anchor -> patch {bead.shape}")
         bead = jnp.asarray(bead)
     t0 = time.time()
-    run = jax.jit(lambda d, w, b: blind_deconvolve_depthvar(
-        d, model, anchors, params0=params0, weights=w, config=cfg,
-        bead_data=b))
-    res = run(data, w, bead)
+    mesh = _make_mesh(args)
+    if mesh is not None:
+        from microtipi_tpu.parallel.deconv import crop_trailing
+        from microtipi_tpu.parallel.depthvar import sharded_blind_deconvolve_depthvar
+
+        run = jax.jit(lambda d, w, b: sharded_blind_deconvolve_depthvar(
+            d, model, mesh, anchors, params0=params0, weights=w, config=cfg,
+            bead_data=b))
+        res = run(data, w, bead)
+        if res.obj.shape != data.shape:  # mesh-odd shapes auto-pad
+            res = res._replace(obj=crop_trailing(res.obj, data.shape))
+    else:
+        run = jax.jit(lambda d, w, b: blind_deconvolve_depthvar(
+            d, model, anchors, params0=params0, weights=w, config=cfg,
+            bead_data=b))
+        res = run(data, w, bead)
     df = np.asarray(res.deconv_f)
     wall = time.time() - t0
-    print(f"blind[depthvar K={args.depthvar}]: {args.loops} rounds in "
+    tag = f" mesh {tuple(args.mesh)}" if mesh is not None else ""
+    print(f"blind[depthvar K={args.depthvar}{tag}]: {args.loops} rounds in "
           f"{wall:.1f}s (incl. compile); object cost {df[0]:.6g} -> {df[-1]:.6g}")
     print("defocus:", np.asarray(res.params.defocus))
     if model.n_phase:

@@ -35,7 +35,11 @@ from microtipi_tpu.parallel.fft import sharded_convolve, sharded_spectrum
 from microtipi_tpu.parallel.mesh import constrain_volume
 from microtipi_tpu.utils.arrays import pad_fft_kernel
 
-__all__ = ["sharded_deconvolve_depthvar"]
+__all__ = [
+    "sharded_blind_deconvolve_depthvar",
+    "sharded_deconvolve_depthvar",
+    "sharded_fit_psf_depthvar",
+]
 
 
 def sharded_deconvolve_depthvar(
@@ -113,4 +117,345 @@ def sharded_deconvolve_depthvar(
     return DeconvolutionResult(
         res.x, res.f, res.iterations, res.evaluations, res.status,
         res.f_history, res.pg_history,
+    )
+
+
+def _sharded_depthvar_fit_cost(model, data, obj, weights, mesh, anchors,
+                               off_z: int = 0):
+    """Depth-varying PSF-fit data term on the mesh: the K masked-object
+    spectra ``rfftn(w_k ⊙ obj)`` are computed ONCE (the sharded analogue of
+    ``jobs.depthvar._depthvar_fit_cost``'s object-as-kernel trick,
+    ``PSF_Estimation.java:147-157``); each evaluation then re-synthesizes
+    the K anchor PSFs from the CURRENT parameters (z-sharded,
+    communication-free synthesis) and runs K distributed convolutions.
+
+    ``off_z`` shifts the blend weights when ``data``/``obj`` live on a
+    padded grid (``pad_trailing`` centers the data window); the SYNTHESIS
+    depths stay at the data-grid anchors — padding moves the blend rows,
+    not the physics.
+    """
+    vol = data.shape[-3:]
+    anchors = np.asarray(anchors, np.float64)
+    k = anchors.shape[0]
+    zw = jnp.asarray(depth_weights(vol[0], anchors + off_z), data.dtype)
+    obj = constrain_volume(obj, mesh)
+    obj_k_hats = [
+        sharded_spectrum(constrain_volume(zw[i][:, None, None] * obj, mesh), mesh)
+        for i in range(k)
+    ]
+    offsets = jnp.asarray(anchors * model.dz, model.dtype)
+
+    def cost(p):
+        pred = None
+        for i in range(k):
+            psf = model.compute_psf(
+                p._replace(depth=p.depth.at[1].add(offsets[i])))
+            psf = constrain_volume(psf, mesh, batched=False)
+            if psf.shape != vol:
+                psf = constrain_volume(pad_fft_kernel(psf, vol), mesh,
+                                       batched=False)
+            term = sharded_convolve(psf, obj_k_hats[i], vol, mesh)
+            pred = term if pred is None else pred + term
+        r = pred - data
+        wr2 = r * r if weights is None else weights * r * r
+        return 0.5 * jnp.sum(wr2)
+
+    return cost
+
+
+def sharded_fit_psf_depthvar(
+    model,
+    params,
+    flags: tuple[int, ...],
+    data: jax.Array,
+    obj: jax.Array,
+    mesh: Mesh,
+    anchors,
+    weights: jax.Array | None = None,
+    config=None,
+    phase_active: int | None = None,
+    phase_freeze_head: int = 0,
+    phase_anchor: jax.Array | None = None,
+    phase_prior_weight: float = 0.0,
+    aux_terms: tuple = (),
+    off_z: int = 0,
+):
+    """Sharded analogue of ``jobs.depthvar.fit_psf_depthvar``: fit PSF
+    parameter families under the DEPTH-VARYING forward operator on the
+    (batch, z) mesh — one flag for the single-family fit (graduated
+    ``phase_active``, pin-Z4 ``phase_freeze_head``, calibration prior),
+    several for the gradient-balanced joint fit. Batched ``data``/``obj``
+    produce one jointly-fitted parameter vector (frames share the optics).
+    The GL DEPTH family is fittable (``anchors`` offset ``params.depth[1]``
+    per anchor), with the same per-component preconditioning as the dense
+    fit (``jobs.psf_fit`` physical-scale stall rationale).
+    """
+    from microtipi_tpu.jobs.psf_fit import (
+        PsfFitConfig, PsfFitResult, _combine_aux_terms, joint_variable)
+    from microtipi_tpu.models.microscope import FAMILY_NAMES
+
+    if config is None:
+        config = PsfFitConfig()
+    if not hasattr(params, "depth"):
+        raise ValueError(
+            "sharded_fit_psf_depthvar needs a model with a DEPTH family "
+            "(models/gibson_lanni.py) — the anchors vary that family")
+    names = tuple(FAMILY_NAMES[f] for f in flags)
+    for n in names:
+        if getattr(params, n).shape[0] == 0:
+            raise ValueError(f"family {n!r} has no coefficients to fit")
+    cost = _sharded_depthvar_fit_cost(model, data, obj, weights, mesh,
+                                      anchors, off_z=off_z)
+
+    if len(names) == 1:
+        family = names[0]
+        full0 = getattr(params, family)
+        active = full0.shape[0]
+        freeze = 0
+        if family == "phase":
+            if phase_active is not None and phase_active < active:
+                active = phase_active
+            freeze = phase_freeze_head
+            if not 0 <= freeze < active:
+                raise ValueError(
+                    f"phase_freeze_head={freeze} must be in [0, active={active})")
+        x0 = full0[freeze:active]
+
+        def rebuild(v):
+            return params._replace(
+                **{family: full0.at[freeze:freeze + v.shape[0]].set(v)})
+
+        def data_objective(v):
+            return cost(rebuild(v))
+
+        extra_parts = []
+        if phase_prior_weight > 0 and family == "phase":
+            anchor_v = (full0 if phase_anchor is None
+                        else phase_anchor)[freeze:active]
+            f0 = data_objective(x0)
+            extra_parts.append(
+                lambda v: phase_prior_weight * f0 * jnp.sum((v - anchor_v) ** 2))
+        if aux_terms:
+            extra_parts.append(_combine_aux_terms(rebuild, aux_terms))
+
+        def objective(v):
+            out = data_objective(v)
+            for e in extra_parts:
+                out = out + e(v)
+            return out
+
+        if family in ("depth", "sheet"):
+            g0 = jax.grad(objective)(x0)
+            gmax = jnp.max(jnp.abs(g0))
+            tiny = jnp.asarray(jnp.finfo(gmax.dtype).tiny, gmax.dtype)
+            scale = 1.0 / jnp.maximum(jnp.abs(g0),
+                                      jnp.maximum(1e-12 * gmax, tiny))
+            res = minimize_vmlmb(
+                jax.value_and_grad(lambda u: objective(u * scale)),
+                x0 / scale, mem=config.mem, maxiter=config.max_iter,
+                maxeval=config.max_eval, gatol=config.gatol,
+                grtol=config.grtol,
+            )
+            x_fit = res.x * scale
+        else:
+            res = minimize_vmlmb(
+                jax.value_and_grad(objective), x0,
+                mem=config.mem, maxiter=config.max_iter,
+                maxeval=config.max_eval, gatol=config.gatol,
+                grtol=config.grtol,
+            )
+            x_fit = res.x
+        return PsfFitResult(rebuild(x_fit), res.f, res.iterations,
+                            res.evaluations, res.status, res.f_history)
+
+    f0, g0 = jax.value_and_grad(
+        lambda sub: cost(params._replace(**sub))
+    )({n: getattr(params, n) for n in names})
+    x0, rebuild = joint_variable(params, names, phase_freeze_head, grads=g0)
+
+    use_prior = phase_prior_weight > 0 and "phase" in names
+    if use_prior and phase_anchor is None:
+        phase_anchor = params.phase
+    extra = _combine_aux_terms(rebuild, aux_terms) if aux_terms else None
+
+    def objective(v):
+        p = rebuild(v)
+        f = cost(p)
+        if use_prior:
+            f = f + phase_prior_weight * f0 * jnp.sum((p.phase - phase_anchor) ** 2)
+        if extra is not None:
+            f = f + extra(v)
+        return f
+
+    res = minimize_vmlmb(
+        jax.value_and_grad(objective), x0,
+        mem=config.mem, maxiter=config.max_iter, maxeval=config.max_eval,
+        gatol=config.gatol, grtol=config.grtol,
+    )
+    return PsfFitResult(rebuild(res.x), res.f, res.iterations,
+                        res.evaluations, res.status, res.f_history)
+
+
+def sharded_blind_deconvolve_depthvar(
+    data: jax.Array,
+    model,
+    mesh: Mesh,
+    anchors,
+    params0=None,
+    weights: jax.Array | None = None,
+    weight_updater=None,
+    config=None,
+    bead_data: jax.Array | None = None,
+):
+    """Blind DEPTH-VARYING deconvolution on the (batch, z) mesh — the
+    sharded analogue of ``jobs.depthvar.blind_deconvolve_depthvar`` with
+    the feature set of ``parallel.blind.sharded_blind_deconvolve``:
+    batched frames share one optical system, Nz/Ny need not divide the
+    mesh z-axis (zero-weight padding), and all the
+    ``BlindDeconvConfig`` knobs (joint_fit, schedules, calibration prior,
+    bead anchor, wiener init) behave identically. The PSF handed back is
+    the (K, ...) anchor stack at the fitted parameters.
+    """
+    import dataclasses
+
+    from microtipi_tpu.jobs.blind import (
+        BlindDeconvConfig, BlindDeconvResult, run_blind_loop)
+    from microtipi_tpu.jobs.depthvar import depth_anchor_psfs
+    from microtipi_tpu.models.microscope import DEPTH, PHASE, SHEET
+    from microtipi_tpu.parallel.blind import _round_up
+    from microtipi_tpu.parallel.deconv import crop_trailing, sharded_wiener
+    from microtipi_tpu.parallel.mesh import Z_AXIS
+
+    if config is None:
+        config = BlindDeconvConfig()
+    if params0 is None:
+        params0 = model.init_params()
+    if not hasattr(params0, "depth"):
+        raise ValueError(
+            "sharded_blind_deconvolve_depthvar needs a model with a DEPTH "
+            "family (models/gibson_lanni.py)")
+    batched = data.ndim == 4
+    data = constrain_volume(data, mesh)
+    vol = data.shape[-3:]
+    if isinstance(anchors, int):
+        anchors = np.linspace(0.0, vol[0] - 1.0, anchors)
+    anchors = np.asarray(anchors, np.float64)
+    zp = mesh.shape[Z_AXIS]
+
+    base_var = (tuple(config.deconv.var_shape)
+                if config.deconv.var_shape is not None else vol)
+    var_shape = (_round_up(base_var[0], zp), _round_up(base_var[1], zp),
+                 base_var[2])
+    padded = var_shape != vol
+    off_z = (var_shape[0] - vol[0]) // 2
+    dcfg = dataclasses.replace(config.deconv,
+                               var_shape=var_shape if padded else None)
+    fit_cfg = dataclasses.replace(config.fit, grtol=0.0)  # BlindDeconvJob.java:124
+
+    if padded:
+        d_fit = constrain_volume(pad_trailing(data, var_shape), mesh)
+        w_base = jnp.ones(vol, data.dtype) if weights is None else weights
+        w_fit_base = constrain_volume(pad_trailing(w_base, var_shape), mesh)
+        window = constrain_volume(
+            pad_trailing(jnp.ones(vol, data.dtype), var_shape), mesh,
+            batched=False)
+    else:
+        d_fit, w_fit_base, window = data, weights, None
+
+    def _mask(x):
+        return x * window if padded else x
+
+    def synth(p):
+        return depth_anchor_psfs(model, p, anchors, depth0=p.depth[1])
+
+    if config.init == "wiener":
+        # Middle-anchor regularized inverse: the best shift-invariant
+        # stand-in for the depth-varying blur (jobs/depthvar.py).
+        mid = synth(params0)[anchors.shape[0] // 2]
+        if padded:
+            x0 = sharded_wiener(d_fit, pad_fft_kernel(mid, var_shape), mesh)
+        else:
+            x0 = sharded_wiener(data, mid, mesh)
+    else:
+        x0 = pad_trailing(data, var_shape)
+    x0 = jnp.maximum(x0, 0.0)
+
+    def object_step(x, params, mu):
+        psfs = synth(params)
+        cfg_i = dcfg if mu is None else dataclasses.replace(dcfg, mu=mu)
+        res = sharded_deconvolve_depthvar(
+            data, psfs, mesh, anchors, weights=weights, x0=x, config=cfg_i)
+        return res.x, res.f, res.iterations, psfs
+
+    def fit_weights(x, psfs):
+        if weight_updater is None:
+            return w_fit_base
+        zw = jnp.asarray(depth_weights(var_shape[0], anchors + off_z),
+                         data.dtype)
+        pred = None
+        for i in range(psfs.shape[0]):
+            h = psfs[i]
+            if h.shape != var_shape:
+                h = pad_fft_kernel(h, var_shape)
+            k_hat = sharded_spectrum(h, mesh)
+            term = sharded_convolve(zw[i][:, None, None] * x, k_hat,
+                                    var_shape, mesh)
+            pred = term if pred is None else pred + term
+        w = weight_updater(crop_trailing(pred, vol), data)
+        return pad_trailing(w, var_shape) if padded else w
+
+    phase_anchor = params0.phase if config.phase_prior_weight > 0 else None
+
+    aux_terms = ()
+    if bead_data is not None:
+        from microtipi_tpu.jobs.psf_fit import bead_anchor_term
+
+        if bead_data.shape[-1] != bead_data.shape[-2]:
+            raise ValueError(
+                f"bead stack must be laterally square for the pupil model, "
+                f"got {tuple(bead_data.shape)}")
+        bead_model = dataclasses.replace(model, shape=tuple(bead_data.shape))
+        aux_terms = (
+            (bead_anchor_term(bead_model, bead_data,
+                              subvoxel=config.bead_subvoxel),
+             config.bead_weight),
+        )
+
+    def fit_one(params, x, w_fit, j, phase_active):
+        flag = config.families[j]
+        fres = sharded_fit_psf_depthvar(
+            model, params, (flag,), d_fit, _mask(x), mesh, anchors,
+            weights=w_fit,
+            config=dataclasses.replace(fit_cfg,
+                                       max_iter=config.psf_max_iter[j]),
+            phase_active=phase_active,
+            phase_freeze_head=config.phase_freeze_head if flag == PHASE else 0,
+            phase_anchor=phase_anchor if flag == PHASE else None,
+            phase_prior_weight=(config.phase_prior_weight
+                                if flag == PHASE else 0.0),
+            aux_terms=aux_terms,
+            off_z=off_z,
+        )
+        return fres.params, fres.f
+
+    def fit_joint(params, x, w_fit, jfams):
+        fres = sharded_fit_psf_depthvar(
+            model, params, jfams, d_fit, _mask(x), mesh, anchors,
+            weights=w_fit,
+            config=dataclasses.replace(fit_cfg,
+                                       max_iter=max(config.psf_max_iter)),
+            phase_freeze_head=config.phase_freeze_head,
+            phase_anchor=phase_anchor,
+            phase_prior_weight=config.phase_prior_weight,
+            aux_terms=aux_terms,
+            off_z=off_z,
+        )
+        return fres.params, fres.f
+
+    x, params, deconv_f, fit_f, deconv_iters = run_blind_loop(
+        config, data.dtype, x0, params0, object_step, fit_weights,
+        fit_one, fit_joint,
+    )
+    return BlindDeconvResult(
+        x, params, synth(params), deconv_f, fit_f, deconv_iters
     )

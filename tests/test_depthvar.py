@@ -399,6 +399,122 @@ def test_ladder_fit_uncertainty_monte_carlo():
         assert v.shape == (3,) and np.isfinite(v).all() and (v > 0).all()
 
 
+def _dv_mesh_scene(shape=(16, 24, 24)):
+    """GL depth-varying scene on a mesh-divisible grid, with true phase."""
+    model = GibsonLanniConfig(
+        shape=shape, na=1.3, wavelength=500e-9, ni=1.518, dxy=100e-9,
+        dz=250e-9, n_phase=3, ns=1.36, depth=0.0, dtype=jnp.float64,
+    )
+    p_true = model.init_params()._replace(phase=jnp.asarray([0.3, -0.15, 0.1]))
+    anchors = np.array([0.0, (shape[0] - 1) / 2.0, shape[0] - 1.0])
+    stack = depth_anchor_psfs(model, p_true, anchors, depth0=0.0)
+    rng = np.random.default_rng(30)
+    obj = np.zeros(shape)
+    obj[2:8, 6:18, 6:18] = 60.0
+    obj[9:13, 4:12, 12:20] = 90.0
+    obj = jnp.asarray(obj)
+    zw = jnp.asarray(depth_weights(shape[0], anchors))
+    data = depth_varying_convolve(obj, jnp.fft.rfftn(stack, axes=(1, 2, 3)),
+                                  zw, shape)
+    data = data + 0.01 * jnp.asarray(rng.standard_normal(shape))
+    return model, p_true, anchors, obj, data
+
+
+def test_sharded_fit_psf_depthvar_matches_dense():
+    """Mesh depth-varying PSF fit (single family + joint) == dense fit."""
+    from microtipi_tpu.jobs.depthvar import fit_psf_depthvar
+    from microtipi_tpu.jobs.psf_fit import PsfFitConfig
+    from microtipi_tpu.models.microscope import DEFOCUS, PHASE
+    from microtipi_tpu.parallel.depthvar import sharded_fit_psf_depthvar
+    from microtipi_tpu.parallel.mesh import make_mesh, volume_sharding
+
+    mesh = make_mesh(batch=1, z=8)
+    model, p_true, anchors, obj, data = _dv_mesh_scene()
+    cfg = PsfFitConfig(max_iter=8, grtol=0.0)
+    ones = jnp.ones_like(data)
+
+    dense = fit_psf_depthvar(model, model.init_params(), (PHASE,), data, obj,
+                             anchors, weights=ones, config=cfg)
+    data_sh = jax.device_put(data, volume_sharding(mesh, batched=False))
+    shard = jax.jit(lambda d, o, w: sharded_fit_psf_depthvar(
+        model, model.init_params(), (PHASE,), d, o, mesh, anchors,
+        weights=w, config=cfg))(data_sh, obj, ones)
+    np.testing.assert_allclose(np.asarray(shard.params.phase),
+                               np.asarray(dense.params.phase), atol=1e-7)
+    np.testing.assert_allclose(float(shard.f), float(dense.f), rtol=1e-8)
+
+    dense_j = fit_psf_depthvar(model, model.init_params(), (DEFOCUS, PHASE),
+                               data, obj, anchors, weights=ones, config=cfg,
+                               phase_freeze_head=1)
+    shard_j = jax.jit(lambda d, o, w: sharded_fit_psf_depthvar(
+        model, model.init_params(), (DEFOCUS, PHASE), d, o, mesh, anchors,
+        weights=w, config=cfg, phase_freeze_head=1))(data_sh, obj, ones)
+    np.testing.assert_allclose(np.asarray(shard_j.params.phase),
+                               np.asarray(dense_j.params.phase), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(shard_j.params.defocus),
+                               np.asarray(dense_j.params.defocus), rtol=1e-6)
+
+
+def test_sharded_blind_depthvar_matches_dense():
+    """Full sharded depth-varying blind loop == dense loop (same math,
+    modulo cross-device reduction order)."""
+    from microtipi_tpu.jobs.blind import BlindDeconvConfig
+    from microtipi_tpu.jobs.deconv import DeconvolutionConfig as DCfg
+    from microtipi_tpu.jobs.depthvar import blind_deconvolve_depthvar
+    from microtipi_tpu.jobs.psf_fit import PsfFitConfig
+    from microtipi_tpu.models.microscope import PHASE
+    from microtipi_tpu.parallel.depthvar import sharded_blind_deconvolve_depthvar
+    from microtipi_tpu.parallel.mesh import make_mesh, volume_sharding
+
+    mesh = make_mesh(batch=1, z=8)
+    model, p_true, anchors, obj, data = _dv_mesh_scene()
+    cfg = BlindDeconvConfig(
+        loops=2, families=(PHASE,), psf_max_iter=(4,),
+        deconv=DCfg(mu=0.002, epsilon=1.0, max_iter=5),
+        fit=PsfFitConfig(max_iter=4),
+    )
+    ones = jnp.ones_like(data)
+    dense = blind_deconvolve_depthvar(data, model, anchors, weights=ones,
+                                      config=cfg)
+    data_sh = jax.device_put(data, volume_sharding(mesh, batched=False))
+    shard = jax.jit(lambda d, w: sharded_blind_deconvolve_depthvar(
+        d, model, mesh, anchors, weights=w, config=cfg))(data_sh, ones)
+    np.testing.assert_allclose(np.asarray(shard.deconv_f),
+                               np.asarray(dense.deconv_f), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(shard.params.phase),
+                               np.asarray(dense.params.phase), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(shard.obj), np.asarray(dense.obj),
+                               atol=1e-6)
+    assert shard.psf.shape == (3,) + data.shape
+
+
+def test_sharded_blind_depthvar_odd_shape_autopads():
+    """Nz not divisible by the mesh z-axis: the sharded depth-varying blind
+    auto-pads (zero-weight padding) and returns finite results."""
+    from microtipi_tpu.jobs.blind import BlindDeconvConfig
+    from microtipi_tpu.jobs.deconv import DeconvolutionConfig as DCfg
+    from microtipi_tpu.jobs.psf_fit import PsfFitConfig
+    from microtipi_tpu.models.microscope import PHASE
+    from microtipi_tpu.parallel.deconv import crop_trailing
+    from microtipi_tpu.parallel.depthvar import sharded_blind_deconvolve_depthvar
+    from microtipi_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(batch=1, z=8)
+    model, p_true, anchors, obj, data = _dv_mesh_scene(shape=(12, 24, 24))
+    cfg = BlindDeconvConfig(
+        loops=2, families=(PHASE,), psf_max_iter=(3,),
+        deconv=DCfg(mu=0.002, epsilon=1.0, max_iter=3),
+        fit=PsfFitConfig(max_iter=3),
+    )
+    res = jax.jit(lambda d: sharded_blind_deconvolve_depthvar(
+        d, model, mesh, anchors, config=cfg))(data)
+    assert res.obj.shape == (16, 24, 24)  # padded up to the mesh multiple
+    win = crop_trailing(res.obj, data.shape)
+    assert np.isfinite(np.asarray(win)).all()
+    assert np.isfinite(np.asarray(res.deconv_f)).all()
+    assert np.isfinite(np.asarray(res.params.phase)).all()
+
+
 def test_depth_anchor_psfs_from_maps_matches_single():
     """Each anchor slice == compute_psf_from_pupil at that map/defocus;
     flat maps at the nominal defocus reproduce the parametric init PSF."""
