@@ -669,9 +669,11 @@ def _load_pupil_maps(args, model, paths):
             np.stack(defoc))
 
 
-def _depthvar_anchor_array(args, k, nz):
+def _depthvar_anchor_array(args, k, nz, sort=True):
     """K anchor depths from --depthvar-anchors (validated) or evenly spaced
-    over the stack."""
+    over the stack. Sorted ascending (depth_weights requires it) unless the
+    caller must keep user order to pair anchors with per-anchor inputs
+    (the --depthvar-maps path, which argsorts maps and depths together)."""
     import numpy as np
 
     if getattr(args, "depthvar_anchors", None):
@@ -681,7 +683,7 @@ def _depthvar_anchor_array(args, k, nz):
                      f"(one per anchor), got {anchors.size}")
         if np.unique(anchors).size != anchors.size:
             sys.exit("--depthvar-anchors must be distinct depths")
-        return anchors
+        return np.sort(anchors) if sort else anchors
     return np.linspace(0.0, nz - 1.0, k)
 
 
@@ -705,7 +707,10 @@ def _cmd_deconv_depthvar(args, data):
         sys.exit("--depthvar is single-device for now (no --mesh)")
     _resolve_geometry(args, args.data)
     k = len(maps) if maps else args.depthvar
-    anchors = _depthvar_anchor_array(args, k, data.shape[0])
+    # maps: keep user order here — depths pair with the map files and are
+    # argsorted together below.
+    anchors = _depthvar_anchor_array(args, k, data.shape[0],
+                                     sort=not maps)
     cfg = _deconv_config(args, data.shape)
     w = _weights(args, data)
     t0 = time.time()
@@ -752,12 +757,14 @@ def _cmd_deconv_depthvar(args, data):
         model = _build_model(args, data.shape)
         params = _load_params_json(model, args.params_json) if args.params_json \
             else model.init_params()
-        anchors = np.sort(anchors)
         label = f"depthvar K={k}"
 
         @jax.jit
         def run(d, w):
-            psfs = depth_anchor_psfs(model, params, anchors)
+            # depth0 = the calibrated depth of plane z=0 (a ladder fit's d0),
+            # NOT the model's nominal --depth.
+            psfs = depth_anchor_psfs(model, params, anchors,
+                                     depth0=params.depth[1])
             return solve(d, psfs, w)
 
         out = run(data, w)
@@ -825,6 +832,10 @@ def _cmd_deconv_plate(args):
             sys.exit("plate --depthvar requires --model gl")
         if getattr(args, "auto_mu", False):
             sys.exit("--auto-mu does not compose with --depthvar yet")
+        if args.method == "rl" and (args.gain > 0
+                                    or getattr(args, "auto_gain", False)):
+            sys.exit("--method rl is Poisson-MLE; it does not take weights "
+                     "(drop --gain/--auto-gain or use the VMLMB path)")
         psf = None
     elif not args.psf:
         sys.exit("--psf is required for plate deconv")
@@ -1125,6 +1136,11 @@ def cmd_deconv(args):
         if depthvar_tiled and args.model != "gl":
             sys.exit("--tile --depthvar requires --model gl "
                      "(anchors vary the DEPTH family)")
+        # Clamp the tile to the volume FIRST (tiled_deconvolve clamps the
+        # same way): the per-tile model and the depthvar tile-z anchors must
+        # see the clamped extent, or field_depthvar_psf mis-derives the tile
+        # z-start from an oversized model grid.
+        args.tile = [min(t, n) for t, n in zip(args.tile, data.shape)]
         model = _build_model(args, tuple(args.tile))
         anchors = []
         for path in field_json or ():
@@ -1411,6 +1427,10 @@ def _cmd_blind_depthvar(args):
             or getattr(args, "auto_mu", False):
         sys.exit("blind --depthvar runs without checkpoints for now; "
                  "drop --checkpoint/--all-channels/--auto-mu")
+    if _is_plate(args.data) and not getattr(args, "well", None):
+        sys.exit("blind --depthvar solves one volume; select a plate image "
+                 "with --well ROW/COL (per-well depth-varying blind fan-out "
+                 "is not wired; deconv PLATE --depthvar fans out non-blind)")
     data = jnp.asarray(_read_input_volume(args, args.data))
     _resolve_geometry(args, args.data)
     model = _build_model(args, data.shape)

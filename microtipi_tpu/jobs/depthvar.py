@@ -288,8 +288,7 @@ def fit_psf_depthvar(
     (``psf_fit.joint_variable`` rationale), the scale-invariant phase
     calibration prior, and auxiliary bead-anchor terms.
     """
-    from microtipi_tpu.jobs.psf_fit import (
-        PsfFitConfig, _combine_aux_terms, joint_variable)
+    from microtipi_tpu.jobs.psf_fit import PsfFitConfig, fit_families_with_cost
     from microtipi_tpu.models.microscope import FAMILY_NAMES
 
     if config is None:
@@ -299,108 +298,22 @@ def fit_psf_depthvar(
             "fit_psf_depthvar needs a model with a DEPTH family "
             "(models/gibson_lanni.py) — the anchors vary that family")
     names = tuple(FAMILY_NAMES[f] for f in flags)
-    for n in names:
-        if getattr(params, n).shape[0] == 0:
-            raise ValueError(f"family {n!r} has no coefficients to fit")
     if weights is not None and weights.shape != data.shape:
         weights = pad_to_shape(weights, data.shape)
-    cost = _depthvar_fit_cost(obj, data, weights, anchors)
+    data_cost = _depthvar_fit_cost(obj, data, weights, anchors)
 
-    def synth(p):
-        return depth_anchor_psfs(model, p, anchors, depth0=p.depth[1])
+    def cost(p):
+        return data_cost(depth_anchor_psfs(model, p, anchors,
+                                           depth0=p.depth[1]))
 
-    if len(names) == 1:
-        family = names[0]
-        full0 = getattr(params, family)
-        active = full0.shape[0]
-        freeze = 0
-        if family == "phase":
-            if phase_active is not None and phase_active < active:
-                active = phase_active
-            freeze = phase_freeze_head
-            if not 0 <= freeze < active:
-                raise ValueError(
-                    f"phase_freeze_head={freeze} must be in [0, active={active})")
-        x0 = full0[freeze:active]
-
-        def rebuild(v):
-            return params._replace(
-                **{family: full0.at[freeze:freeze + v.shape[0]].set(v)})
-
-        def data_objective(v):
-            return cost(synth(rebuild(v)))
-
-        extra_parts = []
-        if phase_prior_weight > 0 and family == "phase":
-            anchor_v = (full0 if phase_anchor is None
-                        else phase_anchor)[freeze:active]
-            f0 = data_objective(x0)
-            extra_parts.append(
-                lambda v: phase_prior_weight * f0 * jnp.sum((v - anchor_v) ** 2))
-        if aux_terms:
-            extra_parts.append(_combine_aux_terms(rebuild, aux_terms))
-
-        def objective(v):
-            out = data_objective(v)
-            for e in extra_parts:
-                out = out + e(v)
-            return out
-
-        if family in ("depth", "sheet"):
-            # Per-component preconditioning: these families mix physical
-            # scales (ns/lambda ~ 1e6 1/m next to d ~ 1e-6 m) — see
-            # psf_fit.fit_psf(precondition=True) for the measured stall.
-            g0 = jax.grad(objective)(x0)
-            gmax = jnp.max(jnp.abs(g0))
-            tiny = jnp.asarray(jnp.finfo(gmax.dtype).tiny, gmax.dtype)
-            scale = 1.0 / jnp.maximum(jnp.abs(g0), jnp.maximum(1e-12 * gmax, tiny))
-            res = minimize_vmlmb(
-                jax.value_and_grad(lambda u: objective(u * scale)), x0 / scale,
-                mem=config.mem, maxiter=config.max_iter, maxeval=config.max_eval,
-                gatol=config.gatol, grtol=config.grtol,
-            )
-            x_fit = res.x * scale
-        else:
-            res = minimize_vmlmb(
-                jax.value_and_grad(objective), x0,
-                mem=config.mem, maxiter=config.max_iter, maxeval=config.max_eval,
-                gatol=config.gatol, grtol=config.grtol,
-            )
-            x_fit = res.x
-        from microtipi_tpu.jobs.psf_fit import PsfFitResult
-
-        return PsfFitResult(rebuild(x_fit), res.f, res.iterations,
-                            res.evaluations, res.status, res.f_history)
-
-    # Joint path: gradient-balanced multi-family variable.
-    f0, g0 = jax.value_and_grad(
-        lambda sub: cost(synth(params._replace(**sub)))
-    )({n: getattr(params, n) for n in names})
-    x0, rebuild = joint_variable(params, names, phase_freeze_head, grads=g0)
-
-    use_prior = phase_prior_weight > 0 and "phase" in names
-    if use_prior and phase_anchor is None:
-        phase_anchor = params.phase
-    extra = _combine_aux_terms(rebuild, aux_terms) if aux_terms else None
-
-    def objective(v):
-        p = rebuild(v)
-        f = cost(synth(p))
-        if use_prior:
-            f = f + phase_prior_weight * f0 * jnp.sum((p.phase - phase_anchor) ** 2)
-        if extra is not None:
-            f = f + extra(v)
-        return f
-
-    res = minimize_vmlmb(
-        jax.value_and_grad(objective), x0,
-        mem=config.mem, maxiter=config.max_iter, maxeval=config.max_eval,
-        gatol=config.gatol, grtol=config.grtol,
+    return fit_families_with_cost(
+        cost, params, names, config,
+        phase_active=phase_active,
+        phase_freeze_head=phase_freeze_head,
+        phase_anchor=phase_anchor,
+        phase_prior_weight=phase_prior_weight,
+        aux_terms=aux_terms,
     )
-    from microtipi_tpu.jobs.psf_fit import PsfFitResult
-
-    return PsfFitResult(rebuild(res.x), res.f, res.iterations,
-                        res.evaluations, res.status, res.f_history)
 
 
 def blind_deconvolve_depthvar(
@@ -664,27 +577,32 @@ def calibrate_depth(
         r = amp * h + c - d0j
         return 0.5 * jnp.sum(r * r)
 
+    centered_stack = jnp.stack(centered)
+    s1d_vec = jnp.stack(s1d)
+
     def ladder_cost(p, zshifts):
-        # p.depth = (ns/lambda, d0); bead j sits at d0 + z_j*dz.
-        out = 0.0
-        for j in range(k):
+        # p.depth = (ns/lambda, d0); bead j sits at d0 + z_j*dz. One vmap
+        # over the rungs: the K syntheses run as a single batched FFT
+        # program (the depth_anchor_psfs convention), not K unrolled ones.
+        def one(off, s, d0j, s1dj):
             h = bead_model.compute_psf(
-                p._replace(depth=p.depth.at[1].add(offsets[j])))
-            out = out + _rung_cost(_shift_z(h, zshifts[j]), centered[j], s1d[j])
-        return out
+                p._replace(depth=p.depth.at[1].add(off)))
+            return _rung_cost(_shift_z(h, s), d0j, s1dj)
+
+        return jnp.sum(jax.vmap(one)(offsets, zshifts, centered_stack, s1d_vec))
 
     # Start each s_j at the params0 model's own focal shift: the data peak
     # sits at plane 0 after centering, the model's at its wrapped argmax
     # plane, and a zero start several planes off can strand deep-stack fits
     # in a cyclic-shift local minimum.
-    def _peak_shift(p, off):
-        h = bead_model.compute_psf(p._replace(depth=p.depth.at[1].add(off)))
+    def _peak_shift(off):
+        h = bead_model.compute_psf(
+            params0._replace(depth=params0.depth.at[1].add(off)))
         prof = jnp.max(h.reshape(nz, -1), axis=1)
         i = jnp.argmax(prof)
         return -jnp.where(i > nz // 2, i - nz, i).astype(model.dtype)
 
-    zs0 = jax.lax.stop_gradient(
-        jnp.stack([_peak_shift(params0, offsets[j]) for j in range(k)]))
+    zs0 = jax.lax.stop_gradient(jax.vmap(_peak_shift)(offsets))
     g0 = jax.grad(
         lambda sub: ladder_cost(params0._replace(**sub), zs0)
     )({n: getattr(params0, n) for n in names})
@@ -754,26 +672,31 @@ def ladder_fit_uncertainty(
         centered.append(center_bead_stack(beads[j] / peak, subvoxel=subvoxel))
     d_all = jnp.stack(centered)
 
-    def _h(p, j, s):
-        h = bead_model.compute_psf(p._replace(depth=p.depth.at[1].add(offsets[j])))
-        return _cyclic_shift_z(h, s, model.cdtype)
+    def _h_all(p, s_all):
+        # One batched synthesis+shift over the K rungs (depth_anchor_psfs
+        # convention: vmap, not K unrolled FFT programs).
+        def one(off, s):
+            h = bead_model.compute_psf(
+                p._replace(depth=p.depth.at[1].add(off)))
+            return _cyclic_shift_z(h, s, model.cdtype)
+
+        return jax.vmap(one)(offsets, s_all)
 
     # Profiled (amp_j, c_j) at the solution — the _rung_cost normal equations.
-    amps, cs = [], []
     tiny = jnp.asarray(jnp.finfo(model.dtype).tiny, model.dtype)
-    for j in range(k):
-        h = _h(params, j, zshifts[j])
-        shh, sh1 = jnp.sum(h * h), jnp.sum(h)
-        shd, s1d = jnp.sum(h * d_all[j]), jnp.sum(d_all[j])
-        det = jnp.maximum(shh * n_vox - sh1 * sh1, tiny)
-        amps.append((n_vox * shd - sh1 * s1d) / det)
-        cs.append((shh * s1d - sh1 * shd) / det)
+    h_all = _h_all(params, jnp.asarray(zshifts, model.dtype))
+    shh = jnp.sum(h_all * h_all, axis=(1, 2, 3))
+    sh1 = jnp.sum(h_all, axis=(1, 2, 3))
+    shd = jnp.sum(h_all * d_all, axis=(1, 2, 3))
+    s1d = jnp.sum(d_all, axis=(1, 2, 3))
+    det = jnp.maximum(shh * n_vox - sh1 * sh1, tiny)
+    amps = (n_vox * shd - sh1 * s1d) / det
+    cs = (shh * s1d - sh1 * shd) / det
 
     sizes = [int(getattr(params, nm).shape[0]) for nm in names]
     x0 = jnp.concatenate(
         [getattr(params, nm) for nm in names]
-        + [jnp.asarray(zshifts, model.dtype),
-           jnp.stack(amps), jnp.stack(cs)])
+        + [jnp.asarray(zshifts, model.dtype), amps, cs])
 
     def predict(v):
         sub, off = {}, 0
@@ -784,8 +707,8 @@ def ladder_fit_uncertainty(
         a_all = v[off + k:off + 2 * k]
         c_all = v[off + 2 * k:off + 3 * k]
         p = params._replace(**sub)
-        return jnp.stack([a_all[j] * _h(p, j, s_all[j]) + c_all[j]
-                          for j in range(k)])
+        return (a_all[:, None, None, None] * _h_all(p, s_all)
+                + c_all[:, None, None, None])
 
     jac = jax.jacfwd(predict)(x0).reshape(-1, x0.shape[0])
     resid = (predict(x0) - d_all).ravel()

@@ -46,6 +46,7 @@ __all__ = [
     "center_bead_stack",
     "detect_beads",
     "empirical_psf",
+    "fit_families_with_cost",
     "fit_psf",
     "fit_psf_beads",
     "fit_psf_joint",
@@ -582,6 +583,124 @@ def fit_psf(
         res.status,
         res.f_history,
     )
+
+
+def fit_families_with_cost(
+    cost,
+    params,
+    names: tuple[str, ...],
+    config: "PsfFitConfig",
+    phase_active: int | None = None,
+    phase_freeze_head: int = 0,
+    phase_anchor: jax.Array | None = None,
+    phase_prior_weight: float = 0.0,
+    aux_terms: tuple = (),
+) -> "PsfFitResult":
+    """The VMLMB fit scaffolding over an abstract ``cost(params)`` closure —
+    single-family (graduated ``phase_active`` scheduling, pin-Z4
+    ``phase_freeze_head``, the scale-invariant calibration prior, per-
+    component preconditioning for the physical-scale DEPTH/SHEET families)
+    for one name, the gradient-balanced :func:`joint_variable` fit for
+    several. Shared by the depth-varying fits (``jobs.depthvar`` dense and
+    ``parallel.depthvar`` sharded), whose data terms differ only in the
+    forward operator; semantics match :func:`fit_psf`/:func:`fit_psf_joint`
+    (reference parity notes there, ``PSF_Estimation.java``).
+    """
+    for n in names:
+        if getattr(params, n).shape[0] == 0:
+            raise ValueError(f"family {n!r} has no coefficients to fit")
+
+    if len(names) == 1:
+        family = names[0]
+        full0 = getattr(params, family)
+        active = full0.shape[0]
+        freeze = 0
+        if family == "phase":
+            if phase_active is not None and phase_active < active:
+                active = phase_active
+            freeze = phase_freeze_head
+            if not 0 <= freeze < active:
+                raise ValueError(
+                    f"phase_freeze_head={freeze} must be in [0, active={active})")
+        x0 = full0[freeze:active]
+
+        def rebuild(v):
+            return params._replace(
+                **{family: full0.at[freeze:freeze + v.shape[0]].set(v)})
+
+        def data_objective(v):
+            return cost(rebuild(v))
+
+        extra_parts = []
+        if phase_prior_weight > 0 and family == "phase":
+            anchor_v = (full0 if phase_anchor is None
+                        else phase_anchor)[freeze:active]
+            f0 = data_objective(x0)
+            extra_parts.append(
+                lambda v: phase_prior_weight * f0 * jnp.sum((v - anchor_v) ** 2))
+        if aux_terms:
+            extra_parts.append(_combine_aux_terms(rebuild, aux_terms))
+
+        def objective(v):
+            out = data_objective(v)
+            for e in extra_parts:
+                out = out + e(v)
+            return out
+
+        if family in ("depth", "sheet"):
+            # Per-component preconditioning: these families mix physical
+            # scales (ns/lambda ~ 1e6 1/m next to d ~ 1e-6 m) — see
+            # fit_psf(precondition=True) for the measured stall.
+            g0 = jax.grad(objective)(x0)
+            gmax = jnp.max(jnp.abs(g0))
+            tiny = jnp.asarray(jnp.finfo(gmax.dtype).tiny, gmax.dtype)
+            scale = 1.0 / jnp.maximum(jnp.abs(g0),
+                                      jnp.maximum(1e-12 * gmax, tiny))
+            res = minimize_vmlmb(
+                jax.value_and_grad(lambda u: objective(u * scale)),
+                x0 / scale, mem=config.mem, maxiter=config.max_iter,
+                maxeval=config.max_eval, gatol=config.gatol,
+                grtol=config.grtol,
+            )
+            x_fit = res.x * scale
+        else:
+            res = minimize_vmlmb(
+                jax.value_and_grad(objective), x0,
+                mem=config.mem, maxiter=config.max_iter,
+                maxeval=config.max_eval, gatol=config.gatol,
+                grtol=config.grtol,
+            )
+            x_fit = res.x
+        return PsfFitResult(rebuild(x_fit), res.f, res.iterations,
+                            res.evaluations, res.status, res.f_history)
+
+    # Joint path: gradient-balanced multi-family variable.
+    f0, g0 = jax.value_and_grad(
+        lambda sub: cost(params._replace(**sub))
+    )({n: getattr(params, n) for n in names})
+    x0, rebuild = joint_variable(params, names, phase_freeze_head, grads=g0)
+
+    use_prior = phase_prior_weight > 0 and "phase" in names
+    if use_prior and phase_anchor is None:
+        phase_anchor = params.phase
+    extra = _combine_aux_terms(rebuild, aux_terms) if aux_terms else None
+
+    def objective(v):
+        p = rebuild(v)
+        f = cost(p)
+        if use_prior:
+            f = f + phase_prior_weight * f0 * jnp.sum((p.phase - phase_anchor) ** 2)
+        if extra is not None:
+            f = f + extra(v)
+        return f
+
+    res = minimize_vmlmb(
+        jax.value_and_grad(objective), x0,
+        mem=config.mem, maxiter=config.max_iter, maxeval=config.max_eval,
+        gatol=config.gatol, grtol=config.grtol,
+    )
+    return PsfFitResult(rebuild(res.x), res.f, res.iterations,
+                        res.evaluations, res.status, res.f_history)
 
 
 def joint_variable(params, names: tuple[str, ...], phase_freeze_head: int = 0,

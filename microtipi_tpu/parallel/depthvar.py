@@ -190,8 +190,7 @@ def sharded_fit_psf_depthvar(
     per anchor), with the same per-component preconditioning as the dense
     fit (``jobs.psf_fit`` physical-scale stall rationale).
     """
-    from microtipi_tpu.jobs.psf_fit import (
-        PsfFitConfig, PsfFitResult, _combine_aux_terms, joint_variable)
+    from microtipi_tpu.jobs.psf_fit import PsfFitConfig, fit_families_with_cost
     from microtipi_tpu.models.microscope import FAMILY_NAMES
 
     if config is None:
@@ -201,99 +200,16 @@ def sharded_fit_psf_depthvar(
             "sharded_fit_psf_depthvar needs a model with a DEPTH family "
             "(models/gibson_lanni.py) — the anchors vary that family")
     names = tuple(FAMILY_NAMES[f] for f in flags)
-    for n in names:
-        if getattr(params, n).shape[0] == 0:
-            raise ValueError(f"family {n!r} has no coefficients to fit")
     cost = _sharded_depthvar_fit_cost(model, data, obj, weights, mesh,
                                       anchors, off_z=off_z)
-
-    if len(names) == 1:
-        family = names[0]
-        full0 = getattr(params, family)
-        active = full0.shape[0]
-        freeze = 0
-        if family == "phase":
-            if phase_active is not None and phase_active < active:
-                active = phase_active
-            freeze = phase_freeze_head
-            if not 0 <= freeze < active:
-                raise ValueError(
-                    f"phase_freeze_head={freeze} must be in [0, active={active})")
-        x0 = full0[freeze:active]
-
-        def rebuild(v):
-            return params._replace(
-                **{family: full0.at[freeze:freeze + v.shape[0]].set(v)})
-
-        def data_objective(v):
-            return cost(rebuild(v))
-
-        extra_parts = []
-        if phase_prior_weight > 0 and family == "phase":
-            anchor_v = (full0 if phase_anchor is None
-                        else phase_anchor)[freeze:active]
-            f0 = data_objective(x0)
-            extra_parts.append(
-                lambda v: phase_prior_weight * f0 * jnp.sum((v - anchor_v) ** 2))
-        if aux_terms:
-            extra_parts.append(_combine_aux_terms(rebuild, aux_terms))
-
-        def objective(v):
-            out = data_objective(v)
-            for e in extra_parts:
-                out = out + e(v)
-            return out
-
-        if family in ("depth", "sheet"):
-            g0 = jax.grad(objective)(x0)
-            gmax = jnp.max(jnp.abs(g0))
-            tiny = jnp.asarray(jnp.finfo(gmax.dtype).tiny, gmax.dtype)
-            scale = 1.0 / jnp.maximum(jnp.abs(g0),
-                                      jnp.maximum(1e-12 * gmax, tiny))
-            res = minimize_vmlmb(
-                jax.value_and_grad(lambda u: objective(u * scale)),
-                x0 / scale, mem=config.mem, maxiter=config.max_iter,
-                maxeval=config.max_eval, gatol=config.gatol,
-                grtol=config.grtol,
-            )
-            x_fit = res.x * scale
-        else:
-            res = minimize_vmlmb(
-                jax.value_and_grad(objective), x0,
-                mem=config.mem, maxiter=config.max_iter,
-                maxeval=config.max_eval, gatol=config.gatol,
-                grtol=config.grtol,
-            )
-            x_fit = res.x
-        return PsfFitResult(rebuild(x_fit), res.f, res.iterations,
-                            res.evaluations, res.status, res.f_history)
-
-    f0, g0 = jax.value_and_grad(
-        lambda sub: cost(params._replace(**sub))
-    )({n: getattr(params, n) for n in names})
-    x0, rebuild = joint_variable(params, names, phase_freeze_head, grads=g0)
-
-    use_prior = phase_prior_weight > 0 and "phase" in names
-    if use_prior and phase_anchor is None:
-        phase_anchor = params.phase
-    extra = _combine_aux_terms(rebuild, aux_terms) if aux_terms else None
-
-    def objective(v):
-        p = rebuild(v)
-        f = cost(p)
-        if use_prior:
-            f = f + phase_prior_weight * f0 * jnp.sum((p.phase - phase_anchor) ** 2)
-        if extra is not None:
-            f = f + extra(v)
-        return f
-
-    res = minimize_vmlmb(
-        jax.value_and_grad(objective), x0,
-        mem=config.mem, maxiter=config.max_iter, maxeval=config.max_eval,
-        gatol=config.gatol, grtol=config.grtol,
+    return fit_families_with_cost(
+        cost, params, names, config,
+        phase_active=phase_active,
+        phase_freeze_head=phase_freeze_head,
+        phase_anchor=phase_anchor,
+        phase_prior_weight=phase_prior_weight,
+        aux_terms=aux_terms,
     )
-    return PsfFitResult(rebuild(res.x), res.f, res.iterations,
-                        res.evaluations, res.status, res.f_history)
 
 
 def sharded_blind_deconvolve_depthvar(

@@ -331,6 +331,35 @@ def test_cli_deconv_depthvar_with_params_json(tmp_path):
     assert out.shape == shape and np.isfinite(out).all()
 
 
+def test_cli_deconv_depthvar_honors_calibrated_z0_offset(tmp_path):
+    """The ladder-fitted depth offset d0 in --params-json must change the
+    anchor synthesis (regression: depth0 silently fell back to --depth)."""
+    from microtipi_tpu.io.tiffstack import read_stack, write_stack
+
+    shape = (8, 20, 20)
+    rng = np.random.default_rng(14)
+    write_stack(tmp_path / "d.tif",
+                np.abs(rng.standard_normal(shape)).astype(np.float32) * 10,
+                dxy=100e-9, dz=300e-9)
+    base = {"defocus": [1.518 / 500e-9, 0.0, 0.0], "phase": [],
+            "modulus": [1.0]}
+    (tmp_path / "p0.json").write_text(json.dumps(
+        {**base, "depth": [1.36 / 500e-9, 0.0]}))
+    (tmp_path / "p5.json").write_text(json.dumps(
+        {**base, "depth": [1.36 / 500e-9, 5 * 300e-9]}))
+    argv = ["deconv", "d.tif", "--depthvar", "2", "--model", "gl",
+            "--ns", "1.36", "--na", "1.2", "--wavelength", "500e-9",
+            "--n-phase", "0", "--iters", "4", "--mu", "1e-3"]
+    r0 = _run(argv + ["--out", "o0.tif", "--params-json", "p0.json"], tmp_path)
+    r5 = _run(argv + ["--out", "o5.tif", "--params-json", "p5.json"], tmp_path)
+    assert r0.returncode == 0, r0.stderr
+    assert r5.returncode == 0, r5.stderr
+    o0 = read_stack(tmp_path / "o0.tif")
+    o5 = read_stack(tmp_path / "o5.tif")
+    # 5 planes of extra depth = ~a wave of extra SA: the solves must differ
+    assert not np.allclose(o0, o5), "calibrated d0 was ignored"
+
+
 def test_cli_depthvar_requires_gl(tmp_path):
     from microtipi_tpu.io.tiffstack import write_stack
 
