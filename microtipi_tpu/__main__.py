@@ -242,11 +242,23 @@ def _read_input_volume(args, path, log=print):
     ``EmissionWavelength`` and ``--wavelength`` was not given, the model
     wavelength is auto-filled from it (per-channel optics, ROADMAP io
     breadth)."""
+    import numpy as np
+
     vol = _read_raw_volume(args, path, log=log)
     pre = _build_preprocess(args)
     if pre is not None:
         vol = pre(vol)
         log("preprocessed input (ops.preprocess)")
+    # Non-finite voxels (dead pixels, file corruption) poison FFT-based
+    # solves globally; weighted paths exclude them via validity_mask, but
+    # RL/Poisson and unweighted solves have no mask — zero them here with
+    # a warning (the weighted paths then see 0 at zero weight, identical).
+    vol = np.asarray(vol)
+    bad = ~np.isfinite(vol)
+    if bad.any():
+        log(f"[input] {path}: zeroed {int(bad.sum())} non-finite voxel(s) "
+            "(dead pixels / corruption; --gain adds statistical exclusion)")
+        vol = np.where(bad, 0.0, vol).astype(vol.dtype)
     return vol
 
 

@@ -242,6 +242,9 @@ def _depthvar_fit_cost(obj, data, weights, anchors):
     from microtipi_tpu.ops.depthconv import depth_weights
 
     shape = data.shape
+    if weights is not None:
+        # Zero weight EXCLUDES the voxel (see WeightedConvolutionCost.build).
+        data = jnp.where(weights > 0, data, 0.0)
     zw = jnp.asarray(depth_weights(shape[0], anchors), data.dtype)
     xk_hat = jnp.fft.rfftn(zw[:, :, None, None] * obj[None], axes=(1, 2, 3))
 

@@ -110,6 +110,12 @@ class WeightedConvolutionCost(NamedTuple):
             )
         if weights is not None and weights.shape != data.shape:
             raise ValueError("weights must match the data shape")
+        if weights is not None:
+            # Zero weight must EXCLUDE the voxel whatever its value: a
+            # NaN/Inf voxel (dead camera pixel, file corruption) otherwise
+            # poisons the cost through 0*NaN=NaN (IEEE), defeating the
+            # validity mask (weights/updaters.validity_mask) entirely.
+            data = jnp.where(weights > 0, data, 0.0)
         return cls(convolve_spectrum(kernel), data, weights, tuple(var_shape))
 
     # -- model & residual --------------------------------------------------

@@ -116,6 +116,11 @@ class DepthVaryingConvCost(NamedTuple):
             )
         if weights is not None and weights.shape != data.shape:
             raise ValueError("weights must match the data shape")
+        if weights is not None:
+            # Zero weight EXCLUDES the voxel whatever its value (0*NaN=NaN
+            # would otherwise defeat the validity mask — see
+            # ops.convolution.WeightedConvolutionCost.build).
+            data = jnp.where(weights > 0, data, 0.0)
         k = kernels.shape[0]
         if anchors is None:
             anchors = np.linspace(0.0, data.shape[0] - 1.0, k)

@@ -216,6 +216,9 @@ def make_sharded_objective(
             return _sharded_quadratic_cost(x, kernel_sq, b, c, vol_shape, mesh)
 
     else:
+        # Zero weight EXCLUDES the voxel whatever its value (0*NaN=NaN
+        # would defeat the validity mask — WeightedConvolutionCost.build).
+        data = jnp.where(weights > 0, data, 0.0)
 
         def data_term(x):
             r = sharded_convolve(x, k_hat, vol_shape, mesh) - data

@@ -73,6 +73,10 @@ def sharded_deconvolve_depthvar(
     off_z = (var_shape[0] - vol_shape[0]) // 2
     zw = jnp.asarray(depth_weights(var_shape[0], anchors + off_z), data.dtype)
 
+    if weights is not None:
+        # Zero weight EXCLUDES the voxel whatever its value (0*NaN=NaN
+        # would defeat the validity mask — WeightedConvolutionCost.build).
+        data = jnp.where(weights > 0, data, 0.0)
     data = constrain_volume(data, mesh)
     padded = var_shape != vol_shape
     batched = data.ndim == 4
@@ -135,6 +139,9 @@ def _sharded_depthvar_fit_cost(model, data, obj, weights, mesh, anchors,
     not the physics.
     """
     vol = data.shape[-3:]
+    if weights is not None:
+        # Zero weight EXCLUDES the voxel (see WeightedConvolutionCost.build).
+        data = jnp.where(weights > 0, data, 0.0)
     anchors = np.asarray(anchors, np.float64)
     k = anchors.shape[0]
     zw = jnp.asarray(depth_weights(vol[0], anchors + off_z), data.dtype)

@@ -43,6 +43,10 @@ def _sharded_data_term(model, data, obj, weights, mesh):
     PSF is z-sharded (communication-free synthesis) and zero-padded to the
     grid if the model grid is smaller."""
     vol_shape = data.shape[-3:]
+    if weights is not None:
+        # Zero weight EXCLUDES the voxel whatever its value (0*NaN=NaN
+        # would defeat the validity mask — WeightedConvolutionCost.build).
+        data = jnp.where(weights > 0, data, 0.0)
     obj_hat = sharded_spectrum(constrain_volume(obj, mesh), mesh)
 
     def cost(p):

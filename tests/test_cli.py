@@ -464,6 +464,34 @@ def test_cli_tiled_depthvar_space_variant(tmp_path):
     assert out.shape == shape and np.isfinite(out).all()
 
 
+def test_cli_nonfinite_input_voxels_zeroed_with_warning(tmp_path):
+    """A TIFF with NaN/Inf voxels (dead pixels, corruption) must solve to a
+    finite result with a warning, not silently return a NaN volume."""
+    from microtipi_tpu.io.tiffstack import read_stack, write_stack
+
+    shape = (4, 16, 16)
+    rng = np.random.default_rng(15)
+    d = np.abs(rng.standard_normal(shape)).astype(np.float32) * 10
+    d[1, 2, 3] = np.nan
+    d[2, 3, 4] = np.inf
+    write_stack(tmp_path / "d.tif", d)
+    psf = np.zeros(shape, np.float32)
+    psf[0, 0, 0] = 0.6
+    psf[0, 0, 1] = 0.4
+    write_stack(tmp_path / "p.tif", psf)
+    r = _run(["deconv", "d.tif", "--psf", "p.tif", "--out", "o.tif",
+              "--iters", "4", "--mu", "1e-3"], tmp_path)
+    assert r.returncode == 0, r.stderr
+    assert "non-finite voxel" in r.stdout
+    out = read_stack(tmp_path / "o.tif")
+    assert np.isfinite(out).all()
+    # the RL path (no weights) survives too
+    r = _run(["deconv", "d.tif", "--psf", "p.tif", "--out", "orl.tif",
+              "--method", "rl", "--iters", "4"], tmp_path)
+    assert r.returncode == 0, r.stderr
+    assert np.isfinite(read_stack(tmp_path / "orl.tif")).all()
+
+
 def test_cli_multiple_stacks_need_depth_ladder(tmp_path):
     from microtipi_tpu.io.tiffstack import write_stack
 

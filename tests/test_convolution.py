@@ -89,3 +89,35 @@ def test_roll_unroll_roundtrip():
     # roll == fftshift: the corner sample moves to the center.
     y = jnp.zeros((4, 4)).at[0, 0].set(1.0)
     assert float(roll(y)[2, 2]) == 1.0
+
+
+def test_zero_weight_excludes_nonfinite_voxels():
+    """A NaN/Inf voxel with zero weight must not poison the cost (IEEE
+    0*NaN=NaN would defeat the validity mask) — in the shift-invariant AND
+    the depth-varying cost builders."""
+    from microtipi_tpu.ops.depthconv import DepthVaryingConvCost
+    from microtipi_tpu.weights.updaters import validity_mask
+
+    shape = (4, 8, 8)
+    rng = np.random.default_rng(20)
+    h = jnp.asarray(rng.random(shape))
+    h = h / jnp.sum(h)
+    d = np.asarray(rng.random(shape))
+    d[1, 2, 3] = np.nan
+    d[2, 3, 4] = np.inf
+    d = jnp.asarray(d)
+    w = validity_mask(d)
+    assert int((w == 0).sum()) == 2
+    x = jnp.asarray(rng.random(shape))
+
+    cost = WeightedConvolutionCost.build(h, d, w)
+    f, g = jax.value_and_grad(cost.cost)(x)
+    assert np.isfinite(float(f)) and bool(jnp.isfinite(g).all())
+
+    cost_dv = DepthVaryingConvCost.build(jnp.stack([h, h]), d, w)
+    f2, g2 = jax.value_and_grad(cost_dv.cost)(x)
+    assert np.isfinite(float(f2)) and bool(jnp.isfinite(g2).all())
+    # excluded voxels contribute nothing: same cost as data with 0 there
+    d0 = jnp.where(w > 0, d, 0.0)
+    f_ref = WeightedConvolutionCost.build(h, d0, w).cost(x)
+    np.testing.assert_allclose(float(f), float(f_ref), rtol=1e-12)
