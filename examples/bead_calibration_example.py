@@ -52,6 +52,9 @@ from microtipi_tpu.ops.convolution import convolve, convolve_spectrum
 from microtipi_tpu.utils.arrays import roll
 
 
+TINY = bool(os.environ.get("MICROTIPI_EXAMPLE_TINY"))
+
+
 def main():
     dt = jnp.float64
     shape = (16, 64, 64)
@@ -83,15 +86,18 @@ def main():
     print(f"averaged {used} beads")
 
     # --- 3a: point-estimate calibration (for reference) ---------------------
-    cal, amp = fit_psf_beads(bead_model, jnp.asarray(bead), (PHASE,),
-                             config=PsfFitConfig(max_iter=60, grtol=0.0))
+    cal, amp = fit_psf_beads(
+        bead_model, jnp.asarray(bead), (PHASE,),
+        config=PsfFitConfig(max_iter=8 if TINY else 60, grtol=0.0))
     err_cal = float(jnp.linalg.norm(cal.params.phase - true.phase))
     print(f"fit_psf_beads calibration: phase L2 error {err_cal:.4f}")
 
     # --- 3b: bead-ANCHORED blind solve (the measured-best pipeline) ---------
     cfg = BlindDeconvConfig.recommended(
-        loops=6, families=(PHASE,), psf_max_iter=(10,),
-        deconv=DeconvolutionConfig(mu=1e-3, epsilon=1.0, max_iter=12, grtol=0.0),
+        loops=2 if TINY else 6, families=(PHASE,),
+        psf_max_iter=(3 if TINY else 10,),
+        deconv=DeconvolutionConfig(mu=1e-3, epsilon=1.0,
+                                   max_iter=4 if TINY else 12, grtol=0.0),
     )
     res = jax.jit(
         lambda d, b: blind_deconvolve(d, model, config=cfg, bead_data=b)

@@ -7,6 +7,7 @@ single-program blind loop. Works on TPU (float32) and CPU.
     PYTHONPATH=. python examples/blind_deconv_example.py [out.tif]
 """
 
+import os
 import sys
 import time
 
@@ -15,6 +16,10 @@ import jax
 import jax.numpy as jnp
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+# MICROTIPI_EXAMPLE_TINY=1 shrinks shapes/budgets so the CI smoke test
+# (tests/test_examples.py) can execute every example in seconds on CPU.
+TINY = bool(os.environ.get("MICROTIPI_EXAMPLE_TINY"))
 
 from microtipi_tpu import (
     BlindDeconvConfig,
@@ -29,7 +34,7 @@ from microtipi_tpu import (
     PHASE,
 )
 
-SHAPE = (32, 128, 128)
+SHAPE = (8, 32, 32) if TINY else (32, 128, 128)
 
 model = WideFieldConfig(
     shape=SHAPE, na=1.4, wavelength=561e-9, ni=1.518, dxy=80e-9, dz=200e-9,
@@ -61,17 +66,17 @@ data = make_data(obj, noise)
 weights = InverseVarianceWeights(gain=4.0, readout_variance=1.0).from_data(data)
 
 config = BlindDeconvConfig(
-    loops=4,
+    loops=2 if TINY else 4,
     families=(DEFOCUS, PHASE),
-    psf_max_iter=(10, 25),
-    deconv=DeconvolutionConfig(mu=0.01, epsilon=5.0, max_iter=40),
+    psf_max_iter=(3, 4) if TINY else (10, 25),
+    deconv=DeconvolutionConfig(mu=0.01, epsilon=5.0, max_iter=5 if TINY else 40),
     fit=PsfFitConfig(),
     joint_fit=True,     # one VMLMB over defocus+phase per round (stabilizes coupled families)
     init="wiener",      # regularized-inverse warm start (~2x fewer early object iterations)
     # Object-prior annealing: strong TV early stops the object absorbing the
     # aberration (measured -31% phase error; docs/TUNING.md). One-flag
     # alternative: BlindDeconvConfig.recommended(...).
-    mu_schedule=(0.64, 0.16, 0.04, 0.01),
+    mu_schedule=(0.16, 0.01) if TINY else (0.64, 0.16, 0.04, 0.01),
 )
 
 run = jax.jit(lambda d, w: blind_deconvolve(d, model, weights=w, config=config))

@@ -19,6 +19,7 @@ wrong at most planes of a thick stack. This example:
 Works on TPU (float32) and CPU.
 """
 
+import os
 import time
 
 import numpy as np
@@ -33,9 +34,12 @@ from microtipi_tpu import DeconvolutionConfig, GibsonLanniConfig, deconvolve
 from microtipi_tpu.jobs.depthvar import deconvolve_depthvar, depth_anchor_psfs
 from microtipi_tpu.ops.depthconv import depth_varying_convolve, depth_weights
 
-SHAPE = (32, 128, 128)
+# MICROTIPI_EXAMPLE_TINY=1: CI smoke shapes/budgets (tests/test_examples.py);
+# quality assertions are skipped there (they need the full budgets).
+TINY = bool(os.environ.get("MICROTIPI_EXAMPLE_TINY"))
+SHAPE = (16, 48, 48) if TINY else (32, 128, 128)
 DTYPE = jnp.float32 if jax.default_backend() in ("tpu", "axon") else jnp.float64
-K = 4  # anchor PSFs
+K = 3 if TINY else 4  # anchor PSFs
 
 model = GibsonLanniConfig(
     shape=SHAPE, na=1.3, wavelength=520e-9, ni=1.518, dxy=100e-9, dz=300e-9,
@@ -49,12 +53,14 @@ anchors = np.linspace(0.0, SHAPE[0] - 1.0, K)
 rng = np.random.default_rng(0)
 obj = np.zeros(SHAPE, np.float64)
 for _ in range(40):
-    z, y, x = rng.integers(1, 28), rng.integers(6, 114), rng.integers(6, 114)
+    z = rng.integers(1, SHAPE[0] - 4)
+    y, x = rng.integers(6, SHAPE[1] - 14), rng.integers(6, SHAPE[2] - 14)
     obj[z:z + 3, y:y + 8, x:x + 8] = rng.uniform(50, 250)
 obj = jnp.asarray(obj, DTYPE)
 noise = jnp.asarray(rng.standard_normal(SHAPE), DTYPE)
 
-cfg = DeconvolutionConfig(mu=1e-3, epsilon=1.0, max_iter=25, grtol=0.0)
+cfg = DeconvolutionConfig(mu=1e-3, epsilon=1.0, max_iter=5 if TINY else 25,
+                          grtol=0.0)
 
 
 @jax.jit
@@ -91,7 +97,7 @@ print(f"  raw data                      {raw:.4f}")
 print(f"  single PSF (top of stack)     {top:.4f}")
 print(f"  single PSF (mid compromise)   {mid:.4f}")
 print(f"  depth-varying (K={K} anchors)  {dv:.4f}")
-assert dv < mid < top or dv < top, "depth-aware solve should win"
+assert TINY or dv < mid < top or dv < top, "depth-aware solve should win"
 
 # ---------------------------------------------------------------------------
 # Act 2 — where does ns come from? A depth LADDER: beads at known z positions.
@@ -132,11 +138,11 @@ p_wrong = p_truth._replace(
     depth=jnp.asarray([1.45 / bead_model.wavelength, 0.0], DTYPE))
 fit, zshifts = jax.jit(lambda b: calibrate_depth(
     bead_model, b, ladder_z, families=(DEPTH,), params0=p_wrong,
-    config=PsfFitConfig(max_iter=50, grtol=0.0)))(beads)
+    config=PsfFitConfig(max_iter=8 if TINY else 50, grtol=0.0)))(beads)
 ns_fit = float(fit.params.depth[0]) * bead_model.wavelength
 print(f"\ndepth ladder ({ladder_z.size} rungs, init ns=1.45): "
       f"calibrated ns = {ns_fit:.4f} (truth 1.36)")
-assert abs(ns_fit - 1.36) < 0.01, "ladder should recover ns"
+assert TINY or abs(ns_fit - 1.36) < 0.01, "ladder should recover ns"
 
 # Re-solve the SAMPLE with anchors synthesized from the calibrated ns — the
 # production workflow (``deconv --depthvar K --params-json ladder.json``).
@@ -160,4 +166,5 @@ def resolve(obj, noise):
 err_cal = float(resolve(obj, noise))
 print(f"calibrated-anchor solve error {err_cal:.4f} "
       f"(oracle anchors gave {dv:.4f})")
-assert err_cal < mid, "calibrated depth-varying solve should beat the best single PSF"
+assert TINY or err_cal < mid, \
+    "calibrated depth-varying solve should beat the best single PSF"

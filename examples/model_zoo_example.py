@@ -18,6 +18,7 @@ alternating blind loop and its measured quality recipe see
 Works on TPU (float32) and CPU.
 """
 
+import os
 import time
 
 import numpy as np
@@ -42,7 +43,9 @@ from microtipi_tpu import (
     PHASE,
 )
 
-SHAPE = (16, 64, 64)
+# MICROTIPI_EXAMPLE_TINY=1: CI smoke shapes/budgets (tests/test_examples.py).
+TINY = bool(os.environ.get("MICROTIPI_EXAMPLE_TINY"))
+SHAPE = (8, 32, 32) if TINY else (16, 64, 64)
 # f64 on the CPU validation backend (near-exact recovery), f32 on TPU (the
 # production dtype; close recovery — f32 fits use the residual-form data
 # term to avoid the quadratic identity's catastrophic cancellation, see
@@ -66,7 +69,9 @@ rng = np.random.default_rng(0)
 obj = np.zeros(SHAPE, np.float32)
 idx = rng.integers(0, np.array(SHAPE), size=(25, 3))
 obj[idx[:, 0], idx[:, 1], idx[:, 2]] = rng.uniform(100, 300, 25)
-obj[6:12, 24:44, 24:44] += 40.0
+obj[SHAPE[0] // 3: 2 * SHAPE[0] // 3,
+    SHAPE[1] // 3: 2 * SHAPE[1] // 3,
+    SHAPE[2] // 3: 2 * SHAPE[2] // 3] += 40.0
 obj = jnp.asarray(obj, DTYPE)
 noise = jnp.asarray(rng.standard_normal(SHAPE), DTYPE)
 
@@ -83,7 +88,7 @@ for name, model in MODELS.items():
     data = make_data(obj, noise)
     run = jax.jit(
         lambda d, model=model: fit_psf(
-            model, model.init_params(), PHASE, d, obj, config=PsfFitConfig(max_iter=120, grtol=1e-7)
+            model, model.init_params(), PHASE, d, obj, config=PsfFitConfig(max_iter=6 if TINY else 120, grtol=1e-7)
         )
     )
     res = run(data)

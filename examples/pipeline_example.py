@@ -19,6 +19,7 @@ deployment would, with no real microscope required:
 Works on TPU (float32) and CPU.
 """
 
+import os
 import time
 
 import numpy as np
@@ -50,8 +51,11 @@ from microtipi_tpu.jobs.psf_fit import PsfFitConfig
 from microtipi_tpu.utils.arrays import roll
 from microtipi_tpu.utils.phantoms import apply_camera, filaments_phantom
 
+# MICROTIPI_EXAMPLE_TINY=1: CI smoke budgets (tests/test_examples.py);
+# the quality assertion is skipped there.
+TINY = bool(os.environ.get("MICROTIPI_EXAMPLE_TINY"))
 DTYPE = jnp.float32 if jax.default_backend() in ("tpu", "axon") else jnp.float64
-SHAPE = (16, 64, 64)
+SHAPE = (8, 32, 32) if TINY else (16, 64, 64)
 MODEL = WideFieldConfig(shape=SHAPE, na=1.2, wavelength=520e-9, ni=1.33,
                         dxy=100e-9, dz=300e-9, n_phase=3, radial=True,
                         dtype=DTYPE)
@@ -72,7 +76,7 @@ def acquire(o):
 clean_scaled, bead_clean = acquire(obj)
 acq = apply_camera(np.asarray(clean_scaled), photons_at_max=2e4,
                    gain=2.0, readout_sigma=1.5, offset=100.0, seed=2)
-acq[8, 10, 50] = 6e4  # a hot pixel
+acq[SHAPE[0] // 2, 10, SHAPE[2] - 14] = 6e4  # a hot pixel
 # a BRIGHT bead: the anchor needs peak SNR >~100 (docs/TUNING.md) — at 4e3
 # photons the anchor is measured to pull only weakly against a high-SNR
 # sample, at 4e5 it pins the loop to the calibration
@@ -94,8 +98,9 @@ def preprocess(v):
 
 data = preprocess(jnp.asarray(acq, DTYPE))
 bead = jnp.asarray(bead_acq, DTYPE) - 100.0  # offset only (beads: flat field)
-print(f"preprocessed: hot pixel {float(jnp.asarray(acq)[8, 10, 50]):.0f} -> "
-      f"{float(data[8, 10, 50]):.1f} ADU")
+hz, hx = SHAPE[0] // 2, SHAPE[2] - 14
+print(f"preprocessed: hot pixel {float(jnp.asarray(acq)[hz, 10, hx]):.0f} -> "
+      f"{float(data[hz, 10, hx]):.1f} ADU")
 
 # ---- 2b. camera self-calibration (no data sheet needed) ----------------
 # Photon-transfer gain/readout from the RAW acquisition (pre flat-field:
@@ -115,7 +120,7 @@ print(f"camera self-calibration: gain {float(g_est):.2f} e-/ADU "
 # ---- 3. calibrate with error bars --------------------------------------
 t0 = time.time()
 fit, amp = jax.jit(lambda b: fit_psf_beads(
-    MODEL, b, families=(PHASE,), config=PsfFitConfig(max_iter=40, grtol=0.0)
+    MODEL, b, families=(PHASE,), config=PsfFitConfig(max_iter=5 if TINY else 40, grtol=0.0)
 ))(bead)
 unc = jax.jit(lambda b, p: bead_fit_uncertainty(MODEL, p, (PHASE,), b))(
     bead, jax.tree.map(jnp.asarray, fit.params))
@@ -128,8 +133,10 @@ print(f"Strehl of the fitted optics: "
 
 # ---- 4. bead-anchored blind solve --------------------------------------
 cfg = BlindDeconvConfig.recommended(
-    loops=3, families=(PHASE,), psf_max_iter=(10,),
-    deconv=DeconvolutionConfig(mu=2e-3, epsilon=1.0, max_iter=20, grtol=0.0))
+    loops=2 if TINY else 3, families=(PHASE,),
+    psf_max_iter=(3 if TINY else 10,),
+    deconv=DeconvolutionConfig(mu=2e-3, epsilon=1.0,
+                               max_iter=4 if TINY else 20, grtol=0.0))
 t0 = time.time()
 res = jax.jit(lambda d, b: blind_deconvolve(d, MODEL, config=cfg, bead_data=b)
               )(data, bead)
@@ -147,5 +154,5 @@ freqs, fsc = jax.jit(lambda a, b: fourier_shell_correlation(
 r = fsc_resolution(np.asarray(freqs), np.asarray(fsc))
 print(f"single-image FSC resolution (raw acquisition): {r*1e9:.0f} nm")
 
-assert err_blind < 0.05, "pipeline quality regression"
+assert TINY or err_blind < 0.05, "pipeline quality regression"
 print("pipeline OK")

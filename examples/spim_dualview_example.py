@@ -21,6 +21,7 @@ blind-deconvolution machinery gets applied to):
 Works on TPU (float32) and CPU.
 """
 
+import os
 import time
 
 import numpy as np
@@ -43,7 +44,9 @@ from microtipi_tpu.jobs.richardson_lucy import multiview_richardson_lucy
 from microtipi_tpu.models.microscope import SHEET
 from microtipi_tpu.ops.register import fourier_shift, register_translation
 
-SHAPE = (32, 32, 32)  # cubic so the orthogonal view transposes onto the grid
+# MICROTIPI_EXAMPLE_TINY=1: CI smoke budgets (tests/test_examples.py).
+TINY = bool(os.environ.get("MICROTIPI_EXAMPLE_TINY"))
+SHAPE = (16, 16, 16) if TINY else (32, 32, 32)  # cubic: orthogonal view transposes onto the grid
 DTYPE = jnp.float32 if jax.default_backend() in ("tpu", "axon") else jnp.float64
 MODEL = LightSheetConfig(
     shape=SHAPE, na=0.8, wavelength=520e-9, ni=1.33, dxy=200e-9, dz=200e-9,
@@ -63,9 +66,10 @@ TRUE = {
 
 rng = np.random.default_rng(0)
 obj = np.zeros(SHAPE, np.float32)
-pts = rng.integers(6, 26, size=(30, 3))
+pts = rng.integers(4, SHAPE[0] - 6, size=(30, 3))
 obj[pts[:, 0], pts[:, 1], pts[:, 2]] = rng.uniform(150, 300, 30)
-obj[12:20, 12:20, 12:20] += 50.0
+c0, c1 = SHAPE[0] * 3 // 8, SHAPE[0] * 5 // 8
+obj[c0:c1, c0:c1, c0:c1] += 50.0
 obj = jnp.asarray(obj, DTYPE)
 TRUE_SHIFT = (0.0, 1.6, -2.3)  # view B's mechanical offset (voxels)
 
@@ -84,7 +88,7 @@ def calibrate():
         bead = 4e3 * MODEL.compute_psf(true_p)
         res, _amp = fit_psf_beads(
             MODEL, bead, families=(DEFOCUS, SHEET),
-            config=PsfFitConfig(max_iter=40, grtol=0.0),
+            config=PsfFitConfig(max_iter=5 if TINY else 40, grtol=0.0),
         )
         out[name] = res.params
     return out
@@ -137,7 +141,8 @@ def fuse(view_a, view_b_reg):
     h_b = orthogonal(MODEL.compute_psf(fitted["view B"]))
     views = jnp.stack([view_a, view_b_reg])
     psfs = jnp.stack([h_a / jnp.sum(h_a), h_b / jnp.sum(h_b)])
-    return multiview_richardson_lucy(views, psfs, iterations=60)
+    return multiview_richardson_lucy(views, psfs,
+                                     iterations=8 if TINY else 60)
 
 
 fused = fuse(view_a, view_b_reg)
@@ -150,7 +155,7 @@ for name, v in [("view A", view_a), ("view B", view_b_reg)]:
     e = float(jnp.linalg.norm(v - obj) / jnp.linalg.norm(obj))
     print(f"{name:8s} rel L2 vs truth: {e:.3f}")
 print(f"fused    rel L2 vs truth: {err:.3f}  ({steady:.2f}s steady)")
-assert err < min(
+assert TINY or err < min(
     float(jnp.linalg.norm(view_a - obj) / jnp.linalg.norm(obj)),
     float(jnp.linalg.norm(view_b_reg - obj) / jnp.linalg.norm(obj)),
 ), "fusion must beat both raw views"

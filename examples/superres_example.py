@@ -18,6 +18,7 @@ Walks both PSF routes (docs/TUNING.md):
 Works on TPU (float32) and CPU.
 """
 
+import os
 import time
 
 import numpy as np
@@ -40,17 +41,21 @@ from microtipi_tpu import (
     upsample_psf,
 )
 
+# MICROTIPI_EXAMPLE_TINY=1: CI smoke budgets (tests/test_examples.py);
+# quality assertions are skipped there.
+TINY = bool(os.environ.get("MICROTIPI_EXAMPLE_TINY"))
 DTYPE = jnp.float32 if jax.default_backend() in ("tpu", "axon") else jnp.float64
-COARSE = (8, 48, 48)
+COARSE = (4, 24, 24) if TINY else (8, 48, 48)
 F = (1, 2, 2)
-FINE = (8, 96, 96)
+FINE = (COARSE[0], 2 * COARSE[1], 2 * COARSE[2])
 KW = dict(na=1.2, wavelength=500e-9, ni=1.33, dz=300e-9, dtype=DTYPE)
 M_FINE = WideFieldConfig(shape=FINE, dxy=100e-9, **KW)      # optics at 100 nm
 M_COARSE = WideFieldConfig(shape=COARSE, dxy=200e-9, **KW)  # camera at 200 nm
 
 # ---- acquire: off-lattice beads through the 2x-undersampling camera -----
 rng = np.random.default_rng(0)
-truth = [(3, 31, 49), (5, 62, 27), (4, 41, 66), (2, 55, 55)]
+truth = ([(1, 15, 25), (2, 31, 13), (2, 21, 33)] if TINY else
+         [(3, 31, 49), (5, 62, 27), (4, 41, 66), (2, 55, 55)])
 obj_fine = np.zeros(FINE, np.float64)
 for z, y, x in truth:
     obj_fine[z, y, x] = 300.0
@@ -67,7 +72,8 @@ data, psf_fine_model = acquire(jnp.asarray(obj_fine, DTYPE),
                                jnp.asarray(rng.standard_normal(COARSE), DTYPE))
 print(f"acquired {COARSE} (camera 200 nm, optics Nyquist ~104 nm: 2x undersampled)")
 
-cfg = DeconvolutionConfig(mu=0.01, epsilon=0.5, max_iter=60, grtol=1e-9)
+cfg = DeconvolutionConfig(mu=0.01, epsilon=0.5, max_iter=8 if TINY else 60,
+                          grtol=1e-9)
 
 
 def localization_err(x, scale):
@@ -122,6 +128,6 @@ err_e = localization_err(res_e.x, 1)
 print(f"superres (measured bead -> empirical_psf -> upsample): localization "
       f"{err_e:.2f} fine px ({err_e*100:.0f} nm), {time.time()-t0:.1f}s")
 
-assert err_m < 0.6 * err_c, "superres localization regression"
-assert err_e < 0.9 * err_c, "measured-PSF route regression"
+assert TINY or err_m < 0.6 * err_c, "superres localization regression"
+assert TINY or err_e < 0.9 * err_c, "measured-PSF route regression"
 print("superres example OK")
