@@ -1,0 +1,287 @@
+"""Phase-diversity estimation (jobs/diversity.py).
+
+The module's claims, each pinned: synthesis consistency with the base model,
+the residual-form metric equals the Paxman profiled closed form, exact 2D
+recovery from defocus diversity (noiseless), noise robustness, 3D recovery
+from astigmatism diversity, the object estimate, and f32 viability.
+"""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from microtipi_tpu.jobs.diversity import (
+    defocus_diversity,
+    diversity_cost,
+    diversity_object_estimate,
+    diversity_psfs,
+    fit_psf_diversity,
+    zernike_diversity,
+)
+from microtipi_tpu.models.microscope import DEFOCUS, PHASE
+from microtipi_tpu.models.widefield import WideFieldConfig
+
+
+def _model2d(n=64, dtype=jnp.float64, n_phase=3, radial=True):
+    return WideFieldConfig(
+        shape=(1, n, n), na=1.4, wavelength=500e-9, ni=1.518,
+        dxy=80e-9, dz=120e-9, n_phase=n_phase, radial=radial, dtype=dtype,
+    )
+
+
+def _model3d(nz=8, n=32, dtype=jnp.float64, n_phase=5):
+    return WideFieldConfig(
+        shape=(nz, n, n), na=1.2, wavelength=500e-9, ni=1.518,
+        dxy=100e-9, dz=200e-9, n_phase=n_phase, radial=False, dtype=dtype,
+    )
+
+
+def _smooth_object(shape, key, dtype, cutoff=0.25):
+    """Positive band-limited random object (extended scene)."""
+    x = jax.random.uniform(key, shape, dtype=dtype)
+    f = jnp.fft.rfftn(x)
+    nz, ny, nx = shape
+    fz = np.fft.fftfreq(nz)[:, None, None]
+    fy = np.fft.fftfreq(ny)[None, :, None]
+    fx = np.fft.rfftfreq(nx)[None, None, :]
+    keep = jnp.asarray((fz**2 + fy**2 + fx**2) < cutoff**2)
+    x = jnp.fft.irfftn(f * keep, s=shape).astype(dtype)
+    return x - jnp.min(x) + 0.1
+
+
+def _uniform_object(shape, key, dtype):
+    """Full-spectrum random object. Recovery tests use this: aberration
+    information lives at mid/high frequencies, and a band-limited scene
+    leaves most Fourier bins carrying pure noise (measured: ~2-3x worse
+    phase recovery than a full-band scene at the same noise)."""
+    return jax.random.uniform(key, shape, dtype=dtype) + 0.1
+
+
+def _blur(h, x):
+    return jnp.fft.irfftn(
+        jnp.fft.rfftn(h) * jnp.fft.rfftn(x), s=x.shape
+    ).astype(x.dtype)
+
+
+def _make_data(model, params_true, phases, x, noise=0.0, seed=7):
+    hs = diversity_psfs(model, params_true, jnp.asarray(phases))
+    data = jnp.stack([_blur(hs[d], x) for d in range(hs.shape[0])])
+    if noise > 0:
+        key = jax.random.PRNGKey(seed)
+        scale = noise * jnp.max(data)
+        data = data + scale * jax.random.normal(key, data.shape, dtype=data.dtype)
+    return data
+
+
+def test_diversity_psfs_zero_phase_matches_model():
+    model = _model3d()
+    params = model.init_params()._replace(
+        phase=jnp.array([0.2, -0.1, 0.05, 0.0, 0.0], jnp.float64))
+    h0 = model.compute_psf(params)
+    hs = diversity_psfs(model, params, jnp.zeros((2,) + model.shape[1:]))
+    np.testing.assert_allclose(np.asarray(hs[0]), np.asarray(h0), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(hs[1]), np.asarray(h0), rtol=1e-12)
+
+
+def test_defocus_diversity_is_two_pi_delta_psi():
+    from microtipi_tpu.ops.pupil import defocus_psi
+
+    model = _model2d()
+    delta = 3.7e-7
+    theta = defocus_diversity(model, [delta])
+    psi, _mask = defocus_psi(
+        model.init_params().defocus, model.shape[1], model.shape[2],
+        model.dxy, np.ones(model.shape[1:]))
+    np.testing.assert_allclose(
+        theta[0], 2 * np.pi * delta * np.asarray(psi), rtol=1e-10)
+
+
+def test_residual_form_equals_paxman_closed_form():
+    model = _model3d(nz=4, n=16, n_phase=3)
+    key = jax.random.PRNGKey(0)
+    x = _smooth_object(model.shape, key, jnp.float64)
+    truth = model.init_params()._replace(
+        phase=jnp.array([0.3, -0.2, 0.1], jnp.float64))
+    phases = zernike_diversity(model, [[0, 1.0, 0], [0, -1.0, 0]])
+    data = _make_data(model, truth, phases, x, noise=0.01)
+    gamma = 1e-3
+    cost = diversity_cost(model, data, phases, gamma=gamma)
+    params = model.init_params()._replace(
+        phase=jnp.array([0.1, 0.0, -0.05], jnp.float64))
+    f_resid = float(cost(params))
+
+    # Paxman subtractive closed form, full spectrum, f64.
+    h = diversity_psfs(model, params, jnp.asarray(phases))
+    hh = jnp.fft.fftn(h.astype(jnp.complex128), axes=(1, 2, 3))
+    yy = jnp.fft.fftn(jnp.asarray(data, jnp.complex128), axes=(1, 2, 3))
+    s = jnp.sum(jnp.abs(hh) ** 2, axis=0)
+    g = gamma * jnp.max(s)
+    num = jnp.sum(jnp.conj(hh) * yy, axis=0)
+    e = jnp.sum(jnp.abs(yy) ** 2) - jnp.sum(jnp.abs(num) ** 2 / (s + g))
+    f_closed = float(0.5 / np.prod(model.shape) * e)
+    assert f_resid == pytest.approx(f_closed, rel=1e-10)
+
+
+def test_2d_defocus_diversity_exact_recovery():
+    model = _model2d()
+    key = jax.random.PRNGKey(1)
+    x = _smooth_object(model.shape, key, jnp.float64)
+    alpha_true = jnp.array([0.3, -0.2, 0.1], jnp.float64)
+    truth = model.init_params()._replace(phase=alpha_true)
+    phases = defocus_diversity(model, [-2e-7, 2e-7])
+    data = _make_data(model, truth, phases, x, noise=0.0)
+
+    from microtipi_tpu.jobs.psf_fit import PsfFitConfig
+
+    res = fit_psf_diversity(
+        model, data, phases, gamma=1e-8,
+        config=PsfFitConfig(max_iter=60, grtol=1e-12))
+    err = float(jnp.linalg.norm(res.params.phase - alpha_true))
+    assert err < 1e-3, f"noiseless 2D diversity should be exact, err={err}"
+
+
+def test_2d_defocus_diversity_noise_robust():
+    model = _model2d()
+    key = jax.random.PRNGKey(1)
+    x = _uniform_object(model.shape, key, jnp.float64)
+    alpha_true = jnp.array([0.3, -0.2, 0.1], jnp.float64)
+    truth = model.init_params()._replace(phase=alpha_true)
+    phases = defocus_diversity(model, [-2e-7, 2e-7])
+    data = _make_data(model, truth, phases, x, noise=0.01)
+
+    from microtipi_tpu.jobs.psf_fit import PsfFitConfig
+
+    res = fit_psf_diversity(
+        model, data, phases, gamma=1e-3,
+        config=PsfFitConfig(max_iter=60, grtol=1e-10))
+    err = float(jnp.linalg.norm(res.params.phase - alpha_true))
+    # variance-limited (no bias): measured ~0.11 at this seed, ~0.04 at
+    # 0.2% noise; the bound is the documented 1%-noise band.
+    assert err < 0.2, f"1% noise 2D diversity err={err}"
+
+
+def test_3d_astigmatism_diversity_recovers_full_basis_phase():
+    model = _model3d()
+    key = jax.random.PRNGKey(3)
+    x = _uniform_object(model.shape, key, jnp.float64)
+    # Z4 = 0: the common-mode Z4 is the object-z-shift gauge in 3D and the
+    # default fit pins it (module docstring; unpinned it runs away, 8.2
+    # measured at this exact scenario vs 0.14 pinned).
+    alpha_true = jnp.array([0.0, -0.15, 0.1, 0.05, -0.05], jnp.float64)
+    truth = model.init_params()._replace(phase=alpha_true)
+    # +-1 rad astigmatism diversity (full-basis phase mode index 2).
+    phases = zernike_diversity(model, [[0, 0, 1.0, 0, 0], [0, 0, -1.0, 0, 0]])
+    data = _make_data(model, truth, phases, x, noise=0.005)
+
+    from microtipi_tpu.jobs.psf_fit import PsfFitConfig
+
+    res = fit_psf_diversity(
+        model, data, phases, gamma=1e-3,
+        config=PsfFitConfig(max_iter=80, grtol=1e-10))
+    err = float(jnp.linalg.norm(res.params.phase - alpha_true))
+    assert err < 0.25, f"3D astig diversity recovery err={err}"
+    # auto pin: the gauge mode stayed at its init
+    assert float(res.params.phase[0]) == 0.0
+
+
+def test_3d_defocus_diversity_also_works():
+    # A defocus step is NOT an exact cyclic shift of the sampled 3D PSF
+    # (z-band-limit breaks the shift symmetry), so even pure defocus
+    # diversity identifies the pupil on a volumetric stack (measured:
+    # noiseless 1e-4; 0.17 at 0.5% noise with the auto Z4 pin).
+    model = _model3d()
+    key = jax.random.PRNGKey(3)
+    x = _uniform_object(model.shape, key, jnp.float64)
+    alpha_true = jnp.array([0.0, -0.15, 0.1, 0.05, -0.05], jnp.float64)
+    truth = model.init_params()._replace(phase=alpha_true)
+    phases = defocus_diversity(model, [-4e-7, 4e-7])
+    data = _make_data(model, truth, phases, x, noise=0.005)
+
+    from microtipi_tpu.jobs.psf_fit import PsfFitConfig
+
+    res = fit_psf_diversity(
+        model, data, phases, gamma=1e-3,
+        config=PsfFitConfig(max_iter=80, grtol=1e-10))
+    err = float(jnp.linalg.norm(res.params.phase - alpha_true))
+    assert err < 0.3, f"3D defocus diversity recovery err={err}"
+
+
+def test_object_estimate_beats_raw_blur():
+    model = _model2d()
+    key = jax.random.PRNGKey(4)
+    x = _smooth_object(model.shape, key, jnp.float64)
+    truth = model.init_params()._replace(
+        phase=jnp.array([0.3, -0.2, 0.1], jnp.float64))
+    phases = defocus_diversity(model, [-2e-7, 2e-7])
+    data = _make_data(model, truth, phases, x, noise=0.005)
+    xhat = diversity_object_estimate(model, truth, data, phases, gamma=1e-3)
+    xc = x - jnp.mean(x)
+    err_hat = float(jnp.linalg.norm(xhat - jnp.mean(xhat) - xc) / jnp.linalg.norm(xc))
+    err_raw = float(jnp.linalg.norm(data[0] - jnp.mean(data[0]) - xc) / jnp.linalg.norm(xc))
+    assert err_hat < err_raw, (err_hat, err_raw)
+
+
+def test_joint_defocus_phase_families_smoke():
+    model = _model2d(n=32, n_phase=2)
+    key = jax.random.PRNGKey(5)
+    x = _smooth_object(model.shape, key, jnp.float64)
+    truth = model.init_params()._replace(
+        phase=jnp.array([0.2, -0.1], jnp.float64))
+    phases = defocus_diversity(model, [-2e-7, 2e-7])
+    data = _make_data(model, truth, phases, x, noise=0.0)
+
+    from microtipi_tpu.jobs.psf_fit import PsfFitConfig
+
+    res = fit_psf_diversity(
+        model, data, phases, families=(DEFOCUS, PHASE),
+        config=PsfFitConfig(max_iter=40))
+    err = float(jnp.linalg.norm(res.params.phase - truth.phase))
+    assert err < 0.05
+    assert bool(jnp.isfinite(res.f))
+
+
+def test_f32_path_recovers():
+    model = _model2d(dtype=jnp.float32)
+    key = jax.random.PRNGKey(6)
+    x = _uniform_object(model.shape, key, jnp.float32)
+    alpha_true = jnp.array([0.3, -0.2, 0.1], jnp.float32)
+    truth = model.init_params()._replace(phase=alpha_true)
+    phases = defocus_diversity(model, [-2e-7, 2e-7])
+    data = _make_data(model, truth, phases, x, noise=0.002)
+
+    from microtipi_tpu.jobs.psf_fit import PsfFitConfig
+
+    fit = jax.jit(lambda d: fit_psf_diversity(
+        model, d, phases, gamma=1e-3,
+        config=PsfFitConfig(max_iter=50)).params.phase)
+    alpha = fit(data)
+    err = float(jnp.linalg.norm(alpha - alpha_true))
+    assert err < 0.12, f"f32 diversity fit err={err}"
+
+
+def test_image_weights_shape_and_effect():
+    model = _model2d(n=32, n_phase=2)
+    key = jax.random.PRNGKey(8)
+    x = _smooth_object(model.shape, key, jnp.float64)
+    truth = model.init_params()._replace(phase=jnp.array([0.2, -0.1], jnp.float64))
+    phases = defocus_diversity(model, [-2e-7, 2e-7])
+    data = _make_data(model, truth, phases, x, noise=0.0)
+    c_eq = diversity_cost(model, data, phases)
+    c_w = diversity_cost(model, data, phases, image_weights=jnp.array([1.0, 1.0]))
+    p = model.init_params()
+    assert float(c_eq(p)) == pytest.approx(float(c_w(p)), rel=1e-12)
+    # doubling both weights doubles the profiled residual cost (gamma scales too)
+    c_2w = diversity_cost(model, data, phases, image_weights=jnp.array([2.0, 2.0]))
+    assert float(c_2w(p)) == pytest.approx(2 * float(c_eq(p)), rel=1e-10)
+
+
+def test_data_shape_validation():
+    model = _model2d(n=32)
+    phases = defocus_diversity(model, [-2e-7, 2e-7])
+    with pytest.raises(ValueError, match="data must be"):
+        diversity_cost(model, jnp.zeros(model.shape), phases)
+    with pytest.raises(ValueError, match="diversity phases"):
+        diversity_cost(model, jnp.zeros((3,) + model.shape), phases)
