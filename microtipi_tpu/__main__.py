@@ -19,6 +19,17 @@ import sys
 import time
 
 
+def _comma_floats(s: str) -> list[float]:
+    """Comma-separated float list CLI type. Used where values are often
+    negative: argparse's negative-number heuristic does not recognize
+    scientific notation (``-2e-7`` parses as an option string), so these
+    flags take one ``=``-joined comma list instead of nargs."""
+    try:
+        return [float(v) for v in s.split(",") if v.strip() != ""]
+    except ValueError:
+        raise argparse.ArgumentTypeError(f"not a comma-separated float list: {s!r}")
+
+
 def _model_args(p: argparse.ArgumentParser):
     g = p.add_argument_group("optics")
     g.add_argument("--model",
@@ -1776,6 +1787,102 @@ def _cmd_fitpsf_ladder(args, stacks):
         print(f"wrote {args.out} (fitted PSF at the calibration origin)")
 
 
+def _cmd_fitpsf_diversity(args, stacks):
+    """fitpsf S1..SD --diversity-dz DZ1..DZD: phase-diversity calibration
+    from D acquisitions of one unknown EXTENDED scene at known diversity
+    phases (jobs/diversity.fit_psf_diversity) — the no-bead identifiability
+    lever (the object is profiled out in closed form)."""
+    import json
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from microtipi_tpu.jobs.diversity import (
+        defocus_diversity, diversity_object_estimate, fit_psf_diversity,
+        zernike_diversity)
+    from microtipi_tpu.jobs.psf_fit import PsfFitConfig
+    from microtipi_tpu.models.microscope import DEFOCUS, MODULUS, PHASE
+    from microtipi_tpu.utils.arrays import roll
+
+    if args.model != "widefield":
+        sys.exit("--diversity-* needs the scalar pupil synthesis "
+                 "(--model widefield)")
+    for flag in ("empirical_out", "field_out", "retrieve_map", "uncertainty",
+                 "depth_ladder"):
+        if getattr(args, flag, None):
+            sys.exit(f"--diversity-* does not compose with "
+                     f"--{flag.replace('_', '-')}")
+    if args.diversity_dz is not None and args.diversity_astig is not None:
+        sys.exit("pick one of --diversity-dz / --diversity-astig")
+    divs = (args.diversity_dz if args.diversity_dz is not None
+            else args.diversity_astig)
+    if len(stacks) != len(divs):
+        sys.exit(f"--diversity needs one stack per diversity value: got "
+                 f"{len(stacks)} stacks for {len(divs)} values")
+    if len(stacks) < 2:
+        sys.exit("phase diversity needs >= 2 acquisitions (a single image "
+                 "is the non-identifiable blind case — BASELINE.md)")
+    _resolve_geometry(args, stacks[0])
+    vols = [np.asarray(_read_input_volume(args, p)) for p in stacks]
+    if len({v.shape for v in vols}) != 1:
+        sys.exit(f"diversity stacks must share one shape, got "
+                 f"{[v.shape for v in vols]}")
+    data = jnp.asarray(np.stack(vols))
+    model = _build_model(args, tuple(data.shape[1:]))
+    if args.diversity_astig is not None:
+        if args.radial:
+            sys.exit("--diversity-astig needs the full basis (drop --radial:"
+                     " a radial pupil cannot express astigmatism)")
+        coeffs = np.zeros((len(divs), 2))
+        coeffs[:, 1] = divs  # full-basis phase mode 1 = Z5 astigmatism
+        phases = zernike_diversity(model, coeffs)
+    else:
+        phases = defocus_diversity(model, divs)
+
+    fam_map = {"defocus": DEFOCUS, "phase": PHASE, "modulus": MODULUS}
+    if any(f not in fam_map for f in args.families):
+        sys.exit("--diversity-* fits the defocus/phase/modulus families")
+    families = tuple(fam_map[f] for f in args.families)
+    params0 = _load_params_json(model, args.params_json) if args.params_json else None
+
+    run = jax.jit(lambda d: fit_psf_diversity(
+        model, d, phases, families=families, params0=params0,
+        gamma=args.diversity_gamma,
+        config=PsfFitConfig(max_iter=args.iters, grtol=0.0),
+        phase_freeze_head=1 if args.pin_z4 else None,  # None = auto (3D pins Z4)
+    ))
+    t0 = time.time()
+    res = run(data)
+    print(f"diversity fit ({len(divs)} channels): {int(res.iterations)} "
+          f"iters, metric {float(res.f):.6g}, {time.time()-t0:.1f}s "
+          f"(incl. compile)")
+    params = {name: np.asarray(getattr(res.params, name)).tolist()
+              for name in res.params._fields}
+    for name, vals in params.items():
+        print(f"{name}: {np.round(np.asarray(vals), 5)}")
+    if args.params_out:
+        out = {"cost": float(res.f), "model": args.model,
+               "dxy": args.dxy, "dz": args.dz,
+               "diversity": list(divs),
+               "diversity_kind": ("astig" if args.diversity_astig is not None
+                                  else "defocus"), **params}
+        with open(args.params_out, "w") as fh:
+            json.dump(out, fh, indent=1)
+        print("wrote", args.params_out)
+    if args.object_out:
+        xhat = np.asarray(jax.jit(lambda d, p: diversity_object_estimate(
+            model, p, d, phases, gamma=args.diversity_gamma))(data, res.params))
+        _write_out(args, args.object_out, xhat, dxy=args.dxy, dz=args.dz)
+        print(f"wrote {args.object_out} (profiled multi-frame Wiener object;"
+              f" use deconv --params-json for a regularized solve)")
+    if args.out:
+        psf = np.asarray(jax.jit(model.compute_psf)(res.params))
+        if args.centered:
+            psf = np.asarray(roll(jnp.asarray(psf)))
+        _write_out(args, args.out, psf, dxy=args.dxy, dz=args.dz)
+        print("wrote", args.out)
+
+
 def cmd_fitpsf(args):
     import json
 
@@ -1790,9 +1897,14 @@ def cmd_fitpsf(args):
     if getattr(args, "depth_ladder", None):
         _cmd_fitpsf_ladder(args, stacks)
         return
+    if (getattr(args, "diversity_dz", None) is not None
+            or getattr(args, "diversity_astig", None) is not None):
+        _cmd_fitpsf_diversity(args, stacks)
+        return
     if len(stacks) > 1:
         sys.exit("several bead stacks only make sense with --depth-ladder "
-                 "Z1..ZK (one stack per known depth)")
+                 "Z1..ZK or --diversity-dz DZ1..DZD (one stack per known "
+                 "depth / diversity)")
     args.stack = stacks[0]
     data = jnp.asarray(_read_input_volume(args, args.stack))
     _resolve_geometry(args, args.stack)
@@ -2347,6 +2459,29 @@ def main(argv=None):
                         "into a deconvolution-ready PSF (center + clamp + "
                         "unit-sum; honors --n-beads averaging) and exit — "
                         "no parametric fit")
+    p.add_argument("--diversity-dz", type=_comma_floats, default=None,
+                   metavar="DZ1,DZ2,..",
+                   help="phase-diversity calibration from EXTENDED scenes "
+                        "(no bead needed): the K inputs are the SAME unknown "
+                        "object acquired at these K KNOWN camera/stage "
+                        "defocus offsets (meters, comma-separated; write "
+                        "--diversity-dz=-2e-7,2e-7 — the '=' keeps argparse "
+                        "from eating the leading minus); the object is "
+                        "profiled out in closed form (jobs/diversity). "
+                        "Volumetric (Nz>1) fits pin Z4 automatically (the "
+                        "axial gauge)")
+    p.add_argument("--diversity-astig", type=_comma_floats, default=None,
+                   metavar="A1,A2,..",
+                   help="like --diversity-dz but with KNOWN astigmatism "
+                        "diversity of A radians (Z5) per stack — the "
+                        "deformable-mirror / cylindrical-lens variant "
+                        "(full basis only, drop --radial)")
+    p.add_argument("--diversity-gamma", type=float, default=1e-3,
+                   help="[--diversity-*] object-spectrum damping (raise "
+                        "with noise; ~1e-8 for noiseless validation)")
+    p.add_argument("--object-out", default=None, metavar="FILE",
+                   help="[--diversity-*] also write the profiled multi-"
+                        "frame Wiener object estimate")
     p.add_argument("--families", nargs="+", default=["defocus", "phase"],
                    choices=["defocus", "phase", "modulus", "depth", "sheet", "sted"])
     _preprocess_args(p)

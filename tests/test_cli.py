@@ -1240,3 +1240,68 @@ def test_cli_deconv_depthvar_maps(tmp_path):
     r = _run(["deconv", "d.tif", "--out", "o.tif", "--model", "gl",
               "--depthvar-maps", "a.npz", "b.npz"], tmp_path)
     assert r.returncode != 0 and "scalar pupil" in (r.stdout + r.stderr)
+
+
+def test_cli_fitpsf_phase_diversity(tmp_path):
+    """fitpsf A.tif B.tif --diversity-dz: no-bead pupil calibration from two
+    defocus-diverse images of one unknown extended scene (jobs/diversity)."""
+    import jax
+    import jax.numpy as jnp
+
+    from microtipi_tpu.io.tiffstack import read_stack, write_stack
+    from microtipi_tpu.jobs.diversity import defocus_diversity, diversity_psfs
+    from microtipi_tpu.models.widefield import WideFieldConfig
+
+    shape = (1, 32, 32)
+    model = WideFieldConfig(shape=shape, na=1.4, wavelength=500e-9, ni=1.518,
+                            dxy=80e-9, dz=120e-9, n_phase=2, radial=True,
+                            dtype=jnp.float64)
+    true = model.init_params()._replace(phase=jnp.asarray([0.3, -0.2]))
+    deltas = [-2e-7, 2e-7]
+    phases = defocus_diversity(model, deltas)
+    hs = diversity_psfs(model, true, jnp.asarray(phases))
+    x = jnp.asarray(
+        np.random.default_rng(0).uniform(0.1, 1.1, shape).astype(np.float64))
+    for d, name in enumerate(("a.tif", "b.tif")):
+        img = jnp.fft.irfftn(jnp.fft.rfftn(hs[d]) * jnp.fft.rfftn(x), s=shape)
+        write_stack(tmp_path / name, np.asarray(img, np.float32),
+                    dxy=80e-9, dz=120e-9)
+
+    r = _run(
+        ["fitpsf", "a.tif", "b.tif", "--diversity-dz=-2e-7,2e-7",
+         "--diversity-gamma", "1e-7", "--n-phase", "2", "--radial",
+         "--na", "1.4", "--wavelength", "500e-9", "--families", "phase",
+         "--iters", "60", "--params-out", "params.json",
+         "--object-out", "obj.tif", "--out", "psf.tif"],
+        tmp_path,
+    )
+    assert r.returncode == 0, r.stderr
+    params = json.loads((tmp_path / "params.json").read_text())
+    np.testing.assert_allclose(params["phase"], [0.3, -0.2], atol=0.05)
+    assert params["diversity_kind"] == "defocus"
+    obj = read_stack(tmp_path / "obj.tif")
+    assert obj.shape == shape and np.isfinite(obj).all()
+    psf = read_stack(tmp_path / "psf.tif")
+    assert psf.shape == shape and np.isfinite(psf).all()
+
+
+def test_cli_fitpsf_diversity_validation(tmp_path):
+    from microtipi_tpu.io.tiffstack import write_stack
+
+    write_stack(tmp_path / "a.tif", np.zeros((1, 16, 16), np.float32),
+                dxy=80e-9, dz=120e-9)
+    # one stack is the non-identifiable blind case
+    r = _run(["fitpsf", "a.tif", "--diversity-dz", "0.0"], tmp_path)
+    assert r.returncode != 0
+    assert ">= 2 acquisitions" in (r.stdout + r.stderr)
+    # count mismatch
+    r = _run(["fitpsf", "a.tif", "--diversity-dz=-2e-7,2e-7"], tmp_path)
+    assert r.returncode != 0
+    assert "one stack per diversity value" in (r.stdout + r.stderr)
+    # astig diversity needs the full basis
+    write_stack(tmp_path / "b.tif", np.zeros((1, 16, 16), np.float32),
+                dxy=80e-9, dz=120e-9)
+    r = _run(["fitpsf", "a.tif", "b.tif", "--diversity-astig=-1,1",
+              "--radial"], tmp_path)
+    assert r.returncode != 0
+    assert "full basis" in (r.stdout + r.stderr)
