@@ -28,8 +28,8 @@ from microtipi_tpu.jobs.phase_retrieval import (
     PupilRetrievalResult, project_phase, remove_position_gauges, retrieve_pupil)
 from microtipi_tpu.jobs.blind import BlindDeconvConfig, BlindDeconvResult, blind_deconvolve
 from microtipi_tpu.jobs.diversity import (
-    defocus_diversity, diversity_object_estimate, diversity_psfs,
-    fit_psf_diversity, zernike_diversity)
+    defocus_diversity, diversity_fit_uncertainty, diversity_object_estimate,
+    diversity_psfs, fit_psf_diversity, zernike_diversity)
 from microtipi_tpu.jobs.deconv import DeconvolutionConfig, DeconvolutionResult, deconvolve
 from microtipi_tpu.jobs.depthvar import deconvolve_depthvar, depth_anchor_psfs
 from microtipi_tpu.jobs.superres import (
@@ -85,7 +85,8 @@ __all__ = [
     "DeconvolutionConfig", "DeconvolutionResult", "deconvolve",
     "AutoMuResult", "deconvolve_auto_mu", "estimate_noise_sigma",
     "PupilRetrievalResult", "project_phase", "remove_position_gauges", "retrieve_pupil",
-    "defocus_diversity", "diversity_object_estimate", "diversity_psfs",
+    "defocus_diversity", "diversity_fit_uncertainty",
+    "diversity_object_estimate", "diversity_psfs",
     "fit_psf_diversity", "zernike_diversity",
     "deconvolve_depthvar", "depth_anchor_psfs", "deconvolve_timeseries",
     "bin_volume", "deconvolve_superres", "upsample_psf", "upsample_volume",

@@ -1807,8 +1807,7 @@ def _cmd_fitpsf_diversity(args, stacks):
     if args.model != "widefield":
         sys.exit("--diversity-* needs the scalar pupil synthesis "
                  "(--model widefield)")
-    for flag in ("empirical_out", "field_out", "retrieve_map", "uncertainty",
-                 "depth_ladder"):
+    for flag in ("empirical_out", "field_out", "retrieve_map", "depth_ladder"):
         if getattr(args, flag, None):
             sys.exit(f"--diversity-* does not compose with "
                      f"--{flag.replace('_', '-')}")
@@ -1858,14 +1857,29 @@ def _cmd_fitpsf_diversity(args, stacks):
           f"(incl. compile)")
     params = {name: np.asarray(getattr(res.params, name)).tolist()
               for name in res.params._fields}
+    std = None
+    if args.uncertainty:
+        from microtipi_tpu.jobs.diversity import diversity_fit_uncertainty
+
+        unc = jax.jit(lambda d, p: diversity_fit_uncertainty(
+            model, p, families, d, phases,
+            gamma=args.diversity_gamma))(data, res.params)
+        std = {k: np.asarray(v).tolist() for k, v in unc.std.items()}
+        print(f"noise sigma (profiled-residual MLE): {float(unc.sigma):.4g}"
+              f" (in-basin error bars; BASELINE.md caveat)")
     for name, vals in params.items():
-        print(f"{name}: {np.round(np.asarray(vals), 5)}")
+        line = f"{name}: {np.round(np.asarray(vals), 5)}"
+        if std is not None and name in std:
+            line += f"  +- {np.round(np.asarray(std[name]), 5)}"
+        print(line)
     if args.params_out:
         out = {"cost": float(res.f), "model": args.model,
                "dxy": args.dxy, "dz": args.dz,
                "diversity": list(divs),
                "diversity_kind": ("astig" if args.diversity_astig is not None
                                   else "defocus"), **params}
+        if std is not None:
+            out["std"] = std
         with open(args.params_out, "w") as fh:
             json.dump(out, fh, indent=1)
         print("wrote", args.params_out)

@@ -76,6 +76,7 @@ __all__ = [
     "zernike_diversity",
     "diversity_psfs",
     "diversity_cost",
+    "diversity_fit_uncertainty",
     "diversity_object_estimate",
     "fit_psf_diversity",
 ]
@@ -253,6 +254,111 @@ def diversity_object_estimate(
     num = jnp.sum(jnp.conj(wh) * y_hat, axis=0)
     x_hat = num / (s + gamma * jnp.max(s))
     return jnp.fft.irfftn(x_hat, s=model.shape).astype(model.dtype)
+
+
+def diversity_fit_uncertainty(
+    model,
+    params,
+    families: tuple[int, ...],
+    data: jax.Array,
+    phases,
+    *,
+    gamma: float = 1e-3,
+    image_weights=None,
+    sigma: float | None = None,
+):
+    """1-sigma error bars for a :func:`fit_psf_diversity` solution.
+
+    The Fisher information of the object-PROFILED problem — the Schur
+    complement of the joint (params, object) Gaussian Fisher, which is
+    separable per Fourier mode because the object enters each mode
+    independently (the phase-diversity CRLB construction of Paxman et al.
+    1992):
+
+        M_ij = (1/N) sum_k m_k |Xhat_k|^2
+               [ sum_d Re(conj(A_dki) A_dkj)
+                 - Re(conj(u_ki) u_kj) / (S_k + gamma_abs) ],
+        u_ki = sum_d conj(H_dk) A_dki,   A_dki = dH_dk/dtheta_i,
+
+    with ``cov = sigma^2 M^{-1}``. The OTF Jacobian ``A`` comes from
+    forward-mode autodiff through the synthesis (k passes). A plain GN on
+    the concentrated residual is NOT equivalent here — the profiled
+    object estimate carries the noise into the Jacobian and the naive
+    formula was measured ~5x optimistic; this form matches the
+    Monte-Carlo seed scatter (robust MAD, tests).
+
+    ``sigma`` (per-voxel noise std) defaults to the profiled-residual MLE
+    with the correct dof count — the object absorbs one complex dof of
+    the D per Fourier mode, so ``sigma^2 ~ sum_channels ||r||^2 /
+    ((D-1)*Nvox - k)``; the damped-object term is EXCLUDED (it is signal
+    leakage, not noise — including it was measured 2.2x high).
+
+    Caveat (measured): these are LOCAL (in-basin) error bars. At small
+    ``gamma`` an occasional noise realization jumps basins entirely
+    (1/16 seeds in the validation MC) — a heavy tail no local covariance
+    describes; see the ``gamma`` guidance in :func:`diversity_cost`.
+    Returns :class:`~microtipi_tpu.jobs.psf_fit.FitUncertainty` with
+    ``std`` as a ``{family: array}`` dict.
+    """
+    from microtipi_tpu.jobs.psf_fit import FitUncertainty
+
+    d = jnp.asarray(data, model.dtype)
+    n_img = d.shape[0]
+    phases = jnp.asarray(phases, model.dtype)
+    y_hat = jnp.fft.rfftn(d, axes=(1, 2, 3))
+    mult = jnp.asarray(_rfft_multiplicity(model.shape, np.float64), model.dtype)
+    n_vox = float(np.prod(model.shape))
+    w = (None if image_weights is None
+         else jnp.asarray(image_weights, model.dtype)[:, None, None, None])
+
+    names = tuple(FAMILY_NAMES[f] for f in families)
+    sizes = [int(getattr(params, nm).shape[0]) for nm in names]
+    x0 = jnp.concatenate([getattr(params, nm) for nm in names])
+
+    def otf(v):
+        sub, off = {}, 0
+        for nm, sz in zip(names, sizes):
+            sub[nm] = v[off:off + sz]
+            off += sz
+        h = diversity_psfs(model, params._replace(**sub), phases)
+        return jnp.fft.rfftn(h, axes=(1, 2, 3))
+
+    h_hat = otf(x0)                       # (D, ...) complex
+    a = jax.jacfwd(otf)(x0)               # (D, ..., k) complex
+    wh = h_hat if w is None else w * h_hat
+    s = jnp.sum(jnp.real(h_hat) * jnp.real(wh)
+                + jnp.imag(h_hat) * jnp.imag(wh), axis=0)
+    g = gamma * jnp.max(s)
+    x_hat = jnp.sum(jnp.conj(wh) * y_hat, axis=0) / (s + g)
+    x2 = jnp.real(x_hat) ** 2 + jnp.imag(x_hat) ** 2
+
+    wa = a if w is None else w[..., None] * a
+    aa = jnp.einsum("d...i,d...j->...ij", jnp.conj(a), wa).real
+    u = jnp.einsum("d...,d...i->...i", jnp.conj(h_hat), wa)
+    uu = (jnp.einsum("...i,...j->...ij", jnp.conj(u), u).real
+          / (s + g)[..., None, None])
+    m = jnp.einsum("zyx,zyxij->ij",
+                   (mult * x2).reshape(s.shape), aa - uu) / n_vox
+    m = 0.5 * (m + m.T)
+
+    k_model = x0.shape[0]
+    if sigma is None:
+        r = (y_hat - h_hat * x_hat[None]) * (1.0 if w is None else jnp.sqrt(w))
+        rss = jnp.sum(mult * jnp.sum(jnp.real(r) ** 2 + jnp.imag(r) ** 2,
+                                     axis=0)) / n_vox
+        sigma2 = rss / max((n_img - 1) * n_vox - k_model, 1.0)
+        sigma_out = jnp.sqrt(sigma2)
+    else:
+        sigma_out = jnp.asarray(sigma, model.dtype)
+        sigma2 = sigma_out * sigma_out
+    eye = jnp.eye(k_model, dtype=m.dtype)
+    cov = sigma2 * jnp.linalg.solve(m, eye)
+    std_all = jnp.sqrt(jnp.diagonal(cov))
+    std, off = {}, 0
+    for nm, sz in zip(names, sizes):
+        std[nm] = std_all[off:off + sz]
+        off += sz
+    return FitUncertainty(std, cov, sigma_out)
 
 
 def fit_psf_diversity(

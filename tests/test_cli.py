@@ -1271,7 +1271,7 @@ def test_cli_fitpsf_phase_diversity(tmp_path):
         ["fitpsf", "a.tif", "b.tif", "--diversity-dz=-2e-7,2e-7",
          "--diversity-gamma", "1e-7", "--n-phase", "2", "--radial",
          "--na", "1.4", "--wavelength", "500e-9", "--families", "phase",
-         "--iters", "60", "--params-out", "params.json",
+         "--iters", "60", "--params-out", "params.json", "--uncertainty",
          "--object-out", "obj.tif", "--out", "psf.tif"],
         tmp_path,
     )
@@ -1279,6 +1279,7 @@ def test_cli_fitpsf_phase_diversity(tmp_path):
     params = json.loads((tmp_path / "params.json").read_text())
     np.testing.assert_allclose(params["phase"], [0.3, -0.2], atol=0.05)
     assert params["diversity_kind"] == "defocus"
+    assert len(params["std"]["phase"]) == 2  # --uncertainty error bars
     obj = read_stack(tmp_path / "obj.tif")
     assert obj.shape == shape and np.isfinite(obj).all()
     psf = read_stack(tmp_path / "psf.tif")

@@ -285,3 +285,45 @@ def test_data_shape_validation():
         diversity_cost(model, jnp.zeros(model.shape), phases)
     with pytest.raises(ValueError, match="diversity phases"):
         diversity_cost(model, jnp.zeros((3,) + model.shape), phases)
+
+
+def test_diversity_fit_uncertainty_matches_mc_scatter():
+    """The Schur-complement Fisher error bars describe the in-basin seed
+    scatter (robust MAD) and the residual-MLE sigma recovers the injected
+    noise level."""
+    from microtipi_tpu.jobs.diversity import diversity_fit_uncertainty
+    from microtipi_tpu.jobs.psf_fit import PsfFitConfig
+
+    model = _model2d(n=32, n_phase=2)
+    key = jax.random.PRNGKey(1)
+    x = _uniform_object(model.shape, key, jnp.float64)
+    alpha_true = jnp.array([0.3, -0.2], jnp.float64)
+    truth = model.init_params()._replace(phase=alpha_true)
+    phases = defocus_diversity(model, [-2e-7, 2e-7])
+    hs = diversity_psfs(model, truth, jnp.asarray(phases))
+    clean = jnp.stack([_blur(hs[d], x) for d in range(2)])
+    sigma = 0.002 * float(jnp.max(clean))
+
+    fit = jax.jit(lambda d: fit_psf_diversity(
+        model, d, phases, gamma=1e-5, params0=truth,
+        config=PsfFitConfig(max_iter=120, grtol=1e-14)).params.phase)
+    ests = []
+    for seed in range(8):
+        dd = clean + sigma * jax.random.normal(
+            jax.random.PRNGKey(seed), clean.shape, dtype=clean.dtype)
+        ests.append(np.asarray(fit(dd)))
+    ests = np.stack(ests)
+    delta = ests - np.asarray(alpha_true)
+    mad = 1.4826 * np.median(np.abs(delta - np.median(delta, 0)), 0)
+
+    dd = clean + sigma * jax.random.normal(
+        jax.random.PRNGKey(0), clean.shape, dtype=clean.dtype)
+    p = model.init_params()._replace(phase=jnp.asarray(ests[0]))
+    unc = diversity_fit_uncertainty(model, p, (PHASE,), dd, phases, gamma=1e-5)
+    gn = np.asarray(unc.std["phase"])
+
+    assert float(unc.sigma) == pytest.approx(sigma, rel=0.5)
+    # error bars within ~3x of the robust MC scatter, both directions
+    for i in range(2):
+        assert gn[i] < 4 * max(mad[i], 1e-6), (i, gn, mad)
+        assert gn[i] > mad[i] / 4, (i, gn, mad)
