@@ -21,12 +21,14 @@ from microtipi_tpu.models.widefield import WideFieldConfig, WideFieldParams
 from microtipi_tpu.models.gibson_lanni import GibsonLanniConfig, GibsonLanniParams
 from microtipi_tpu.models.confocal import ConfocalConfig, TwoPhotonConfig
 from microtipi_tpu.models.lightsheet import LightSheetConfig, LightSheetParams
+from microtipi_tpu.models.ism import ISMConfig, hex_offsets
 from microtipi_tpu.models.sted import STEDConfig, STEDParams
 from microtipi_tpu.models.vectorial import VectorialConfig
 from microtipi_tpu.jobs.autotune import AutoMuResult, deconvolve_auto_mu, estimate_noise_sigma
 from microtipi_tpu.jobs.phase_retrieval import (
     PupilRetrievalResult, project_phase, remove_position_gauges, retrieve_pupil)
 from microtipi_tpu.jobs.blind import BlindDeconvConfig, BlindDeconvResult, blind_deconvolve
+from microtipi_tpu.jobs.ism import ism_reassign, ism_richardson_lucy
 from microtipi_tpu.jobs.diversity import (
     defocus_diversity, diversity_fit_uncertainty, diversity_object_estimate,
     diversity_psfs, fit_psf_diversity, zernike_diversity)
@@ -80,6 +82,7 @@ __all__ = [
     "WideFieldConfig", "WideFieldParams",
     "GibsonLanniConfig", "GibsonLanniParams",
     "ConfocalConfig", "TwoPhotonConfig", "VectorialConfig", "STEDConfig", "STEDParams",
+    "ISMConfig", "hex_offsets", "ism_reassign", "ism_richardson_lucy",
     "LightSheetConfig", "LightSheetParams",
     "BlindDeconvConfig", "BlindDeconvResult", "blind_deconvolve",
     "DeconvolutionConfig", "DeconvolutionResult", "deconvolve",

@@ -2334,6 +2334,68 @@ def cmd_fuse(args):
     print("wrote", args.out)
 
 
+def cmd_ism(args):
+    """ISM / Airyscan reconstruction: pixel reassignment or joint MLE over
+    the detector-array element images (models/ism.py, jobs/ism.py)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from microtipi_tpu.jobs.ism import ism_reassign, ism_richardson_lucy
+    from microtipi_tpu.models.ism import ISMConfig
+    from microtipi_tpu.utils.arrays import roll
+
+    _resolve_geometry(args, args.data[0])
+    k = 1 + 3 * args.rings * (args.rings + 1)
+    if len(args.data) == 1:
+        vol = np.asarray(_read_input_volume(args, args.data[0]))
+        if vol.shape[0] % k:
+            sys.exit(f"{args.data[0]}: {vol.shape[0]} planes does not split "
+                     f"into {k} element volumes (--rings {args.rings}); "
+                     "planes must be element-major (element 0's z stack "
+                     "first, center-out hex order)")
+        data = vol.reshape(k, vol.shape[0] // k, *vol.shape[1:])
+    else:
+        if len(args.data) != k:
+            sys.exit(f"need 1 interleaved stack or {k} element stacks "
+                     f"(--rings {args.rings}), got {len(args.data)}")
+        vols = [np.asarray(_read_input_volume(args, p)) for p in args.data]
+        if len({v.shape for v in vols}) != 1:
+            sys.exit(f"element stacks must share one shape, got "
+                     f"{[v.shape for v in vols]}")
+        data = np.stack(vols)
+    model = ISMConfig(
+        shape=tuple(data.shape[1:]), na=args.na, wavelength=args.wavelength,
+        wavelength_exc=args.wavelength_exc, ni=args.ni, dxy=args.dxy,
+        dz=args.dz, n_phase=args.n_phase, n_modulus=args.n_modulus,
+        radial=args.radial, element_pitch=args.pitch, rings=args.rings,
+        pinhole=args.element_radius, reassign_factor=args.reassign_factor,
+    )
+    params = (_load_params_json(model, args.params_json)
+              if args.params_json else model.init_params())
+    data = jnp.asarray(data, model.dtype)
+    t0 = time.time()
+    if args.method == "reassign":
+        x = jax.jit(lambda d: ism_reassign(model, d))(data)
+        what = f"pixel reassignment (s={model.reassign_factor})"
+    else:
+        bp = {"matched": "matched", "wb": "wiener-butterworth"}[args.rl_backprojector]
+        x = jax.jit(lambda d, p: ism_richardson_lucy(
+            model, p, d, iterations=args.iters, background=args.background,
+            backprojector=bp))(data, params)
+        what = f"joint MLE over {k} elements, {args.iters} RL iterations"
+    x = np.asarray(x)
+    print(f"ism: {what}, {time.time()-t0:.1f}s (incl. compile)")
+    _write_out(args, args.out, x, dxy=args.dxy, dz=args.dz)
+    print("wrote", args.out)
+    if args.psf_out:
+        h = np.asarray(jax.jit(model.compute_psf)(params))
+        if args.centered:
+            h = np.asarray(roll(jnp.asarray(h)))
+        _write_out(args, args.psf_out, h, dxy=args.dxy, dz=args.dz)
+        print(f"wrote {args.psf_out} (reassigned-sum ISM PSF — feed to "
+              f"deconv --psf for Airyscan-style joint deconvolution)")
+
+
 def cmd_watch(args):
     from microtipi_tpu.serve import watch
 
@@ -2767,6 +2829,46 @@ def main(argv=None):
     p.add_argument("--ome", action="store_true",
                    help="write output as OME-TIFF")
     p.set_defaults(fn=cmd_fuse)
+
+    p = sub.add_parser(
+        "ism", help="ISM/Airyscan: reconstruct detector-array confocal data")
+    p.add_argument("data", nargs="+",
+                   help="element images: ONE element-major interleaved stack "
+                        "(K*Nz planes, element 0's z stack first) or K "
+                        "stacks, center-out hex order (ISMConfig.offsets())")
+    p.add_argument("--out", required=True)
+    p.add_argument("--pitch", type=float, required=True,
+                   help="element spacing projected to object space [m] "
+                        "(physical pitch / total magnification)")
+    p.add_argument("--rings", type=int, default=2,
+                   help="hex rings around the center element "
+                        "(K = 1 + 3r(r+1): 7/19/37 for 1/2/3)")
+    p.add_argument("--element-radius", type=float, default=0.0,
+                   help="element aperture radius in object space [m] "
+                        "(0 = point elements)")
+    p.add_argument("--reassign-factor", type=float, default=0.5,
+                   help="pixel-reassignment scale s (0.5 = matched widths; "
+                        "slightly less with a large Stokes shift)")
+    p.add_argument("--method", choices=["reassign", "rl"], default="reassign",
+                   help="reassign = classical pixel reassignment (then "
+                        "deconvolve with --psf-out); rl = joint Poisson MLE "
+                        "over the raw element images (exact per-element "
+                        "physics)")
+    p.add_argument("--iters", type=int, default=50, help="[rl] iterations")
+    p.add_argument("--background", type=float, default=0.0)
+    p.add_argument("--rl-backprojector", choices=["matched", "wb"],
+                   default="matched")
+    p.add_argument("--params-json", default=None,
+                   help="calibrated pupil parameters (fitpsf --params-out)")
+    p.add_argument("--psf-out", default=None,
+                   help="also write the reassigned-sum ISM PSF")
+    p.add_argument("--centered", action="store_true",
+                   help="[--psf-out] write the PSF in centered layout")
+    p.add_argument("--ome", action="store_true", help="write OME-TIFF")
+    _preprocess_args(p)
+    _model_args(p)
+    _hyperstack_args(p)
+    p.set_defaults(fn=cmd_ism)
 
     p = sub.add_parser("watch", help="serve: watch a directory, deconvolve arriving stacks")
     p.add_argument("indir")

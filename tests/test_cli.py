@@ -1306,3 +1306,53 @@ def test_cli_fitpsf_diversity_validation(tmp_path):
               "--radial"], tmp_path)
     assert r.returncode != 0
     assert "full basis" in (r.stdout + r.stderr)
+
+
+def test_cli_ism_reassign_and_rl(tmp_path):
+    """ism: interleaved element-major stack -> reassigned volume + ISM PSF,
+    and the joint-MLE route."""
+    import jax.numpy as jnp
+
+    from microtipi_tpu.io.tiffstack import read_stack, write_stack
+    from microtipi_tpu.models.ism import ISMConfig
+
+    shape = (4, 16, 16)
+    m = ISMConfig(shape=shape, na=1.2, wavelength=520e-9,
+                  wavelength_exc=488e-9, ni=1.33, dxy=60e-9, dz=200e-9,
+                  element_pitch=2 * 60e-9, rings=1, dtype=jnp.float64)
+    p = m.init_params()
+    hk = m.compute_psfs(p)
+    obj = np.zeros(shape)
+    obj[2, 8, 8] = 50.0
+    obj[1, 4, 11] = 30.0
+    data = np.stack([
+        np.asarray(jnp.fft.irfftn(jnp.fft.rfftn(hk[k]) * jnp.fft.rfftn(jnp.asarray(obj)),
+                                  s=shape))
+        for k in range(m.n_elements)])
+    write_stack(tmp_path / "ism.tif",
+                data.reshape(-1, *shape[1:]).astype(np.float32),
+                dxy=60e-9, dz=200e-9)
+
+    base = ["ism", "ism.tif", "--pitch", "1.2e-7", "--rings", "1",
+            "--na", "1.2", "--wavelength", "520e-9",
+            "--wavelength-exc", "488e-9", "--ni", "1.33"]
+    r = _run([*base, "--out", "re.tif", "--psf-out", "psf.tif"], tmp_path)
+    assert r.returncode == 0, r.stderr
+    re_vol = read_stack(tmp_path / "re.tif")
+    assert re_vol.shape == shape and np.isfinite(re_vol).all()
+    psf = read_stack(tmp_path / "psf.tif")
+    assert psf.shape == shape and np.isfinite(psf).all()
+
+    r = _run([*base, "--out", "rl.tif", "--method", "rl", "--iters", "10"],
+             tmp_path)
+    assert r.returncode == 0, r.stderr
+    rl_vol = read_stack(tmp_path / "rl.tif")
+    assert rl_vol.shape == shape and np.isfinite(rl_vol).all()
+
+    # plane-count validation
+    write_stack(tmp_path / "bad.tif", np.zeros((9, 16, 16), np.float32),
+                dxy=60e-9, dz=200e-9)
+    r = _run(["ism", "bad.tif", "--pitch", "1.2e-7", "--rings", "1",
+              "--out", "x.tif"], tmp_path)
+    assert r.returncode != 0
+    assert "does not split" in (r.stdout + r.stderr)
