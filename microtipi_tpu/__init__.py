@@ -20,7 +20,8 @@ from microtipi_tpu.models.microscope import DEFOCUS, DEPTH, MODULUS, PARAMETER_F
 from microtipi_tpu.models.widefield import WideFieldConfig, WideFieldParams
 from microtipi_tpu.models.gibson_lanni import GibsonLanniConfig, GibsonLanniParams
 from microtipi_tpu.models.confocal import ConfocalConfig, TwoPhotonConfig
-from microtipi_tpu.models.lightsheet import LightSheetConfig, LightSheetParams
+from microtipi_tpu.models.lightsheet import (
+    LightSheetConfig, LightSheetParams, StructuredSheetConfig)
 from microtipi_tpu.models.ism import ISMConfig, hex_offsets
 from microtipi_tpu.models.sted import STEDConfig, STEDParams
 from microtipi_tpu.models.vectorial import VectorialConfig
@@ -83,7 +84,7 @@ __all__ = [
     "GibsonLanniConfig", "GibsonLanniParams",
     "ConfocalConfig", "TwoPhotonConfig", "VectorialConfig", "STEDConfig", "STEDParams",
     "ISMConfig", "hex_offsets", "ism_reassign", "ism_richardson_lucy",
-    "LightSheetConfig", "LightSheetParams",
+    "LightSheetConfig", "LightSheetParams", "StructuredSheetConfig",
     "BlindDeconvConfig", "BlindDeconvResult", "blind_deconvolve",
     "DeconvolutionConfig", "DeconvolutionResult", "deconvolve",
     "AutoMuResult", "deconvolve_auto_mu", "estimate_noise_sigma",

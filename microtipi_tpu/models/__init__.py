@@ -2,7 +2,8 @@
 from microtipi_tpu.models.confocal import ConfocalConfig, TwoPhotonConfig
 from microtipi_tpu.models.gibson_lanni import GibsonLanniConfig, GibsonLanniParams
 from microtipi_tpu.models.ism import ISMConfig, hex_offsets
-from microtipi_tpu.models.lightsheet import LightSheetConfig, LightSheetParams
+from microtipi_tpu.models.lightsheet import (
+    LightSheetConfig, LightSheetParams, StructuredSheetConfig)
 from microtipi_tpu.models.vectorial import VectorialConfig
 from microtipi_tpu.models.microscope import (
     DEFOCUS,
@@ -19,7 +20,7 @@ from microtipi_tpu.models.widefield import WideFieldConfig, WideFieldParams
 __all__ = [
     "WideFieldConfig", "WideFieldParams",
     "GibsonLanniConfig", "GibsonLanniParams",
-    "ISMConfig", "hex_offsets",
+    "ISMConfig", "hex_offsets", "StructuredSheetConfig",
     "ConfocalConfig", "TwoPhotonConfig", "VectorialConfig",
     "LightSheetConfig", "LightSheetParams",
     "PsfModel", "DEFOCUS", "PHASE", "MODULUS", "DEPTH", "SHEET",
