@@ -60,6 +60,20 @@ def _model_args(p: argparse.ArgumentParser):
     g.add_argument("--sheet-na", type=float, default=0.1,
                    help="[lightsheet] illumination NA of the sheet-forming "
                         "optics (sets the default waist)")
+    g.add_argument("--sheet-mode", choices=["gaussian", "bessel", "lattice"],
+                   default="gaussian",
+                   help="[lightsheet] excitation sheet type: gaussian "
+                        "(cylindrical focus), bessel (dithered annulus), "
+                        "lattice (dithered beam lattice) — the latter two "
+                        "use --sheet-na-min/--sheet-na-max")
+    g.add_argument("--sheet-na-min", type=float, default=0.4,
+                   help="[bessel/lattice] illumination annulus inner NA")
+    g.add_argument("--sheet-na-max", type=float, default=0.55,
+                   help="[bessel/lattice] illumination annulus outer NA")
+    g.add_argument("--lattice-ky", type=_comma_floats, default=[0.0],
+                   metavar="U1,U2,..",
+                   help="[lattice] beam positions as ky/k fractions on the "
+                        "ring (each u spawns the symmetric spot set)")
     g.add_argument("--no-sheet-divergence", action="store_true",
                    help="[lightsheet] ideal uniform sheet (drop the "
                         "Gaussian-beam waist growth across the FOV)")
@@ -348,6 +362,16 @@ def _build_model(args, shape):
 
         return VectorialConfig(**common)
     if kind == "lightsheet":
+        if getattr(args, "sheet_mode", "gaussian") != "gaussian":
+            from microtipi_tpu.models.lightsheet import StructuredSheetConfig
+
+            return StructuredSheetConfig(
+                sheet_mode=args.sheet_mode,
+                sheet_na_min=args.sheet_na_min,
+                sheet_na_max=args.sheet_na_max,
+                lattice_ky=tuple(args.lattice_ky),
+                wavelength_exc=args.wavelength_exc, **common
+            )
         from microtipi_tpu.models.lightsheet import LightSheetConfig
 
         return LightSheetConfig(

@@ -1356,3 +1356,26 @@ def test_cli_ism_reassign_and_rl(tmp_path):
               "--out", "x.tif"], tmp_path)
     assert r.returncode != 0
     assert "does not split" in (r.stdout + r.stderr)
+
+
+def test_cli_psf_structured_sheet(tmp_path):
+    """psf --model lightsheet --sheet-mode bessel/lattice synthesizes
+    structured-sheet PSFs (StructuredSheetConfig via the model flags)."""
+    from microtipi_tpu.io.tiffstack import read_stack
+
+    r = _run(["psf", "bessel.tif", "--shape", "16", "24", "24",
+              "--model", "lightsheet", "--sheet-mode", "bessel",
+              "--sheet-na-min", "0.35", "--sheet-na-max", "0.5",
+              "--dxy", "100e-9", "--dz", "200e-9"], tmp_path)
+    assert r.returncode == 0, r.stderr
+    h = read_stack(tmp_path / "bessel.tif")
+    assert h.shape == (16, 24, 24) and np.isfinite(h).all() and h.min() >= 0
+
+    r = _run(["psf", "lat.tif", "--shape", "16", "24", "24",
+              "--model", "lightsheet", "--sheet-mode", "lattice",
+              "--lattice-ky", "0.0,0.5", "--dxy", "100e-9",
+              "--dz", "200e-9"], tmp_path)
+    assert r.returncode == 0, r.stderr
+    h2 = read_stack(tmp_path / "lat.tif")
+    assert h2.shape == (16, 24, 24) and np.isfinite(h2).all()
+    assert not np.allclose(h, h2)  # different sheets, different PSFs
