@@ -32,8 +32,10 @@ if jax.default_backend() not in ("tpu", "axon"):
 from microtipi_tpu import (
     ConfocalConfig,
     GibsonLanniConfig,
+    ISMConfig,
     LightSheetConfig,
     PsfFitConfig,
+    StructuredSheetConfig,
     TwoPhotonConfig,
     VectorialConfig,
     WideFieldConfig,
@@ -61,6 +63,11 @@ MODELS = {
     "two-photon": TwoPhotonConfig(**KW),
     "vectorial": VectorialConfig(**KW),
     "light-sheet": LightSheetConfig(sheet_na=0.12, wavelength_exc=488e-9, **KW),
+    "lattice-sheet": StructuredSheetConfig(
+        sheet_mode="lattice", lattice_ky=(0.0, 0.5), sheet_na_min=0.4,
+        sheet_na_max=0.55, wavelength_exc=488e-9, **KW),
+    "ism": ISMConfig(element_pitch=2 * KW["dxy"], rings=1,
+                     wavelength_exc=488e-9, **KW),
 }
 
 TRUE_PHASE = jnp.asarray([0.3, -0.2, 0.1], DTYPE)
