@@ -1845,8 +1845,10 @@ def _cmd_fitpsf_diversity(args, stacks):
     if len(stacks) < 2:
         sys.exit("phase diversity needs >= 2 acquisitions (a single image "
                  "is the non-identifiable blind case — BASELINE.md)")
-    _resolve_geometry(args, stacks[0])
+    # read BEFORE resolving geometry: _read_input_volume autofills
+    # wavelength/dxy/dz from OME metadata only while they are still None
     vols = [np.asarray(_read_input_volume(args, p)) for p in stacks]
+    _resolve_geometry(args, stacks[0])
     if len({v.shape for v in vols}) != 1:
         sys.exit(f"diversity stacks must share one shape, got "
                  f"{[v.shape for v in vols]}")
@@ -1886,11 +1888,13 @@ def _cmd_fitpsf_diversity(args, stacks):
         from microtipi_tpu.jobs.diversity import diversity_fit_uncertainty
 
         unc = jax.jit(lambda d, p: diversity_fit_uncertainty(
-            model, p, families, d, phases,
-            gamma=args.diversity_gamma))(data, res.params)
+            model, p, families, d, phases, gamma=args.diversity_gamma,
+            phase_freeze_head=1 if args.pin_z4 else None,  # match the fit
+        ))(data, res.params)
         std = {k: np.asarray(v).tolist() for k, v in unc.std.items()}
         print(f"noise sigma (profiled-residual MLE): {float(unc.sigma):.4g}"
-              f" (in-basin error bars; BASELINE.md caveat)")
+              f" (in-basin error bars; NaN = held-fixed gauge mode; "
+              f"BASELINE.md caveat)")
     for name, vals in params.items():
         line = f"{name}: {np.round(np.asarray(vals), 5)}"
         if std is not None and name in std:
@@ -2368,7 +2372,9 @@ def cmd_ism(args):
     from microtipi_tpu.models.ism import ISMConfig
     from microtipi_tpu.utils.arrays import roll
 
-    _resolve_geometry(args, args.data[0])
+    if args.model != "widefield":
+        sys.exit("ism builds its own detector-array model from the scalar "
+                 "pupil; --model is not supported here")
     k = 1 + 3 * args.rings * (args.rings + 1)
     if len(args.data) == 1:
         vol = np.asarray(_read_input_volume(args, args.data[0]))
@@ -2387,12 +2393,16 @@ def cmd_ism(args):
             sys.exit(f"element stacks must share one shape, got "
                      f"{[v.shape for v in vols]}")
         data = np.stack(vols)
+    _resolve_geometry(args, args.data[0])  # after reads: metadata autofill
+    # --element-radius is the ISM name; fall back to _model_args' --pinhole
+    # (same physical quantity) instead of silently discarding it
+    element_r = args.element_radius if args.element_radius else args.pinhole
     model = ISMConfig(
         shape=tuple(data.shape[1:]), na=args.na, wavelength=args.wavelength,
         wavelength_exc=args.wavelength_exc, ni=args.ni, dxy=args.dxy,
         dz=args.dz, n_phase=args.n_phase, n_modulus=args.n_modulus,
         radial=args.radial, element_pitch=args.pitch, rings=args.rings,
-        pinhole=args.element_radius, reassign_factor=args.reassign_factor,
+        pinhole=element_r, reassign_factor=args.reassign_factor,
     )
     params = (_load_params_json(model, args.params_json)
               if args.params_json else model.init_params())

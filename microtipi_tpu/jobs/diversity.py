@@ -104,7 +104,7 @@ def defocus_diversity(model, deltas, lambda_ni: float | None = None) -> np.ndarr
         lambda_ni = model.ni / model.wavelength
     ky, kx = fft_freq2(ny, nx, model.dxy)
     q = lambda_ni * lambda_ni - kx * kx - ky * ky
-    psi = np.sqrt(np.maximum(q, 0.0)) * (q > 0)
+    psi = np.sqrt(np.maximum(q, 0.0))  # 0 on the evanescent region
     return (2.0 * np.pi) * deltas[:, None, None] * psi[None]
 
 
@@ -266,6 +266,7 @@ def diversity_fit_uncertainty(
     gamma: float = 1e-3,
     image_weights=None,
     sigma: float | None = None,
+    phase_freeze_head: int | None = None,
 ):
     """1-sigma error bars for a :func:`fit_psf_diversity` solution.
 
@@ -293,6 +294,15 @@ def diversity_fit_uncertainty(
     ((D-1)*Nvox - k)``; the damped-object term is EXCLUDED (it is signal
     leakage, not noise — including it was measured 2.2x high).
 
+    ``phase_freeze_head`` must MATCH the fit's (None = the same auto rule
+    as :func:`fit_psf_diversity`: pin Z4 for volumetric models): frozen
+    modes were never estimated, so they are excluded from the Fisher
+    variable — including the near-flat pinned gauge direction would both
+    fabricate an error bar for a held-fixed parameter and leak its
+    near-singularity into the other modes' marginals through the inverse
+    (caught in review). Frozen entries come back as NaN in ``std``
+    ("held fixed, not estimated").
+
     Caveat (measured): these are LOCAL (in-basin) error bars. At small
     ``gamma`` an occasional noise realization jumps basins entirely
     (1/16 seeds in the validation MC) — a heavy tail no local covariance
@@ -311,14 +321,23 @@ def diversity_fit_uncertainty(
     w = (None if image_weights is None
          else jnp.asarray(image_weights, model.dtype)[:, None, None, None])
 
+    if phase_freeze_head is None:
+        volumetric = model.shape[0] > 1
+        phase_freeze_head = 1 if (volumetric and model.n_phase >= 2) else 0
     names = tuple(FAMILY_NAMES[f] for f in families)
-    sizes = [int(getattr(params, nm).shape[0]) for nm in names]
-    x0 = jnp.concatenate([getattr(params, nm) for nm in names])
+    freeze = {nm: (phase_freeze_head if nm == "phase" else 0) for nm in names}
+    for nm in names:
+        if not 0 <= freeze[nm] < getattr(params, nm).shape[0]:
+            raise ValueError(
+                f"phase_freeze_head={freeze[nm]} out of range for {nm!r}")
+    sizes = [int(getattr(params, nm).shape[0]) - freeze[nm] for nm in names]
+    x0 = jnp.concatenate([getattr(params, nm)[freeze[nm]:] for nm in names])
 
     def otf(v):
         sub, off = {}, 0
         for nm, sz in zip(names, sizes):
-            sub[nm] = v[off:off + sz]
+            full = getattr(params, nm)
+            sub[nm] = full.at[freeze[nm]:].set(v[off:off + sz])
             off += sz
         h = diversity_psfs(model, params._replace(**sub), phases)
         return jnp.fft.rfftn(h, axes=(1, 2, 3))
@@ -355,8 +374,12 @@ def diversity_fit_uncertainty(
     cov = sigma2 * jnp.linalg.solve(m, eye)
     std_all = jnp.sqrt(jnp.diagonal(cov))
     std, off = {}, 0
+    nan = jnp.asarray(jnp.nan, std_all.dtype)
     for nm, sz in zip(names, sizes):
-        std[nm] = std_all[off:off + sz]
+        s = std_all[off:off + sz]
+        if freeze[nm]:
+            s = jnp.concatenate([jnp.full((freeze[nm],), nan), s])
+        std[nm] = s
         off += sz
     return FitUncertainty(std, cov, sigma_out)
 

@@ -212,17 +212,26 @@ class StructuredSheetConfig(LightSheetConfig):
             sig = self.lattice_sigma or (self.sheet_na_max - self.sheet_na_min) / 2
             sig_k = 2.0 * np.pi * sig / self._lambda_exc
             mask = np.zeros((m, m))
+            if not self.lattice_ky:
+                raise ValueError(
+                    "lattice mode needs at least one lattice_ky beam position")
             for u in self.lattice_ky:
                 u = float(u)
                 if not -1.0 <= u <= 1.0:
                     raise ValueError(f"lattice_ky fraction {u} outside [-1, 1]")
                 cy = u * k_max
                 cz = np.sqrt(max(1.0 - u * u, 0.0)) * k_max
-                for sy in ({1.0} if u == 0.0 else {1.0, -1.0}):
-                    for sz in (1.0, -1.0):
+                # set-dedup BOTH sign loops: u=0 collapses the ky pair,
+                # u=+-1 collapses the kz pair (plain tuples double-counted
+                # the on-axis spots — caught in review)
+                for sy in ({1.0} if cy == 0.0 else {1.0, -1.0}):
+                    for sz in ({1.0} if cz == 0.0 else {1.0, -1.0}):
                         mask += np.exp(-(((kyy - sy * cy) ** 2
                                           + (kzz - sz * cz) ** 2)
                                          / (2.0 * sig_k ** 2)))
+        if not np.any(mask > 0):
+            raise ValueError("illumination mask is empty (check the annulus "
+                             "NAs / lattice positions)")
         cached = (mask, kz)
         object.__setattr__(self, "_illum_cache", cached)
         return cached

@@ -327,3 +327,26 @@ def test_diversity_fit_uncertainty_matches_mc_scatter():
     for i in range(2):
         assert gn[i] < 4 * max(mad[i], 1e-6), (i, gn, mad)
         assert gn[i] > mad[i] / 4, (i, gn, mad)
+
+
+def test_uncertainty_excludes_pinned_gauge_mode():
+    """Volumetric fits auto-pin Z4; the Fisher must exclude it (NaN std),
+    not fabricate an error bar for a held-fixed near-flat gauge mode."""
+    from microtipi_tpu.jobs.diversity import diversity_fit_uncertainty
+
+    model = _model3d(nz=4, n=16, n_phase=3)
+    x = _uniform_object(model.shape, jax.random.PRNGKey(0), jnp.float64)
+    truth = model.init_params()._replace(
+        phase=jnp.array([0.0, -0.15, 0.1], jnp.float64))
+    phases = zernike_diversity(model, [[0, 1.0, 0], [0, -1.0, 0]])
+    data = _make_data(model, truth, phases, x, noise=0.005)
+    unc = diversity_fit_uncertainty(
+        model, truth, (PHASE,), data, phases, gamma=1e-3)
+    std = np.asarray(unc.std["phase"])
+    assert np.isnan(std[0])  # pinned gauge mode: not estimated
+    assert np.all(np.isfinite(std[1:])) and np.all(std[1:] > 0)
+    # explicit no-pin request keeps all modes
+    unc2 = diversity_fit_uncertainty(
+        model, truth, (PHASE,), data, phases, gamma=1e-3,
+        phase_freeze_head=0)
+    assert np.all(np.isfinite(np.asarray(unc2.std["phase"])))

@@ -255,3 +255,19 @@ def test_structured_sheet_psf_and_bead_calibration():
     z0, scale = np.asarray(fit.params.sheet)
     assert abs(z0 - 0.6 * m.dz) < 0.1 * m.dz, z0
     assert abs(abs(scale) - 1.15) < 0.01, scale
+
+
+def test_lattice_mask_validation_and_on_axis_weights():
+    """Empty lattice_ky raises instead of a silent NaN profile, and the
+    on-axis spots (u=0 or |u|=1) are not double-counted (review findings)."""
+    m_bad = _structured(mode="lattice", lattice_ky=())
+    with pytest.raises(ValueError, match="lattice_ky"):
+        m_bad.sheet_profile(jnp.asarray([0.0, 1.0], jnp.float64))
+
+    # u=1 (kz=0 pair) vs u=0 (ky=0 pair): both collapse one sign loop, so
+    # total mask energy per u must match (2 spots each)
+    m1 = _structured(mode="lattice", lattice_ky=(1.0,), lattice_sigma=0.02)
+    m0 = _structured(mode="lattice", lattice_ky=(0.0,), lattice_sigma=0.02)
+    e1 = float(m1._illumination_mask()[0].sum())
+    e0 = float(m0._illumination_mask()[0].sum())
+    assert abs(e1 - e0) / e0 < 0.05, (e1, e0)
