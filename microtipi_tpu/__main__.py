@@ -2407,15 +2407,23 @@ def cmd_ism(args):
     params = (_load_params_json(model, args.params_json)
               if args.params_json else model.init_params())
     data = jnp.asarray(data, model.dtype)
+    gains = None
+    if args.auto_gains:
+        from microtipi_tpu.jobs.ism import ism_element_gains
+
+        gains = jax.jit(lambda d, p: ism_element_gains(model, p, d))(
+            data, params)
+        print("element gains (relative, mean 1):",
+              np.round(np.asarray(gains), 4).tolist())
     t0 = time.time()
     if args.method == "reassign":
-        x = jax.jit(lambda d: ism_reassign(model, d))(data)
+        x = jax.jit(lambda d, g: ism_reassign(model, d, gains=g))(data, gains)
         what = f"pixel reassignment (s={model.reassign_factor})"
     else:
         bp = {"matched": "matched", "wb": "wiener-butterworth"}[args.rl_backprojector]
-        x = jax.jit(lambda d, p: ism_richardson_lucy(
+        x = jax.jit(lambda d, p, g: ism_richardson_lucy(
             model, p, d, iterations=args.iters, background=args.background,
-            backprojector=bp))(data, params)
+            backprojector=bp, gains=g))(data, params, gains)
         what = f"joint MLE over {k} elements, {args.iters} RL iterations"
     x = np.asarray(x)
     print(f"ism: {what}, {time.time()-t0:.1f}s (incl. compile)")
@@ -2894,6 +2902,11 @@ def main(argv=None):
                    default="matched")
     p.add_argument("--params-json", default=None,
                    help="calibrated pupil parameters (fitpsf --params-out)")
+    p.add_argument("--auto-gains", action="store_true",
+                   help="self-calibrate relative element gains from the "
+                        "data's per-element totals vs the model's light "
+                        "shares (every element sees the same object) and "
+                        "correct both methods")
     p.add_argument("--psf-out", default=None,
                    help="also write the reassigned-sum ISM PSF")
     p.add_argument("--centered", action="store_true",

@@ -146,3 +146,45 @@ def test_protocol_fit_on_reassembled_image():
     res = fit_psf(m, m.init_params(), PHASE, data, obj,
                   config=PsfFitConfig(max_iter=25, grtol=1e-10))
     assert float(jnp.abs(res.params.phase[0] - 0.25)) < 0.05, res.params.phase
+
+
+def test_element_gain_self_calibration():
+    """Known per-element gains + a constant offset recover exactly from the
+    totals-vs-light-share identity; correction restores the gain-free
+    reassignment."""
+    from microtipi_tpu.jobs.ism import ism_element_gains
+
+    m = _model(rings=1, pitch_px=2.0)
+    p = m.init_params()
+    hk = m.compute_psfs(p)
+    obj = jnp.asarray(np.abs(np.random.default_rng(0).standard_normal(m.shape)) * 20)
+    clean = jnp.stack([
+        jnp.fft.irfftn(jnp.fft.rfftn(hk[k]) * jnp.fft.rfftn(obj), s=m.shape)
+        for k in range(m.n_elements)])
+    g_true = jnp.asarray(np.linspace(0.7, 1.3, m.n_elements))
+    g_true = g_true / jnp.mean(g_true)
+
+    # offset-free data: exact recovery
+    g = ism_element_gains(m, p, clean * g_true[:, None, None, None])
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_true), rtol=1e-10)
+
+    # known dark level handled explicitly
+    data = clean * g_true[:, None, None, None] + 0.5
+    g2 = ism_element_gains(m, p, data, background=0.5)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g_true), rtol=1e-10)
+
+    re_corrected = ism_reassign(m, data - 0.5, gains=g2)
+    re_free = ism_reassign(m, clean)
+    np.testing.assert_allclose(np.asarray(re_corrected), np.asarray(re_free),
+                               atol=1e-8 * float(jnp.max(re_free)))
+
+    # median mode is for SPARSE scenes (mostly-background voxels)
+    sparse = np.zeros(m.shape)
+    sparse[3, 8, 8] = 100.0
+    sparse = jnp.asarray(sparse)
+    cs = jnp.stack([
+        jnp.fft.irfftn(jnp.fft.rfftn(hk[k]) * jnp.fft.rfftn(sparse), s=m.shape)
+        for k in range(m.n_elements)])
+    g3 = ism_element_gains(
+        m, p, cs * g_true[:, None, None, None] + 0.5, background="median")
+    np.testing.assert_allclose(np.asarray(g3), np.asarray(g_true), rtol=0.05)
