@@ -47,6 +47,13 @@ __all__ = ["minimize_vmlmb", "VMLMBResult", "VMLMBStatus"]
 
 
 class VMLMBStatus:
+    """Termination codes carried in ``VMLMBResult.status`` — the jittable
+    analog of the reference's ``OptimTask`` states
+    (``PSF_Estimation.java:219-249``). LINESEARCH_FAIL near convergence
+    usually means the objective's value resolution is exhausted at the
+    working dtype (see the f32 cancellation notes in ``jobs/psf_fit.py``),
+    not a solver defect: the returned best-x is still valid."""
+
     CONVERGED = 0
     MAX_ITER = 1
     MAX_EVAL = 2
