@@ -7,9 +7,13 @@ BASELINE.json's north star names *blind* deconvolution ("... >=50x throughput
 over CPU-Java on a 256^3 blind widefield deconvolution on one v5e chip at
 matched convergence"); ``bench.py`` measures the non-blind object step (the
 hot kernel), this script measures the full alternating loop: 5 rounds of
-(20-iter TV+positivity VMLMB object update, then defocus + phase PSF fits) as
-ONE jitted device dispatch (``jobs.blind.blind_deconvolve``; loop semantics
-``BlindDeconvJob.java:97-138``).
+(20-iter TV+positivity VMLMB object update, then a JOINT defocus+phase PSF
+fit) as ONE jitted device dispatch (``jobs.blind.blind_deconvolve``; loop
+semantics ``BlindDeconvJob.java:97-138``; the joint fit is the framework's
+recommended recipe — it both prevents the sequential coordinate-descent's
+defocus degradation, BASELINE.md, and halves the fit share of the wall:
+measured +25%% blind throughput at equal object iterations and
+equal-within-1%% final cost).
 
 Throughput counts object-step VMLMB iterations (the dominant cost; the PSF
 fits ride along, making the figure conservative):
@@ -41,13 +45,14 @@ from microtipi_tpu.ops.convolution import convolve, convolve_spectrum
 SHAPE = (256, 256, 256)
 LOOPS = 5
 OBJ_ITERS = 20
-# Measured 2026-08-16 on this host with the SAME code revision (45.8 s for 7
-# object iterations at 256^3, 2-loop/5-iter probe; per-iteration throughput
-# transfers). Both sides benefit from optimizer improvements — the stand-in
-# is re-measured whenever the solver changes. The bf16 L-BFGS-history lever
-# is TPU-auto only (the CPU path keeps f32 history by design), so it does
-# not move the stand-in. See BASELINE.md.
-CPU_BASELINE_MVOX_ITER_S = 2.56
+# Measured 2026-08-19 on this host with the SAME code revision AND the same
+# joint-fit recipe (36.2 s for 7 object iterations at 256^3, 2-loop/5-iter
+# probe; per-iteration throughput transfers; the previous sequential-recipe
+# stand-in was 2.56). Both sides benefit from optimizer improvements — the
+# stand-in is re-measured whenever the solver or recipe changes. The bf16
+# L-BFGS-history lever is TPU-auto only (the CPU path keeps f32 history by
+# design), so it does not move the stand-in. See BASELINE.md.
+CPU_BASELINE_MVOX_ITER_S = 3.25
 
 
 def main():
@@ -72,6 +77,7 @@ def main():
 
     cfg = BlindDeconvConfig(
         loops=LOOPS, families=(DEFOCUS, PHASE), psf_max_iter=(5, 5),
+        joint_fit=True,  # recommended recipe; +25% measured (BASELINE.md)
         deconv=DeconvolutionConfig(
             mu=0.01, epsilon=1.0, max_iter=OBJ_ITERS, grtol=0.0, gatol=0.0
         ),
