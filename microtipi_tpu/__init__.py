@@ -16,12 +16,13 @@ Two API levels:
   / ``api.DeconvolutionJob`` / ``api.BlindDeconvJob``.
 """
 
-from microtipi_tpu.models.microscope import DEFOCUS, DEPTH, MODULUS, PARAMETER_FLAGS, PHASE, SHEET, STED
+from microtipi_tpu.models.microscope import CAVITY, DEFOCUS, DEPTH, MODULUS, PARAMETER_FLAGS, PHASE, SHEET, STED
 from microtipi_tpu.models.widefield import WideFieldConfig, WideFieldParams
 from microtipi_tpu.models.gibson_lanni import GibsonLanniConfig, GibsonLanniParams
 from microtipi_tpu.models.confocal import ConfocalConfig, TwoPhotonConfig
 from microtipi_tpu.models.lightsheet import (
     LightSheetConfig, LightSheetParams, StructuredSheetConfig)
+from microtipi_tpu.models.fourpi import FourPiConfig, FourPiParams
 from microtipi_tpu.models.ism import ISMConfig, hex_offsets
 from microtipi_tpu.models.sted import STEDConfig, STEDParams
 from microtipi_tpu.models.vectorial import VectorialConfig
@@ -79,11 +80,12 @@ from microtipi_tpu.weights.updaters import InverseVarianceWeights, estimate_gain
 __version__ = "0.1.0"
 
 __all__ = [
-    "DEFOCUS", "PHASE", "MODULUS", "DEPTH", "SHEET", "STED", "PARAMETER_FLAGS",
+    "DEFOCUS", "PHASE", "MODULUS", "DEPTH", "SHEET", "STED", "CAVITY", "PARAMETER_FLAGS",
     "WideFieldConfig", "WideFieldParams",
     "GibsonLanniConfig", "GibsonLanniParams",
     "ConfocalConfig", "TwoPhotonConfig", "VectorialConfig", "STEDConfig", "STEDParams",
     "ISMConfig", "hex_offsets", "ism_reassign", "ism_richardson_lucy",
+    "FourPiConfig", "FourPiParams",
     "LightSheetConfig", "LightSheetParams", "StructuredSheetConfig",
     "BlindDeconvConfig", "BlindDeconvResult", "blind_deconvolve",
     "DeconvolutionConfig", "DeconvolutionResult", "deconvolve",

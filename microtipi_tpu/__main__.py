@@ -34,12 +34,14 @@ def _model_args(p: argparse.ArgumentParser):
     g = p.add_argument_group("optics")
     g.add_argument("--model",
                    choices=["widefield", "gl", "confocal", "2p", "vectorial",
-                            "lightsheet", "sted"],
+                            "lightsheet", "sted", "4pi"],
                    default="widefield",
                    help="PSF model family: widefield (reference parity), "
                         "gl (Gibson-Lanni depth aberration), confocal, "
                         "2p (two-photon), vectorial (Richards-Wolf high-NA), "
-                        "lightsheet (SPIM: widefield detection x Gaussian sheet)")
+                        "lightsheet (SPIM: widefield detection x Gaussian "
+                        "sheet; --sheet-mode for Bessel/lattice), 4pi "
+                        "(two-objective interferometric, --fourpi-type A|C)")
     g.add_argument("--ns", type=float, default=1.38,
                    help="[gl] sample refractive index")
     g.add_argument("--depth", type=float, default=0.0,
@@ -54,6 +56,12 @@ def _model_args(p: argparse.ArgumentParser):
     g.add_argument("--depletion", choices=["donut", "bottle"], default="donut",
                    help="[sted] depletion mask: lateral vortex donut or "
                         "axial pi-disk bottle beam")
+    g.add_argument("--fourpi-type", choices=["A", "C"], default="A",
+                   help="[4pi] interference on excitation only (A) or both "
+                        "arms (C)")
+    g.add_argument("--cavity-phase", type=float, default=0.0,
+                   help="[4pi] initial cavity phase [rad] (fittable: "
+                        "--families cavity)")
     g.add_argument("--saturation", type=float, default=0.0,
                    help="[sted] saturation factor zeta = I_peak/I_sat "
                         "(fittable via --families sted)")
@@ -377,6 +385,14 @@ def _build_model(args, shape):
         return LightSheetConfig(
             sheet_na=args.sheet_na, wavelength_exc=args.wavelength_exc,
             divergence=not args.no_sheet_divergence, **common
+        )
+    if kind == "4pi":
+        from microtipi_tpu.models.fourpi import FourPiConfig
+
+        return FourPiConfig(
+            fourpi_type=args.fourpi_type, cavity_phase=args.cavity_phase,
+            wavelength_exc=args.wavelength_exc, pinhole=args.pinhole,
+            **common
         )
     if kind == "sted":
         from microtipi_tpu.models.sted import STEDConfig
@@ -1324,16 +1340,20 @@ def _make_mesh(args):
 def _blind_config(args, data_shape):
     from microtipi_tpu.jobs.blind import BlindDeconvConfig
     from microtipi_tpu.jobs.psf_fit import PsfFitConfig
-    from microtipi_tpu.models.microscope import DEFOCUS, DEPTH, MODULUS, PHASE, SHEET, STED
+    from microtipi_tpu.models.microscope import (
+        CAVITY, DEFOCUS, DEPTH, MODULUS, PHASE, SHEET, STED)
 
     fam_map = {"defocus": DEFOCUS, "phase": PHASE, "modulus": MODULUS,
-               "depth": DEPTH, "sheet": SHEET, "sted": STED}
+               "depth": DEPTH, "sheet": SHEET, "sted": STED,
+               "cavity": CAVITY}
     if "depth" in args.families and args.model != "gl":
         sys.exit("--families depth requires --model gl (the DEPTH family lives on the Gibson-Lanni model)")
     if "sheet" in args.families and args.model != "lightsheet":
         sys.exit("--families sheet requires --model lightsheet (the SHEET family is the excitation-sheet geometry)")
     if "sted" in args.families and args.model != "sted":
         sys.exit("--families sted requires --model sted (the STED family is the depletion saturation factor)")
+    if "cavity" in args.families and args.model != "4pi":
+        sys.exit("--families cavity requires --model 4pi (the CAVITY family is the interferometric arm phase)")
     families = tuple(fam_map[f] for f in args.families)
     kw = dict(
         loops=args.loops,
@@ -1932,7 +1952,8 @@ def cmd_fitpsf(args):
     import jax
     import jax.numpy as jnp
     from microtipi_tpu.jobs.psf_fit import PsfFitConfig, fit_psf_beads
-    from microtipi_tpu.models.microscope import DEFOCUS, DEPTH, MODULUS, PHASE, SHEET, STED
+    from microtipi_tpu.models.microscope import (
+        CAVITY, DEFOCUS, DEPTH, MODULUS, PHASE, SHEET, STED)
     from microtipi_tpu.utils.arrays import roll
 
     stacks = args.stack if isinstance(args.stack, list) else [args.stack]
@@ -1976,11 +1997,14 @@ def cmd_fitpsf(args):
               f"{'centered' if args.centered else 'corner-origin'}, unit sum)")
         return
     fam_map = {"defocus": DEFOCUS, "phase": PHASE, "modulus": MODULUS,
-               "depth": DEPTH, "sheet": SHEET, "sted": STED}
+               "depth": DEPTH, "sheet": SHEET, "sted": STED,
+               "cavity": CAVITY}
     if "depth" in args.families and args.model != "gl":
         sys.exit("--families depth requires --model gl")
     if "sted" in args.families and args.model != "sted":
         sys.exit("--families sted requires --model sted")
+    if "cavity" in args.families and args.model != "4pi":
+        sys.exit("--families cavity requires --model 4pi")
     families = tuple(fam_map[f] for f in args.families)
 
     if args.field_out:
@@ -2601,7 +2625,8 @@ def main(argv=None):
                    help="[--diversity-*] also write the profiled multi-"
                         "frame Wiener object estimate")
     p.add_argument("--families", nargs="+", default=["defocus", "phase"],
-                   choices=["defocus", "phase", "modulus", "depth", "sheet", "sted"])
+                   choices=["defocus", "phase", "modulus", "depth", "sheet", "sted",
+                            "cavity"])
     _preprocess_args(p)
     _model_args(p)
     _hyperstack_args(p)
@@ -2751,7 +2776,8 @@ def main(argv=None):
                    help="[--depthvar] anchor depths as (fractional) z indices "
                         "of the data grid (default: evenly spaced)")
     p.add_argument("--families", nargs="+", default=["defocus", "phase"],
-                   choices=["defocus", "phase", "modulus", "depth", "sheet", "sted"])
+                   choices=["defocus", "phase", "modulus", "depth", "sheet", "sted",
+                            "cavity"])
     _preprocess_args(p)
     _model_args(p)
     _deconv_args(p)
@@ -2944,7 +2970,8 @@ def main(argv=None):
     p.add_argument("--loops", type=int, default=5, help="[blind methods] blind rounds")
     p.add_argument("--psf-iters", type=int, default=20, help="[blind methods] fit iterations per family")
     p.add_argument("--families", nargs="+", default=["defocus", "phase"],
-                   choices=["defocus", "phase", "modulus", "depth", "sheet", "sted"])
+                   choices=["defocus", "phase", "modulus", "depth", "sheet", "sted",
+                            "cavity"])
     p.add_argument("--recipe", choices=["parity", "quality"], default="quality",
                    help="[blind methods] quality = recommended() recipe (default for serving)")
     p.add_argument("--depthvar", type=int, default=0, metavar="K",

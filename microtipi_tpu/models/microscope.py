@@ -20,7 +20,7 @@ from typing import Protocol, runtime_checkable
 import jax
 
 __all__ = [
-    "DEFOCUS", "PHASE", "MODULUS", "DEPTH", "SHEET", "STED",
+    "DEFOCUS", "PHASE", "MODULUS", "DEPTH", "SHEET", "STED", "CAVITY",
     "PARAMETER_FLAGS", "FAMILY_NAMES", "PsfModel",
 ]
 
@@ -35,6 +35,8 @@ DEPTH = 3
 SHEET = 4
 #: extension family (STED depletion saturation factor; not in the reference).
 STED = 5
+#: extension family (4Pi interferometric cavity phase; not in the reference).
+CAVITY = 6
 PARAMETER_FLAGS = (DEFOCUS, PHASE, MODULUS)
 FAMILY_NAMES = {
     DEFOCUS: "defocus",
@@ -43,6 +45,7 @@ FAMILY_NAMES = {
     DEPTH: "depth",
     SHEET: "sheet",
     STED: "sted",
+    CAVITY: "cavity",
 }
 
 

@@ -1379,3 +1379,27 @@ def test_cli_psf_structured_sheet(tmp_path):
     h2 = read_stack(tmp_path / "lat.tif")
     assert h2.shape == (16, 24, 24) and np.isfinite(h2).all()
     assert not np.allclose(h, h2)  # different sheets, different PSFs
+
+
+def test_cli_psf_4pi_and_cavity_family_guard(tmp_path):
+    from microtipi_tpu.io.tiffstack import read_stack
+
+    r = _run(["psf", "fourpi.tif", "--shape", "32", "24", "24",
+              "--model", "4pi", "--fourpi-type", "C",
+              "--dxy", "80e-9", "--dz", "40e-9"], tmp_path)
+    assert r.returncode == 0, r.stderr
+    h = read_stack(tmp_path / "fourpi.tif")
+    assert h.shape == (32, 24, 24) and np.isfinite(h).all()
+    # axial fringes exist (the 4Pi signature): on-axis profile has a deep
+    # minimum between strong maxima near focus
+    prof = h[:, 0, 0]
+    assert prof.min() < 0.2 * prof.max()
+
+    from microtipi_tpu.io.tiffstack import write_stack
+
+    write_stack(tmp_path / "x.tif", np.ones((4, 16, 16), np.float32),
+                dxy=80e-9, dz=200e-9)
+    r = _run(["blind", "x.tif", "--out", "y.tif", "--families", "cavity"],
+             tmp_path)
+    assert r.returncode != 0
+    assert "requires --model 4pi" in (r.stdout + r.stderr)
