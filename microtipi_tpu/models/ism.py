@@ -151,7 +151,15 @@ class ISMConfig(ConfocalConfig):
         This is the effective PSF of an ISM image assembled by
         :func:`~microtipi_tpu.jobs.ism.ism_reassign` with the same factor —
         pinned by tests — so PSF fits and blind loops run on reassembled
-        data unchanged."""
+        data unchanged.
+
+        Note the subvoxel Fourier shifts ring slightly NEGATIVE (fraction
+        of a percent of the peak) — deliberately not clamped, because the
+        reassembled DATA rings identically and the exact data/PSF
+        consistency is what fits and Gaussian deconvolution need. For RL
+        (positivity-assuming) on reassembled images clamp both sides, or
+        better, run the raw-element joint MLE
+        (:func:`~microtipi_tpu.jobs.ism.ism_richardson_lucy`)."""
         nz, ny, nx = self.shape
         hk = self.compute_psfs(params)
         back = jnp.asarray(self._shift_ramps(-self.reassign_factor),

@@ -43,7 +43,13 @@ def test_psf_model_fuzz(shape, n_phase, n_modulus, radial, dtype):
     psf = cfg.compute_psf(p)
     assert psf.shape == shape and psf.dtype == dtype
     arr = np.asarray(psf)
-    assert np.isfinite(arr).all() and arr.min() >= 0
+    assert np.isfinite(arr).all()
+    if kind == "ism":
+        # the reassigned-sum PSF rings slightly negative by design (the
+        # subvoxel Fourier shifts; models/ism.py compute_psf docstring)
+        assert arr.min() >= -0.02 * arr.max()
+    else:
+        assert arr.min() >= 0
     # Parseval energy identity holds for every configuration.
     rho = cfg.compute_pupil(p)[0]
     np.testing.assert_allclose(arr.sum(), float((rho**2).sum()),
@@ -129,6 +135,12 @@ FAMILY_CASES = [
     ("gl", (4, 24, 24), 2, True, jnp.float64),
     ("sted", (4, 16, 16), 2, True, jnp.float64),
     ("sted", (5, 24, 24), 3, False, jnp.float32),
+    ("4pi", (8, 16, 16), 2, True, jnp.float64),
+    ("4pi-c", (6, 20, 20), 3, False, jnp.float32),
+    ("ism", (4, 16, 16), 2, True, jnp.float64),
+    ("ism", (5, 20, 20), 0, False, jnp.float32),
+    ("lattice-sheet", (8, 16, 16), 2, True, jnp.float64),
+    ("bessel-sheet", (6, 20, 20), 0, True, jnp.float32),
 ]
 
 
@@ -137,7 +149,10 @@ def test_model_family_fuzz(kind, shape, n_phase, radial, dtype):
     """Every beyond-parity family: valid normalized PSF + finite gradients
     across random shapes/bases/dtypes."""
     from microtipi_tpu.models.confocal import ConfocalConfig, TwoPhotonConfig
+    from microtipi_tpu.models.fourpi import FourPiConfig
     from microtipi_tpu.models.gibson_lanni import GibsonLanniConfig
+    from microtipi_tpu.models.ism import ISMConfig
+    from microtipi_tpu.models.lightsheet import StructuredSheetConfig
     from microtipi_tpu.models.sted import STEDConfig
     from microtipi_tpu.models.vectorial import VectorialConfig
 
@@ -150,6 +165,17 @@ def test_model_family_fuzz(kind, shape, n_phase, radial, dtype):
         "sted": lambda: STEDConfig(wavelength_exc=488e-9, pinhole=120e-9,
                                    wavelength_dep=660e-9, saturation=8.0,
                                    **common),
+        "4pi": lambda: FourPiConfig(wavelength_exc=488e-9, cavity_phase=0.3,
+                                    **common),
+        "4pi-c": lambda: FourPiConfig(fourpi_type="C",
+                                      wavelength_exc=488e-9, **common),
+        "ism": lambda: ISMConfig(wavelength_exc=488e-9, rings=1,
+                                 element_pitch=2 * KW["dxy"], **common),
+        "lattice-sheet": lambda: StructuredSheetConfig(
+            sheet_mode="lattice", lattice_ky=(0.0, 0.5),
+            wavelength_exc=488e-9, **common),
+        "bessel-sheet": lambda: StructuredSheetConfig(
+            sheet_mode="bessel", wavelength_exc=488e-9, **common),
     }[kind]()
     rng = np.random.default_rng(abs(hash((kind,) + shape)) % 2**31)
     p = cfg.init_params()
@@ -158,7 +184,13 @@ def test_model_family_fuzz(kind, shape, n_phase, radial, dtype):
     psf = cfg.compute_psf(p)
     assert psf.shape == shape and psf.dtype == dtype
     arr = np.asarray(psf)
-    assert np.isfinite(arr).all() and arr.min() >= 0
+    assert np.isfinite(arr).all()
+    if kind == "ism":
+        # the reassigned-sum PSF rings slightly negative by design (the
+        # subvoxel Fourier shifts; models/ism.py compute_psf docstring)
+        assert arr.min() >= -0.02 * arr.max()
+    else:
+        assert arr.min() >= 0
     if kind != "gl":  # unit-sum families
         np.testing.assert_allclose(arr.sum(), 1.0,
                                    rtol=1e-5 if dtype == jnp.float32 else 1e-12)
