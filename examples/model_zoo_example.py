@@ -31,6 +31,7 @@ if jax.default_backend() not in ("tpu", "axon"):
 
 from microtipi_tpu import (
     ConfocalConfig,
+    FourPiConfig,
     GibsonLanniConfig,
     ISMConfig,
     LightSheetConfig,
@@ -68,6 +69,7 @@ MODELS = {
         sheet_na_max=0.55, wavelength_exc=488e-9, **KW),
     "ism": ISMConfig(element_pitch=2 * KW["dxy"], rings=1,
                      wavelength_exc=488e-9, **KW),
+    "4pi": FourPiConfig(wavelength_exc=488e-9, **KW),
 }
 
 TRUE_PHASE = jnp.asarray([0.3, -0.2, 0.1], DTYPE)
