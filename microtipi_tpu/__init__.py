@@ -71,7 +71,7 @@ from microtipi_tpu.ops.convolution import (
     convolve,
     convolve_spectrum,
 )
-from microtipi_tpu.ops.register import fourier_shift, register_translation
+from microtipi_tpu.ops.register import fourier_shift, register_timeseries, register_translation
 from microtipi_tpu.ops.regularization import (
     hyperbolic_hessian, hyperbolic_tv, hyperbolic_tv_and_gradient, smoothed_l1)
 from microtipi_tpu.optim.vmlmb import VMLMBResult, VMLMBStatus, minimize_vmlmb
@@ -102,7 +102,7 @@ __all__ = [
     "calibrate_field", "detect_beads",
     "multiview_richardson_lucy", "richardson_lucy", "wb_backprojector", "field_psf", "tiled_deconvolve", "wiener",
     "PoissonConvCost", "WeightedConvolutionCost", "convolve", "convolve_spectrum",
-    "fourier_shift", "register_translation",
+    "fourier_shift", "register_timeseries", "register_translation",
     "checkerboard_split", "fourier_shell_correlation", "fsc_resolution", "strehl_ratio", "strehl_ratio_from_pupil",
     "flat_field_correct", "remove_hot_pixels", "rolling_ball_background", "subtract_background",
     "deskew",

@@ -1022,6 +1022,12 @@ def _cmd_deconv_timeseries(args):
     psf = jnp.asarray(read_stack(args.psf))
     if args.psf_centered:
         psf = unroll(psf)
+    if getattr(args, "register_t", False):
+        from microtipi_tpu.ops.register import register_timeseries
+
+        series, shifts = jax.jit(register_timeseries)(series)
+        print("drift correction (voxels, cumulative):",
+              np.round(np.asarray(shifts), 2).tolist())
     cfg = _deconv_config(args, series.shape[1:])
     w = None
     if getattr(args, "auto_gain", False) or args.gain > 0:
@@ -2646,6 +2652,11 @@ def main(argv=None):
                    help="[--mu-t] temporal edge threshold in intensity units "
                         "(default: --epsilon); changes above it count as "
                         "real events, not noise")
+    p.add_argument("--register-t", action="store_true",
+                   help="[--mu-t] drift-correct the timepoints first "
+                        "(cumulative pairwise subvoxel phase correlation; "
+                        "uncorrected drift turns the temporal prior into "
+                        "motion blur)")
     p.add_argument("--superres", type=int, nargs=3, default=None,
                    metavar=("FZ", "FY", "FX"),
                    help="solve on an FZxFYxFX finer object grid (sub-pixel "

@@ -22,16 +22,28 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["register_translation", "fourier_shift"]
+__all__ = ["register_translation", "register_timeseries", "fourier_shift"]
 
 
-def register_translation(a: jax.Array, b: jax.Array, subvoxel: bool = True) -> jax.Array:
+def register_translation(a: jax.Array, b: jax.Array, subvoxel: bool = True,
+                         method: str = "phase") -> jax.Array:
     """Translation ``t`` (voxels, per axis, signed) such that
     ``fourier_shift(b, t)`` aligns ``b`` with ``a``. Jittable.
 
-    Phase correlation assumes the two volumes share one transfer function;
-    registering views blurred by DIFFERENT PSFs directly gives biased
-    shifts along the blur axes (sinc-lobe sign flips corrupt the
+    ``method="phase"`` (normalized phase correlation): sharp delta peak,
+    exact for broadband content — but it normalizes EVERY cross-power bin
+    to unit modulus, so on band-limited (PSF-blurred) images the empty
+    out-of-OTF bins contribute pure noise phases and the estimate drifts
+    by fractions of a voxel (measured ~0.3-0.5 vox on blurred 1%-noise
+    frames; the same mechanism measured for bead patches in
+    ``psf_fit.average_beads``). ``method="xcorr"`` (plain matched-filter
+    cross-correlation, parabolic subvoxel refinement): every bin votes
+    with its own energy — the right estimator for same-transfer-function
+    pairs like drifting timepoints (:func:`register_timeseries` uses it).
+
+    Phase correlation additionally assumes the two volumes share ONE
+    transfer function; registering views blurred by DIFFERENT PSFs gives
+    biased shifts along the blur axes (sinc-lobe sign flips corrupt the
     cross-power phase — measured several voxels of error). Blur-match
     first: register ``convolve(a, psf_b)`` against ``convolve(b, psf_a)``
     — both become ``psf_a * psf_b * object`` and the estimate is exact
@@ -40,8 +52,13 @@ def register_translation(a: jax.Array, b: jax.Array, subvoxel: bool = True) -> j
     if a.shape != b.shape:
         raise ValueError("register_translation requires equal shapes")
     f = jnp.fft.rfftn(a) * jnp.conj(jnp.fft.rfftn(b))
-    tiny = jnp.asarray(np.finfo(np.float32).tiny, f.real.dtype)
-    r = jnp.fft.irfftn(f / jnp.maximum(jnp.abs(f), tiny), s=a.shape)
+    if method == "phase":
+        tiny = jnp.asarray(np.finfo(np.float32).tiny, f.real.dtype)
+        r = jnp.fft.irfftn(f / jnp.maximum(jnp.abs(f), tiny), s=a.shape)
+    elif method == "xcorr":
+        r = jnp.fft.irfftn(f, s=a.shape)
+    else:
+        raise ValueError(f"unknown method {method!r}")
     idx = jnp.unravel_index(jnp.argmax(r), a.shape)
 
     shifts = []
@@ -56,10 +73,17 @@ def register_translation(a: jax.Array, b: jax.Array, subvoxel: bool = True) -> j
             f0 = r[idx]
             fm = take((i - 1) % n)
             fp = take((i + 1) % n)
-            # Foroosh two-point ratio toward the larger neighbor.
-            d_pos = fp / jnp.maximum(fp + f0, 1e-30)
-            d_neg = -fm / jnp.maximum(fm + f0, 1e-30)
-            frac = jnp.where(fp >= fm, d_pos, d_neg)
+            if method == "phase":
+                # Foroosh two-point ratio toward the larger neighbor
+                # (exact for the phase-correlation delta peak).
+                d_pos = fp / jnp.maximum(fp + f0, 1e-30)
+                d_neg = -fm / jnp.maximum(fm + f0, 1e-30)
+                frac = jnp.where(fp >= fm, d_pos, d_neg)
+            else:
+                # parabolic vertex (the xcorr peak is smooth, not a delta)
+                den = fm - 2.0 * f0 + fp
+                frac = jnp.where(jnp.abs(den) > 1e-30,
+                                 0.5 * (fm - fp) / den, 0.0)
             p = p + jnp.clip(frac, -0.999, 0.999)
         # wrap to signed shift in (-n/2, n/2]
         shifts.append(jnp.where(p > n / 2, p - n, p))
@@ -85,3 +109,32 @@ def fourier_shift(x: jax.Array, shift) -> jax.Array:
     cdtype = jnp.complex128 if x.dtype == jnp.float64 else jnp.complex64
     ramp = jnp.exp((-2j * jnp.pi) * phase.astype(cdtype))
     return jnp.fft.irfftn(jnp.fft.rfftn(x) * ramp, s=x.shape).astype(x.dtype)
+
+
+def register_timeseries(data: jax.Array, subvoxel: bool = True):
+    """Drift-correct a ``(T,) + volume`` series by translation. Jittable.
+
+    Stage/sample drift between timepoints turns the 4D solver's temporal
+    TV prior (``jobs/timeseries.py``) into motion blur — frames must be
+    co-registered first. Shifts are estimated between CONSECUTIVE frames
+    (adjacent frames stay correlated even when the specimen evolves or
+    the cumulative drift grows beyond the correlation length that breaks
+    direct to-frame-0 registration) and cumulative-summed; each frame is
+    then corrected with one subvoxel Fourier shift (batched).
+
+    All frames share one PSF in the time-series solver, so plain phase
+    correlation applies directly (no blur-matching needed — contrast the
+    multi-view case, :func:`register_translation` docstring).
+
+    Returns ``(registered, shifts)`` where ``shifts[t]`` is the total
+    correction applied to frame t (frame 0 is the reference, shift 0).
+    """
+    data = jnp.asarray(data)
+    if data.ndim < 2 or data.shape[0] < 2:
+        raise ValueError(f"need a (T>=2,) + volume series, got {data.shape}")
+    pair = jax.vmap(lambda a, b: register_translation(
+        a, b, subvoxel, method="xcorr"))(data[:-1], data[1:])
+    zero = jnp.zeros((1, data.ndim - 1), pair.dtype)
+    shifts = jnp.concatenate([zero, jnp.cumsum(pair, axis=0)])
+    registered = jax.vmap(fourier_shift)(data, shifts)
+    return registered, shifts

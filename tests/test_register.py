@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from microtipi_tpu.ops.register import fourier_shift, register_translation
 
@@ -97,3 +98,74 @@ def test_jittable():
     b = jnp.roll(a, (1, -2, 3), axis=(0, 1, 2))
     t = jax.jit(register_translation)(a, b)
     assert np.isfinite(np.asarray(t)).all()
+
+
+def test_register_timeseries_recovers_drift():
+    """Cumulative pairwise registration undoes a known linear+jitter drift."""
+    from microtipi_tpu.ops.register import fourier_shift, register_timeseries
+
+    rng = np.random.default_rng(0)
+    base = jnp.asarray(rng.random((8, 24, 24)))
+    # smooth it (drift estimation on band-limited content)
+    f = jnp.fft.rfftn(base)
+    fz = np.fft.fftfreq(8)[:, None, None]
+    fy = np.fft.fftfreq(24)[None, :, None]
+    fx = np.fft.rfftfreq(24)[None, None, :]
+    base = jnp.fft.irfftn(f * jnp.asarray((fz**2 + fy**2 + fx**2) < 0.09),
+                          s=base.shape)
+    drift = np.cumsum(rng.uniform(-1.2, 1.2, size=(5, 3)), axis=0)
+    drift[:, 0] *= 0.3  # smaller axial drift
+    frames = [base] + [fourier_shift(base, -jnp.asarray(d)) for d in drift]
+    series = jnp.stack(frames)
+
+    registered, shifts = jax.jit(register_timeseries)(series)
+    got = np.asarray(shifts)[1:]
+    np.testing.assert_allclose(got, drift, atol=0.15)
+    # registered frames all match frame 0
+    for t in range(1, 6):
+        err = float(jnp.linalg.norm(registered[t] - series[0])
+                    / jnp.linalg.norm(series[0]))
+        assert err < 0.05, (t, err)
+
+
+def test_register_timeseries_validation():
+    from microtipi_tpu.ops.register import register_timeseries
+
+    with pytest.raises(ValueError, match="series"):
+        register_timeseries(jnp.zeros((1, 8, 8, 8)))
+
+
+def test_xcorr_beats_phase_on_blurred_frames():
+    """Drift between PSF-blurred noisy frames: normalized phase correlation
+    is contaminated by the empty out-of-OTF bins (every bin normalized to
+    unit modulus votes, including pure-noise ones); matched-filter xcorr
+    weights bins by their energy. Measured here: ~0.5 vox vs ~0.1 vox —
+    the same mechanism as the bead-patch registration dead end
+    (psf_fit.average_beads docstring)."""
+    from microtipi_tpu.models.widefield import WideFieldConfig
+
+    shape = (8, 64, 64)
+    m = WideFieldConfig(shape=shape, na=1.2, wavelength=500e-9, ni=1.33,
+                        dxy=100e-9, dz=300e-9, dtype=jnp.float64)
+    h = m.compute_psf(m.init_params())
+    rng = np.random.default_rng(0)
+    obj = np.zeros(shape)
+    for _ in range(8):
+        z, y, x = rng.integers(1, 7), rng.integers(8, 56), rng.integers(8, 56)
+        obj[z, y - 4:y + 4, x] = rng.uniform(40, 80)
+        obj[z, y, x - 4:x + 4] = rng.uniform(40, 80)
+    obj = jnp.asarray(obj)
+    t_true = jnp.asarray([0.4, -1.3, 0.7])
+
+    def frame(x, key):
+        d = jnp.fft.irfftn(jnp.fft.rfftn(h) * jnp.fft.rfftn(x), s=shape)
+        return d + 0.01 * jnp.max(d) * jax.random.normal(key, shape, d.dtype)
+
+    a = frame(obj, jax.random.PRNGKey(1))
+    b = frame(fourier_shift(obj, -t_true), jax.random.PRNGKey(2))
+    err_phase = float(jnp.linalg.norm(
+        register_translation(a, b, method="phase") - t_true))
+    err_xcorr = float(jnp.linalg.norm(
+        register_translation(a, b, method="xcorr") - t_true))
+    assert err_xcorr < 0.2, err_xcorr
+    assert err_xcorr < 0.5 * err_phase, (err_xcorr, err_phase)
