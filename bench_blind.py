@@ -12,8 +12,8 @@ fit) as ONE jitted device dispatch (``jobs.blind.blind_deconvolve``; loop
 semantics ``BlindDeconvJob.java:97-138``; the joint fit is the framework's
 recommended recipe — it both prevents the sequential coordinate-descent's
 defocus degradation, BASELINE.md, and halves the fit share of the wall:
-measured +25%% blind throughput at equal object iterations and
-equal-within-1%% final cost).
+measured +25% blind throughput at equal object iterations and
+equal-within-1% final cost).
 
 Throughput counts object-step VMLMB iterations (the dominant cost; the PSF
 fits ride along, making the figure conservative):

@@ -30,7 +30,8 @@ from microtipi_tpu.jobs.autotune import AutoMuResult, deconvolve_auto_mu, estima
 from microtipi_tpu.jobs.phase_retrieval import (
     PupilRetrievalResult, project_phase, remove_position_gauges, retrieve_pupil)
 from microtipi_tpu.jobs.blind import BlindDeconvConfig, BlindDeconvResult, blind_deconvolve
-from microtipi_tpu.jobs.ism import ism_reassign, ism_richardson_lucy
+from microtipi_tpu.jobs.ism import (
+    ism_element_gains, ism_reassign, ism_richardson_lucy)
 from microtipi_tpu.jobs.diversity import (
     defocus_diversity, diversity_fit_uncertainty, diversity_object_estimate,
     diversity_psfs, fit_psf_diversity, zernike_diversity)
@@ -84,7 +85,8 @@ __all__ = [
     "WideFieldConfig", "WideFieldParams",
     "GibsonLanniConfig", "GibsonLanniParams",
     "ConfocalConfig", "TwoPhotonConfig", "VectorialConfig", "STEDConfig", "STEDParams",
-    "ISMConfig", "hex_offsets", "ism_reassign", "ism_richardson_lucy",
+    "ISMConfig", "hex_offsets", "ism_element_gains", "ism_reassign",
+    "ism_richardson_lucy",
     "FourPiConfig", "FourPiParams",
     "LightSheetConfig", "LightSheetParams", "StructuredSheetConfig",
     "BlindDeconvConfig", "BlindDeconvResult", "blind_deconvolve",

@@ -2007,6 +2007,8 @@ def cmd_fitpsf(args):
                "cavity": CAVITY}
     if "depth" in args.families and args.model != "gl":
         sys.exit("--families depth requires --model gl")
+    if "sheet" in args.families and args.model != "lightsheet":
+        sys.exit("--families sheet requires --model lightsheet")
     if "sted" in args.families and args.model != "sted":
         sys.exit("--families sted requires --model sted")
     if "cavity" in args.families and args.model != "4pi":
@@ -2441,8 +2443,8 @@ def cmd_ism(args):
     if args.auto_gains:
         from microtipi_tpu.jobs.ism import ism_element_gains
 
-        gains = jax.jit(lambda d, p: ism_element_gains(model, p, d))(
-            data, params)
+        gains = jax.jit(lambda d, p: ism_element_gains(
+            model, p, d, background=args.background))(data, params)
         print("element gains (relative, mean 1):",
               np.round(np.asarray(gains), 4).tolist())
     t0 = time.time()
@@ -2478,11 +2480,13 @@ def cmd_watch(args):
     model_factory = blind_cfg = depthvar_params = None
     if args.method in ("blind", "blind-once"):
         from microtipi_tpu.jobs.blind import BlindDeconvConfig
-        from microtipi_tpu.models.microscope import DEFOCUS, DEPTH, MODULUS, PHASE, SHEET, STED
+        from microtipi_tpu.models.microscope import (
+            CAVITY, DEFOCUS, DEPTH, MODULUS, PHASE, SHEET, STED)
 
         _resolve_geometry(args)  # no single input stack: flags or defaults
         fam_map = {"defocus": DEFOCUS, "phase": PHASE, "modulus": MODULUS,
-               "depth": DEPTH, "sheet": SHEET, "sted": STED}
+               "depth": DEPTH, "sheet": SHEET, "sted": STED,
+               "cavity": CAVITY}
         families = tuple(fam_map[f] for f in args.families)
         kw = dict(loops=args.loops, families=families,
                   psf_max_iter=tuple(args.psf_iters for _ in families), deconv=cfg)
@@ -2654,9 +2658,9 @@ def main(argv=None):
                         "real events, not noise")
     p.add_argument("--register-t", action="store_true",
                    help="[--mu-t] drift-correct the timepoints first "
-                        "(cumulative pairwise subvoxel phase correlation; "
-                        "uncorrected drift turns the temporal prior into "
-                        "motion blur)")
+                        "(cumulative pairwise subvoxel matched-filter "
+                        "cross-correlation; uncorrected drift turns the "
+                        "temporal prior into motion blur)")
     p.add_argument("--superres", type=int, nargs=3, default=None,
                    metavar=("FZ", "FY", "FX"),
                    help="solve on an FZxFYxFX finer object grid (sub-pixel "

@@ -88,7 +88,11 @@ def ism_reassign(
         factor = model.reassign_factor
     d = jnp.asarray(data, model.dtype)
     if gains is not None:
-        d = d / jnp.asarray(gains, model.dtype)[:, None, None, None]
+        g = jnp.asarray(gains, model.dtype)
+        # floor: a dead element (gain ~0 from ism_element_gains) must
+        # contribute its zeros, not 0/0 NaNs poisoning the sum (gains are
+        # mean-1 normalized, so 1e-6 only catches genuinely dead elements)
+        d = d / jnp.maximum(g, 1e-6)[:, None, None, None]
     k = model.n_elements
     if d.ndim != 4 or d.shape[0] != k or d.shape[1:] != model.shape:
         raise ValueError(

@@ -122,9 +122,10 @@ def register_timeseries(data: jax.Array, subvoxel: bool = True):
     direct to-frame-0 registration) and cumulative-summed; each frame is
     then corrected with one subvoxel Fourier shift (batched).
 
-    All frames share one PSF in the time-series solver, so plain phase
-    correlation applies directly (no blur-matching needed — contrast the
-    multi-view case, :func:`register_translation` docstring).
+    All frames share one PSF, so no blur-matching is needed; the shifts
+    use MATCHED-FILTER cross-correlation (``method="xcorr"``), not phase
+    correlation — measured 5x more accurate on PSF-blurred noisy frames
+    (:func:`register_translation` docstring).
 
     Returns ``(registered, shifts)`` where ``shifts[t]`` is the total
     correction applied to frame t (frame 0 is the reference, shift 0).
