@@ -30,6 +30,9 @@ from microtipi_tpu.jobs.autotune import AutoMuResult, deconvolve_auto_mu, estima
 from microtipi_tpu.jobs.phase_retrieval import (
     PupilRetrievalResult, project_phase, remove_position_gauges, retrieve_pupil)
 from microtipi_tpu.jobs.blind import BlindDeconvConfig, BlindDeconvResult, blind_deconvolve
+from microtipi_tpu.jobs.sim import (
+    SIMReconstruction, estimate_sim_pattern, reconstruct_sim,
+    separate_bands, simulate_sim)
 from microtipi_tpu.jobs.ism import (
     ism_element_gains, ism_reassign, ism_richardson_lucy)
 from microtipi_tpu.jobs.diversity import (
@@ -85,6 +88,8 @@ __all__ = [
     "WideFieldConfig", "WideFieldParams",
     "GibsonLanniConfig", "GibsonLanniParams",
     "ConfocalConfig", "TwoPhotonConfig", "VectorialConfig", "STEDConfig", "STEDParams",
+    "SIMReconstruction", "estimate_sim_pattern", "reconstruct_sim",
+    "separate_bands", "simulate_sim",
     "ISMConfig", "hex_offsets", "ism_element_gains", "ism_reassign",
     "ism_richardson_lucy",
     "FourPiConfig", "FourPiParams",

@@ -2470,6 +2470,69 @@ def cmd_ism(args):
               f"deconv --psf for Airyscan-style joint deconvolution)")
 
 
+def cmd_sim(args):
+    """Structured-illumination reconstruction (jobs/sim.py): band
+    separation + generalized-Wiener recombination on a 2x grid, with
+    optional data-driven pattern self-calibration."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from microtipi_tpu.jobs.sim import estimate_sim_pattern, reconstruct_sim
+
+    vol = np.asarray(_read_input_volume(args, args.data))
+    _resolve_geometry(args, args.data)
+    a_n, p_n = args.angles, args.phase_count
+    if vol.shape[0] != a_n * p_n:
+        sys.exit(f"{args.data}: {vol.shape[0]} planes != angles*phases = "
+                 f"{a_n * p_n} (angle-major plane order expected)")
+    data = jnp.asarray(vol.reshape(a_n, p_n, *vol.shape[1:]), jnp.float64)
+
+    # 2D PSF/OTF: supplied file or the pupil model at Nz=1
+    from microtipi_tpu.io.tiffstack import read_stack
+
+    if args.psf:
+        h = np.asarray(read_stack(args.psf), np.float64)
+        h = h[0] if h.ndim == 3 else h
+        if args.psf_centered:
+            h = np.fft.ifftshift(h)
+    else:
+        model = _build_model(args, (1,) + vol.shape[1:])
+        h = np.asarray(jax.jit(model.compute_psf)(model.init_params()))[0]
+    h = h / h.sum()
+    otf = jnp.fft.fft2(jnp.asarray(h, jnp.complex128))
+
+    # pattern geometry: period [m] + angles [deg] -> cycles/pixel
+    if len(args.pattern_angle_deg) != a_n:
+        sys.exit(f"--pattern-angle-deg needs {a_n} angles")
+    k_mag = args.dxy / args.pattern_period
+    a_k = np.stack([[k_mag * np.sin(np.deg2rad(t)),
+                     k_mag * np.cos(np.deg2rad(t))]
+                    for t in args.pattern_angle_deg])
+    ph = np.tile(2 * np.pi / p_n * np.arange(p_n), (a_n, 1))
+    ph += np.asarray(args.pattern_phase0)[:, None] if args.pattern_phase0 \
+        else 0.0
+
+    if args.refine:
+        t0 = time.time()
+        a_k, ph = estimate_sim_pattern(data, otf, a_k, ph,
+                                       modulation=args.modulation)
+        print(f"pattern self-calibration ({time.time()-t0:.1f}s):")
+        for a in range(a_n):
+            period = args.dxy / float(np.hypot(*a_k[a]))
+            print(f"  angle {a}: period {period*1e9:.2f} nm, "
+                  f"phase0 {ph[a, 0]:+.3f} rad")
+    t0 = time.time()
+    rec = jax.jit(lambda d: reconstruct_sim(
+        d, otf, a_k, ph, modulation=args.modulation,
+        wiener=args.wiener).x)(data)
+    print(f"sim: {a_n} angles x {p_n} phases -> "
+          f"{rec.shape[0]}x{rec.shape[1]} (2x grid), "
+          f"{time.time()-t0:.1f}s (incl. compile)")
+    out = np.asarray(rec)[None]  # (1, 2Ny, 2Nx) volume convention
+    _write_out(args, args.out, out, dxy=args.dxy / 2, dz=args.dz)
+    print("wrote", args.out)
+
+
 def cmd_watch(args):
     from microtipi_tpu.serve import watch
 
@@ -2957,6 +3020,44 @@ def main(argv=None):
     _model_args(p)
     _hyperstack_args(p)
     p.set_defaults(fn=cmd_ism)
+
+    p = sub.add_parser(
+        "sim", help="structured-illumination (SIM) reconstruction, 2x lateral")
+    p.add_argument("data",
+                   help="raw SIM images: angles*phases 2D planes, "
+                        "angle-major order")
+    p.add_argument("--out", required=True)
+    p.add_argument("--angles", type=int, default=3)
+    p.add_argument("--phase-count", type=int, default=3,
+                   help="pattern phase steps per angle (>= 3)")
+    p.add_argument("--pattern-period", type=float, required=True,
+                   help="illumination pattern period in meters "
+                        "(object space)")
+    p.add_argument("--pattern-angle-deg", type=_comma_floats,
+                   default=[0.0, 60.0, 120.0], metavar="A1,A2,..",
+                   help="pattern orientations in degrees, one per angle")
+    p.add_argument("--pattern-phase0", type=_comma_floats, default=None,
+                   metavar="P1,P2,..",
+                   help="per-angle phase offsets in radians (default 0; "
+                        "the steps are 2pi/phase-count; --refine "
+                        "self-calibrates offsets AND frequencies)")
+    p.add_argument("--refine", action="store_true",
+                   help="data-driven pattern self-calibration (phase-"
+                        "coherence maximization; measured 0.004-bin / "
+                        "0.012-rad on test scenes — BASELINE.md)")
+    p.add_argument("--modulation", type=float, default=1.0,
+                   help="pattern modulation depth m")
+    p.add_argument("--wiener", type=float, default=1e-2,
+                   help="generalized-Wiener damping (raise with noise)")
+    p.add_argument("--psf", default=None,
+                   help="2D PSF image (default: the pupil model at the "
+                        "camera grid from the model flags)")
+    p.add_argument("--psf-centered", action="store_true")
+    p.add_argument("--ome", action="store_true", help="write OME-TIFF")
+    _preprocess_args(p)
+    _model_args(p)
+    _hyperstack_args(p)
+    p.set_defaults(fn=cmd_sim)
 
     p = sub.add_parser("watch", help="serve: watch a directory, deconvolve arriving stacks")
     p.add_argument("indir")

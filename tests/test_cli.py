@@ -1403,3 +1403,49 @@ def test_cli_psf_4pi_and_cavity_family_guard(tmp_path):
              tmp_path)
     assert r.returncode != 0
     assert "requires --model 4pi" in (r.stdout + r.stderr)
+
+
+def test_cli_sim_reconstruction(tmp_path):
+    """sim: raw angle-major SIM planes -> 2x-grid reconstruction with
+    pattern self-calibration."""
+    import jax.numpy as jnp
+
+    from microtipi_tpu.io.tiffstack import read_stack, write_stack
+    from microtipi_tpu.jobs.sim import simulate_sim
+    from microtipi_tpu.models.widefield import WideFieldConfig
+
+    ny = nx = 48
+    dxy = 80e-9
+    m = WideFieldConfig(shape=(1, ny, nx), na=1.4, wavelength=500e-9,
+                        ni=1.518, dxy=dxy, dz=120e-9, dtype=jnp.float64)
+    h = m.compute_psf(m.init_params())[0]
+    otf = jnp.fft.fft2((h / jnp.sum(h)).astype(jnp.complex128))
+    rng = np.random.default_rng(0)
+    x = np.zeros((ny, nx))
+    for _ in range(10):
+        x[rng.integers(6, 42), rng.integers(6, 42)] = rng.uniform(40, 90)
+    period = 220e-9
+    k_mag = dxy / period
+    a_k = np.stack([[k_mag * np.sin(np.deg2rad(t)),
+                     k_mag * np.cos(np.deg2rad(t))] for t in (0, 60, 120)])
+    ph = np.tile(2 * np.pi / 3 * np.arange(3), (3, 1)) + 0.15
+    data = simulate_sim(jnp.asarray(x), otf, a_k, ph, modulation=0.85)
+    write_stack(tmp_path / "sim.tif",
+                np.asarray(data).reshape(-1, ny, nx).astype(np.float32),
+                dxy=dxy, dz=120e-9)
+
+    r = _run(["sim", "sim.tif", "--out", "rec.tif",
+              "--pattern-period", "220e-9", "--refine",
+              "--modulation", "0.85", "--wiener", "1e-3",
+              "--na", "1.4", "--wavelength", "500e-9"], tmp_path)
+    assert r.returncode == 0, r.stderr
+    assert "pattern self-calibration" in r.stdout
+    rec = read_stack(tmp_path / "rec.tif")
+    assert rec.shape == (1, 2 * ny, 2 * nx) and np.isfinite(rec).all()
+
+    # plane-count validation
+    r = _run(["sim", "sim.tif", "--out", "x.tif", "--angles", "4",
+              "--pattern-period", "220e-9",
+              "--pattern-angle-deg", "0,45,90,135"], tmp_path)
+    assert r.returncode != 0
+    assert "angle-major" in (r.stdout + r.stderr)
