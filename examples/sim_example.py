@@ -44,9 +44,15 @@ model = WideFieldConfig(shape=(1, N, N), na=1.4, wavelength=500e-9,
                         ni=1.518, dxy=DXY, dz=120e-9, dtype=jnp.float64
                         if jax.default_backend() not in ("tpu", "axon")
                         else jnp.float32)
-h = model.compute_psf(model.init_params())[0]
-otf = jnp.fft.fft2((h / jnp.sum(h)).astype(
-    jnp.complex128 if h.dtype == jnp.float64 else jnp.complex64))
+# PSF under jit, fetched as REAL; the OTF is built on the host and passed
+# into jit as an ARGUMENT — a complex closure constant would be folded
+# through a device->host transfer, which the axon TPU rejects (CLAUDE.md)
+h_np = np.asarray(jax.jit(lambda: model.compute_psf(
+    model.init_params())[0])())
+h_np = h_np / h_np.sum()
+otf_np = np.fft.fft2(h_np.astype(np.complex128))
+otf = jnp.asarray(otf_np, jnp.complex128
+                  if model.dtype == jnp.float64 else jnp.complex64)
 
 # ---- scene: a sub-Rayleigh point pair + context -------------------------
 rng = np.random.default_rng(0)
@@ -66,13 +72,17 @@ nominal_k = np.stack([[k * np.sin(t), k * np.cos(t)]
 nominal_ph = np.tile(2 * np.pi / 3 * np.arange(3), (3, 1))
 true_k = nominal_k + rng.uniform(-0.3, 0.3, nominal_k.shape) / N
 true_ph = nominal_ph + rng.uniform(-0.4, 0.4, (3, 1))
-data = simulate_sim(x, otf, true_k, true_ph, modulation=0.85)
+acquire = jax.jit(lambda xx, o: simulate_sim(xx, o, true_k, true_ph,
+                                             modulation=0.85))
+data = acquire(x, otf)
 data = data + 0.005 * float(jnp.max(data)) * jnp.asarray(
     rng.standard_normal(data.shape), data.dtype)
 
 # ---- self-calibrate + reconstruct ---------------------------------------
+# the estimator is host-NumPy by design (axon platform rules: no eager
+# dispatch, no complex device fetches) — hand it host arrays
 t0 = time.time()
-est_k, est_ph = estimate_sim_pattern(np.asarray(data, np.float64), otf,
+est_k, est_ph = estimate_sim_pattern(np.asarray(data, np.float64), otf_np,
                                      nominal_k, nominal_ph,
                                      modulation=0.85)
 print(f"pattern self-calibration: {time.time()-t0:.1f}s; frequency error "
@@ -80,14 +90,13 @@ print(f"pattern self-calibration: {time.time()-t0:.1f}s; frequency error "
       f"{np.abs(np.angle(np.exp(1j*(est_ph-true_ph)))).max():.3f} rad")
 
 t0 = time.time()
-rec = jax.jit(lambda d: reconstruct_sim(
-    d, otf, est_k, est_ph, modulation=0.85, wiener=5e-3).x)(data)
+rec = jax.jit(lambda d, o: reconstruct_sim(
+    d, o, est_k, est_ph, modulation=0.85, wiener=5e-3).x)(data, otf)
 rec = np.asarray(rec)
 print(f"reconstructed {N}x{N} -> {2*N}x{2*N} in {time.time()-t0:.1f}s "
       f"(incl. compile)")
 
-wf = np.asarray(jnp.real(jnp.fft.ifft2(jnp.fft.fft2(
-    x.astype(otf.dtype)) * otf)))
+wf = np.fft.ifft2(np.fft.fft2(np.asarray(x, np.float64)) * otf_np).real
 
 
 def valley_peak(img, scale):

@@ -30,6 +30,16 @@ def _comma_floats(s: str) -> list[float]:
         raise argparse.ArgumentTypeError(f"not a comma-separated float list: {s!r}")
 
 
+def _family_map(*names):
+    """Family-name -> flag map derived from the live registry (one source
+    of truth; five hand-copied dicts drifted — the CAVITY family reached
+    some commands a commit late). No args = every registered family."""
+    from microtipi_tpu.models.microscope import FAMILY_NAMES
+
+    inv = {v: k for k, v in FAMILY_NAMES.items()}
+    return {n: inv[n] for n in (names or inv)}
+
+
 def _model_args(p: argparse.ArgumentParser):
     g = p.add_argument_group("optics")
     g.add_argument("--model",
@@ -1346,12 +1356,7 @@ def _make_mesh(args):
 def _blind_config(args, data_shape):
     from microtipi_tpu.jobs.blind import BlindDeconvConfig
     from microtipi_tpu.jobs.psf_fit import PsfFitConfig
-    from microtipi_tpu.models.microscope import (
-        CAVITY, DEFOCUS, DEPTH, MODULUS, PHASE, SHEET, STED)
-
-    fam_map = {"defocus": DEFOCUS, "phase": PHASE, "modulus": MODULUS,
-               "depth": DEPTH, "sheet": SHEET, "sted": STED,
-               "cavity": CAVITY}
+    fam_map = _family_map()
     if "depth" in args.families and args.model != "gl":
         sys.exit("--families depth requires --model gl (the DEPTH family lives on the Gibson-Lanni model)")
     if "sheet" in args.families and args.model != "lightsheet":
@@ -1776,8 +1781,7 @@ def _cmd_fitpsf_ladder(args, stacks):
     model = _build_model(args, tuple(beads.shape[1:]))
     params0 = _load_params_json(model, args.params_json) if args.params_json else None
 
-    fam_map = {"defocus": DEFOCUS, "phase": PHASE, "modulus": MODULUS,
-               "depth": DEPTH}
+    fam_map = _family_map("defocus", "phase", "modulus", "depth")
     fams = list(args.families)
     if any(f not in fam_map for f in fams):
         sys.exit("--depth-ladder fits defocus/phase/modulus/depth families")
@@ -1890,7 +1894,7 @@ def _cmd_fitpsf_diversity(args, stacks):
     else:
         phases = defocus_diversity(model, divs)
 
-    fam_map = {"defocus": DEFOCUS, "phase": PHASE, "modulus": MODULUS}
+    fam_map = _family_map("defocus", "phase", "modulus")
     if any(f not in fam_map for f in args.families):
         sys.exit("--diversity-* fits the defocus/phase/modulus families")
     families = tuple(fam_map[f] for f in args.families)
@@ -2002,9 +2006,7 @@ def cmd_fitpsf(args):
         print(f"wrote {args.empirical_out} (empirical PSF, "
               f"{'centered' if args.centered else 'corner-origin'}, unit sum)")
         return
-    fam_map = {"defocus": DEFOCUS, "phase": PHASE, "modulus": MODULUS,
-               "depth": DEPTH, "sheet": SHEET, "sted": STED,
-               "cavity": CAVITY}
+    fam_map = _family_map()
     if "depth" in args.families and args.model != "gl":
         sys.exit("--families depth requires --model gl")
     if "sheet" in args.families and args.model != "lightsheet":
@@ -2499,22 +2501,28 @@ def cmd_sim(args):
         model = _build_model(args, (1,) + vol.shape[1:])
         h = np.asarray(jax.jit(model.compute_psf)(model.init_params()))[0]
     h = h / h.sum()
-    otf = jnp.fft.fft2(jnp.asarray(h, jnp.complex128))
+    otf_np = np.fft.fft2(h.astype(np.complex128))
+    otf = jnp.asarray(otf_np)
 
     # pattern geometry: period [m] + angles [deg] -> cycles/pixel
     if len(args.pattern_angle_deg) != a_n:
         sys.exit(f"--pattern-angle-deg needs {a_n} angles")
+    if args.pattern_phase0 is not None and len(args.pattern_phase0) != a_n:
+        sys.exit(f"--pattern-phase0 needs {a_n} offsets (one per angle)")
     k_mag = args.dxy / args.pattern_period
     a_k = np.stack([[k_mag * np.sin(np.deg2rad(t)),
                      k_mag * np.cos(np.deg2rad(t))]
                     for t in args.pattern_angle_deg])
     ph = np.tile(2 * np.pi / p_n * np.arange(p_n), (a_n, 1))
-    ph += np.asarray(args.pattern_phase0)[:, None] if args.pattern_phase0 \
-        else 0.0
+    if args.pattern_phase0:
+        ph = ph + np.asarray(args.pattern_phase0)[:, None]
 
     if args.refine:
+        # host-NumPy estimator by design (hundreds of small eager FFTs
+        # and complex scalar reads — both forbidden on the axon TPU)
         t0 = time.time()
-        a_k, ph = estimate_sim_pattern(data, otf, a_k, ph,
+        a_k, ph = estimate_sim_pattern(vol.reshape(a_n, p_n, *vol.shape[1:]),
+                                       otf_np, a_k, ph,
                                        modulation=args.modulation)
         print(f"pattern self-calibration ({time.time()-t0:.1f}s):")
         for a in range(a_n):
@@ -2522,9 +2530,12 @@ def cmd_sim(args):
             print(f"  angle {a}: period {period*1e9:.2f} nm, "
                   f"phase0 {ph[a, 0]:+.3f} rad")
     t0 = time.time()
-    rec = jax.jit(lambda d: reconstruct_sim(
-        d, otf, a_k, ph, modulation=args.modulation,
-        wiener=args.wiener).x)(data)
+    # otf is a jit ARGUMENT: a complex closure constant would be
+    # constant-folded through a device->host transfer at trace time —
+    # UNIMPLEMENTED and process-poisoning on the axon TPU (CLAUDE.md)
+    rec = jax.jit(lambda d, o: reconstruct_sim(
+        d, o, a_k, ph, modulation=args.modulation,
+        wiener=args.wiener).x)(data, otf)
     print(f"sim: {a_n} angles x {p_n} phases -> "
           f"{rec.shape[0]}x{rec.shape[1]} (2x grid), "
           f"{time.time()-t0:.1f}s (incl. compile)")
@@ -2547,9 +2558,9 @@ def cmd_watch(args):
             CAVITY, DEFOCUS, DEPTH, MODULUS, PHASE, SHEET, STED)
 
         _resolve_geometry(args)  # no single input stack: flags or defaults
-        fam_map = {"defocus": DEFOCUS, "phase": PHASE, "modulus": MODULUS,
-               "depth": DEPTH, "sheet": SHEET, "sted": STED,
-               "cavity": CAVITY}
+        fam_map = _family_map()
+        if "cavity" in args.families and args.model != "4pi":
+            sys.exit("--families cavity requires --model 4pi")
         families = tuple(fam_map[f] for f in args.families)
         kw = dict(loops=args.loops, families=families,
                   psf_max_iter=tuple(args.psf_iters for _ in families), deconv=cfg)

@@ -89,10 +89,13 @@ def ism_reassign(
     d = jnp.asarray(data, model.dtype)
     if gains is not None:
         g = jnp.asarray(gains, model.dtype)
-        # floor: a dead element (gain ~0 from ism_element_gains) must
-        # contribute its zeros, not 0/0 NaNs poisoning the sum (gains are
-        # mean-1 normalized, so 1e-6 only catches genuinely dead elements)
-        d = d / jnp.maximum(g, 1e-6)[:, None, None, None]
+        # a dead/defective element (gain ~0 or negative from noise in
+        # ism_element_gains) is EXCLUDED, not divided: clamping and
+        # dividing would amplify its residual noise by 1/eps (caught in
+        # review); gains are mean-1 normalized so 1e-3 only catches
+        # genuinely dead elements
+        gc = g[:, None, None, None]
+        d = jnp.where(gc > 1e-3, d / jnp.where(gc > 1e-3, gc, 1.0), 0.0)
     k = model.n_elements
     if d.ndim != 4 or d.shape[0] != k or d.shape[1:] != model.shape:
         raise ValueError(

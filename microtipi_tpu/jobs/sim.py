@@ -135,10 +135,28 @@ def separate_bands(data: jax.Array, phases, modulation: float = 1.0):
     return jnp.stack(bands)  # (A, 3, Ny, Nx)
 
 
-def estimate_sim_pattern(data: jax.Array, otf: jax.Array, pattern_k0,
-                         phases0, modulation: float = 1.0,
-                         refine_radius: int = 2, iterations: int = 2,
-                         support: float = 0.05):
+def _separate_np(data: np.ndarray, phases: np.ndarray,
+                 modulation: float) -> np.ndarray:
+    """Host-NumPy band separation for the calibration path (same math as
+    :func:`separate_bands`; kept in NumPy so the estimator never touches
+    the device — see :func:`estimate_sim_pattern`)."""
+    a_n, p_n = data.shape[:2]
+    spec = np.fft.fft2(data.astype(np.float64))
+    half_m = 0.5 * modulation
+    out = np.empty((a_n, 3) + data.shape[2:], np.complex128)
+    for a in range(a_n):
+        m = np.stack([
+            np.ones(p_n, np.complex128),
+            half_m * np.exp(1j * phases[a]),
+            half_m * np.exp(-1j * phases[a]),
+        ], axis=1)
+        out[a] = np.einsum("bp,pyx->byx", np.linalg.pinv(m), spec[a])
+    return out
+
+
+def estimate_sim_pattern(data, otf, pattern_k0, phases0,
+                         modulation: float = 1.0, refine_radius: int = 2,
+                         iterations: int = 2, support: float = 0.05):
     """Refine pattern frequencies and per-angle phase offsets from the data.
 
     Separating bands with ASSUMED phases that are off by a common offset
@@ -165,44 +183,44 @@ def estimate_sim_pattern(data: jax.Array, otf: jax.Array, pattern_k0,
     zoom. Frequency and phase couple through the separation, so the
     loop runs ``iterations`` times (default 2).
 
-    Only the per-angle OFFSET is estimable; the relative phase STEPS in
-    ``phases0`` are trusted. Returns ``(pattern_k, phases)`` as host
-    NumPy (calibration is a setup step); the heavy sums are jnp.
+    HOST NumPy throughout, deliberately: calibration is a setup step and
+    the candidate search is hundreds of small FFTs — on the axon TPU
+    eager dispatch remote-compiles per op and a complex device->host
+    fetch poisons the process (CLAUDE.md platform rules), so the inputs
+    are pulled to the host once (pass real arrays; a NumPy ``otf`` is
+    accepted directly) and everything runs locally. Only the per-angle
+    OFFSET is estimable; the relative phase STEPS in ``phases0`` are
+    trusted. Returns ``(pattern_k, phases)``.
     """
-    d = jnp.asarray(data)
+    d = np.asarray(data, np.float64)
     a_k = np.asarray(pattern_k0, np.float64).copy()
     ph = np.asarray(phases0, np.float64).copy()
     ny, nx = d.shape[2:]
-    h = jnp.asarray(otf).astype(jnp.complex128)
-    habs = jnp.sqrt(jnp.real(h) ** 2 + jnp.imag(h) ** 2)
-    thresh = support * float(np.asarray(jnp.max(habs)))
+    yg = np.arange(ny, dtype=np.float64)[:, None]
+    xg = np.arange(nx, dtype=np.float64)[None, :]
+    h = np.asarray(otf, np.complex128)
+    habs = np.abs(h)
+    thresh = support * habs.max()
 
     for _ in range(int(iterations)):
-        bands = separate_bands(d, ph, modulation)
+        bands = _separate_np(d, ph, modulation)
         for a in range(a_k.shape[0]):
             b0 = bands[a, 0]
-            ip = jnp.fft.ifft2(bands[a, 1])
+            ip = np.fft.ifft2(bands[a, 1])
             # overlap mask at the nominal shift (candidates move < 1 bin:
             # mask error negligible, and a static mask keeps candidates
             # comparable)
-            ramp0 = _phase_ramp((ny, nx), a_k[a], jnp.float64)
-            h_shift = jnp.fft.fft2(jnp.fft.ifft2(h) * jnp.conj(ramp0))
-            habs_s = jnp.sqrt(jnp.real(h_shift) ** 2 + jnp.imag(h_shift) ** 2)
-            mask = (habs > thresh) & (habs_s > thresh)
-            b0m = jnp.where(mask, jnp.conj(b0), 0.0)
+            ramp0 = np.exp(2j * np.pi * (a_k[a][0] * yg + a_k[a][1] * xg))
+            h_shift = np.fft.fft2(np.fft.ifft2(h) * np.conj(ramp0))
+            mask = (habs > thresh) & (np.abs(h_shift) > thresh)
+            b0m = np.where(mask, np.conj(b0), 0.0)
 
-            def q_sum(dy, dx, ip=ip, b0m=b0m, base=a_k[a]):
-                ramp = _phase_ramp((ny, nx),
-                                   (base[0] + dy / ny, base[1] + dx / nx),
-                                   jnp.float64)
-                bp_shift = jnp.fft.fft2(ip * jnp.conj(ramp))
-                q = bp_shift * b0m
-                s = complex(np.asarray(jnp.sum(q)))
-                tot = float(np.asarray(jnp.sum(jnp.abs(q))))
-                return s, tot
+            def q_sum(dy, dx, base=a_k[a].copy()):
+                py, px = base[0] + dy / ny, base[1] + dx / nx
+                ramp = np.exp(-2j * np.pi * (py * yg + px * xg))
+                q = np.fft.fft2(ip * ramp) * b0m
+                return q.sum(), np.abs(q).sum()
 
-            fy = fx = 0.0
-            # integer scan over the refine window first
             best = (-np.inf, 0.0, 0.0)
             r = refine_radius
             for dy in range(-r, r + 1):
@@ -221,8 +239,8 @@ def estimate_sim_pattern(data: jax.Array, otf: jax.Array, pattern_k0,
                         if coh > best[0]:
                             best = (coh, jy, jx)
                 _, fy, fx = best
+            sq, _tot = q_sum(fy, fx)
             a_k[a] += np.array([fy / ny, fx / nx])
-            sq, _tot = q_sum(fy, fx, base=a_k[a] - np.array([fy / ny, fx / nx]))
             ph[a] += np.angle(sq)
     return a_k, ph
 
@@ -277,22 +295,25 @@ def reconstruct_sim(
         return big
 
     otf_big = upsample_spec(jnp.asarray(otf))
+    otf_big_img = jnp.fft.ifft2(otf_big)  # hoisted: shared by all sidebands
     num = jnp.zeros((ny2, nx2),
                     jnp.complex128 if rdtype == jnp.float64 else jnp.complex64)
     den = jnp.zeros((ny2, nx2), rdtype)
     a_k = np.asarray(pattern_k, np.float64)
+    # carrier contributions: per-angle numerators, ONE shared denominator
+    # term (identical |otf_big|^2 for every angle — accumulated once, x A)
+    for a in range(a_n):
+        num = num + jnp.conj(otf_big) * upsample_spec(bands[a, 0])
+    den = den + a_n * (jnp.real(otf_big) ** 2 + jnp.imag(otf_big) ** 2)
     for a in range(a_n):
         # b+ = H S(k - p) lives at its true frequency after a shift by -p;
         # b- symmetrically by +p (both spectra AND their OTF weights).
         # On the fine grid p is halved (cycles per FINE pixel).
-        for b, sign in ((0, 0.0), (1, -1.0), (2, +1.0)):
-            big_b = upsample_spec(bands[a, b])
-            big_h = otf_big
-            if sign != 0.0:
-                ramp = _phase_ramp((ny2, nx2),
-                                   sign * a_k[a] / 2.0, rdtype)
-                big_b = jnp.fft.fft2(jnp.fft.ifft2(big_b) * ramp)
-                big_h = jnp.fft.fft2(jnp.fft.ifft2(big_h) * ramp)
+        for b, sign in ((1, -1.0), (2, +1.0)):
+            ramp = _phase_ramp((ny2, nx2), sign * a_k[a] / 2.0, rdtype)
+            big_b = jnp.fft.fft2(
+                jnp.fft.ifft2(upsample_spec(bands[a, b])) * ramp)
+            big_h = jnp.fft.fft2(otf_big_img * ramp)
             num = num + jnp.conj(big_h) * big_b
             den = den + jnp.real(big_h) ** 2 + jnp.imag(big_h) ** 2
     otf_peak = jnp.max(jnp.sqrt(jnp.real(otf) ** 2 + jnp.imag(otf) ** 2))

@@ -188,3 +188,30 @@ def test_element_gain_self_calibration():
     g3 = ism_element_gains(
         m, p, cs * g_true[:, None, None, None] + 0.5, background="median")
     np.testing.assert_allclose(np.asarray(g3), np.asarray(g_true), rtol=0.05)
+
+
+def test_dead_element_is_excluded_not_amplified():
+    """A dead element (zero signal, residual noise) must be dropped from
+    the gain-corrected reassignment — clamp-and-divide would amplify its
+    noise by 1/eps (review finding)."""
+    from microtipi_tpu.jobs.ism import ism_element_gains
+
+    m = _model(rings=1, pitch_px=2.0)
+    p = m.init_params()
+    hk = m.compute_psfs(p)
+    obj = jnp.asarray(np.abs(np.random.default_rng(1).standard_normal(m.shape)) * 20)
+    clean = jnp.stack([
+        jnp.fft.irfftn(jnp.fft.rfftn(hk[k]) * jnp.fft.rfftn(obj), s=m.shape)
+        for k in range(m.n_elements)])
+    noise = 1e-3 * np.random.default_rng(2).standard_normal(clean.shape)
+    data = np.asarray(clean) + noise
+    data[3] = noise[3]  # element 3 is dead: pure residual noise
+    data = jnp.asarray(data)
+    g = ism_element_gains(m, p, data)
+    assert abs(float(g[3])) < 1e-3  # ~zero (possibly negative) gain
+    re = ism_reassign(m, data, gains=g)
+    live = ism_reassign(m, data.at[3].set(0.0),
+                        gains=g.at[3].set(1.0))
+    # the dead element contributes nothing — identical to zeroing it
+    np.testing.assert_allclose(np.asarray(re), np.asarray(live), atol=1e-10)
+    assert np.isfinite(np.asarray(re)).all()

@@ -135,8 +135,6 @@ def test_reconstruction_recovers_broadband_scene():
                           wiener=5e-3).x
     # compare on the fine grid: upsample truth by Fourier zero-pad
     xs = jnp.fft.fft2(x.astype(jnp.complex128))
-    from microtipi_tpu.jobs.sim import reconstruct_sim as _  # noqa: F401
-
     def up(spec):
         big = np.zeros((2 * NY, 2 * NX), np.complex128)
         h2, w2 = NY // 2, NX // 2
