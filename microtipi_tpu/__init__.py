@@ -57,6 +57,7 @@ from microtipi_tpu.jobs.tiled import field_psf, tiled_deconvolve
 from microtipi_tpu.jobs.wiener import wiener
 from microtipi_tpu.ops.geometry import deskew
 from microtipi_tpu.ops.preprocess import (
+    estimate_bleach,
     flat_field_correct,
     remove_hot_pixels,
     rolling_ball_background,
@@ -111,6 +112,7 @@ __all__ = [
     "PoissonConvCost", "WeightedConvolutionCost", "convolve", "convolve_spectrum",
     "fourier_shift", "register_timeseries", "register_translation",
     "checkerboard_split", "fourier_shell_correlation", "fsc_resolution", "strehl_ratio", "strehl_ratio_from_pupil",
+    "estimate_bleach",
     "flat_field_correct", "remove_hot_pixels", "rolling_ball_background", "subtract_background",
     "deskew",
     "hyperbolic_hessian", "hyperbolic_tv", "hyperbolic_tv_and_gradient", "smoothed_l1",

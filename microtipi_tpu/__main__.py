@@ -1038,6 +1038,13 @@ def _cmd_deconv_timeseries(args):
         series, shifts = jax.jit(register_timeseries)(series)
         print("drift correction (voxels, cumulative):",
               np.round(np.asarray(shifts), 2).tolist())
+    bleach = None
+    if getattr(args, "bleach_correct", False):
+        from microtipi_tpu.ops.preprocess import estimate_bleach
+
+        bleach = jax.jit(estimate_bleach)(series)
+        print("bleach gains (relative to frame 0):",
+              np.round(np.asarray(bleach), 3).tolist())
     cfg = _deconv_config(args, series.shape[1:])
     w = None
     if getattr(args, "auto_gain", False) or args.gain > 0:
@@ -1049,11 +1056,11 @@ def _cmd_deconv_timeseries(args):
             gain, rv = float(g_est), float(rv_est)
             print(f"auto-gain (frame 0): gain={gain:.4g}, readout var={rv:.4g}")
         w = InverseVarianceWeights(gain=gain, readout_variance=rv).from_data(series)
-    run = jax.jit(lambda d, p, w: deconvolve_timeseries(
+    run = jax.jit(lambda d, p, w, g: deconvolve_timeseries(
         d, p, weights=w, config=cfg, mu_t=args.mu_t,
-        epsilon_t=args.epsilon_t))
+        epsilon_t=args.epsilon_t, bleach=g))
     t0 = time.time()
-    res = run(series, psf, w)
+    res = run(series, psf, w, bleach)
     f = float(res.f)
     print(f"deconv[timeseries T={nt}]: {int(res.iterations)} iters, "
           f"cost {f:.6g}, {time.time()-t0:.1f}s (incl. compile)")
@@ -2735,6 +2742,12 @@ def main(argv=None):
                         "(cumulative pairwise subvoxel matched-filter "
                         "cross-correlation; uncorrected drift turns the "
                         "temporal prior into motion blur)")
+    p.add_argument("--bleach-correct", action="store_true",
+                   help="[--mu-t] estimate per-frame photobleaching gains "
+                        "from background-corrected frame flux and fold them "
+                        "into the forward model (g_t * H x_t) — uncorrected "
+                        "fading reads as real change to the temporal prior "
+                        "and gets smeared across frames")
     p.add_argument("--superres", type=int, nargs=3, default=None,
                    metavar=("FZ", "FY", "FX"),
                    help="solve on an FZxFYxFX finer object grid (sub-pixel "

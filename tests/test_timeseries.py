@@ -102,6 +102,78 @@ def test_timeseries_weights_poisson_and_validation():
         deconvolve_timeseries(data, psf, weights=w, config=cfgp)
 
 
+def _bleached(decay=0.18, noise=0.05, bg=2.0, seed=1):
+    """Frame 0 of the _timelapse scene, STATIC, under exponential
+    photobleaching + a constant background pedestal:
+    ``d_t = g_t * (H x_0) + bg + noise``, ``g_t = exp(-decay*t)``.
+    Static by design: estimate_bleach assumes registered frames (its
+    docstring measures the unregistered-drift bias); the drift composition
+    is --register-t's job and is covered by test_register.py."""
+    objs, psf, data_clean = _timelapse(noise=0.0, seed=seed)
+    base = np.asarray(data_clean[0])
+    objs = jnp.broadcast_to(objs[0], (T,) + VOL)
+    gains = np.exp(-decay * np.arange(T))
+    rng = np.random.default_rng(seed)
+    clean = gains[:, None, None, None] * base[None]
+    sigma = noise * clean.max()
+    series = jnp.asarray(clean + bg + sigma * rng.standard_normal(clean.shape))
+    return objs, psf, series, jnp.asarray(gains)
+
+
+def test_estimate_bleach_recovers_exponential_fade():
+    from microtipi_tpu.ops.preprocess import estimate_bleach
+
+    objs, psf, series, gains = _bleached(noise=0.05, bg=2.0)
+    g = jax.jit(estimate_bleach)(series)
+    assert float(g[0]) == 1.0
+    # union-support flux ratio over the median background; measured max rel
+    # err 6.3% at 5% noise over the pedestal — pin 10%
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gains), rtol=0.10)
+
+    with pytest.raises(ValueError, match="T>=2"):
+        estimate_bleach(series[:1])
+
+
+def test_timeseries_bleach_correction_beats_uncorrected():
+    """Model-side gains under the temporal prior: fading is explained by
+    g_t instead of being smeared as 'change' by the temporal TV."""
+    from microtipi_tpu.ops.preprocess import estimate_bleach
+
+    objs, psf, series, gains = _bleached(decay=0.18, noise=0.05, bg=0.0)
+    cfg = DeconvolutionConfig(mu=0.05, epsilon=1.0, max_iter=30, grtol=1e-9)
+    g = estimate_bleach(series)
+    run = jax.jit(lambda d, p, g: deconvolve_timeseries(
+        d, p, config=cfg, mu_t=0.4, bleach=g))
+    corr = run(series, psf, g)
+    uncorr = deconvolve_timeseries(series, psf, config=cfg, mu_t=0.4)
+    err_c = float(jnp.linalg.norm(corr.x - objs))
+    err_u = float(jnp.linalg.norm(uncorr.x - objs))
+    # measured 472 vs 779 (~39% better); pin a conservative 20%
+    assert err_c < 0.80 * err_u
+
+    # unit gains are exactly the uncorrected objective
+    ones = deconvolve_timeseries(series, psf, config=cfg, mu_t=0.4,
+                                 bleach=jnp.ones(T))
+    np.testing.assert_allclose(float(ones.f), float(uncorr.f), rtol=1e-12)
+
+
+def test_timeseries_bleach_weighted_poisson_and_validation():
+    objs, psf, series, gains = _bleached(noise=0.05)
+    cfg = DeconvolutionConfig(mu=0.05, epsilon=1.0, max_iter=10)
+    w = jnp.ones(series.shape[1:])
+    r = deconvolve_timeseries(series, psf, weights=w, config=cfg, mu_t=0.1,
+                              bleach=gains)
+    assert np.isfinite(np.asarray(r.x)).all()
+    rng = np.random.default_rng(5)
+    counts = jnp.asarray(rng.poisson(np.maximum(np.asarray(series), 0.0)) + 0.0)
+    cfgp = DeconvolutionConfig(mu=0.05, epsilon=1.0, max_iter=10,
+                               data_term="poisson", background=0.1)
+    rp = deconvolve_timeseries(counts, psf, config=cfgp, mu_t=0.1, bleach=gains)
+    assert np.isfinite(np.asarray(rp.x)).all()
+    with pytest.raises(ValueError, match="bleach"):
+        deconvolve_timeseries(series, psf, config=cfg, bleach=gains[:3])
+
+
 def test_cli_deconv_mu_t_hyperstack(tmp_path):
     """deconv --mu-t: full-T joint solve of an OME hyperstack, hyperstack
     output with the same T."""
@@ -136,11 +208,12 @@ def test_cli_deconv_mu_t_hyperstack(tmp_path):
         [sys.executable, "-m", "microtipi_tpu", "deconv",
          str(tmp_path / "ts.ome.tif"), "--psf", str(tmp_path / "psf.tif"),
          "--out", str(tmp_path / "rec.ome.tif"), "--iters", "8",
-         "--mu", "0.02", "--mu-t", "0.05"],
+         "--mu", "0.02", "--mu-t", "0.05", "--bleach-correct"],
         capture_output=True, text=True, env=env, cwd=tmp_path, timeout=600,
     )
     assert r.returncode == 0, r.stderr
     assert "deconv[timeseries T=4]" in r.stdout
+    assert "bleach gains (relative to frame 0):" in r.stdout
     out, _meta = read_ome_hyperstack(tmp_path / "rec.ome.tif")
     assert out.shape == (4, 1) + vol and np.isfinite(out).all()
 
