@@ -81,25 +81,28 @@ def crop_trailing(a: jax.Array, vol_shape: tuple[int, int, int]) -> jax.Array:
     return a[idx]
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _sharded_quadratic_cost(x, kernel_sq, b, c, vol_shape, mesh):
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _sharded_quadratic_cost(x, kernel_sq, g2, b, c, vol_shape, mesh):
     """Distributed analogue of ops.convolution._quadratic_cost: cost and
     gradient of the uniform-weight data term from ONE distributed FFT pair.
-    Only ``x`` carries a gradient (kernel/b/c are per-round constants)."""
+    Only ``x`` carries a gradient (kernel/b/c are per-round constants).
+    ``g2``: per-frame quadratic weight (squared bleaching gains broadcast
+    as (T, 1, 1, 1); a scalar 1.0 when uncorrected/unbatched) applied
+    outside the spectrum product, as in jobs.timeseries."""
     y = sharded_rfftn(x, mesh)
     ax = sharded_irfftn(y * kernel_sq, vol_shape, mesh)
-    return (0.5 * jnp.vdot(x, ax) - jnp.vdot(x, b) + c).real.astype(x.dtype)
+    return (0.5 * jnp.vdot(x, g2 * ax) - jnp.vdot(x, b) + c).real.astype(x.dtype)
 
 
-def _sq_fwd(x, kernel_sq, b, c, vol_shape, mesh):
+def _sq_fwd(x, kernel_sq, g2, b, c, vol_shape, mesh):
     y = sharded_rfftn(x, mesh)
     ax = sharded_irfftn(y * kernel_sq, vol_shape, mesh)
-    f = (0.5 * jnp.vdot(x, ax) - jnp.vdot(x, b) + c).real.astype(x.dtype)
-    return f, ax - b
+    f = (0.5 * jnp.vdot(x, g2 * ax) - jnp.vdot(x, b) + c).real.astype(x.dtype)
+    return f, g2 * ax - b
 
 
 def _sq_bwd(vol_shape, mesh, res, g):
-    return (g * res, None, None, None)
+    return (g * res, None, None, None, None)
 
 
 _sharded_quadratic_cost.defvjp(_sq_fwd, _sq_bwd)
@@ -113,6 +116,7 @@ def make_sharded_objective(
     mesh: Mesh,
     mu_t: float = 0.0,
     epsilon_t: float | None = None,
+    bleach: jax.Array | None = None,
 ):
     """Fused sharded cost+gradient for the object step.
 
@@ -138,6 +142,17 @@ def make_sharded_objective(
         raise ValueError("mu_t couples the leading batch axis; "
                          "data must be (T, Nz, Ny, Nx)")
     eps_t = config.epsilon if epsilon_t is None else epsilon_t
+    g4 = None
+    if bleach is not None:
+        if not batched:
+            raise ValueError("bleach gains are per frame of the leading "
+                             "batch axis; data must be (T, Nz, Ny, Nx)")
+        bleach = jnp.asarray(bleach, data.dtype)
+        if bleach.shape != (data.shape[0],):
+            raise ValueError(
+                f"bleach must be per-frame gains of shape ({data.shape[0]},), "
+                f"got {bleach.shape}")
+        g4 = bleach.reshape(-1, 1, 1, 1)
 
     def _wrap(objective):
         # Temporal TV across the batch-SHARDED axis: the forward differences
@@ -171,7 +186,8 @@ def make_sharded_objective(
         from microtipi_tpu.ops.convolution import generalized_kl
 
         def objective(x):
-            m = sharded_convolve(x, k_hat, var_shape, mesh) + bg
+            hx = sharded_convolve(x, k_hat, var_shape, mesh)
+            m = (hx if g4 is None else g4 * hx) + bg
             f = generalized_kl(m, d, mask)
             if has_regularizer(config):
                 f = f + regularization_cost(
@@ -192,7 +208,8 @@ def make_sharded_objective(
         w_pad = constrain_volume(pad_trailing(w, var_shape), mesh)
 
         def data_term(x):
-            r = sharded_convolve(x, k_hat, var_shape, mesh) - d_pad
+            hx = sharded_convolve(x, k_hat, var_shape, mesh)
+            r = (hx if g4 is None else g4 * hx) - d_pad
             return 0.5 * jnp.sum(w_pad * r * r)
 
         def objective(x):
@@ -210,10 +227,13 @@ def make_sharded_objective(
     if weights is None:
         kernel_sq = jnp.real(k_hat) ** 2 + jnp.imag(k_hat) ** 2
         b = sharded_irfftn(jnp.conj(k_hat) * sharded_rfftn(data, mesh), vol_shape, mesh)
+        g2 = jnp.ones((), data.dtype) if g4 is None else g4 * g4
+        if g4 is not None:
+            b = g4 * b
         c = 0.5 * jnp.sum(data * data)
 
         def data_term(x):
-            return _sharded_quadratic_cost(x, kernel_sq, b, c, vol_shape, mesh)
+            return _sharded_quadratic_cost(x, kernel_sq, g2, b, c, vol_shape, mesh)
 
     else:
         # Zero weight EXCLUDES the voxel whatever its value (0*NaN=NaN
@@ -221,7 +241,8 @@ def make_sharded_objective(
         data = jnp.where(weights > 0, data, 0.0)
 
         def data_term(x):
-            r = sharded_convolve(x, k_hat, vol_shape, mesh) - data
+            hx = sharded_convolve(x, k_hat, vol_shape, mesh)
+            r = (hx if g4 is None else g4 * hx) - data
             return 0.5 * jnp.sum(weights * r * r)
 
     def objective(x):
@@ -244,13 +265,17 @@ def sharded_deconvolve(
     config: DeconvolutionConfig = DeconvolutionConfig(),
     mu_t: float = 0.0,
     epsilon_t: float | None = None,
+    bleach: jax.Array | None = None,
 ) -> DeconvolutionResult:
     """Object update on the mesh; drop-in sharded analogue of
     ``jobs.deconv.deconvolve`` incl. padded-variable mode
     (``config.var_shape``; the returned object lives on the padded grid).
     ``mu_t`` > 0 on batched (T, Nz, Ny, Nx) data adds the temporal-TV
     coupling of ``jobs.timeseries.deconvolve_timeseries`` — the time axis
-    is the mesh batch axis, so frame halos ride the ICI."""
+    is the mesh batch axis, so frame halos ride the ICI. ``bleach``:
+    per-frame photobleaching gains (T,) folded into the forward model as
+    ``g_t * H x_t`` (see ``deconvolve_timeseries``); requires batched
+    data."""
     data = constrain_volume(data, mesh)
     var_shape = tuple(config.var_shape) if config.var_shape is not None else data.shape[-3:]
     if x0 is None:
@@ -259,7 +284,7 @@ def sharded_deconvolve(
             x0 = jnp.maximum(x0, 0.0)
     x0 = constrain_volume(x0, mesh)
     fun = make_sharded_objective(psf, data, weights, config, mesh,
-                                 mu_t=mu_t, epsilon_t=epsilon_t)
+                                 mu_t=mu_t, epsilon_t=epsilon_t, bleach=bleach)
     res = minimize_vmlmb(
         fun,
         x0,

@@ -238,15 +238,20 @@ def test_sharded_timeseries_matches_dense():
     from microtipi_tpu.parallel.mesh import make_mesh, volume_sharding
 
     objs, psf, data = _timelapse(noise=0.1)
+    gains = jnp.asarray(np.exp(-0.1 * np.arange(T)))
     cfg = DeconvolutionConfig(mu=0.05, epsilon=1.0, max_iter=12, grtol=0.0)
-    dense = deconvolve_timeseries(data, psf, config=cfg, mu_t=0.2)
+    dense = deconvolve_timeseries(data, psf, config=cfg, mu_t=0.2,
+                                  bleach=gains)
     mesh = make_mesh(batch=4, z=2)
     data_sh = jax.device_put(data, volume_sharding(mesh, batched=True))
-    got = sharded_deconvolve(data_sh, psf, mesh, config=cfg, mu_t=0.2)
+    got = sharded_deconvolve(data_sh, psf, mesh, config=cfg, mu_t=0.2,
+                             bleach=gains)
     np.testing.assert_allclose(float(got.f), float(dense.f), rtol=1e-8)
     np.testing.assert_allclose(np.asarray(got.x), np.asarray(dense.x), atol=1e-6)
 
-    # mu_t on unbatched data is rejected
+    # mu_t / bleach on unbatched data are rejected
     import pytest
     with pytest.raises(ValueError, match="batch axis"):
         sharded_deconvolve(data[0], psf, mesh, config=cfg, mu_t=0.1)
+    with pytest.raises(ValueError, match="batch axis"):
+        sharded_deconvolve(data[0], psf, mesh, config=cfg, bleach=gains)
