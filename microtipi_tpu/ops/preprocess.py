@@ -75,7 +75,10 @@ def estimate_bleach(series: jax.Array, threshold: float = 3.0) -> jax.Array:
     support = jnp.any(dev > threshold * sigma, axis=0)
     flux = jnp.sum(jnp.where(support[None], dev, 0.0), axis=1)
     tiny = jnp.asarray(np.finfo(np.float32).tiny, flux.dtype)
-    return flux / jnp.maximum(flux[0], tiny)
+    # A heavily faded/noisy frame can sum to ~0 or slightly negative flux;
+    # a negative gain would silently flip the sign of that frame's forward
+    # model g_t * (H x_t) downstream, so gains are clamped positive.
+    return jnp.maximum(flux, tiny) / jnp.maximum(flux[0], tiny)
 
 
 def flat_field_correct(data, bright, dark=None, eps_rel: float = 1e-3):

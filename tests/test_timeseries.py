@@ -174,9 +174,12 @@ def test_timeseries_bleach_weighted_poisson_and_validation():
         deconvolve_timeseries(series, psf, config=cfg, bleach=gains[:3])
 
 
-def test_cli_deconv_mu_t_hyperstack(tmp_path):
+@pytest.mark.parametrize("bleach", [False, True])
+def test_cli_deconv_mu_t_hyperstack(tmp_path, bleach):
     """deconv --mu-t: full-T joint solve of an OME hyperstack, hyperstack
-    output with the same T."""
+    output with the same T. Parametrized over --bleach-correct so both the
+    plain path (bleach=None through the jitted run lambda) and the
+    corrected path keep subprocess coverage."""
     import os
     import subprocess
     import sys
@@ -204,18 +207,23 @@ def test_cli_deconv_mu_t_hyperstack(tmp_path):
     env.pop("PALLAS_AXON_POOL_IPS", None)
     env["JAX_PLATFORMS"] = "cpu"
     env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cmd = [sys.executable, "-m", "microtipi_tpu", "deconv",
+           str(tmp_path / "ts.ome.tif"), "--psf", str(tmp_path / "psf.tif"),
+           "--out", str(tmp_path / "rec.ome.tif"), "--iters", "8",
+           "--mu", "0.02", "--mu-t", "0.05"]
+    if bleach:
+        cmd.append("--bleach-correct")
     r = subprocess.run(
-        [sys.executable, "-m", "microtipi_tpu", "deconv",
-         str(tmp_path / "ts.ome.tif"), "--psf", str(tmp_path / "psf.tif"),
-         "--out", str(tmp_path / "rec.ome.tif"), "--iters", "8",
-         "--mu", "0.02", "--mu-t", "0.05", "--bleach-correct"],
-        capture_output=True, text=True, env=env, cwd=tmp_path, timeout=600,
+        cmd, capture_output=True, text=True, env=env, cwd=tmp_path, timeout=600,
     )
     assert r.returncode == 0, r.stderr
     assert "deconv[timeseries T=4]" in r.stdout
-    assert "bleach gains (relative to frame 0):" in r.stdout
+    assert ("bleach gains (relative to frame 0):" in r.stdout) == bleach
     out, _meta = read_ome_hyperstack(tmp_path / "rec.ome.tif")
     assert out.shape == (4, 1) + vol and np.isfinite(out).all()
+
+    if bleach:
+        return  # the refusal cases below do not depend on the parameter
 
     # single-timepoint inputs are refused clearly
     write_ome_hyperstack(tmp_path / "one.ome.tif", arr[:1], dxy=100e-9, dz=250e-9)
@@ -226,6 +234,15 @@ def test_cli_deconv_mu_t_hyperstack(tmp_path):
         capture_output=True, text=True, env=env, cwd=tmp_path, timeout=600,
     )
     assert r.returncode != 0 and "SizeT=1" in (r.stderr + r.stdout)
+
+    # --bleach-correct without --mu-t is an error, not a silent no-op
+    r = subprocess.run(
+        [sys.executable, "-m", "microtipi_tpu", "deconv",
+         str(tmp_path / "ts.ome.tif"), "--psf", str(tmp_path / "psf.tif"),
+         "--out", str(tmp_path / "x.ome.tif"), "--bleach-correct"],
+        capture_output=True, text=True, env=env, cwd=tmp_path, timeout=600,
+    )
+    assert r.returncode != 0 and "--mu-t" in (r.stderr + r.stdout)
 
 
 def test_sharded_timeseries_matches_dense():
