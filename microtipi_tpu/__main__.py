@@ -1180,6 +1180,12 @@ def cmd_deconv(args):
                      "fine-grid solve per timepoint or drop --superres")
         _cmd_deconv_timeseries(args)
         return
+    for flag, name in (("bleach_correct", "--bleach-correct"),
+                       ("register_t", "--register-t")):
+        if getattr(args, flag, False):
+            sys.exit(f"{name} only applies to the time-series solver; "
+                     "pass --mu-t to enable it (it would otherwise be "
+                     "silently ignored)")
     if _is_plate(args.data) and not getattr(args, "well", None):
         _cmd_deconv_plate(args)
         return
@@ -2479,6 +2485,69 @@ def cmd_ism(args):
               f"deconv --psf for Airyscan-style joint deconvolution)")
 
 
+def _cmd_sim3d(args, vol, a_n, p_n):
+    """3-beam 3D-SIM reconstruction (jobs/sim.py::reconstruct_sim3d):
+    five-order band separation per angle, axial +-1 bands inside the
+    order OTFs, generalized Wiener on the extended 3D grid."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from microtipi_tpu.jobs.sim import reconstruct_sim3d
+
+    if p_n < 5:
+        sys.exit("3D-SIM needs --phase-count >= 5 (five illumination orders)")
+    if getattr(args, "refine", False):
+        sys.exit("--refine is 2D-only for now; pass calibrated "
+                 "--pattern-period/--pattern-phase0 for 3D-SIM")
+    if vol.shape[0] % (a_n * p_n):
+        sys.exit(f"{args.data}: {vol.shape[0]} planes not divisible by "
+                 f"angles*phases = {a_n * p_n} (angle-major, phase-minor, "
+                 "z-innermost order expected)")
+    nz = vol.shape[0] // (a_n * p_n)
+    ny, nx = vol.shape[1:]
+    data = jnp.asarray(vol.reshape(a_n, p_n, nz, ny, nx), jnp.float64)
+
+    from microtipi_tpu.io.tiffstack import read_stack
+
+    if args.psf:
+        h = np.asarray(read_stack(args.psf), np.float64)
+        if h.shape != (nz, ny, nx):
+            sys.exit(f"--psf must be the 3D detection PSF {(nz, ny, nx)}, "
+                     f"got {h.shape}")
+        if args.psf_centered:
+            h = np.fft.ifftshift(h)
+    else:
+        model = _build_model(args, (nz, ny, nx))
+        h = np.asarray(jax.jit(model.compute_psf)(model.init_params()))
+    h = jnp.asarray(h / h.sum())
+
+    if len(args.pattern_angle_deg) != a_n:
+        sys.exit(f"--pattern-angle-deg needs {a_n} angles")
+    k_mag = args.dxy / args.pattern_period
+    a_k = np.stack([[k_mag * np.sin(np.deg2rad(t)),
+                     k_mag * np.cos(np.deg2rad(t))]
+                    for t in args.pattern_angle_deg])
+    ph = np.tile(2 * np.pi / p_n * np.arange(p_n), (a_n, 1))
+    if args.pattern_phase0:
+        if len(args.pattern_phase0) != a_n:
+            sys.exit(f"--pattern-phase0 needs {a_n} offsets")
+        ph = ph + np.asarray(args.pattern_phase0)[:, None]
+    q = args.dz / args.axial_period  # cycles per z-plane
+
+    t0 = time.time()
+    up_z = not args.no_axial_upsample
+    rec = jax.jit(lambda d, hh: reconstruct_sim3d(
+        d, hh, a_k, ph, q=q, psi=args.axial_phase, m1=args.m1, m2=args.m2,
+        wiener=args.wiener, upsample_z=up_z).x)(data, h)
+    out = np.asarray(rec)
+    print(f"sim[3d]: {a_n} angles x {p_n} phases x {nz} planes -> "
+          f"{out.shape[0]}x{out.shape[1]}x{out.shape[2]} "
+          f"(q = {q:.3f} cyc/plane), {time.time()-t0:.1f}s (incl. compile)")
+    _write_out(args, args.out, out, dxy=args.dxy / 2,
+               dz=args.dz / 2 if up_z else args.dz)
+    print("wrote", args.out)
+
+
 def cmd_sim(args):
     """Structured-illumination reconstruction (jobs/sim.py): band
     separation + generalized-Wiener recombination on a 2x grid, with
@@ -2491,6 +2560,9 @@ def cmd_sim(args):
     vol = np.asarray(_read_input_volume(args, args.data))
     _resolve_geometry(args, args.data)
     a_n, p_n = args.angles, args.phase_count
+    if getattr(args, "axial_period", None) is not None:
+        _cmd_sim3d(args, vol, a_n, p_n)
+        return
     if vol.shape[0] != a_n * p_n:
         sys.exit(f"{args.data}: {vol.shape[0]} planes != angles*phases = "
                  f"{a_n * p_n} (angle-major plane order expected)")
@@ -3075,8 +3147,24 @@ def main(argv=None):
                    help="generalized-Wiener damping (raise with noise)")
     p.add_argument("--psf", default=None,
                    help="2D PSF image (default: the pupil model at the "
-                        "camera grid from the model flags)")
+                        "camera grid from the model flags); with "
+                        "--axial-period: 3D PSF stack / 3D pupil model")
     p.add_argument("--psf-centered", action="store_true")
+    p.add_argument("--axial-period", type=float, default=None, metavar="M",
+                   help="3D-SIM (3-beam): axial pattern period in meters; "
+                        "input becomes angles*phases VOLUMES of --nz planes "
+                        "each (angle-major, phase-minor, z-innermost), "
+                        "phase-count >= 5; adds 2x axial resolution and "
+                        "fills the missing cone")
+    p.add_argument("--axial-phase", type=float, default=0.0, metavar="RAD",
+                   help="[3D-SIM] axial pattern phase at the focal plane")
+    p.add_argument("--m1", type=float, default=1.0,
+                   help="[3D-SIM] modulation depth of the +-1 (axial) orders")
+    p.add_argument("--m2", type=float, default=1.0,
+                   help="[3D-SIM] modulation depth of the +-2 orders")
+    p.add_argument("--no-axial-upsample", action="store_true",
+                   help="[3D-SIM] keep the axial grid (saves memory when "
+                        "kz_max + q fits under the axial Nyquist)")
     p.add_argument("--ome", action="store_true", help="write OME-TIFF")
     _preprocess_args(p)
     _model_args(p)

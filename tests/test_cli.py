@@ -1449,3 +1449,58 @@ def test_cli_sim_reconstruction(tmp_path):
               "--pattern-angle-deg", "0,45,90,135"], tmp_path)
     assert r.returncode != 0
     assert "angle-major" in (r.stdout + r.stderr)
+
+
+def test_cli_sim3d_reconstruction(tmp_path):
+    """sim --axial-period: 3-beam 3D-SIM volumes -> extended 3D grid."""
+    import jax.numpy as jnp
+
+    from microtipi_tpu.io.tiffstack import read_stack, write_stack
+    from microtipi_tpu.jobs.sim import simulate_sim3d
+    from microtipi_tpu.models.widefield import WideFieldConfig
+
+    nz, ny, nx = 12, 24, 24
+    dxy, dz = 80e-9, 150e-9
+    na, wl, ni = 1.2, 500e-9, 1.33
+    m = WideFieldConfig(shape=(nz, ny, nx), na=na, wavelength=wl, ni=ni,
+                        dxy=dxy, dz=dz, dtype=jnp.float64)
+    h = m.compute_psf(m.init_params())
+    h = h / jnp.sum(h)
+    rng = np.random.default_rng(0)
+    x = np.zeros((nz, ny, nx))
+    for _ in range(8):
+        x[rng.integers(2, 10), rng.integers(4, 20), rng.integers(4, 20)] = \
+            rng.uniform(40, 90)
+    period = dxy / (na / wl * dxy)  # beams at the pupil edge: p = NA/lambda
+    k_mag = dxy / period
+    a_k = np.stack([[k_mag * np.sin(np.deg2rad(t)),
+                     k_mag * np.cos(np.deg2rad(t))] for t in (0, 60, 120)])
+    ph = np.tile(2 * np.pi / 5 * np.arange(5), (3, 1))
+    cos_t = np.sqrt(1 - (na / ni) ** 2)
+    axial_period = wl / (ni * (1 - cos_t))
+    q = dz / axial_period
+    data = simulate_sim3d(jnp.asarray(x), h, a_k, ph, q=q)
+    write_stack(tmp_path / "sim3d.tif",
+                np.asarray(data).reshape(-1, ny, nx).astype(np.float32),
+                dxy=dxy, dz=dz)
+
+    r = _run(["sim", "sim3d.tif", "--out", "rec.tif", "--phase-count", "5",
+              "--pattern-period", str(period), "--axial-period",
+              str(axial_period), "--wiener", "1e-3", "--na", str(na),
+              "--wavelength", str(wl), "--ni", str(ni), "--dz", str(dz)],
+             tmp_path)
+    assert r.returncode == 0, r.stderr
+    assert "sim[3d]" in r.stdout
+    rec = read_stack(tmp_path / "rec.tif")
+    assert rec.shape == (2 * nz, 2 * ny, 2 * nx) and np.isfinite(rec).all()
+
+    # guards: phase count and divisibility
+    r = _run(["sim", "sim3d.tif", "--out", "x.tif",
+              "--pattern-period", str(period),
+              "--axial-period", str(axial_period)], tmp_path)
+    assert r.returncode != 0 and "--phase-count >= 5" in (r.stdout + r.stderr)
+    r = _run(["sim", "sim3d.tif", "--out", "x.tif", "--phase-count", "7",
+              "--angles", "2", "--pattern-angle-deg", "0,90",
+              "--pattern-period", str(period),
+              "--axial-period", str(axial_period)], tmp_path)
+    assert r.returncode != 0 and "not divisible" in (r.stdout + r.stderr)
