@@ -1,24 +1,46 @@
 #!/usr/bin/env python
 """Headline benchmark: 256^3 widefield deconvolution throughput on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line carrying BOTH headline figures:
 
-Workload (BASELINE.json configs 1-3 core): VMLMB object update at 256^3 —
-weighted FFT-convolution data term + fused hyperbolic-TV + positivity — with
-the PSF synthesized from the widefield pupil model. Throughput counts
-optimizer iterations: value = voxels * iterations / wall_seconds (Mvox*iter/s).
+  {"metric": "deconv_throughput_256cubed", "value": ..., "unit": "Mvox*iter/s",
+   "vs_baseline": ..., "blind_value": ..., "blind_unit": "Mvox*obj_iter/s",
+   "blind_vs_baseline": ..., "baseline_source": "measured"|"frozen", ...}
+
+`value` is the non-blind object step (the hot kernel, BASELINE.json configs
+1-3 core): VMLMB object update at 256^3 — weighted FFT-convolution data term
++ fused hyperbolic-TV + positivity — with the PSF synthesized from the
+widefield pupil model. `blind_value` is the NORTH STAR (BASELINE.json:
+"... >=50x throughput over CPU-Java on a 256^3 blind widefield deconvolution
+on one v5e chip at matched convergence"): 5 rounds of (20-iter object update,
+then a joint defocus+phase PSF fit) as ONE jitted dispatch
+(``jobs.blind.blind_deconvolve``; loop semantics per the reference
+``BlindDeconvJob.java:97-138``). Throughput counts object-step VMLMB
+iterations: value = voxels * iterations / wall_seconds (Mvox*iter/s).
 
 Baseline: the reference publishes no numbers (BASELINE.md) and its Java
-dependency closure (TiPi, JTransforms) is not vendored here, so the recorded
-stand-in baseline is this same workload on this host's CPU via JAX
-(measured 2026-08-16: 5 iters in 27.2 s => 3.08 Mvox*iter/s, 0.184 iters/s;
-/tmp reproduction script archived in BASELINE.md). The north-star 50x target
-is against CPU Java, which historical TiPi benchmarks place at or below the
-JAX-CPU figure (same FFT-bound algorithm, JTransforms vs XLA:CPU FFT), so
-vs_baseline >= 50 on this scale is the goal line either way.
+dependency closure (TiPi, JTransforms) is not vendored here, so the baseline
+is this same workload on this host's CPU via JAX. By default the bench
+RE-MEASURES that stand-in in a same-session subprocess (JAX_PLATFORMS=cpu,
+reduced iteration counts — throughput is per-iteration so it transfers) and
+derives vs_baseline from the measurement; the frozen constants below
+(measured 2026-08-16/19, probe scripts archived in BASELINE.md) are the
+fallback when the probe fails or MICROTIPI_BENCH_SKIP_PROBE=1. The
+north-star 50x target is against CPU Java, which historical TiPi benchmarks
+place at or below the JAX-CPU figure (same FFT-bound algorithm, JTransforms
+vs XLA:CPU FFT), so vs_baseline >= 50 on this scale is the goal line either
+way.
+
+Usage:
+  bench.py                    # full: TPU measures + CPU probes, one JSON line
+  bench.py --cpu-probe deconv # internal: reduced CPU probe (prints one JSON)
+  bench.py --cpu-probe blind  # internal: reduced blind CPU probe
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -28,23 +50,46 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+from microtipi_tpu.jobs.blind import BlindDeconvConfig, blind_deconvolve
 from microtipi_tpu.jobs.deconv import DeconvolutionConfig, deconvolve
+from microtipi_tpu.jobs.psf_fit import PsfFitConfig
+from microtipi_tpu.models.microscope import DEFOCUS, PHASE
 from microtipi_tpu.models.widefield import WideFieldConfig
 from microtipi_tpu.ops.convolution import convolve, convolve_spectrum
 
 SHAPE = (256, 256, 256)
 ITERS = 20
-CPU_BASELINE_MVOX_ITER_S = 3.08  # measured stand-in, see module docstring
+BLIND_LOOPS = 5
+BLIND_OBJ_ITERS = 20
+
+# Frozen fallback stand-ins (same workloads on this host's CPU via JAX;
+# measured 2026-08-16 (deconv: 5 iters in 27.2 s) and 2026-08-19 (blind,
+# same joint-fit recipe: 36.2 s for 7 object iterations). Used only when the
+# same-session probe is skipped or fails; the probe re-measures both.
+CPU_BASELINE_MVOX_ITER_S = 3.08
+CPU_BASELINE_BLIND_MVOX_ITER_S = 3.25
 
 
-def main():
-    model = WideFieldConfig(
+def _model():
+    return WideFieldConfig(
         shape=SHAPE, na=1.4, wavelength=561e-9, ni=1.518, dxy=80e-9, dz=200e-9,
         n_phase=6, n_modulus=1,
     )
+
+
+def _object_and_noise():
     rng = np.random.default_rng(0)
-    obj = jnp.asarray(rng.random(SHAPE, dtype=np.float32) * (rng.random(SHAPE) > 0.999) * 300)
+    obj = jnp.asarray(
+        rng.random(SHAPE, dtype=np.float32) * (rng.random(SHAPE) > 0.999) * 300
+    )
     noise = jnp.asarray(rng.standard_normal(SHAPE), jnp.float32)
+    return obj, noise
+
+
+def measure_deconv(iters=ITERS, repeats=3):
+    """Non-blind object step. Returns Mvox*iter/s (best of `repeats`)."""
+    model = _model()
+    obj, noise = _object_and_noise()
 
     @jax.jit
     def make_data(obj, noise):
@@ -54,14 +99,14 @@ def main():
 
     data, psf = make_data(obj, noise)
 
-    cfg = DeconvolutionConfig(mu=0.01, epsilon=1.0, max_iter=ITERS, grtol=0.0, gatol=0.0)
+    cfg = DeconvolutionConfig(mu=0.01, epsilon=1.0, max_iter=iters, grtol=0.0, gatol=0.0)
     run = jax.jit(lambda d, p: deconvolve(d, p, config=cfg))
     # NOTE: timing fetches a scalar result — on the axon runtime
     # block_until_ready does not actually synchronize, a D2H fetch does.
     res = run(data, psf)
     _ = float(res.f)  # compile + warm
     best = float("inf")
-    for _ in range(3):
+    for _ in range(repeats):
         t0 = time.perf_counter()
         res = run(data, psf)
         _ = float(res.f)
@@ -69,16 +114,127 @@ def main():
 
     # Count the iterations actually performed (an early Wolfe stop on some
     # runtime/toolchain combination must degrade the number, not kill the run).
-    iters = int(res.iterations)
+    n = int(res.iterations)
     if not bool(jnp.isfinite(res.f)):
         raise SystemExit("non-finite final cost")
-    value = float(np.prod(SHAPE)) * iters / best / 1e6
+    return float(np.prod(SHAPE)) * n / best / 1e6
+
+
+def measure_blind(loops=BLIND_LOOPS, obj_iters=BLIND_OBJ_ITERS, psf_iters=5, repeats=3):
+    """North-star blind loop (``BlindDeconvJob.java:97-138`` semantics).
+
+    5 rounds of (TV+positivity VMLMB object update, then a JOINT
+    defocus+phase PSF fit) as ONE jitted device dispatch. The joint fit is
+    the framework's recommended recipe — it both prevents the sequential
+    coordinate-descent's defocus degradation (BASELINE.md) and halves the
+    fit share of the wall: measured +25% blind throughput at equal object
+    iterations and equal-within-1% final cost. Throughput counts object-step
+    iterations (the dominant cost; the PSF fits ride along, making the
+    figure conservative). Returns Mvox*obj_iter/s.
+    """
+    model = _model()
+    obj, noise = _object_and_noise()
+
+    @jax.jit
+    def make_data(obj, noise):
+        true = model.init_params()._replace(
+            phase=jnp.asarray([0.15, -0.1, 0.08, 0.0, 0.05, 0.0], jnp.float32)
+        )
+        psf = model.compute_psf(true)
+        d = convolve(obj, convolve_spectrum(psf), SHAPE)
+        return d + 0.01 * d.max() * noise
+
+    data = make_data(obj, noise)
+
+    cfg = BlindDeconvConfig(
+        loops=loops, families=(DEFOCUS, PHASE), psf_max_iter=(psf_iters, psf_iters),
+        joint_fit=True,  # recommended recipe; +25% measured (BASELINE.md)
+        deconv=DeconvolutionConfig(
+            mu=0.01, epsilon=1.0, max_iter=obj_iters, grtol=0.0, gatol=0.0
+        ),
+        fit=PsfFitConfig(grtol=0.0),
+    )
+    run = jax.jit(lambda d: blind_deconvolve(d, model, config=cfg))
+    res = run(data)
+    _ = float(res.deconv_f[-1])  # compile + warm
+    best = float("inf")
+    best_res = None
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        res = run(data)
+        _ = float(res.deconv_f[-1])
+        dt = time.perf_counter() - t0
+        if dt < best:
+            best, best_res = dt, res
+
+    n = int(np.asarray(best_res.deconv_iters).sum())
+    if not np.isfinite(np.asarray(best_res.deconv_f)).all():
+        raise SystemExit("non-finite blind cost")
+    return float(np.prod(SHAPE)) * n / best / 1e6
+
+
+def _run_cpu_probe(kind, timeout=1500):
+    """Re-measure the CPU stand-in in a subprocess. Returns Mvox*iter/s or None."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--cpu-probe", kind],
+            env=env, capture_output=True, text=True, timeout=timeout,
+        )
+        line = out.stdout.strip().splitlines()[-1]
+        return float(json.loads(line)["mvox_iter_s"])
+    except Exception:
+        return None
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    if argv[:1] == ["--cpu-probe"]:
+        # Reduced-iteration same-host CPU measurement (throughput is
+        # per-iteration, so the figure transfers to the full counts).
+        # The axon sitecustomize selects its backend regardless of the
+        # JAX_PLATFORMS env var, so force the CPU platform via config BEFORE
+        # any backend touch and verify — a probe that silently lands on the
+        # chip would report vs_baseline ~1 (observed 2026-08-19).
+        jax.config.update("jax_platforms", "cpu")
+        if jax.devices()[0].platform != "cpu":
+            raise SystemExit(f"cpu probe landed on {jax.devices()[0].platform}")
+        kind = argv[1]
+        if kind == "deconv":
+            v = measure_deconv(iters=5, repeats=1)  # the 2026-08-16 protocol
+        else:
+            v = measure_blind(loops=2, obj_iters=5, psf_iters=2, repeats=1)
+        print(json.dumps({"mvox_iter_s": round(v, 3)}))
+        return
+
+    value = measure_deconv()
+    blind_value = measure_blind()
+
+    base, blind_base, source = (
+        CPU_BASELINE_MVOX_ITER_S, CPU_BASELINE_BLIND_MVOX_ITER_S, "frozen",
+    )
+    out_extra = {}
+    if not os.environ.get("MICROTIPI_BENCH_SKIP_PROBE"):
+        p = _run_cpu_probe("deconv")
+        pb = _run_cpu_probe("blind")
+        if p and pb:
+            base, blind_base, source = p, pb, "measured"
+            out_extra = {
+                "cpu_probe_mvox_iter_s": round(p, 2),
+                "cpu_probe_blind_mvox_iter_s": round(pb, 2),
+            }
 
     print(json.dumps({
         "metric": "deconv_throughput_256cubed",
         "value": round(value, 1),
         "unit": "Mvox*iter/s",
-        "vs_baseline": round(value / CPU_BASELINE_MVOX_ITER_S, 1),
+        "vs_baseline": round(value / base, 1),
+        "blind_metric": "blind_deconv_throughput_256cubed",
+        "blind_value": round(blind_value, 1),
+        "blind_unit": "Mvox*obj_iter/s",
+        "blind_vs_baseline": round(blind_value / blind_base, 1),
+        "baseline_source": source,
+        **out_extra,
     }))
 
 
