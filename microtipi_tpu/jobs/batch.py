@@ -12,8 +12,6 @@ vmap-over-while behavior). Costs/histories come back per lane.
 
 from __future__ import annotations
 
-import dataclasses
-
 import jax
 import jax.numpy as jnp
 
@@ -22,17 +20,6 @@ from microtipi_tpu.jobs.deconv import DeconvolutionConfig, DeconvolutionResult, 
 
 __all__ = ["batched_deconvolve", "batched_blind_deconvolve",
            "batched_deconvolve_auto_mu", "batched_deconvolve_depthvar"]
-
-
-def _unfused(config: DeconvolutionConfig) -> DeconvolutionConfig:
-    """vmapped solves use the jnp TV path: the fused kernel's batched
-    (custom_vmap-routed) variant is correct on TPU but measured slower than
-    jnp under vmap (ops/pallas/hyperbolic_tv.py module note) — 4D blocks
-    halve the Mosaic streaming rate. Explicit ``fused_tv=True`` still wins
-    (the user forced it; it degrades gracefully instead of crashing)."""
-    if config.fused_tv:
-        return config
-    return dataclasses.replace(config, fused_tv=False)
 
 
 def batched_deconvolve(
@@ -45,9 +32,11 @@ def batched_deconvolve(
     """Object update over a (B, ...) stack sharing one PSF.
 
     ``weights``/``x0`` may be batched or None. Returns per-lane results
-    (leading batch axis on every field).
+    (leading batch axis on every field). The fused Pallas TV rides along
+    under vmap via its custom_vmap routing to the flattened (B*Nz,)-grid
+    kernel — measured 1.3x over the jnp TV at 256^2 planes, parity below
+    (BASELINE.md), so the standard auto rule applies unmodified.
     """
-    config = _unfused(config)
     in_axes = (0, None, 0 if weights is not None else None, 0 if x0 is not None else None)
     fn = jax.vmap(
         lambda d, p, w, x: deconvolve(d, p, weights=w, x0=x, config=config),
@@ -68,7 +57,6 @@ def batched_deconvolve_depthvar(
     are per-acquisition, not per-frame)."""
     from microtipi_tpu.jobs.depthvar import deconvolve_depthvar
 
-    config = _unfused(config)
     in_axes = (0, None, 0 if weights is not None else None)
     fn = jax.vmap(
         lambda d, p, w: deconvolve_depthvar(d, p, anchors=anchors, weights=w, config=config),
@@ -107,7 +95,6 @@ def batched_blind_deconvolve(
             data, model, mesh, params0=params0, weights=weights, config=config,
             bead_data=bead_data,
         )
-    config = dataclasses.replace(config, deconv=_unfused(config.deconv))
     if params0 is None:
         params0 = model.init_params()
         params0 = jax.tree.map(lambda l: jnp.broadcast_to(l, (data.shape[0],) + l.shape), params0)
@@ -142,7 +129,6 @@ def batched_deconvolve_auto_mu(
     """
     from microtipi_tpu.jobs.autotune import deconvolve_auto_mu
 
-    config = _unfused(config)
     in_axes = (0, 0 if weights is not None else None)
     fn = jax.vmap(
         lambda d, w: deconvolve_auto_mu(d, psf, weights=w, config=config, **auto_kw),

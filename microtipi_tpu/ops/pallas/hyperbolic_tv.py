@@ -30,15 +30,16 @@ runnable without a TPU.
 vmap: JAX's default pallas batching of this kernel crashes Mosaic (batched
 squeezed-plane/SMEM BlockSpecs — observed on-chip driving the tiled
 solver), so ``_tv_pallas`` carries a ``custom_vmap`` rule routing vmapped
-traces to a (B, Nz)-grid batched kernel. That kernel is *correct* on TPU
-but measured slightly SLOWER than the jnp TV under vmap (8.9 vs 5.2 ms
-device time at 8x32x128x128 — 4D blocks move at about half the rate of 2D
-blocks on this toolchain, same effect as the rejected z-blocked variant in
-BASELINE.md), so batched solvers still default to the jnp path
-(``jobs.batch._unfused``) for speed; the routing exists so a forced
-``fused_tv=True`` in a batched context degrades instead of crashing. The
-single-volume object steps that carry the throughput headline keep the
-fast (Nz,)-grid kernel.
+traces to a batched kernel on a FLATTENED (B*Nz,) grid over a reshaped
+(B*Nz, Ny, Nx) view — blocks stay rank-3 (the earlier (B, Nz)-grid variant
+with rank-4 blocks moved at half the streaming rate and lost to the jnp TV,
+8.9 vs 5.2 ms at 8x32x128x128; BASELINE.md). Measured on-chip 2026-08-19:
+the flat-grid kernel beats the vmapped jnp TV 1.32x at 4x64x256x256
+(3.12 vs 4.12 ms/eval) and ties at 8x32x128x128 (2.49 vs 2.51 — 128-wide
+rows underutilize the lanes), so batched/tiled solvers now use the standard
+fused_tv auto rule (fused on TPU) instead of forcing the jnp path. One
+level of vmap only (a second level would hit default pallas batching of the
+flat kernel).
 """
 
 from __future__ import annotations
@@ -135,14 +136,17 @@ def _tv_pallas_impl(x: jax.Array, epsilon: float, scales, interpret: bool):
     return jnp.sum(cost_partials).astype(x.dtype), grad
 
 
-def _tv_kernel_batched(xm_ref, x0_ref, xp_ref, grad_ref, cost_ref, *, inv_scales, eps, nz):
-    """Batched variant: grid (B, Nz); each step owns one (b, iz) plane."""
-    ib = pl.program_id(0)
-    iz = pl.program_id(1)
+def _tv_kernel_flat(xm_ref, x0_ref, xp_ref, grad_ref, cost_ref, *, inv_scales, eps, nz):
+    """Batched variant on a FLATTENED (B*Nz,) grid over a (B*Nz, Ny, Nx)
+    view: blocks stay rank-3 like the single-volume kernel (4D blocks were
+    measured at ~half the streaming rate on this toolchain — BASELINE.md),
+    and the volume boundaries come back via div/rem index arithmetic."""
+    k = pl.program_id(0)
+    iz = jax.lax.rem(k, jnp.asarray(nz, k.dtype))
     inv_sz, inv_sy, inv_sx = inv_scales
-    x0 = x0_ref[0, 0]
-    xp = xp_ref[0, 0]
-    xm = xm_ref[0, 0]
+    x0 = x0_ref[0]
+    xp = xp_ref[0]
+    xm = xm_ref[0]
     is_last = iz == nz - 1
     is_first = iz == 0
 
@@ -150,12 +154,12 @@ def _tv_kernel_batched(xm_ref, x0_ref, xp_ref, grad_ref, cost_ref, *, inv_scales
     _, wz_prev, _, _ = _plane_dw(xm, x0, inv_sz, inv_sy, inv_sx, eps, False)
     wz_prev = jnp.where(is_first, jnp.zeros_like(wz_prev), wz_prev)
 
-    grad_ref[0, 0] = (
+    grad_ref[0] = (
         wz_prev - wz
         + _shift_minus(wy, 0) - wy
         + _shift_minus(wx, 1) - wx
     )
-    cost_ref[ib * nz + iz] = jnp.sum(denom - eps, dtype=jnp.float32)
+    cost_ref[k] = jnp.sum(denom - eps, dtype=jnp.float32)
 
 
 def _tv_pallas_batched(x: jax.Array, epsilon: float, scales, interpret: bool):
@@ -164,29 +168,38 @@ def _tv_pallas_batched(x: jax.Array, epsilon: float, scales, interpret: bool):
     b, nz, ny, nx = x.shape
     inv_scales = tuple(1.0 / s for s in (scales or (1.0, 1.0, 1.0)))
     eps = float(epsilon)
+    xf = x.reshape(b * nz, ny, nx)
 
-    kernel = partial(_tv_kernel_batched, inv_scales=inv_scales, eps=eps, nz=nz)
-    plane = lambda f: pl.BlockSpec((1, 1, ny, nx), f, memory_space=pltpu.VMEM)
+    # Clamped within-volume neighbor planes on the flat axis: plane k = (ib,
+    # iz) reads ib*nz + clamp(iz +- 1) — never a neighboring volume's plane.
+    def _prev(k):
+        n = jnp.asarray(nz, k.dtype)
+        ib, iz = jax.lax.div(k, n), jax.lax.rem(k, n)
+        return (ib * n + jnp.maximum(iz - 1, 0), 0, 0)
+
+    def _next(k):
+        n = jnp.asarray(nz, k.dtype)
+        ib, iz = jax.lax.div(k, n), jax.lax.rem(k, n)
+        return (ib * n + jnp.minimum(iz + 1, n - 1), 0, 0)
+
+    kernel = partial(_tv_kernel_flat, inv_scales=inv_scales, eps=eps, nz=nz)
+    plane = lambda f: pl.BlockSpec((1, ny, nx), f, memory_space=pltpu.VMEM)
     grad, cost_partials = pl.pallas_call(
         kernel,
-        grid=(b, nz),
-        in_specs=[
-            plane(lambda ib, k: (ib, jnp.maximum(k - 1, 0), 0, 0)),
-            plane(lambda ib, k: (ib, k, 0, 0)),
-            plane(lambda ib, k: (ib, jnp.minimum(k + 1, nz - 1), 0, 0)),
-        ],
+        grid=(b * nz,),
+        in_specs=[plane(_prev), plane(lambda k: (k, 0, 0)), plane(_next)],
         out_specs=[
-            pl.BlockSpec((1, 1, ny, nx), lambda ib, k: (ib, k, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((b * nz,), lambda ib, k: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, ny, nx), lambda k: (k, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b * nz,), lambda k: (0,), memory_space=pltpu.SMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct(x.shape, x.dtype),
+            jax.ShapeDtypeStruct(xf.shape, x.dtype),
             jax.ShapeDtypeStruct((b * nz,), jnp.float32),
         ],
         interpret=interpret,
-    )(x, x, x)
+    )(xf, xf, xf)
     cost = jnp.sum(cost_partials.reshape(b, nz), axis=1).astype(x.dtype)
-    return cost, grad
+    return cost, grad.reshape(x.shape)
 
 
 def _tv_pallas(x: jax.Array, epsilon: float, scales, interpret: bool):
