@@ -12,6 +12,8 @@ module-level placement.
 
 import os
 
+import pytest
+
 # Must precede the first CPU client creation.
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
@@ -27,3 +29,38 @@ jax.config.update("jax_enable_x64", True)
 # Shared with the TPU bench cache dir — cache keys include the platform.
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+# Two-tier suite (VERDICT r2 item 5). This is a 1-core host, so xdist
+# cannot parallelize; the dominant wall-clock cost is the subprocess-heavy
+# end-to-end modules (every CLI/example/serve subprocess pays a fresh
+# ~20-60 s Python+jax import that the in-process compile cache cannot
+# amortize). `--smoke` deselects exactly those modules — every numerical
+# test (models, ops, optim, parallel mesh, golden/oracle/fuzz) still runs —
+# for the fast review-pass tier; the full suite remains the wrap/CI gate.
+_FULL_TIER_MODULES = {
+    "test_cli.py",        # 1,500 lines of argparse subcommands via subprocess
+    "test_examples.py",   # runs examples/ gallery as subprocesses
+    "test_serve.py",      # HTTP serving loop + worker subprocesses
+    "test_multiprocess.py",  # 2-process jax.distributed mesh bring-up
+    "test_docs.py",       # regenerates docs via subprocess, diff-checks
+    "test_plate.py",      # HCS plate walks through the CLI subprocess path
+}
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--smoke", action="store_true", default=False,
+        help="fast tier: skip subprocess-heavy e2e modules (CLI/examples/"
+             "serve/multiprocess/docs/plate); all numerical tests still run",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if not config.getoption("--smoke"):
+        return
+    keep, drop = [], []
+    for item in items:
+        (drop if item.fspath.basename in _FULL_TIER_MODULES else keep).append(item)
+    if drop:
+        config.hook.pytest_deselected(items=drop)
+        items[:] = keep
