@@ -146,6 +146,11 @@ def _deconv_args(p: argparse.ArgumentParser, methods=("vmlmb", "rl")):
                    help="Hessian continuity prior weight (anti-staircasing "
                         "complement to --mu for smooth specimens)")
     g.add_argument("--iters", type=int, default=50, help="VMLMB iterations")
+    g.add_argument("--grtol", type=float, default=None,
+                   help="VMLMB relative gradient tolerance (default: the "
+                        "solver's 1e-3; 0 disables, running --iters out)")
+    g.add_argument("--gatol", type=float, default=None,
+                   help="VMLMB absolute gradient tolerance (default 0)")
     g.add_argument("--no-positivity", action="store_true")
     g.add_argument("--pad", type=int, default=0, help="pad object grid by this many voxels per side")
     g.add_argument("--gain", type=float, default=0.0, help="camera gain e-/ADU for variance weights (0 = uniform)")
@@ -423,6 +428,11 @@ def _deconv_config(args, shape):
     var_shape = None
     if args.pad:
         var_shape = tuple(s + 2 * args.pad for s in shape)
+    tol = {}
+    if getattr(args, "grtol", None) is not None:
+        tol["grtol"] = args.grtol
+    if getattr(args, "gatol", None) is not None:
+        tol["gatol"] = args.gatol
     return DeconvolutionConfig(
         mu=args.mu, epsilon=args.epsilon, max_iter=args.iters,
         positivity=not args.no_positivity, var_shape=var_shape,
@@ -431,6 +441,7 @@ def _deconv_config(args, shape):
         sparsity=getattr(args, "sparsity", 0.0),
         hessian=getattr(args, "hessian", 0.0),
         sparsity_epsilon=getattr(args, "sparsity_epsilon", None),
+        **tol,
     )
 
 

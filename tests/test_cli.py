@@ -1504,3 +1504,19 @@ def test_cli_sim3d_reconstruction(tmp_path):
               "--pattern-period", str(period),
               "--axial-period", str(axial_period)], tmp_path)
     assert r.returncode != 0 and "not divisible" in (r.stdout + r.stderr)
+
+
+def test_deconv_config_tolerance_flags():
+    """--grtol/--gatol reach DeconvolutionConfig; unset (None) keeps solver
+    defaults (grtol 1e-3 / gatol 0) so existing invocations are unchanged."""
+    import argparse
+
+    from microtipi_tpu.__main__ import _deconv_config
+
+    base = dict(mu=0.01, epsilon=1.0, iters=5, no_positivity=False, pad=0)
+    a = argparse.Namespace(**base, grtol=0.0, gatol=0.0)
+    cfg = _deconv_config(a, (4, 16, 16))
+    assert cfg.grtol == 0.0 and cfg.gatol == 0.0
+    a2 = argparse.Namespace(**base, grtol=None, gatol=None)
+    cfg2 = _deconv_config(a2, (4, 16, 16))
+    assert cfg2.grtol == 1e-3 and cfg2.gatol == 0.0
