@@ -1200,7 +1200,14 @@ def cmd_deconv(args):
     if _is_plate(args.data) and not getattr(args, "well", None):
         _cmd_deconv_plate(args)
         return
-    data = jnp.asarray(_read_input_volume(args, args.data))
+    # --tile streams host-side tiles through the chip: keep the volume in
+    # host memory (a beyond-HBM volume cannot live on device whole, and on
+    # tunnel-attached deployments the full-volume round trip is a measured
+    # multi-minute tax at design scale — BASELINE.md round 3). Every other
+    # path wants the device array.
+    data = _read_input_volume(args, args.data)
+    if not getattr(args, "tile", None) or getattr(args, "superres", None):
+        data = jnp.asarray(data)
     depthvar_tiled = bool(getattr(args, "depthvar", 0)) and bool(getattr(args, "tile", None))
     if getattr(args, "depthvar_maps", None) and getattr(args, "tile", None):
         sys.exit("--depthvar-maps does not compose with --tile; use the "
