@@ -15,6 +15,7 @@ All compute paths are single jitted programs; volumes are float32.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -1310,15 +1311,23 @@ def cmd_deconv(args):
 
         if getattr(args, "mesh", None):
             sys.exit("--tile streams tiles through one chip; drop --mesh")
+        overlap = args.overlap
+        if isinstance(overlap, list):
+            if len(overlap) == 1:
+                overlap = overlap[0]
+            elif len(overlap) == 3:
+                overlap = tuple(overlap)
+            else:
+                sys.exit("--overlap takes one value or three (OZ OY OX)")
         t0 = time.time()
         x = tiled_deconvolve(
             np.asarray(data), psf, weights=w, tile=tuple(args.tile),
-            overlap=args.overlap, config=cfg, method=args.method,
+            overlap=overlap, config=cfg, method=args.method,
             rl_iterations=args.iters, max_batch=args.tile_batch,
             depthvar_anchors=depthvar_zs,
         )
         tag = f" depthvar K={args.depthvar}" if depthvar_zs is not None else ""
-        print(f"deconv[tiled {tuple(args.tile)}+{args.overlap}{tag}]: "
+        print(f"deconv[tiled {tuple(args.tile)}+{overlap}{tag}]: "
               f"{time.time()-t0:.1f}s (incl. compile)")
         _write_out(args, args.out, x, dxy=args.dxy, dz=args.dz)
         print("wrote", args.out)
@@ -2700,6 +2709,31 @@ def cmd_watch(args):
           depthvar_params=depthvar_params)
 
 
+def _enable_compile_cache():
+    """Turn on JAX's persistent compilation cache for every CLI command.
+
+    On the axon/TPU runtime a first FFT-heavy compile is remote and takes
+    minutes; without a disk cache EVERY CLI invocation pays it again (each
+    run is a fresh process — measured: the second `deconv --tile` run at
+    128x512x512 was no faster than the first, BASELINE.md). Respects an
+    explicit ``JAX_COMPILATION_CACHE_DIR``/config value; opt out with
+    ``MICROTIPI_NO_COMPILE_CACHE=1``; relocate with ``MICROTIPI_CACHE_DIR``.
+    """
+    if os.environ.get("MICROTIPI_NO_COMPILE_CACHE"):
+        return
+    import jax
+
+    if jax.config.jax_compilation_cache_dir:
+        return  # user already configured one (env var or config)
+    d = os.environ.get("MICROTIPI_CACHE_DIR") or os.path.join(
+        os.path.expanduser("~"), ".cache", "microtipi_tpu", "jax_cache")
+    try:
+        os.makedirs(d, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", d)
+    except OSError:
+        pass  # unwritable home (sandboxed deploys): run uncached
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="microtipi_tpu", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -2869,8 +2903,11 @@ def main(argv=None):
     p.add_argument("--tile", type=int, nargs=3, default=None, metavar=("TZ", "TY", "TX"),
                    help="tiled (out-of-core) solve: stream overlapping tiles of this "
                         "shape through the chip (volumes larger than HBM)")
-    p.add_argument("--overlap", type=int, default=16,
-                   help="tile halo in voxels (>= PSF half-width; discarded on blend)")
+    p.add_argument("--overlap", type=int, nargs="+", default=16,
+                   metavar="O",
+                   help="tile halo in voxels (>= PSF half-width; discarded "
+                        "on blend): one value for all axes or three (OZ OY "
+                        "OX — e.g. '0 24 24' when a single tile spans z)")
     p.add_argument("--tile-batch", type=int, default=8,
                    help="tiles solved per batched dispatch")
     p.add_argument("--field-json", nargs="+", default=None, metavar="JSON",
@@ -3235,6 +3272,7 @@ def main(argv=None):
     p.set_defaults(fn=cmd_watch)
 
     args = ap.parse_args(argv)
+    _enable_compile_cache()
     args.fn(args)
 
 

@@ -22,6 +22,41 @@ def _run(args, cwd):
     )
 
 
+def test_cli_enables_persistent_compile_cache(tmp_path):
+    """Every CLI command turns on JAX's disk compilation cache (axon remote
+    compiles are minutes; a fresh process per invocation would otherwise
+    re-pay them). MICROTIPI_CACHE_DIR relocates it; MICROTIPI_NO_COMPILE_CACHE
+    opts out; an explicit JAX_COMPILATION_CACHE_DIR wins."""
+    from microtipi_tpu.io.tiffstack import write_stack
+
+    write_stack(tmp_path / "d.tif", np.zeros((4, 16, 16), np.float32))
+
+    def run(extra_env):
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["PYTHONPATH"] = REPO
+        env.update(extra_env)
+        return subprocess.run(
+            [sys.executable, "-m", "microtipi_tpu", "info", "d.tif"],
+            capture_output=True, text=True, env=env, cwd=tmp_path, timeout=600,
+        )
+
+    r = run({"MICROTIPI_CACHE_DIR": str(tmp_path / "c1")})
+    assert r.returncode == 0, r.stderr
+    assert (tmp_path / "c1").is_dir()
+
+    r = run({"MICROTIPI_CACHE_DIR": str(tmp_path / "c2"),
+             "MICROTIPI_NO_COMPILE_CACHE": "1"})
+    assert r.returncode == 0, r.stderr
+    assert not (tmp_path / "c2").exists()
+
+    r = run({"MICROTIPI_CACHE_DIR": str(tmp_path / "c3"),
+             "JAX_COMPILATION_CACHE_DIR": str(tmp_path / "c4")})
+    assert r.returncode == 0, r.stderr
+    assert not (tmp_path / "c3").exists()
+
+
 def test_cli_psf_info_deconv_roundtrip(tmp_path):
     r = _run(
         ["psf", str(tmp_path / "psf.tif"), "--shape", "8", "32", "32",
@@ -529,14 +564,24 @@ def test_cli_deconv_tiled(tmp_path):
     write_stack(tmp_path / "psf.tif", psf)
     r = _run(
         ["deconv", "d.tif", "--psf", "psf.tif", "--out", "o.tif",
-         "--tile", "8", "24", "24", "--overlap", "6", "--tile-batch", "2",
-         "--iters", "4", "--mu", "1e-3"],
+         "--tile", "8", "24", "24", "--overlap", "0", "6", "6",
+         "--tile-batch", "2", "--iters", "4", "--mu", "1e-3"],
         tmp_path,
     )
     assert r.returncode == 0, r.stderr
-    assert "tiled (8, 24, 24)" in r.stdout
+    assert "tiled (8, 24, 24)+(0, 6, 6)" in r.stdout
     out = read_stack(tmp_path / "o.tif")
     assert out.shape == shape and np.isfinite(out).all()
+
+    # per-axis overlap takes exactly one or three values
+    r = _run(
+        ["deconv", "d.tif", "--psf", "psf.tif", "--out", "o2.tif",
+         "--tile", "8", "24", "24", "--overlap", "6", "6",
+         "--iters", "2", "--mu", "1e-3"],
+        tmp_path,
+    )
+    assert r.returncode != 0
+    assert "one value or three" in (r.stdout + r.stderr)
 
 
 def test_cli_h5_roundtrip(tmp_path):

@@ -177,6 +177,46 @@ def test_sharded_deconvolve_padded_matches_dense_crop(mesh8, scene):
     np.testing.assert_allclose(np.asarray(got.x), np.asarray(ref.x), atol=1e-6)
 
 
+def test_sharded_deconvolve_ny_indivisible_matches_dense_crop(mesh8, scene):
+    """BOTH trailing axes indivisible by the 8-way mesh z axis (Nz=12,
+    Ny=14): the distributed FFT's all-to-all layout runs on the padded
+    (16, 16, 14) grid and must equal the dense crop-operator mode exactly —
+    the shard-size regime VERDICT r2 flagged as untested (a layout bug
+    confined to Ny padding would not trip the Nz-only tests)."""
+    model, true, obj, psf, data = scene
+    data_odd = data[:12, :14, :14]
+    model_odd = WideFieldConfig(shape=(12, 14, 14), n_phase=3, radial=True,
+                                dtype=jnp.float64, **KW)
+    psf_odd = model_odd.compute_psf(true)
+    cfg = DeconvolutionConfig(
+        mu=0.002, epsilon=1.0, max_iter=10, grtol=0.0, var_shape=(16, 16, 14)
+    )
+    ref = deconvolve(data_odd, psf_odd, config=cfg)
+    got = sharded_deconvolve(data_odd, psf_odd, mesh8, config=cfg)
+    assert got.x.shape == (16, 16, 14)
+    np.testing.assert_allclose(float(got.f), float(ref.f), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(got.x), np.asarray(ref.x), atol=1e-6)
+
+
+def test_sharded_blind_ny_indivisible_autopads(mesh8, scene):
+    """Nz=12 AND Ny=14 on an 8-way z mesh: the blind loop rounds both axes
+    up internally (parallel/blind.py var_shape) and runs the full recipe."""
+    model, true, obj, psf, data = scene
+    data_odd = data[:12, :14, :14]
+    model_odd = WideFieldConfig(shape=(12, 14, 14), n_phase=3, radial=True,
+                                dtype=jnp.float64, **KW)
+    cfg = BlindDeconvConfig(
+        loops=2, families=(PHASE,), psf_max_iter=(4,),
+        deconv=DeconvolutionConfig(mu=0.002, epsilon=1.0, max_iter=5),
+        joint_fit=True, init="wiener",
+    )
+    res = sharded_blind_deconvolve(data_odd, model_odd, mesh8, config=cfg)
+    assert res.obj.shape == (16, 16, 14)
+    df = np.asarray(res.deconv_f)
+    assert np.isfinite(df).all() and df[1] <= df[0]
+    assert np.isfinite(np.asarray(res.params.phase)).all()
+
+
 def test_sharded_blind_odd_shape_autopads(mesh8, scene):
     """Nz=12, Ny=16 on an 8-way z mesh: the blind loop pads internally and
     still runs the full recipe (no manual padding required)."""
