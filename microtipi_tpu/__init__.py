@@ -43,6 +43,7 @@ from microtipi_tpu.jobs.depthvar import deconvolve_depthvar, depth_anchor_psfs
 from microtipi_tpu.jobs.superres import (
     bin_volume, deconvolve_superres, upsample_psf, upsample_volume)
 from microtipi_tpu.jobs.timeseries import deconvolve_timeseries
+from microtipi_tpu.jobs.multichannel import deconvolve_multichannel
 from microtipi_tpu.jobs.psf_fit import (
     FitUncertainty, PsfFitConfig, PsfFitResult, average_beads, bead_anchor_term,
     bead_fit_uncertainty, calibrate_field, center_bead_stack, detect_beads,
@@ -78,7 +79,8 @@ from microtipi_tpu.ops.convolution import (
 )
 from microtipi_tpu.ops.register import fourier_shift, register_timeseries, register_translation
 from microtipi_tpu.ops.regularization import (
-    hyperbolic_hessian, hyperbolic_tv, hyperbolic_tv_and_gradient, smoothed_l1)
+    hyperbolic_hessian, hyperbolic_tv, hyperbolic_tv_and_gradient,
+    joint_hyperbolic_tv, smoothed_l1)
 from microtipi_tpu.optim.vmlmb import VMLMBResult, VMLMBStatus, minimize_vmlmb
 from microtipi_tpu.weights.updaters import InverseVarianceWeights, estimate_gain_readout
 
@@ -103,6 +105,7 @@ __all__ = [
     "diversity_object_estimate", "diversity_psfs",
     "fit_psf_diversity", "zernike_diversity",
     "deconvolve_depthvar", "depth_anchor_psfs", "deconvolve_timeseries",
+    "deconvolve_multichannel",
     "bin_volume", "deconvolve_superres", "upsample_psf", "upsample_volume",
     "PsfFitConfig", "PsfFitResult", "average_beads", "bead_anchor_term", "center_bead_stack",
     "empirical_psf", "fit_psf", "fit_psf_beads", "fit_psf_joint",
@@ -115,7 +118,8 @@ __all__ = [
     "estimate_bleach",
     "flat_field_correct", "remove_hot_pixels", "rolling_ball_background", "subtract_background",
     "deskew",
-    "hyperbolic_hessian", "hyperbolic_tv", "hyperbolic_tv_and_gradient", "smoothed_l1",
+    "hyperbolic_hessian", "hyperbolic_tv", "hyperbolic_tv_and_gradient",
+    "joint_hyperbolic_tv", "smoothed_l1",
     "VMLMBResult", "VMLMBStatus", "minimize_vmlmb",
     "InverseVarianceWeights", "estimate_gain_readout",
     "__version__",

@@ -1087,6 +1087,127 @@ def _cmd_deconv_timeseries(args):
     print("wrote", args.out)
 
 
+def _cmd_deconv_multichannel(args):
+    """deconv --all-channels: joint solve over every channel of a hyperstack
+    at --timepoint, each channel with its OWN PSF (jobs/multichannel.py).
+    PSFs come from --psf (a C-channel hyperstack, or one volume broadcast)
+    or are synthesized from the model flags at each OME channel's emission
+    wavelength — the chromatic-optics path (NA/lambda and ni/lambda both
+    scale with emission, WideFieldModel.java:165-166)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from microtipi_tpu.io.tiffstack import read_stack
+    from microtipi_tpu.jobs.multichannel import deconvolve_multichannel
+    from microtipi_tpu.utils.arrays import unroll
+
+    for flag, name in (("mesh", "--mesh"), ("tile", "--tile"),
+                       ("depthvar", "--depthvar"), ("superres", "--superres"),
+                       ("auto_mu", "--auto-mu")):
+        if getattr(args, flag, None):
+            sys.exit(f"--all-channels does not compose with {name}; run "
+                     "per-channel solves instead")
+    if args.method != "vmlmb":
+        sys.exit("--all-channels couples channels through the VMLMB prior; "
+                 "--method rl has no coupled form (run rl per channel)")
+    try:
+        if _is_zarr(args.data):
+            from microtipi_tpu.io.zarrstack import read_ngff_hyperstack
+            arr, meta = read_ngff_hyperstack(args.data)
+        else:
+            from microtipi_tpu.io.ome import read_ome_hyperstack
+            arr, meta = read_ome_hyperstack(args.data)
+    except Exception as e:
+        sys.exit(f"--all-channels needs a (T, C, Z, Y, X) hyperstack input: {e}")
+    nt, nc = arr.shape[:2]
+    if nc < 2:
+        sys.exit(f"--all-channels couples channels; input has SizeC={nc}")
+    t = int(getattr(args, "timepoint", 0) or 0)
+    if not (0 <= t < nt):
+        sys.exit(f"--timepoint {t} out of range (T={nt})")
+    stack = jnp.asarray(np.ascontiguousarray(arr[t]))  # (C, Z, Y, X)
+    vol = stack.shape[1:]
+    _resolve_geometry(args, args.data, log=lambda *a: None)
+
+    if args.psf:
+        try:
+            from microtipi_tpu.io.ome import read_ome_hyperstack
+            parr, _pm = read_ome_hyperstack(args.psf)
+            psfs = np.ascontiguousarray(parr[0])  # (Cp, Z, Y, X)
+            if psfs.shape[0] == 1:
+                psfs = psfs[0]
+            elif psfs.shape[0] != nc:
+                sys.exit(f"--psf has {psfs.shape[0]} channels, data has {nc}")
+        except SystemExit:
+            raise
+        except Exception:
+            psfs = read_stack(args.psf)  # one volume, broadcast
+        psfs = jnp.asarray(psfs)
+        if args.psf_centered:
+            psfs = unroll(psfs) if psfs.ndim == 3 else jax.vmap(unroll)(psfs)
+    else:
+        # Synthesize one PSF per channel at its emission wavelength.
+        channels = meta.get("channels") or []
+        lams = []
+        for c in range(nc):
+            em = channels[c].get("emission_wavelength") if c < len(channels) else None
+            em = em or args.wavelength
+            if not em:
+                sys.exit(f"channel {c} has no OME EmissionWavelength and no "
+                         "--wavelength was given; pass --psf or --wavelength")
+            lams.append(float(em))
+        print("per-channel emission wavelengths [nm]:",
+              [round(l * 1e9, 1) for l in lams])
+        if args.wavelength is None:
+            args.wavelength = lams[0]  # _build_model requires a value
+        psf_list = []
+        for lam in lams:
+            saved = args.wavelength
+            args.wavelength = lam
+            model = _build_model(args, vol)
+            args.wavelength = saved
+            psf_list.append(model.compute_psf(model.init_params()))
+        psfs = jnp.stack(psf_list)
+
+    cfg = _deconv_config(args, vol)
+    w = None
+    if getattr(args, "auto_gain", False) or args.gain > 0:
+        from microtipi_tpu.weights.updaters import InverseVarianceWeights
+        if getattr(args, "auto_gain", False):
+            from microtipi_tpu.weights.updaters import estimate_gain_readout
+            ws = []
+            for c in range(nc):  # camera constants are per channel/camera
+                g_est, rv_est = jax.jit(estimate_gain_readout)(stack[c])
+                print(f"auto-gain (channel {c}): gain={float(g_est):.4g}, "
+                      f"readout var={float(rv_est):.4g}")
+                ws.append(InverseVarianceWeights(
+                    gain=float(g_est), readout_variance=float(rv_est)
+                ).from_data(stack[c]))
+            w = jnp.stack(ws)
+        else:
+            w = InverseVarianceWeights(
+                gain=args.gain, readout_variance=args.readout
+            ).from_data(stack)
+
+    coupling = getattr(args, "coupling", "joint")
+    run = jax.jit(lambda d, p, w: deconvolve_multichannel(
+        d, p, weights=w, config=cfg, coupling=coupling))
+    t0 = time.time()
+    res = run(stack, psfs, w)
+    print(f"deconv[channels C={nc}, {coupling}]: {int(res.iterations)} iters, "
+          f"cost {float(res.f):.6g}, {time.time()-t0:.1f}s (incl. compile)")
+    out = np.asarray(res.x)[None]  # (1, C, Z, Y, X)
+    if str(args.out).lower().endswith(".zarr"):
+        from microtipi_tpu.io.zarrstack import write_ngff_hyperstack
+        write_ngff_hyperstack(args.out, out, dxy=args.dxy, dz=args.dz,
+                              levels=getattr(args, "zarr_levels", 1))
+    else:
+        from microtipi_tpu.io.ome import write_ome_hyperstack
+        write_ome_hyperstack(args.out, out, dxy=args.dxy, dz=args.dz)
+    print("wrote", args.out)
+
+
 def _cmd_deconv_superres(args, data):
     """deconv --superres FZ FY FX: solve on a finer object grid
     (jobs/superres.py). The fine PSF comes from --psf (already at the fine
@@ -1190,6 +1311,10 @@ def cmd_deconv(args):
         if getattr(args, "superres", None):
             sys.exit("--mu-t and --superres do not compose yet; run the "
                      "fine-grid solve per timepoint or drop --superres")
+        if getattr(args, "all_channels", False):
+            sys.exit("--mu-t and --all-channels do not compose yet (joint "
+                     "5D solve); run --all-channels per timepoint or "
+                     "--mu-t per channel")
         _cmd_deconv_timeseries(args)
         return
     for flag, name in (("bleach_correct", "--bleach-correct"),
@@ -1198,6 +1323,9 @@ def cmd_deconv(args):
             sys.exit(f"{name} only applies to the time-series solver; "
                      "pass --mu-t to enable it (it would otherwise be "
                      "silently ignored)")
+    if getattr(args, "all_channels", False):
+        _cmd_deconv_multichannel(args)
+        return
     if _is_plate(args.data) and not getattr(args, "well", None):
         _cmd_deconv_plate(args)
         return
@@ -2872,6 +3000,20 @@ def main(argv=None):
                         "into the forward model (g_t * H x_t) — uncorrected "
                         "fading reads as real change to the temporal prior "
                         "and gets smeared across frames")
+    p.add_argument("--all-channels", action="store_true",
+                   help="joint multi-channel solve over ALL channels of a "
+                        "hyperstack input (at --timepoint), each channel "
+                        "with its own PSF: --psf may hold C channels, or "
+                        "per-channel PSFs are synthesized from the model "
+                        "flags at each OME channel's emission wavelength "
+                        "(chromatic optics)")
+    p.add_argument("--coupling", choices=["joint", "separate"],
+                   default="joint",
+                   help="[--all-channels] channel prior: 'joint' couples "
+                        "edge LOCATIONS across channels (color TV — a dim "
+                        "channel borrows structure from a bright one; "
+                        "intensities stay free), 'separate' keeps "
+                        "per-channel TV in one batched solve")
     p.add_argument("--superres", type=int, nargs=3, default=None,
                    metavar=("FZ", "FY", "FX"),
                    help="solve on an FZxFYxFX finer object grid (sub-pixel "

@@ -1,0 +1,186 @@
+"""Joint multi-channel deconvolution with chromatic PSFs (color-TV solve).
+
+Beyond parity: the reference deconvolves one volume with one PSF
+(``BlindDeconvJob.java:97-138``); a multi-channel acquisition is C
+independent solves. But fluorescence channels image the SAME specimen —
+membranes, nuclei and organelles share boundaries even though each label
+lights up different structures — and each channel has its OWN PSF (the
+pupil radius NA/lambda and the defocus ni/lambda both scale with the
+emission wavelength, ``WideFieldModel.java:165-166``). A joint solve over
+the (C, Nz, Ny, Nx) block couples the channels where it is physically
+justified — edge LOCATIONS — while leaving per-channel intensities free:
+
+    f(x) = sum_c [ 0.5 ||H_c x_c - d_c||^2_{w_c} ]  +  mu * JTV_eps(x)
+           (+ sparsity/hessian per channel),            x >= 0
+
+with JTV the channel-coupled hyperbolic TV (one sqrt across channels per
+voxel, ``ops.regularization.joint_hyperbolic_tv`` — Bresson & Chan's color
+TV). The shared edge map lets a dim channel borrow edge positions from a
+bright one instead of blurring them away. ``coupling="separate"`` keeps
+per-channel TV (decoupled prior, still one batched solve).
+
+TPU mapping: the data term is batched 3D rFFTs over the leading channel
+axis with PER-CHANNEL kernel spectra — the chip sees the same large batched
+transforms as ``jobs.batch``/``jobs.timeseries``; the prior couples lanes
+elementwise. One VMLMB ``lax.while_loop`` over the 4D block.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from microtipi_tpu.jobs.deconv import (
+    DeconvolutionConfig,
+    DeconvolutionResult,
+    _extra_priors,
+    regularization_cost,
+    resolve_mem_dtype,
+)
+from microtipi_tpu.ops.convolution import generalized_kl
+from microtipi_tpu.ops.regularization import joint_hyperbolic_tv
+from microtipi_tpu.optim.vmlmb import minimize_vmlmb
+from microtipi_tpu.utils.arrays import pad_fft_kernel
+
+__all__ = ["deconvolve_multichannel"]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _perchannel_quadratic_cost(x, kernel_sq, b, c, vol):
+    """Sum over channels of the circulant quadratic data term with a
+    PER-CHANNEL kernel spectrum (``kernel_sq`` is (C,) + rfftn shape) — one
+    batched FFT pair yields cost AND gradient, same harmless-cancellation
+    caveat as the object step (``jobs.deconv.make_objective``)."""
+    ax = jnp.fft.irfftn(kernel_sq * jnp.fft.rfftn(x, axes=(1, 2, 3)),
+                        s=vol, axes=(1, 2, 3))
+    return (0.5 * jnp.vdot(x, ax) - jnp.vdot(x, b) + c).real.astype(x.dtype)
+
+
+def _perchannel_quadratic_fwd(x, kernel_sq, b, c, vol):
+    ax = jnp.fft.irfftn(kernel_sq * jnp.fft.rfftn(x, axes=(1, 2, 3)),
+                        s=vol, axes=(1, 2, 3))
+    f = (0.5 * jnp.vdot(x, ax) - jnp.vdot(x, b) + c).real.astype(x.dtype)
+    return f, (ax - b)
+
+
+def _perchannel_quadratic_bwd(vol, res, g):
+    return (g * res, None, None, None)
+
+
+_perchannel_quadratic_cost.defvjp(_perchannel_quadratic_fwd, _perchannel_quadratic_bwd)
+
+
+def deconvolve_multichannel(
+    data: jax.Array,
+    psfs: jax.Array,
+    weights: jax.Array | None = None,
+    x0: jax.Array | None = None,
+    config: DeconvolutionConfig = DeconvolutionConfig(),
+    *,
+    coupling: str = "joint",
+) -> DeconvolutionResult:
+    """Jointly deconvolve a (C,) + volume stack with per-channel PSFs.
+
+    ``psfs`` is (C,) + vol (one corner-origin PSF per channel — chromatic
+    optics) or a single vol broadcast to every channel. ``weights`` may be
+    (C,) + vol or per-volume (broadcast over c). ``coupling="joint"``
+    (default) applies ``config.mu`` to the channel-coupled hyperbolic TV
+    (:func:`~microtipi_tpu.ops.regularization.joint_hyperbolic_tv` — edges
+    align across channels, intensities stay free); ``"separate"`` keeps
+    per-channel TV, making this exactly C independent solves sharing one
+    VMLMB run (test-pinned against the batched solver). The
+    ``sparsity``/``hessian`` priors and positivity apply per channel in
+    both modes. Returns one joint cost with ``x`` of shape (C,) + vol.
+
+    Measured guidance (BASELINE.md): tune ``config.mu`` 3-10x LARGER than
+    for per-channel TV — shared edges are cheap under the coupled norm, so
+    the same mu regularizes less. At each prior's own best mu, joint wins
+    on shared-structure labels (dim-channel error -15% to -36%, bright
+    channel equal or better) and LOSES ~9% on channels labeling disjoint
+    structures — pick the coupling by what the labels decorate, not by
+    default.
+    """
+    data = jnp.asarray(data)
+    if data.ndim != 4:
+        raise ValueError(f"expected a (C, Nz, Ny, Nx) stack, got {data.shape}")
+    if coupling not in ("joint", "separate"):
+        raise ValueError(f"unknown coupling {coupling!r}")
+    if config.var_shape is not None:
+        raise ValueError("var_shape is not supported for the joint channel "
+                         "solve; pad the input data instead")
+    vol = data.shape[1:]
+    axes = (1, 2, 3)
+    psfs = jnp.asarray(psfs)
+    if psfs.shape == vol:
+        psfs = psfs[None]
+    if psfs.ndim != 4 or psfs.shape[0] not in (1, data.shape[0]):
+        raise ValueError(
+            f"psfs must be (C,) + {vol} (or one volume broadcast), got "
+            f"{psfs.shape}")
+    kernel = jax.vmap(lambda p: pad_fft_kernel(p, vol))(psfs)
+    k_hat = jnp.fft.rfftn(kernel, axes=axes)
+    if weights is not None:
+        weights = jnp.asarray(weights)
+        if weights.shape == vol:
+            weights = weights[None]
+
+    def model(x):
+        return jnp.fft.irfftn(k_hat * jnp.fft.rfftn(x, axes=axes),
+                              s=vol, axes=axes)
+
+    bg = jnp.asarray(config.background, data.dtype)
+    if config.data_term == "poisson":
+        if weights is not None:
+            raise ValueError("data_term='poisson' does not compose with weights")
+
+        def data_term(x):
+            return generalized_kl(model(x) + bg, jnp.maximum(data, 0.0))
+    elif config.data_term != "gaussian":
+        raise ValueError(f"unknown data_term {config.data_term!r}")
+    elif weights is None:
+        # Uniform weights: the 2-FFT quadratic fast path, batched over c
+        # with per-channel spectra.
+        kernel_sq = jnp.real(k_hat) ** 2 + jnp.imag(k_hat) ** 2
+        b = jnp.fft.irfftn(jnp.conj(k_hat) * jnp.fft.rfftn(data, axes=axes),
+                           s=vol, axes=axes)
+        c = 0.5 * jnp.sum(data * data)
+
+        def data_term(x):
+            return _perchannel_quadratic_cost(x, kernel_sq, b, c, vol)
+    else:
+
+        def data_term(x):
+            r = model(x) - data
+            return 0.5 * jnp.sum(weights * r * r)
+
+    def objective(x):
+        f = data_term(x)
+        if coupling == "joint":
+            if config.mu > 0:
+                f = f + config.mu * joint_hyperbolic_tv(
+                    x, config.epsilon, config.scales, axes=(-3, -2, -1),
+                    couple_axis=0,
+                )
+            f = f + _extra_priors(x, config, axes=(-3, -2, -1))
+        else:
+            f = f + regularization_cost(x, config, axes=(-3, -2, -1))
+        return f
+
+    if x0 is None:
+        x0 = data
+    if config.positivity:
+        x0 = jnp.maximum(x0, 0.0)
+
+    res = minimize_vmlmb(
+        jax.value_and_grad(objective), x0,
+        lower=0.0 if config.positivity else None,
+        mem=config.mem, maxiter=config.max_iter, maxeval=config.max_eval,
+        gatol=config.gatol, grtol=config.grtol,
+        mem_dtype=resolve_mem_dtype(config, x0),
+    )
+    return DeconvolutionResult(
+        res.x, res.f, res.iterations, res.evaluations, res.status,
+        res.f_history, res.pg_history,
+    )

@@ -30,11 +30,12 @@ from jax.sharding import Mesh
 from microtipi_tpu.jobs.deconv import (
     DeconvolutionConfig,
     DeconvolutionResult,
+    _extra_priors,
     has_regularizer,
     regularization_cost,
     resolve_mem_dtype,
 )
-from microtipi_tpu.ops.regularization import hyperbolic_tv
+from microtipi_tpu.ops.regularization import hyperbolic_tv, joint_hyperbolic_tv
 from microtipi_tpu.optim.vmlmb import minimize_vmlmb
 from microtipi_tpu.parallel.fft import (
     sharded_convolve,
@@ -117,13 +118,24 @@ def make_sharded_objective(
     mu_t: float = 0.0,
     epsilon_t: float | None = None,
     bleach: jax.Array | None = None,
+    joint_channels: bool = False,
 ):
     """Fused sharded cost+gradient for the object step.
 
     ``data`` is (Nz, Ny, Nx) or batched (B, Nz, Ny, Nx), z-sharded; ``psf``
-    is one unbatched volume at the data shape. Uniform weights take the
+    is one unbatched volume at the data shape, OR — batched data only — a
+    (B,) + volume stack of PER-FRAME kernels (chromatic channels,
+    ``jobs.multichannel``; the spectra live batch+y-sharded, so the
+    spectral product stays local). Uniform weights take the
     circulant-quadratic fast path (one distributed FFT pair per evaluation
     for cost AND gradient), like the single-device step.
+
+    ``joint_channels=True`` (batched data) replaces the per-frame spatial
+    TV with the channel-coupled color TV across the batch-SHARDED leading
+    axis (``ops.regularization.joint_hyperbolic_tv``): the per-voxel sum
+    over channels is a psum over the mesh batch axis — the sharded
+    analogue of ``jobs.multichannel.deconvolve_multichannel``. Mutually
+    exclusive with ``mu_t`` (one coupling semantics per leading axis).
 
     ``config.var_shape`` > data shape enables padded-variable mode on the
     mesh: the object lives on the larger grid and the padded region carries
@@ -133,15 +145,50 @@ def make_sharded_objective(
     multiple of the mesh z-axis).
     """
     vol_shape = data.shape[-3:]
-    if psf.shape != vol_shape:
+    batched = data.ndim == 4
+    per_channel = psf.ndim == 4
+    if per_channel:
+        if not batched:
+            raise ValueError("per-frame kernels need batched (B, Nz, Ny, Nx) data")
+        if psf.shape[0] != data.shape[0] or psf.shape[1:] != vol_shape:
+            raise ValueError(
+                f"per-frame kernels must be {(data.shape[0],) + vol_shape}, "
+                f"got {psf.shape}")
+    elif psf.shape != vol_shape:
         raise ValueError("sharded mode requires psf shape == volume shape")
     var_shape = tuple(config.var_shape) if config.var_shape is not None else vol_shape
-    batched = data.ndim == 4
     tv_axes = (-3, -2, -1)
     if mu_t > 0 and not batched:
         raise ValueError("mu_t couples the leading batch axis; "
                          "data must be (T, Nz, Ny, Nx)")
+    if joint_channels:
+        if not batched:
+            raise ValueError("joint_channels couples the leading batch axis; "
+                             "data must be (C, Nz, Ny, Nx)")
+        if mu_t > 0:
+            raise ValueError("joint_channels and mu_t both couple the leading "
+                             "axis; pick one (channels are unordered, "
+                             "timepoints are ordered)")
     eps_t = config.epsilon if epsilon_t is None else epsilon_t
+
+    def _pad_kernel(p):
+        if per_channel:
+            return jax.vmap(lambda k: pad_fft_kernel(k, var_shape))(p)
+        return pad_fft_kernel(p, var_shape)
+
+    def _regularize(f, x):
+        if joint_channels:
+            if config.mu > 0:
+                f = f + config.mu * joint_hyperbolic_tv(
+                    x, config.epsilon, config.scales, axes=tv_axes,
+                    couple_axis=0,
+                )
+            return f + _extra_priors(x, config, axes=tv_axes)
+        if has_regularizer(config):
+            f = f + regularization_cost(
+                x, config, axes=tv_axes if batched else None
+            )
+        return f
     g4 = None
     if bleach is not None:
         if not batched:
@@ -173,7 +220,7 @@ def make_sharded_objective(
         # analogue of the zero-weight trick below).
         if weights is not None:
             raise ValueError("data_term='poisson' does not compose with weights")
-        kernel = pad_fft_kernel(psf, var_shape)
+        kernel = _pad_kernel(psf)
         k_hat = sharded_spectrum(kernel, mesh)
         d = constrain_volume(pad_trailing(data, var_shape), mesh) if var_shape != vol_shape else data
         mask = None
@@ -188,12 +235,7 @@ def make_sharded_objective(
         def objective(x):
             hx = sharded_convolve(x, k_hat, var_shape, mesh)
             m = (hx if g4 is None else g4 * hx) + bg
-            f = generalized_kl(m, d, mask)
-            if has_regularizer(config):
-                f = f + regularization_cost(
-                    x, config, axes=tv_axes if batched else None
-                )
-            return f
+            return _regularize(generalized_kl(m, d, mask), x)
 
         return _wrap(objective)
     if config.data_term != "gaussian":
@@ -201,7 +243,7 @@ def make_sharded_objective(
 
     if var_shape != vol_shape:
         # Padded-variable mode: zero weight outside the centered data window.
-        kernel = pad_fft_kernel(psf, var_shape)
+        kernel = _pad_kernel(psf)
         k_hat = sharded_spectrum(kernel, mesh)
         d_pad = constrain_volume(pad_trailing(data, var_shape), mesh)
         w = jnp.ones(vol_shape, data.dtype) if weights is None else weights
@@ -213,12 +255,7 @@ def make_sharded_objective(
             return 0.5 * jnp.sum(w_pad * r * r)
 
         def objective(x):
-            f = data_term(x)
-            if has_regularizer(config):
-                f = f + regularization_cost(
-                    x, config, axes=tv_axes if batched else None
-                )
-            return f
+            return _regularize(data_term(x), x)
 
         return _wrap(objective)
 
@@ -246,12 +283,7 @@ def make_sharded_objective(
             return 0.5 * jnp.sum(weights * r * r)
 
     def objective(x):
-        f = data_term(x)
-        if has_regularizer(config):
-            f = f + regularization_cost(
-                x, config, axes=tv_axes if batched else None
-            )
-        return f
+        return _regularize(data_term(x), x)
 
     return _wrap(objective)
 
@@ -266,6 +298,7 @@ def sharded_deconvolve(
     mu_t: float = 0.0,
     epsilon_t: float | None = None,
     bleach: jax.Array | None = None,
+    joint_channels: bool = False,
 ) -> DeconvolutionResult:
     """Object update on the mesh; drop-in sharded analogue of
     ``jobs.deconv.deconvolve`` incl. padded-variable mode
@@ -275,7 +308,11 @@ def sharded_deconvolve(
     is the mesh batch axis, so frame halos ride the ICI. ``bleach``:
     per-frame photobleaching gains (T,) folded into the forward model as
     ``g_t * H x_t`` (see ``deconvolve_timeseries``); requires batched
-    data."""
+    data. ``psf`` may be a (B,) + volume stack of per-frame kernels and
+    ``joint_channels=True`` switches the prior to the channel-coupled
+    color TV — together the sharded analogue of
+    ``jobs.multichannel.deconvolve_multichannel`` (channels ride the mesh
+    batch axis)."""
     data = constrain_volume(data, mesh)
     var_shape = tuple(config.var_shape) if config.var_shape is not None else data.shape[-3:]
     if x0 is None:
@@ -284,7 +321,8 @@ def sharded_deconvolve(
             x0 = jnp.maximum(x0, 0.0)
     x0 = constrain_volume(x0, mesh)
     fun = make_sharded_objective(psf, data, weights, config, mesh,
-                                 mu_t=mu_t, epsilon_t=epsilon_t, bleach=bleach)
+                                 mu_t=mu_t, epsilon_t=epsilon_t, bleach=bleach,
+                                 joint_channels=joint_channels)
     res = minimize_vmlmb(
         fun,
         x0,

@@ -584,6 +584,67 @@ def test_cli_deconv_tiled(tmp_path):
     assert "one value or three" in (r.stdout + r.stderr)
 
 
+def test_cli_deconv_all_channels(tmp_path):
+    """deconv --all-channels: joint chromatic solve over a 2-channel OME
+    hyperstack — per-channel PSFs synthesized at each channel's OME
+    emission wavelength, output a (1, C, Z, Y, X) hyperstack."""
+    import jax
+    import jax.numpy as jnp
+
+    from microtipi_tpu.io.ome import read_ome_hyperstack, write_ome_hyperstack
+    from microtipi_tpu.models.widefield import WideFieldConfig
+    from microtipi_tpu.ops.convolution import convolve, convolve_spectrum
+
+    vol = (6, 24, 24)
+    kw = dict(shape=vol, na=1.3, ni=1.518, dxy=100e-9, dz=250e-9,
+              n_phase=0, radial=True, dtype=jnp.float32)
+    lams = (488e-9, 647e-9)
+    psfs = [WideFieldConfig(wavelength=l, **kw) for l in lams]
+    psfs = [m.compute_psf(m.init_params()) for m in psfs]
+    rng = np.random.default_rng(0)
+    obj = np.zeros(vol, np.float32)
+    obj[2:4, 6:18, 6:18] = 80.0
+    data = np.stack([
+        np.asarray(convolve(jnp.asarray(obj * s), convolve_spectrum(p), vol))
+        for s, p in zip((1.0, 0.3), psfs)
+    ])
+    write_ome_hyperstack(tmp_path / "d.ome.tif", data[None],
+                         dxy=100e-9, dz=250e-9,
+                         emission_wavelengths=list(lams))
+
+    r = _run(
+        ["deconv", "d.ome.tif", "--all-channels", "--out", "o.ome.tif",
+         "--na", "1.3", "--ni", "1.518", "--radial",
+         "--mu", "1e-3", "--iters", "5"],
+        tmp_path,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "per-channel emission wavelengths [nm]: [488.0, 647.0]" in r.stdout
+    assert "deconv[channels C=2, joint]" in r.stdout
+    out, _meta = read_ome_hyperstack(tmp_path / "o.ome.tif")
+    assert out.shape == (1, 2) + vol and np.isfinite(out).all()
+
+    # one broadcast PSF from a file + separate coupling
+    from microtipi_tpu.io.tiffstack import write_stack
+
+    write_stack(tmp_path / "psf.tif", np.asarray(psfs[0]))
+    r = _run(
+        ["deconv", "d.ome.tif", "--all-channels", "--coupling", "separate",
+         "--psf", "psf.tif", "--out", "o2.ome.tif",
+         "--mu", "1e-3", "--iters", "3"],
+        tmp_path,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "deconv[channels C=2, separate]" in r.stdout
+
+    # single-channel input is an error, not a silent one-channel solve
+    write_ome_hyperstack(tmp_path / "one.ome.tif", data[None, :1],
+                         dxy=100e-9, dz=250e-9)
+    r = _run(["deconv", "one.ome.tif", "--all-channels", "--psf", "psf.tif",
+              "--out", "o3.ome.tif"], tmp_path)
+    assert r.returncode != 0 and "SizeC=1" in (r.stdout + r.stderr)
+
+
 def test_cli_h5_roundtrip(tmp_path):
     """deconv reads an HDF5 input and writes an HDF5 output by extension."""
     import jax.numpy as jnp
