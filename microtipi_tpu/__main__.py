@@ -1087,6 +1087,60 @@ def _cmd_deconv_timeseries(args):
     print("wrote", args.out)
 
 
+def _resolve_channel_psfs(args, meta, nc, vol):
+    """One PSF per channel for the joint multi-channel solves: from ``--psf``
+    (a C-channel hyperstack, or one volume broadcast) or synthesized from
+    the model flags at each OME channel's EmissionWavelength (chromatic
+    optics — NA/lambda and ni/lambda scale with emission,
+    WideFieldModel.java:165-166). Returns (C,) + vol or one volume."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from microtipi_tpu.io.tiffstack import read_stack
+    from microtipi_tpu.utils.arrays import unroll
+
+    if args.psf:
+        try:
+            from microtipi_tpu.io.ome import read_ome_hyperstack
+            parr, _pm = read_ome_hyperstack(args.psf)
+            psfs = np.ascontiguousarray(parr[0])  # (Cp, Z, Y, X)
+            if psfs.shape[0] == 1:
+                psfs = psfs[0]
+            elif psfs.shape[0] != nc:
+                sys.exit(f"--psf has {psfs.shape[0]} channels, data has {nc}")
+        except SystemExit:
+            raise
+        except Exception:
+            psfs = read_stack(args.psf)  # one volume, broadcast
+        psfs = jnp.asarray(psfs)
+        if args.psf_centered:
+            psfs = unroll(psfs) if psfs.ndim == 3 else jax.vmap(unroll)(psfs)
+        return psfs
+    # Synthesize one PSF per channel at its emission wavelength.
+    channels = meta.get("channels") or []
+    lams = []
+    for c in range(nc):
+        em = channels[c].get("emission_wavelength") if c < len(channels) else None
+        em = em or args.wavelength
+        if not em:
+            sys.exit(f"channel {c} has no OME EmissionWavelength and no "
+                     "--wavelength was given; pass --psf or --wavelength")
+        lams.append(float(em))
+    print("per-channel emission wavelengths [nm]:",
+          [round(l * 1e9, 1) for l in lams])
+    if args.wavelength is None:
+        args.wavelength = lams[0]  # _build_model requires a value
+    psf_list = []
+    for lam in lams:
+        saved = args.wavelength
+        args.wavelength = lam
+        model = _build_model(args, vol)
+        args.wavelength = saved
+        psf_list.append(model.compute_psf(model.init_params()))
+    return jnp.stack(psf_list)
+
+
 def _cmd_deconv_multichannel(args):
     """deconv --all-channels: joint solve over every channel of a hyperstack
     at --timepoint, each channel with its OWN PSF (jobs/multichannel.py).
@@ -1130,46 +1184,7 @@ def _cmd_deconv_multichannel(args):
     vol = stack.shape[1:]
     _resolve_geometry(args, args.data, log=lambda *a: None)
 
-    if args.psf:
-        try:
-            from microtipi_tpu.io.ome import read_ome_hyperstack
-            parr, _pm = read_ome_hyperstack(args.psf)
-            psfs = np.ascontiguousarray(parr[0])  # (Cp, Z, Y, X)
-            if psfs.shape[0] == 1:
-                psfs = psfs[0]
-            elif psfs.shape[0] != nc:
-                sys.exit(f"--psf has {psfs.shape[0]} channels, data has {nc}")
-        except SystemExit:
-            raise
-        except Exception:
-            psfs = read_stack(args.psf)  # one volume, broadcast
-        psfs = jnp.asarray(psfs)
-        if args.psf_centered:
-            psfs = unroll(psfs) if psfs.ndim == 3 else jax.vmap(unroll)(psfs)
-    else:
-        # Synthesize one PSF per channel at its emission wavelength.
-        channels = meta.get("channels") or []
-        lams = []
-        for c in range(nc):
-            em = channels[c].get("emission_wavelength") if c < len(channels) else None
-            em = em or args.wavelength
-            if not em:
-                sys.exit(f"channel {c} has no OME EmissionWavelength and no "
-                         "--wavelength was given; pass --psf or --wavelength")
-            lams.append(float(em))
-        print("per-channel emission wavelengths [nm]:",
-              [round(l * 1e9, 1) for l in lams])
-        if args.wavelength is None:
-            args.wavelength = lams[0]  # _build_model requires a value
-        psf_list = []
-        for lam in lams:
-            saved = args.wavelength
-            args.wavelength = lam
-            model = _build_model(args, vol)
-            args.wavelength = saved
-            psf_list.append(model.compute_psf(model.init_params()))
-        psfs = jnp.stack(psf_list)
-
+    psfs = _resolve_channel_psfs(args, meta, nc, vol)
     cfg = _deconv_config(args, vol)
     w = None
     if getattr(args, "auto_gain", False) or args.gain > 0:
@@ -1198,6 +1213,97 @@ def _cmd_deconv_multichannel(args):
     print(f"deconv[channels C={nc}, {coupling}]: {int(res.iterations)} iters, "
           f"cost {float(res.f):.6g}, {time.time()-t0:.1f}s (incl. compile)")
     out = np.asarray(res.x)[None]  # (1, C, Z, Y, X)
+    if str(args.out).lower().endswith(".zarr"):
+        from microtipi_tpu.io.zarrstack import write_ngff_hyperstack
+        write_ngff_hyperstack(args.out, out, dxy=args.dxy, dz=args.dz,
+                              levels=getattr(args, "zarr_levels", 1))
+    else:
+        from microtipi_tpu.io.ome import write_ome_hyperstack
+        write_ome_hyperstack(args.out, out, dxy=args.dxy, dz=args.dz)
+    print("wrote", args.out)
+
+
+def _cmd_deconv_timeseries_multichannel(args):
+    """deconv --mu-t --all-channels: the full (T, C) acquisition in ONE
+    solve (jobs/multichannel.deconvolve_timeseries_multichannel) — color TV
+    couples channels within each timepoint, temporal TV couples timepoints
+    per channel, per-channel chromatic PSFs throughout. --register-t
+    estimates drift on the BRIGHTEST channel and applies it to all
+    (channels share the stage); --bleach-correct estimates per-channel
+    fading (fluorophores fade at their own rates)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from microtipi_tpu.jobs.multichannel import deconvolve_timeseries_multichannel
+
+    for flag, name in (("mesh", "--mesh"), ("tile", "--tile"),
+                       ("depthvar", "--depthvar"), ("superres", "--superres"),
+                       ("auto_mu", "--auto-mu")):
+        if getattr(args, flag, None):
+            sys.exit(f"--mu-t --all-channels does not compose with {name}")
+    if args.method != "vmlmb":
+        sys.exit("--mu-t --all-channels couples through the VMLMB priors; "
+                 "--method rl has no coupled form")
+    try:
+        if _is_zarr(args.data):
+            from microtipi_tpu.io.zarrstack import read_ngff_hyperstack
+            arr, meta = read_ngff_hyperstack(args.data)
+        else:
+            from microtipi_tpu.io.ome import read_ome_hyperstack
+            arr, meta = read_ome_hyperstack(args.data)
+    except Exception as e:
+        sys.exit(f"--mu-t --all-channels needs a (T, C, Z, Y, X) hyperstack "
+                 f"input: {e}")
+    nt, nc = arr.shape[:2]
+    if nt < 2:
+        sys.exit(f"--mu-t couples timepoints; input has SizeT={nt}")
+    if nc < 2:
+        sys.exit(f"--all-channels couples channels; input has SizeC={nc}")
+    block = jnp.asarray(np.ascontiguousarray(arr))  # (T, C, Z, Y, X)
+    vol = block.shape[2:]
+    _resolve_geometry(args, args.data, log=lambda *a: None)
+    psfs = _resolve_channel_psfs(args, meta, nc, vol)
+
+    if getattr(args, "register_t", False):
+        from microtipi_tpu.ops.register import fourier_shift, register_timeseries
+
+        # Drift is the STAGE's, shared by every channel: estimate on the
+        # brightest channel (best SNR for the matched filter), apply the
+        # same per-timepoint shift to all channels.
+        ref_c = int(np.argmax(np.asarray(jnp.sum(block, axis=(0, 2, 3, 4)))))
+
+        @jax.jit
+        def _register(b):
+            _, shifts = register_timeseries(b[:, ref_c])
+            return jax.vmap(  # over t
+                lambda frames, s: jax.vmap(lambda v: fourier_shift(v, s))(frames)
+            )(b, shifts), shifts
+
+        block, shifts = _register(block)
+        print(f"drift correction (voxels, cumulative; estimated on channel "
+              f"{ref_c}):", np.round(np.asarray(shifts), 2).tolist())
+
+    bleach = None
+    if getattr(args, "bleach_correct", False):
+        from microtipi_tpu.ops.preprocess import estimate_bleach
+
+        # (T, C): each fluorophore fades at its own rate.
+        bleach = jax.jit(jax.vmap(estimate_bleach, in_axes=1, out_axes=1))(block)
+        print("bleach gains (relative to frame 0, per channel):",
+              np.round(np.asarray(bleach), 3).tolist())
+
+    cfg = _deconv_config(args, vol)
+    coupling = getattr(args, "coupling", "joint")
+    run = jax.jit(lambda d, p, g: deconvolve_timeseries_multichannel(
+        d, p, config=cfg, mu_t=args.mu_t, epsilon_t=args.epsilon_t,
+        bleach=g, coupling=coupling))
+    t0 = time.time()
+    res = run(block, psfs, bleach)
+    print(f"deconv[timeseries T={nt} x channels C={nc}, {coupling}]: "
+          f"{int(res.iterations)} iters, cost {float(res.f):.6g}, "
+          f"{time.time()-t0:.1f}s (incl. compile)")
+    out = np.asarray(res.x)  # (T, C, Z, Y, X)
     if str(args.out).lower().endswith(".zarr"):
         from microtipi_tpu.io.zarrstack import write_ngff_hyperstack
         write_ngff_hyperstack(args.out, out, dxy=args.dxy, dz=args.dz,
@@ -1312,9 +1418,8 @@ def cmd_deconv(args):
             sys.exit("--mu-t and --superres do not compose yet; run the "
                      "fine-grid solve per timepoint or drop --superres")
         if getattr(args, "all_channels", False):
-            sys.exit("--mu-t and --all-channels do not compose yet (joint "
-                     "5D solve); run --all-channels per timepoint or "
-                     "--mu-t per channel")
+            _cmd_deconv_timeseries_multichannel(args)
+            return
         _cmd_deconv_timeseries(args)
         return
     for flag, name in (("bleach_correct", "--bleach-correct"),
@@ -3002,11 +3107,12 @@ def main(argv=None):
                         "and gets smeared across frames")
     p.add_argument("--all-channels", action="store_true",
                    help="joint multi-channel solve over ALL channels of a "
-                        "hyperstack input (at --timepoint), each channel "
-                        "with its own PSF: --psf may hold C channels, or "
-                        "per-channel PSFs are synthesized from the model "
-                        "flags at each OME channel's emission wavelength "
-                        "(chromatic optics)")
+                        "hyperstack input (at --timepoint; with --mu-t the "
+                        "full T x C acquisition in one 5D solve), each "
+                        "channel with its own PSF: --psf may hold C "
+                        "channels, or per-channel PSFs are synthesized from "
+                        "the model flags at each OME channel's emission "
+                        "wavelength (chromatic optics)")
     p.add_argument("--coupling", choices=["joint", "separate"],
                    default="joint",
                    help="[--all-channels] channel prior: 'joint' couples "

@@ -23,6 +23,9 @@ TPU mapping: the data term is batched 3D rFFTs over the leading channel
 axis with PER-CHANNEL kernel spectra — the chip sees the same large batched
 transforms as ``jobs.batch``/``jobs.timeseries``; the prior couples lanes
 elementwise. One VMLMB ``lax.while_loop`` over the 4D block.
+:func:`deconvolve_timeseries_multichannel` extends the same program to the
+full (T, C) 5D acquisition: color TV within each timepoint + temporal TV
+along t + per-frame-per-channel bleaching gains.
 """
 
 from __future__ import annotations
@@ -40,33 +43,38 @@ from microtipi_tpu.jobs.deconv import (
     resolve_mem_dtype,
 )
 from microtipi_tpu.ops.convolution import generalized_kl
-from microtipi_tpu.ops.regularization import joint_hyperbolic_tv
+from microtipi_tpu.ops.regularization import hyperbolic_tv, joint_hyperbolic_tv
 from microtipi_tpu.optim.vmlmb import minimize_vmlmb
 from microtipi_tpu.utils.arrays import pad_fft_kernel
 
-__all__ = ["deconvolve_multichannel"]
+__all__ = ["deconvolve_multichannel", "deconvolve_timeseries_multichannel"]
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(4,))
-def _perchannel_quadratic_cost(x, kernel_sq, b, c, vol):
-    """Sum over channels of the circulant quadratic data term with a
-    PER-CHANNEL kernel spectrum (``kernel_sq`` is (C,) + rfftn shape) — one
-    batched FFT pair yields cost AND gradient, same harmless-cancellation
-    caveat as the object step (``jobs.deconv.make_objective``)."""
-    ax = jnp.fft.irfftn(kernel_sq * jnp.fft.rfftn(x, axes=(1, 2, 3)),
-                        s=vol, axes=(1, 2, 3))
-    return (0.5 * jnp.vdot(x, ax) - jnp.vdot(x, b) + c).real.astype(x.dtype)
+@partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _perchannel_quadratic_cost(x, kernel_sq, g2, b, c, vol):
+    """Sum over leading (channel/time) axes of the circulant quadratic data
+    term with a PER-CHANNEL kernel spectrum (``kernel_sq`` broadcasts
+    against the batched rfftn of ``x`` — (C,) + spec for a 4D block,
+    unchanged for the (T, C) 5D block) — one batched FFT pair yields cost
+    AND gradient, same harmless-cancellation caveat as the object step
+    (``jobs.deconv.make_objective``). ``g2``: per-frame quadratic weight
+    (squared bleaching gains; a scalar 1.0 when uncorrected)."""
+    axes = tuple(range(x.ndim - 3, x.ndim))
+    ax = jnp.fft.irfftn(kernel_sq * jnp.fft.rfftn(x, axes=axes),
+                        s=vol, axes=axes)
+    return (0.5 * jnp.vdot(x, g2 * ax) - jnp.vdot(x, b) + c).real.astype(x.dtype)
 
 
-def _perchannel_quadratic_fwd(x, kernel_sq, b, c, vol):
-    ax = jnp.fft.irfftn(kernel_sq * jnp.fft.rfftn(x, axes=(1, 2, 3)),
-                        s=vol, axes=(1, 2, 3))
-    f = (0.5 * jnp.vdot(x, ax) - jnp.vdot(x, b) + c).real.astype(x.dtype)
-    return f, (ax - b)
+def _perchannel_quadratic_fwd(x, kernel_sq, g2, b, c, vol):
+    axes = tuple(range(x.ndim - 3, x.ndim))
+    ax = jnp.fft.irfftn(kernel_sq * jnp.fft.rfftn(x, axes=axes),
+                        s=vol, axes=axes)
+    f = (0.5 * jnp.vdot(x, g2 * ax) - jnp.vdot(x, b) + c).real.astype(x.dtype)
+    return f, (g2 * ax - b)
 
 
 def _perchannel_quadratic_bwd(vol, res, g):
-    return (g * res, None, None, None)
+    return (g * res, None, None, None, None)
 
 
 _perchannel_quadratic_cost.defvjp(_perchannel_quadratic_fwd, _perchannel_quadratic_bwd)
@@ -148,7 +156,8 @@ def deconvolve_multichannel(
         c = 0.5 * jnp.sum(data * data)
 
         def data_term(x):
-            return _perchannel_quadratic_cost(x, kernel_sq, b, c, vol)
+            return _perchannel_quadratic_cost(
+                x, kernel_sq, jnp.ones((), data.dtype), b, c, vol)
     else:
 
         def data_term(x):
@@ -166,6 +175,144 @@ def deconvolve_multichannel(
             f = f + _extra_priors(x, config, axes=(-3, -2, -1))
         else:
             f = f + regularization_cost(x, config, axes=(-3, -2, -1))
+        return f
+
+    if x0 is None:
+        x0 = data
+    if config.positivity:
+        x0 = jnp.maximum(x0, 0.0)
+
+    res = minimize_vmlmb(
+        jax.value_and_grad(objective), x0,
+        lower=0.0 if config.positivity else None,
+        mem=config.mem, maxiter=config.max_iter, maxeval=config.max_eval,
+        gatol=config.gatol, grtol=config.grtol,
+        mem_dtype=resolve_mem_dtype(config, x0),
+    )
+    return DeconvolutionResult(
+        res.x, res.f, res.iterations, res.evaluations, res.status,
+        res.f_history, res.pg_history,
+    )
+
+
+def deconvolve_timeseries_multichannel(
+    data: jax.Array,
+    psfs: jax.Array,
+    weights: jax.Array | None = None,
+    x0: jax.Array | None = None,
+    config: DeconvolutionConfig = DeconvolutionConfig(),
+    *,
+    mu_t: float = 0.0,
+    epsilon_t: float | None = None,
+    bleach: jax.Array | None = None,
+    coupling: str = "joint",
+) -> DeconvolutionResult:
+    """Jointly deconvolve a (T, C) + volume block — the full acquisition.
+
+    The 5D completion of :func:`deconvolve_multichannel` (channel axis) and
+    :func:`~microtipi_tpu.jobs.timeseries.deconvolve_timeseries` (time
+    axis): one VMLMB run over every timepoint AND channel, with
+
+    - per-channel PSF spectra (``psfs`` is (C,) + vol or one broadcast
+      volume — channels keep their chromatic optics across all frames),
+    - the color-TV prior coupling channels WITHIN each timepoint
+      (``coupling="joint"``; ``config.mu``, couple axis 1 — see
+      :func:`deconvolve_multichannel` for the measured guidance, incl. the
+      3-10x-larger-mu rule),
+    - temporal hyperbolic TV along t per channel (``mu_t``/``epsilon_t`` —
+      same semantics and tuning as ``deconvolve_timeseries``),
+    - per-frame-per-channel photobleaching gains ``bleach`` of shape
+      (T, C) folded into the forward model as ``g_tc * H_c x_tc``
+      (channels fade at their own rates — estimate with
+      ``ops.preprocess.estimate_bleach`` per channel).
+
+    Exactness pins (tests/test_multichannel.py): C == 1 reproduces
+    ``deconvolve_timeseries`` and T == 1 (mu_t=0) reproduces
+    ``deconvolve_multichannel`` — identical objectives, near-identical
+    trajectories. ``weights`` may be (T, C)+vol, (C,)+vol (broadcast over
+    t) or one volume.
+    """
+    data = jnp.asarray(data)
+    if data.ndim != 5:
+        raise ValueError(f"expected a (T, C, Nz, Ny, Nx) block, got {data.shape}")
+    if coupling not in ("joint", "separate"):
+        raise ValueError(f"unknown coupling {coupling!r}")
+    if config.var_shape is not None:
+        raise ValueError("var_shape is not supported for the joint 5D solve; "
+                         "pad the input data instead")
+    nt, nc = data.shape[:2]
+    vol = data.shape[2:]
+    axes = (2, 3, 4)
+    psfs = jnp.asarray(psfs)
+    if psfs.shape == vol:
+        psfs = psfs[None]
+    if psfs.ndim != 4 or psfs.shape[0] not in (1, nc):
+        raise ValueError(
+            f"psfs must be (C,) + {vol} (or one volume broadcast), got "
+            f"{psfs.shape}")
+    kernel = jax.vmap(lambda p: pad_fft_kernel(p, vol))(psfs)
+    k_hat = jnp.fft.rfftn(kernel, axes=(1, 2, 3))  # (C,) + spec
+    if weights is not None:
+        weights = jnp.asarray(weights)
+        if weights.shape == vol:
+            weights = weights[None, None]
+        elif weights.shape == (nc,) + vol:
+            weights = weights[None]
+    g5 = None
+    if bleach is not None:
+        bleach = jnp.asarray(bleach, data.dtype)
+        if bleach.shape != (nt, nc):
+            raise ValueError(
+                f"bleach must be per-frame-per-channel gains of shape "
+                f"({nt}, {nc}), got {bleach.shape}")
+        g5 = bleach.reshape(nt, nc, 1, 1, 1)
+
+    def model(x):
+        hx = jnp.fft.irfftn(k_hat * jnp.fft.rfftn(x, axes=axes),
+                            s=vol, axes=axes)
+        return hx if g5 is None else g5 * hx
+
+    bg = jnp.asarray(config.background, data.dtype)
+    if config.data_term == "poisson":
+        if weights is not None:
+            raise ValueError("data_term='poisson' does not compose with weights")
+
+        def data_term(x):
+            return generalized_kl(model(x) + bg, jnp.maximum(data, 0.0))
+    elif config.data_term != "gaussian":
+        raise ValueError(f"unknown data_term {config.data_term!r}")
+    elif weights is None:
+        kernel_sq = jnp.real(k_hat) ** 2 + jnp.imag(k_hat) ** 2
+        g2 = jnp.ones((), data.dtype) if g5 is None else g5 * g5
+        b = jnp.fft.irfftn(jnp.conj(k_hat) * jnp.fft.rfftn(data, axes=axes),
+                           s=vol, axes=axes)
+        if g5 is not None:
+            b = g5 * b
+        c = 0.5 * jnp.sum(data * data)
+
+        def data_term(x):
+            return _perchannel_quadratic_cost(x, kernel_sq, g2, b, c, vol)
+    else:
+
+        def data_term(x):
+            r = model(x) - data
+            return 0.5 * jnp.sum(weights * r * r)
+
+    eps_t = config.epsilon if epsilon_t is None else epsilon_t
+
+    def objective(x):
+        f = data_term(x)
+        if coupling == "joint":
+            if config.mu > 0:
+                f = f + config.mu * joint_hyperbolic_tv(
+                    x, config.epsilon, config.scales, axes=(-3, -2, -1),
+                    couple_axis=1,
+                )
+            f = f + _extra_priors(x, config, axes=(-3, -2, -1))
+        else:
+            f = f + regularization_cost(x, config, axes=(-3, -2, -1))
+        if mu_t > 0:
+            f = f + mu_t * hyperbolic_tv(x, eps_t, axes=(0,))
         return f
 
     if x0 is None:

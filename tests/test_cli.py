@@ -645,6 +645,51 @@ def test_cli_deconv_all_channels(tmp_path):
     assert r.returncode != 0 and "SizeC=1" in (r.stdout + r.stderr)
 
 
+def test_cli_deconv_timeseries_all_channels(tmp_path):
+    """deconv --mu-t --all-channels: the full (T, C) 5D joint solve —
+    chromatic PSFs, drift estimated on the brightest channel, per-channel
+    bleach gains, (T, C, Z, Y, X) hyperstack out."""
+    import jax
+    import jax.numpy as jnp
+
+    from microtipi_tpu.io.ome import read_ome_hyperstack, write_ome_hyperstack
+    from microtipi_tpu.models.widefield import WideFieldConfig
+    from microtipi_tpu.ops.convolution import convolve, convolve_spectrum
+
+    vol = (6, 24, 24)
+    kw = dict(shape=vol, na=1.3, ni=1.518, dxy=100e-9, dz=250e-9,
+              n_phase=0, radial=True, dtype=jnp.float32)
+    lams = (488e-9, 647e-9)
+    psfs = [WideFieldConfig(wavelength=l, **kw) for l in lams]
+    psfs = [m.compute_psf(m.init_params()) for m in psfs]
+    obj = np.zeros(vol, np.float32)
+    obj[2:4, 6:18, 6:18] = 80.0
+    frames = []
+    for t, fade in enumerate((1.0, 0.85, 0.7)):
+        frames.append(np.stack([
+            fade * np.asarray(convolve(jnp.asarray(obj * s),
+                                       convolve_spectrum(p), vol))
+            for s, p in zip((1.0, 0.3), psfs)
+        ]))
+    block = np.stack(frames)  # (T=3, C=2) + vol
+    write_ome_hyperstack(tmp_path / "d.ome.tif", block,
+                         dxy=100e-9, dz=250e-9,
+                         emission_wavelengths=list(lams))
+
+    r = _run(
+        ["deconv", "d.ome.tif", "--all-channels", "--mu-t", "0.1",
+         "--register-t", "--bleach-correct", "--out", "o.ome.tif",
+         "--na", "1.3", "--ni", "1.518", "--radial",
+         "--mu", "1e-3", "--iters", "4"],
+        tmp_path,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "bleach gains (relative to frame 0, per channel):" in r.stdout
+    assert "deconv[timeseries T=3 x channels C=2, joint]" in r.stdout
+    out, _meta = read_ome_hyperstack(tmp_path / "o.ome.tif")
+    assert out.shape == block.shape and np.isfinite(out).all()
+
+
 def test_cli_h5_roundtrip(tmp_path):
     """deconv reads an HDF5 input and writes an HDF5 output by extension."""
     import jax.numpy as jnp

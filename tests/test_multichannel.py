@@ -231,6 +231,87 @@ def test_sharded_multichannel_validation():
                                joint_channels=True)
 
 
+# ---- deconvolve_timeseries_multichannel (the 5D acquisition block) ------
+
+
+def test_5d_single_channel_reduces_to_timeseries():
+    """C == 1: identical objective (and near-identical trajectory) to the
+    4D time-series solver — temporal TV, quadratic fast path and bleaching
+    gains all line up through the singleton channel axis."""
+    from microtipi_tpu.jobs.multichannel import deconvolve_timeseries_multichannel
+    from microtipi_tpu.jobs.timeseries import deconvolve_timeseries
+
+    rng = np.random.default_rng(0)
+    objs, psfs, data = _scene(noise=0.02)
+    series = jnp.stack([data[0], data[0] * 0.8, data[0] * 0.6])  # (T,)+vol
+    gains = jnp.asarray([1.0, 0.8, 0.6])
+    cfg = DeconvolutionConfig(mu=2e-3, epsilon=1.0, max_iter=12, grtol=0.0)
+    ref = deconvolve_timeseries(series, psfs[0], config=cfg, mu_t=0.2,
+                                bleach=gains)
+    got = deconvolve_timeseries_multichannel(
+        series[:, None], psfs[0], config=cfg, mu_t=0.2,
+        bleach=gains[:, None])
+    np.testing.assert_allclose(float(got.f), float(ref.f), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(got.x[:, 0]), np.asarray(ref.x),
+                               atol=1e-8)
+
+
+def test_5d_single_timepoint_reduces_to_multichannel():
+    """T == 1, mu_t == 0: identical objective to the 4D channel solver,
+    both couplings."""
+    from microtipi_tpu.jobs.multichannel import deconvolve_timeseries_multichannel
+
+    objs, psfs, data = _scene(noise=0.02)
+    for coupling in ("joint", "separate"):
+        cfg = DeconvolutionConfig(mu=3e-3, epsilon=1.0, max_iter=12, grtol=0.0)
+        ref = deconvolve_multichannel(data, psfs, config=cfg, coupling=coupling)
+        got = deconvolve_timeseries_multichannel(
+            data[None], psfs, config=cfg, coupling=coupling)
+        np.testing.assert_allclose(float(got.f), float(ref.f), rtol=1e-10,
+                                   err_msg=coupling)
+        np.testing.assert_allclose(np.asarray(got.x[0]), np.asarray(ref.x),
+                                   atol=1e-8, err_msg=coupling)
+
+
+def test_5d_quadratic_matches_weights_and_runs_poisson():
+    from microtipi_tpu.jobs.multichannel import deconvolve_timeseries_multichannel
+
+    rng = np.random.default_rng(3)
+    objs, psfs, data = _scene(noise=0.02)
+    block = jnp.stack([data, data * 0.9])  # (T=2, C=2) + vol
+    gains = jnp.asarray([[1.0, 1.0], [0.9, 0.85]])
+    cfg = DeconvolutionConfig(mu=2e-3, epsilon=1.0, max_iter=8, grtol=0.0)
+    fast = deconvolve_timeseries_multichannel(block, psfs, config=cfg,
+                                              mu_t=0.1, bleach=gains)
+    slow = deconvolve_timeseries_multichannel(
+        block, psfs, weights=jnp.ones_like(block), config=cfg, mu_t=0.1,
+        bleach=gains)
+    np.testing.assert_allclose(float(fast.f), float(slow.f), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(fast.x), np.asarray(slow.x),
+                               atol=1e-7)
+
+    counts = jnp.asarray(rng.poisson(np.maximum(np.asarray(block), 0.0) + 2.0))
+    cfgp = DeconvolutionConfig(mu=2e-3, epsilon=1.0, max_iter=6, grtol=0.0,
+                               data_term="poisson", background=2.0)
+    res = deconvolve_timeseries_multichannel(
+        counts.astype(jnp.float64), psfs, config=cfgp, mu_t=0.1)
+    assert np.isfinite(float(res.f)) and bool((np.asarray(res.x) >= 0).all())
+
+
+def test_5d_validation():
+    from microtipi_tpu.jobs.multichannel import deconvolve_timeseries_multichannel
+
+    objs, psfs, data = _scene()
+    block = data[None]
+    with pytest.raises(ValueError):
+        deconvolve_timeseries_multichannel(data, psfs)  # not 5D
+    with pytest.raises(ValueError):
+        deconvolve_timeseries_multichannel(block, psfs,
+                                           bleach=jnp.ones((3, 2)))  # bad T
+    with pytest.raises(ValueError):
+        deconvolve_timeseries_multichannel(block, psfs, coupling="ring")
+
+
 def test_input_validation():
     objs, psfs, data = _scene()
     with pytest.raises(ValueError):
