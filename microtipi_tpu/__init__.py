@@ -44,7 +44,8 @@ from microtipi_tpu.jobs.superres import (
     bin_volume, deconvolve_superres, upsample_psf, upsample_volume)
 from microtipi_tpu.jobs.timeseries import deconvolve_timeseries
 from microtipi_tpu.jobs.multichannel import (
-    deconvolve_multichannel, deconvolve_timeseries_multichannel)
+    deconvolve_multichannel, deconvolve_timeseries_multichannel,
+    mixing_from_controls)
 from microtipi_tpu.jobs.psf_fit import (
     FitUncertainty, PsfFitConfig, PsfFitResult, average_beads, bead_anchor_term,
     bead_fit_uncertainty, calibrate_field, center_bead_stack, detect_beads,
@@ -107,6 +108,7 @@ __all__ = [
     "fit_psf_diversity", "zernike_diversity",
     "deconvolve_depthvar", "depth_anchor_psfs", "deconvolve_timeseries",
     "deconvolve_multichannel", "deconvolve_timeseries_multichannel",
+    "mixing_from_controls",
     "bin_volume", "deconvolve_superres", "upsample_psf", "upsample_volume",
     "PsfFitConfig", "PsfFitResult", "average_beads", "bead_anchor_term", "center_bead_stack",
     "empirical_psf", "fit_psf", "fit_psf_beads", "fit_psf_joint",

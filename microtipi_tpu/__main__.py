@@ -487,21 +487,46 @@ def _write_out(args, path, volume, dxy=None, dz=None):
 
 
 def _weights(args, data):
-    if getattr(args, "auto_gain", False):
-        import jax
+    """Inverse-variance weights from --gain/--readout or --auto-gain.
 
-        from microtipi_tpu.weights.updaters import (
-            InverseVarianceWeights, estimate_gain_readout)
+    ``data`` is a device array on every path except ``--tile``, which keeps
+    the (possibly beyond-HBM) volume host-side — there the weights are built
+    host-side too (a NumPy mirror of ``InverseVarianceWeights.from_data``)
+    and --auto-gain probes the scalar camera constants on a central crop, so
+    the volume never round-trips the device."""
+    import numpy as np
 
-        gain, rv = jax.jit(estimate_gain_readout)(data)
-        gain, rv = float(gain), float(rv)
-        print(f"auto-gain: gain={gain:.4g} e-/ADU, readout variance={rv:.4g} ADU^2")
-        return InverseVarianceWeights(gain=gain, readout_variance=rv).from_data(data)
-    if args.gain <= 0:
+    auto = getattr(args, "auto_gain", False)
+    if not auto and args.gain <= 0:
         return None
+    host = isinstance(data, np.ndarray)
+    gain, rv = args.gain, args.readout
+    if auto:
+        import jax
+        import jax.numpy as jnp
+
+        from microtipi_tpu.weights.updaters import estimate_gain_readout
+
+        probe = data
+        if host:
+            crop = tuple(min(n, c) for n, c in zip(data.shape, (64, 512, 512)))
+            sl = tuple(slice((n - c) // 2, (n - c) // 2 + c)
+                       for n, c in zip(data.shape, crop))
+            probe = jnp.asarray(np.ascontiguousarray(data[sl]))
+        gain, rv = jax.jit(estimate_gain_readout)(probe)
+        gain, rv = float(gain), float(rv)
+        print(f"auto-gain: gain={gain:.4g} e-/ADU, readout variance={rv:.4g} ADU^2"
+              + (" (central-crop probe)" if host else ""))
+    if host:
+        dt = (data.dtype if np.issubdtype(data.dtype, np.floating)
+              else np.dtype(np.float32))
+        d = np.asarray(data, dt)
+        var = np.asarray(rv, dt) + (np.maximum(d, 0.0) / gain if gain > 0 else 0.0)
+        w = (1.0 / np.maximum(var, np.finfo(dt).tiny)).astype(dt)
+        return w * np.isfinite(d).astype(dt)
     from microtipi_tpu.weights.updaters import InverseVarianceWeights
 
-    return InverseVarianceWeights(gain=args.gain, readout_variance=args.readout).from_data(data)
+    return InverseVarianceWeights(gain=gain, readout_variance=rv).from_data(data)
 
 
 def cmd_doctor(args):
@@ -1008,6 +1033,31 @@ def _cmd_deconv_plate(args):
     _plate_fan_out(args, solve_one, "deconv")
 
 
+def _read_hyperstack(args, errprefix):
+    """Read a (T, C, Z, Y, X) hyperstack (OME-TIFF or OME-NGFF zarr) or exit
+    with a one-line error — shared by every joint 4D/5D solve command."""
+    try:
+        if _is_zarr(args.data):
+            from microtipi_tpu.io.zarrstack import read_ngff_hyperstack
+            return read_ngff_hyperstack(args.data)
+        from microtipi_tpu.io.ome import read_ome_hyperstack
+        return read_ome_hyperstack(args.data)
+    except Exception as e:
+        sys.exit(f"{errprefix} needs a (T, C, Z, Y, X) hyperstack input: {e}")
+
+
+def _write_hyperstack(args, out):
+    """Write a (T, C, Z, Y, X) result next to the input's container format."""
+    if str(args.out).lower().endswith(".zarr"):
+        from microtipi_tpu.io.zarrstack import write_ngff_hyperstack
+        write_ngff_hyperstack(args.out, out, dxy=args.dxy, dz=args.dz,
+                              levels=getattr(args, "zarr_levels", 1))
+    else:
+        from microtipi_tpu.io.ome import write_ome_hyperstack
+        write_ome_hyperstack(args.out, out, dxy=args.dxy, dz=args.dz)
+    print("wrote", args.out)
+
+
 def _cmd_deconv_timeseries(args):
     """deconv --mu-t: joint 4D solve over ALL timepoints of a hyperstack
     with the temporal TV prior (jobs/timeseries.py)."""
@@ -1026,15 +1076,7 @@ def _cmd_deconv_timeseries(args):
                  "--mesh/--tile/--depthvar/--auto-mu")
     if not args.psf:
         sys.exit("--psf is required for --mu-t")
-    try:
-        if _is_zarr(args.data):
-            from microtipi_tpu.io.zarrstack import read_ngff_hyperstack
-            arr, _meta = read_ngff_hyperstack(args.data)
-        else:
-            from microtipi_tpu.io.ome import read_ome_hyperstack
-            arr, _meta = read_ome_hyperstack(args.data)
-    except Exception as e:
-        sys.exit(f"--mu-t needs a (T, C, Z, Y, X) hyperstack input: {e}")
+    arr, _meta = _read_hyperstack(args, "--mu-t")
     nt, nc = arr.shape[:2]
     if nt < 2:
         sys.exit(f"--mu-t couples timepoints; input has SizeT={nt}")
@@ -1076,23 +1118,44 @@ def _cmd_deconv_timeseries(args):
     f = float(res.f)
     print(f"deconv[timeseries T={nt}]: {int(res.iterations)} iters, "
           f"cost {f:.6g}, {time.time()-t0:.1f}s (incl. compile)")
-    out = np.asarray(res.x)[:, None]  # (T, 1, Z, Y, X)
-    if str(args.out).lower().endswith(".zarr"):
-        from microtipi_tpu.io.zarrstack import write_ngff_hyperstack
-        write_ngff_hyperstack(args.out, out, dxy=args.dxy, dz=args.dz,
-                              levels=getattr(args, "zarr_levels", 1))
-    else:
-        from microtipi_tpu.io.ome import write_ome_hyperstack
-        write_ome_hyperstack(args.out, out, dxy=args.dxy, dz=args.dz)
-    print("wrote", args.out)
+    _write_hyperstack(args, np.asarray(res.x)[:, None])  # (T, 1, Z, Y, X)
+
+
+def _parse_mixing(spec, nc):
+    """--mixing SPEC -> (nc, K) NumPy bleed-through matrix. SPEC is a JSON
+    file (list of rows), a CSV file, or inline rows 'a,b;c,d'."""
+    import json
+    import os
+
+    import numpy as np
+
+    try:
+        if os.path.exists(spec):
+            if spec.lower().endswith(".json"):
+                with open(spec) as fh:
+                    m = np.asarray(json.load(fh), np.float64)
+            else:
+                m = np.loadtxt(spec, delimiter=",", ndmin=2)
+        else:
+            m = np.asarray([[float(v) for v in row.split(",")]
+                            for row in spec.split(";")], np.float64)
+    except SystemExit:
+        raise
+    except Exception as e:
+        sys.exit(f"--mixing: could not parse {spec!r}: {e}")
+    if m.ndim != 2 or m.shape[0] != nc:
+        sys.exit(f"--mixing must be a ({nc}, K) matrix (one row per detected "
+                 f"channel of the input); got shape {getattr(m, 'shape', None)}")
+    return m
 
 
 def _resolve_channel_psfs(args, meta, nc, vol):
-    """One PSF per channel for the joint multi-channel solves: from ``--psf``
-    (a C-channel hyperstack, or one volume broadcast) or synthesized from
-    the model flags at each OME channel's EmissionWavelength (chromatic
-    optics — NA/lambda and ni/lambda scale with emission,
-    WideFieldModel.java:165-166). Returns (C,) + vol or one volume."""
+    """One PSF per channel (or per dye, with --mixing) for the joint
+    multi-channel solves: from ``--psf`` (a C-channel hyperstack, or one
+    volume broadcast) or synthesized from the model flags at each OME
+    channel's EmissionWavelength (chromatic optics — NA/lambda and
+    ni/lambda scale with emission, WideFieldModel.java:165-166). Returns
+    (C,) + vol or one volume."""
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -1108,7 +1171,8 @@ def _resolve_channel_psfs(args, meta, nc, vol):
             if psfs.shape[0] == 1:
                 psfs = psfs[0]
             elif psfs.shape[0] != nc:
-                sys.exit(f"--psf has {psfs.shape[0]} channels, data has {nc}")
+                sys.exit(f"--psf has {psfs.shape[0]} channels, expected {nc} "
+                         "(the data's channels, or K dyes with --mixing)")
         except SystemExit:
             raise
         except Exception:
@@ -1137,7 +1201,8 @@ def _resolve_channel_psfs(args, meta, nc, vol):
         args.wavelength = lam
         model = _build_model(args, vol)
         args.wavelength = saved
-        psf_list.append(model.compute_psf(model.init_params()))
+        # jit: eager synthesis remote-compiles per op on the axon runtime.
+        psf_list.append(jax.jit(model.compute_psf)(model.init_params()))
     return jnp.stack(psf_list)
 
 
@@ -1157,23 +1222,16 @@ def _cmd_deconv_multichannel(args):
     from microtipi_tpu.utils.arrays import unroll
 
     for flag, name in (("mesh", "--mesh"), ("tile", "--tile"),
-                       ("depthvar", "--depthvar"), ("superres", "--superres"),
-                       ("auto_mu", "--auto-mu")):
+                       ("depthvar", "--depthvar"),
+                       ("depthvar_maps", "--depthvar-maps"),
+                       ("superres", "--superres"), ("auto_mu", "--auto-mu")):
         if getattr(args, flag, None):
             sys.exit(f"--all-channels does not compose with {name}; run "
                      "per-channel solves instead")
     if args.method != "vmlmb":
         sys.exit("--all-channels couples channels through the VMLMB prior; "
                  "--method rl has no coupled form (run rl per channel)")
-    try:
-        if _is_zarr(args.data):
-            from microtipi_tpu.io.zarrstack import read_ngff_hyperstack
-            arr, meta = read_ngff_hyperstack(args.data)
-        else:
-            from microtipi_tpu.io.ome import read_ome_hyperstack
-            arr, meta = read_ome_hyperstack(args.data)
-    except Exception as e:
-        sys.exit(f"--all-channels needs a (T, C, Z, Y, X) hyperstack input: {e}")
+    arr, meta = _read_hyperstack(args, "--all-channels")
     nt, nc = arr.shape[:2]
     if nc < 2:
         sys.exit(f"--all-channels couples channels; input has SizeC={nc}")
@@ -1184,16 +1242,19 @@ def _cmd_deconv_multichannel(args):
     vol = stack.shape[1:]
     _resolve_geometry(args, args.data, log=lambda *a: None)
 
-    psfs = _resolve_channel_psfs(args, meta, nc, vol)
+    mix = _parse_mixing(args.mixing, nc) if getattr(args, "mixing", None) else None
+    nk = mix.shape[1] if mix is not None else nc
+    psfs = _resolve_channel_psfs(args, meta, nk, vol)
     cfg = _deconv_config(args, vol)
     w = None
     if getattr(args, "auto_gain", False) or args.gain > 0:
         from microtipi_tpu.weights.updaters import InverseVarianceWeights
         if getattr(args, "auto_gain", False):
             from microtipi_tpu.weights.updaters import estimate_gain_readout
+            est = jax.jit(estimate_gain_readout)  # one trace for all channels
             ws = []
             for c in range(nc):  # camera constants are per channel/camera
-                g_est, rv_est = jax.jit(estimate_gain_readout)(stack[c])
+                g_est, rv_est = est(stack[c])
                 print(f"auto-gain (channel {c}): gain={float(g_est):.4g}, "
                       f"readout var={float(rv_est):.4g}")
                 ws.append(InverseVarianceWeights(
@@ -1207,20 +1268,14 @@ def _cmd_deconv_multichannel(args):
 
     coupling = getattr(args, "coupling", "joint")
     run = jax.jit(lambda d, p, w: deconvolve_multichannel(
-        d, p, weights=w, config=cfg, coupling=coupling))
+        d, p, weights=w, config=cfg, coupling=coupling, mixing=mix))
     t0 = time.time()
     res = run(stack, psfs, w)
-    print(f"deconv[channels C={nc}, {coupling}]: {int(res.iterations)} iters, "
+    unmix_tag = f" -> K={nk} dyes" if mix is not None else ""
+    print(f"deconv[channels C={nc}{unmix_tag}, {coupling}]: "
+          f"{int(res.iterations)} iters, "
           f"cost {float(res.f):.6g}, {time.time()-t0:.1f}s (incl. compile)")
-    out = np.asarray(res.x)[None]  # (1, C, Z, Y, X)
-    if str(args.out).lower().endswith(".zarr"):
-        from microtipi_tpu.io.zarrstack import write_ngff_hyperstack
-        write_ngff_hyperstack(args.out, out, dxy=args.dxy, dz=args.dz,
-                              levels=getattr(args, "zarr_levels", 1))
-    else:
-        from microtipi_tpu.io.ome import write_ome_hyperstack
-        write_ome_hyperstack(args.out, out, dxy=args.dxy, dz=args.dz)
-    print("wrote", args.out)
+    _write_hyperstack(args, np.asarray(res.x)[None])  # (1, C or K, Z, Y, X)
 
 
 def _cmd_deconv_timeseries_multichannel(args):
@@ -1238,40 +1293,41 @@ def _cmd_deconv_timeseries_multichannel(args):
     from microtipi_tpu.jobs.multichannel import deconvolve_timeseries_multichannel
 
     for flag, name in (("mesh", "--mesh"), ("tile", "--tile"),
-                       ("depthvar", "--depthvar"), ("superres", "--superres"),
-                       ("auto_mu", "--auto-mu")):
+                       ("depthvar", "--depthvar"),
+                       ("depthvar_maps", "--depthvar-maps"),
+                       ("superres", "--superres"), ("auto_mu", "--auto-mu")):
         if getattr(args, flag, None):
             sys.exit(f"--mu-t --all-channels does not compose with {name}")
     if args.method != "vmlmb":
         sys.exit("--mu-t --all-channels couples through the VMLMB priors; "
                  "--method rl has no coupled form")
-    try:
-        if _is_zarr(args.data):
-            from microtipi_tpu.io.zarrstack import read_ngff_hyperstack
-            arr, meta = read_ngff_hyperstack(args.data)
-        else:
-            from microtipi_tpu.io.ome import read_ome_hyperstack
-            arr, meta = read_ome_hyperstack(args.data)
-    except Exception as e:
-        sys.exit(f"--mu-t --all-channels needs a (T, C, Z, Y, X) hyperstack "
-                 f"input: {e}")
+    arr, meta = _read_hyperstack(args, "--mu-t --all-channels")
     nt, nc = arr.shape[:2]
     if nt < 2:
         sys.exit(f"--mu-t couples timepoints; input has SizeT={nt}")
     if nc < 2:
         sys.exit(f"--all-channels couples channels; input has SizeC={nc}")
+    mix = _parse_mixing(args.mixing, nc) if getattr(args, "mixing", None) else None
+    nk = mix.shape[1] if mix is not None else nc
+    if mix is not None and getattr(args, "bleach_correct", False):
+        sys.exit("--bleach-correct does not compose with --mixing: the CLI "
+                 "estimator reads per-DETECTED-channel flux, but gains under "
+                 "unmixing are per DYE — estimate them on unmixed/control "
+                 "data and pass bleach= via the API")
     block = jnp.asarray(np.ascontiguousarray(arr))  # (T, C, Z, Y, X)
     vol = block.shape[2:]
     _resolve_geometry(args, args.data, log=lambda *a: None)
-    psfs = _resolve_channel_psfs(args, meta, nc, vol)
+    psfs = _resolve_channel_psfs(args, meta, nk, vol)
 
     if getattr(args, "register_t", False):
         from microtipi_tpu.ops.register import fourier_shift, register_timeseries
 
         # Drift is the STAGE's, shared by every channel: estimate on the
         # brightest channel (best SNR for the matched filter), apply the
-        # same per-timepoint shift to all channels.
-        ref_c = int(np.argmax(np.asarray(jnp.sum(block, axis=(0, 2, 3, 4)))))
+        # same per-timepoint shift to all channels. Host-side reduction —
+        # an eager device sum would remote-compile on the axon runtime.
+        ref_c = int(np.argmax([float(np.sum(arr[:, c], dtype=np.float64))
+                               for c in range(nc)]))
 
         @jax.jit
         def _register(b):
@@ -1294,24 +1350,37 @@ def _cmd_deconv_timeseries_multichannel(args):
               np.round(np.asarray(bleach), 3).tolist())
 
     cfg = _deconv_config(args, vol)
+    w = None
+    if getattr(args, "auto_gain", False) or args.gain > 0:
+        from microtipi_tpu.weights.updaters import InverseVarianceWeights
+        if getattr(args, "auto_gain", False):
+            from microtipi_tpu.weights.updaters import estimate_gain_readout
+            est = jax.jit(estimate_gain_readout)  # one trace for all channels
+            ws = []
+            for c in range(nc):  # camera constants are per channel/camera
+                g_est, rv_est = est(block[0, c])
+                print(f"auto-gain (channel {c}, frame 0): "
+                      f"gain={float(g_est):.4g}, "
+                      f"readout var={float(rv_est):.4g}")
+                iv = InverseVarianceWeights(
+                    gain=float(g_est), readout_variance=float(rv_est))
+                ws.append(jax.jit(iv.from_data)(block[:, c]))  # (T,) + vol
+            w = jnp.stack(ws, axis=1)  # (T, C) + vol
+        else:
+            iv = InverseVarianceWeights(
+                gain=args.gain, readout_variance=args.readout)
+            w = jax.jit(iv.from_data)(block)
     coupling = getattr(args, "coupling", "joint")
-    run = jax.jit(lambda d, p, g: deconvolve_timeseries_multichannel(
-        d, p, config=cfg, mu_t=args.mu_t, epsilon_t=args.epsilon_t,
-        bleach=g, coupling=coupling))
+    run = jax.jit(lambda d, p, w, g: deconvolve_timeseries_multichannel(
+        d, p, weights=w, config=cfg, mu_t=args.mu_t, epsilon_t=args.epsilon_t,
+        bleach=g, coupling=coupling, mixing=mix))
     t0 = time.time()
-    res = run(block, psfs, bleach)
-    print(f"deconv[timeseries T={nt} x channels C={nc}, {coupling}]: "
-          f"{int(res.iterations)} iters, cost {float(res.f):.6g}, "
+    res = run(block, psfs, w, bleach)
+    unmix_tag = f" -> K={nk} dyes" if mix is not None else ""
+    print(f"deconv[timeseries T={nt} x channels C={nc}{unmix_tag}, "
+          f"{coupling}]: {int(res.iterations)} iters, cost {float(res.f):.6g}, "
           f"{time.time()-t0:.1f}s (incl. compile)")
-    out = np.asarray(res.x)  # (T, C, Z, Y, X)
-    if str(args.out).lower().endswith(".zarr"):
-        from microtipi_tpu.io.zarrstack import write_ngff_hyperstack
-        write_ngff_hyperstack(args.out, out, dxy=args.dxy, dz=args.dz,
-                              levels=getattr(args, "zarr_levels", 1))
-    else:
-        from microtipi_tpu.io.ome import write_ome_hyperstack
-        write_ome_hyperstack(args.out, out, dxy=args.dxy, dz=args.dz)
-    print("wrote", args.out)
+    _write_hyperstack(args, np.asarray(res.x))  # (T, C or K, Z, Y, X)
 
 
 def _cmd_deconv_superres(args, data):
@@ -1413,6 +1482,9 @@ def cmd_deconv(args):
     from microtipi_tpu.utils.arrays import unroll
     import jax.numpy as jnp
 
+    if getattr(args, "mixing", None) and not getattr(args, "all_channels", False):
+        sys.exit("--mixing is the joint unmixing solve over all channels; "
+                 "it requires --all-channels")
     if getattr(args, "mu_t", None) is not None:
         if getattr(args, "superres", None):
             sys.exit("--mu-t and --superres do not compose yet; run the "
@@ -1518,6 +1590,12 @@ def cmd_deconv(args):
         psf = jnp.asarray(read_stack(args.psf))
         if args.psf_centered:
             psf = unroll(psf)
+    if getattr(args, "auto_mu", False) and (
+            args.method == "rl" or getattr(args, "tile", None)):
+        # Must precede the rl/tile branches: both return before the solve.
+        sys.exit("--auto-mu selects the VMLMB TV weight; it does not apply "
+                 "to --method rl (use --rl-stop) or --tile (tiles share one "
+                 "mu — run auto-mu on a representative crop first)")
     if args.method == "rl" and not getattr(args, "tile", None):
         from microtipi_tpu.jobs.richardson_lucy import richardson_lucy
 
@@ -1568,11 +1646,6 @@ def cmd_deconv(args):
 
     if getattr(args, "auto_mu", False) and getattr(args, "mesh", None):
         sys.exit("--auto-mu runs on one chip; drop --mesh")
-    if getattr(args, "auto_mu", False) and (
-            args.method == "rl" or getattr(args, "tile", None)):
-        sys.exit("--auto-mu selects the VMLMB TV weight; it does not apply "
-                 "to --method rl (use --rl-stop) or --tile (tiles share one "
-                 "mu — run auto-mu on a representative crop first)")
     mesh = _make_mesh(args)
     if getattr(args, "auto_mu", False):
         from microtipi_tpu.jobs.autotune import deconvolve_auto_mu
@@ -3120,6 +3193,15 @@ def main(argv=None):
                         "channel borrows structure from a bright one; "
                         "intensities stay free), 'separate' keeps "
                         "per-channel TV in one batched solve")
+    p.add_argument("--mixing", default=None, metavar="SPEC",
+                   help="[--all-channels] joint spectral unmixing: the "
+                        "(C_det, K) bleed-through matrix — a JSON/CSV file "
+                        "or inline rows 'a,b;c,d' (row c = detected channel "
+                        "c's per-dye fractions; columns from dye tables or "
+                        "single-stain controls, see mixing_from_controls). "
+                        "The solve recovers the K DYE volumes jointly with "
+                        "deconvolution; --psf / synthesized PSFs then "
+                        "describe the dyes, not the detected channels")
     p.add_argument("--superres", type=int, nargs=3, default=None,
                    metavar=("FZ", "FY", "FX"),
                    help="solve on an FZxFYxFX finer object grid (sub-pixel "

@@ -282,13 +282,17 @@ def tiled_deconvolve(
     k_axis = 0 if varying else None
     solve_batch = jax.jit(jax.vmap(solve_one, in_axes=(0, w_axis, k_axis)))
 
+    if weights is not None:
+        # One host copy up front: slicing a device weights array per chunk
+        # would re-fetch the full volume device->host on every batch.
+        weights = np.asarray(weights)
     out = np.empty(data.shape, data.dtype)
     for i in range(0, len(boxes), max_batch):
         chunk = boxes[i : i + max_batch]
         sl = [tuple(slice(s, s + t) for s, t in zip(starts, tile)) for starts, _ in chunk]
         batch = np.stack([data[s] for s in sl])
         wbatch = (
-            jnp.asarray(np.stack([np.asarray(weights)[s] for s in sl]))
+            jnp.asarray(np.stack([weights[s] for s in sl]))
             if weights is not None else None
         )
         kbatch = None

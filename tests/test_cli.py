@@ -583,6 +583,28 @@ def test_cli_deconv_tiled(tmp_path):
     assert r.returncode != 0
     assert "one value or three" in (r.stdout + r.stderr)
 
+    # --gain weights stay host-side on the --tile path (round-3 review fix:
+    # a full-volume device weights array defeats the host-side streaming)
+    r = _run(
+        ["deconv", "d.tif", "--psf", "psf.tif", "--out", "og.tif",
+         "--tile", "8", "24", "24", "--overlap", "0", "6", "6",
+         "--gain", "2.0", "--readout", "1.0", "--iters", "3", "--mu", "1e-3"],
+        tmp_path,
+    )
+    assert r.returncode == 0, r.stderr
+    outg = read_stack(tmp_path / "og.tif")
+    assert outg.shape == shape and np.isfinite(outg).all()
+
+    # --auto-mu is rejected instead of silently ignored (the guard must
+    # run BEFORE the tile branch returns — round-3 review fix)
+    r = _run(
+        ["deconv", "d.tif", "--psf", "psf.tif", "--out", "x.tif",
+         "--tile", "8", "24", "24", "--auto-mu", "--iters", "2"],
+        tmp_path,
+    )
+    assert r.returncode != 0
+    assert "auto-mu" in (r.stdout + r.stderr)
+
 
 def test_cli_deconv_all_channels(tmp_path):
     """deconv --all-channels: joint chromatic solve over a 2-channel OME
@@ -623,6 +645,39 @@ def test_cli_deconv_all_channels(tmp_path):
     assert "deconv[channels C=2, joint]" in r.stdout
     out, _meta = read_ome_hyperstack(tmp_path / "o.ome.tif")
     assert out.shape == (1, 2) + vol and np.isfinite(out).all()
+
+    # --mixing: joint spectral unmixing of a crosstalk acquisition; the
+    # output holds the K dye volumes
+    mixed = np.einsum("ck,kzyx->czyx",
+                      np.array([[0.85, 0.25], [0.15, 0.75]], np.float32), data)
+    write_ome_hyperstack(tmp_path / "dm.ome.tif", mixed[None],
+                         dxy=100e-9, dz=250e-9,
+                         emission_wavelengths=list(lams))
+    r = _run(
+        ["deconv", "dm.ome.tif", "--all-channels", "--out", "om.ome.tif",
+         "--mixing", "0.85,0.25;0.15,0.75",
+         "--na", "1.3", "--ni", "1.518", "--radial",
+         "--mu", "1e-3", "--iters", "5"],
+        tmp_path,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "deconv[channels C=2 -> K=2 dyes, joint]" in r.stdout
+    outm, _ = read_ome_hyperstack(tmp_path / "om.ome.tif")
+    assert outm.shape == (1, 2) + vol and np.isfinite(outm).all()
+    # dye 1 was 0.3x dim; the unmixed dye volumes must be closer to the
+    # per-channel solve of the UNMIXED data than the mixed input is
+    assert float(np.abs(outm[0] - out[0]).mean()) < float(
+        np.abs(mixed - out[0]).mean())
+
+    # shape and flag validation
+    r = _run(["deconv", "dm.ome.tif", "--all-channels", "--out", "x.ome.tif",
+              "--mixing", "0.85,0.25", "--na", "1.3", "--ni", "1.518",
+              "--radial", "--iters", "2"], tmp_path)
+    assert r.returncode != 0 and "--mixing" in (r.stdout + r.stderr)
+    r = _run(["deconv", "dm.ome.tif", "--out", "x.ome.tif",
+              "--mixing", "0.85,0.25;0.15,0.75", "--iters", "2",
+              "--psf", "unused.tif"], tmp_path)
+    assert r.returncode != 0 and "--all-channels" in (r.stdout + r.stderr)
 
     # one broadcast PSF from a file + separate coupling
     from microtipi_tpu.io.tiffstack import write_stack
@@ -688,6 +743,21 @@ def test_cli_deconv_timeseries_all_channels(tmp_path):
     assert "deconv[timeseries T=3 x channels C=2, joint]" in r.stdout
     out, _meta = read_ome_hyperstack(tmp_path / "o.ome.tif")
     assert out.shape == block.shape and np.isfinite(out).all()
+
+    # --gain/--readout build inverse-variance weights on the 5D path too
+    # (round-3 review fix: they were silently ignored)
+    r = _run(
+        ["deconv", "d.ome.tif", "--all-channels", "--mu-t", "0.1",
+         "--gain", "2.0", "--readout", "1.0", "--out", "ow.ome.tif",
+         "--na", "1.3", "--ni", "1.518", "--radial",
+         "--mu", "1e-3", "--iters", "3"],
+        tmp_path,
+    )
+    assert r.returncode == 0, r.stderr
+    outw, _ = read_ome_hyperstack(tmp_path / "ow.ome.tif")
+    assert outw.shape == block.shape and np.isfinite(outw).all()
+    # a different noise model must change the solution
+    assert not np.allclose(outw, out)
 
 
 def test_cli_h5_roundtrip(tmp_path):
