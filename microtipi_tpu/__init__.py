@@ -60,6 +60,7 @@ from microtipi_tpu.jobs.tiled import field_psf, tiled_deconvolve
 from microtipi_tpu.jobs.wiener import wiener
 from microtipi_tpu.ops.geometry import deskew
 from microtipi_tpu.ops.preprocess import (
+    destripe,
     estimate_bleach,
     flat_field_correct,
     remove_hot_pixels,
@@ -118,6 +119,7 @@ __all__ = [
     "PoissonConvCost", "WeightedConvolutionCost", "convolve", "convolve_spectrum",
     "fourier_shift", "register_timeseries", "register_translation",
     "checkerboard_split", "fourier_shell_correlation", "fsc_resolution", "strehl_ratio", "strehl_ratio_from_pupil",
+    "destripe",
     "estimate_bleach",
     "flat_field_correct", "remove_hot_pixels", "rolling_ball_background", "subtract_background",
     "deskew",

@@ -245,18 +245,31 @@ def _preprocess_args(p: argparse.ArgumentParser):
     g.add_argument("--subtract-background", type=int, default=0, metavar="R",
                    help="rolling-ball background subtraction with radius R "
                         "pixels (0 = off)")
+    g.add_argument("--destripe", choices=["x", "y"], default=None,
+                   help="suppress illumination stripes running along this "
+                        "in-plane axis (light-sheet shadowing; Fourier "
+                        "notch, Muench et al. 2009 core) before solving")
+    g.add_argument("--destripe-sigma", type=float, default=2.0, metavar="B",
+                   help="[--destripe] notch half-width in frequency bins "
+                        "along the stripe axis (how bent a stripe may be)")
+    g.add_argument("--destripe-protect", type=float, default=4.0, metavar="B",
+                   help="[--destripe] transverse low-frequency protect "
+                        "radius in bins (real large-scale structure and DC "
+                        "pass through untouched)")
 
 
 def _build_preprocess(args):
     """Preprocessing callable (or None) from the --flat/--dark/--hot-pixels/
-    --subtract-background flags; applied to every input volume right after
-    decode (``ops.preprocess``). Dark/flat first, then impulse removal,
-    then background — the order the physics composes in."""
+    --destripe/--subtract-background flags; applied to every input volume
+    right after decode (``ops.preprocess``). Dark/flat first, then impulse
+    removal, then stripe suppression, then background — the order the
+    physics composes in."""
     flat = getattr(args, "flat", None)
     dark = getattr(args, "dark", None)
     hot = float(getattr(args, "hot_pixels", 0.0) or 0.0)
     bg = int(getattr(args, "subtract_background", 0) or 0)
-    if not (flat or dark or hot or bg):
+    stripe_axis = getattr(args, "destripe", None)
+    if not (flat or dark or hot or bg or stripe_axis):
         return None
     import numpy as np
     import jax
@@ -275,6 +288,10 @@ def _build_preprocess(args):
             v = v - dark_c
         if hot:
             v = pp.remove_hot_pixels(v, hot)
+        if stripe_axis:
+            v = pp.destripe(v, axis=-1 if stripe_axis == "x" else -2,
+                            sigma=args.destripe_sigma,
+                            protect=args.destripe_protect)
         if bg:
             v = pp.subtract_background(v, bg)
         return v

@@ -5,6 +5,7 @@ did these upstream)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from microtipi_tpu.ops.preprocess import (
     flat_field_correct,
@@ -133,3 +134,71 @@ def test_cli_deconv_with_preprocessing(tmp_path):
         sc = (x * obj).sum() / (x * x).sum()
         return np.linalg.norm(sc * x - obj)
     assert err(rec) < 0.7 * err(rec_raw)
+
+
+# ---- destripe ------------------------------------------------------------
+
+
+def test_destripe_removes_stripes_keeps_structure():
+    """Fourier-notch destriping (Muench et al. 2009 core): >=80% of the
+    stripe energy removed while smooth structure passes through with a few
+    % change, DC exactly preserved."""
+    import jax
+
+    from microtipi_tpu.ops.preprocess import destripe
+
+    ny = nx = 128
+    yy, xx = np.mgrid[0:ny, 0:nx]
+    clean = 100.0 * np.exp(-((yy - 64) ** 2 + (xx - 64) ** 2) / (2 * 18.0**2))
+    stripes = 8.0 * np.sin(2 * np.pi * yy / 7.3) \
+        * (1 + 0.3 * np.sin(2 * np.pi * yy / 23.0))  # along x, vary with y
+    out = np.asarray(jax.jit(destripe)(jnp.asarray(clean + stripes)))
+    assert np.linalg.norm(out - clean) < 0.2 * np.linalg.norm(stripes)
+    passthrough = np.asarray(jax.jit(destripe)(jnp.asarray(clean)))
+    assert np.linalg.norm(passthrough - clean) < 0.05 * np.linalg.norm(clean)
+    np.testing.assert_allclose(out.mean(), (clean + stripes).mean(), rtol=1e-12)
+
+
+def test_destripe_axes_batching_and_validation():
+    import jax
+
+    from microtipi_tpu.ops.preprocess import destripe
+
+    rng = np.random.default_rng(3)
+    plane = np.asarray(rng.random((32, 48)))
+    # stripes along y == transposed stripes along x
+    np.testing.assert_allclose(
+        np.asarray(destripe(jnp.asarray(plane.T), axis=-2)),
+        np.asarray(destripe(jnp.asarray(plane))).T, atol=1e-12)
+    # leading dims are batched planes
+    vol = np.asarray(rng.random((3, 32, 48)))
+    np.testing.assert_allclose(
+        np.asarray(destripe(jnp.asarray(vol))),
+        np.stack([np.asarray(destripe(jnp.asarray(p))) for p in vol]),
+        atol=1e-12)
+    with pytest.raises(ValueError):
+        destripe(jnp.asarray(plane), axis=0)
+    with pytest.raises(ValueError):
+        destripe(jnp.ones(5))
+
+
+def test_build_preprocess_destripe_wiring():
+    """--destripe y maps to axis=-2 through the shared preprocessing
+    pipeline builder (in-process — no subprocess needed to pin wiring)."""
+    import argparse
+
+    from microtipi_tpu.__main__ import _build_preprocess
+
+    args = argparse.Namespace(flat=None, dark=None, hot_pixels=0.0,
+                              subtract_background=0, destripe="y",
+                              destripe_sigma=2.0, destripe_protect=4.0)
+    pre = _build_preprocess(args)
+    assert pre is not None
+    ny = nx = 64
+    yy, xx = np.mgrid[0:ny, 0:nx]
+    clean = 50.0 * np.exp(-((yy - 32) ** 2 + (xx - 32) ** 2) / (2 * 9.0**2))
+    stripes = 6.0 * np.sin(2 * np.pi * xx / 5.7)  # along y: vary with x
+    vol = np.stack([clean + stripes] * 3).astype(np.float32)
+    out = pre(vol)
+    assert out.shape == vol.shape
+    assert np.linalg.norm(out[0] - clean) < 0.25 * np.linalg.norm(stripes)
