@@ -197,6 +197,11 @@ def main(argv=None):
         # any backend touch and verify — a probe that silently lands on the
         # chip would report vs_baseline ~1 (observed 2026-08-19).
         jax.config.update("jax_platforms", "cpu")
+        # No persistent cache for the CPU probe: the XLA:CPU executable
+        # serialization segfaults intermittently on some hosts (rc=139;
+        # see CLAUDE.md) — a crashed probe would silently fall back to the
+        # frozen constant.
+        jax.config.update("jax_compilation_cache_dir", None)
         if jax.devices()[0].platform != "cpu":
             raise SystemExit(f"cpu probe landed on {jax.devices()[0].platform}")
         kind = argv[1]

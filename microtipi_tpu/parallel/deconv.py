@@ -119,6 +119,7 @@ def make_sharded_objective(
     epsilon_t: float | None = None,
     bleach: jax.Array | None = None,
     joint_channels: bool = False,
+    mixing: jax.Array | None = None,
 ):
     """Fused sharded cost+gradient for the object step.
 
@@ -137,6 +138,16 @@ def make_sharded_objective(
     analogue of ``jobs.multichannel.deconvolve_multichannel``. Mutually
     exclusive with ``mu_t`` (one coupling semantics per leading axis).
 
+    ``mixing`` (batched data): the (C_det, K) spectral bleed-through
+    matrix of ``jobs.multichannel`` — the variable becomes the K DYE
+    volumes and the model ``y_c = sum_k M_ck (H_k x_k)``; the channel
+    contraction crosses the batch-sharded axis, GSPMD inserts the
+    collective. Runs the explicit-residual path (4 distributed FFTs per
+    evaluation instead of the unmixed fast path's 2 — mixing couples the
+    shards, the dense-path (K, K) spectral trick would move the same
+    bytes). Dye count K and detected count C_det must both divide the
+    mesh batch axis; ``bleach`` is then per dye.
+
     ``config.var_shape`` > data shape enables padded-variable mode on the
     mesh: the object lives on the larger grid and the padded region carries
     zero weight — numerically the same data term as the dense crop-operator
@@ -147,12 +158,22 @@ def make_sharded_objective(
     vol_shape = data.shape[-3:]
     batched = data.ndim == 4
     per_channel = psf.ndim == 4
+    mixm = None
+    if mixing is not None:
+        if not batched:
+            raise ValueError("mixing needs batched (C_det, Nz, Ny, Nx) data")
+        mixm = jnp.asarray(mixing, data.dtype)
+        if mixm.ndim != 2 or mixm.shape[0] != data.shape[0]:
+            raise ValueError(
+                f"mixing must be ({data.shape[0]}, K) (rows = the data's "
+                f"detected channels), got {getattr(mixm, 'shape', None)}")
+    n_kernels = mixm.shape[1] if mixm is not None else (data.shape[0] if batched else None)
     if per_channel:
         if not batched:
             raise ValueError("per-frame kernels need batched (B, Nz, Ny, Nx) data")
-        if psf.shape[0] != data.shape[0] or psf.shape[1:] != vol_shape:
+        if psf.shape[0] != n_kernels or psf.shape[1:] != vol_shape:
             raise ValueError(
-                f"per-frame kernels must be {(data.shape[0],) + vol_shape}, "
+                f"per-frame kernels must be {(n_kernels,) + vol_shape}, "
                 f"got {psf.shape}")
     elif psf.shape != vol_shape:
         raise ValueError("sharded mode requires psf shape == volume shape")
@@ -169,7 +190,16 @@ def make_sharded_objective(
             raise ValueError("joint_channels and mu_t both couple the leading "
                              "axis; pick one (channels are unordered, "
                              "timepoints are ordered)")
+    if mixm is not None and mu_t > 0:
+        raise ValueError("mixing treats the leading axis as channels; mu_t "
+                         "treats it as time — they do not compose on the 4D "
+                         "mesh path")
     eps_t = config.epsilon if epsilon_t is None else epsilon_t
+
+    def _mix(hx):
+        # Channel contraction across the batch-sharded axis: GSPMD inserts
+        # the collective for the contraction over the sharded dye dim.
+        return hx if mixm is None else jnp.einsum("ck,k...->c...", mixm, hx)
 
     def _pad_kernel(p):
         if per_channel:
@@ -195,10 +225,10 @@ def make_sharded_objective(
             raise ValueError("bleach gains are per frame of the leading "
                              "batch axis; data must be (T, Nz, Ny, Nx)")
         bleach = jnp.asarray(bleach, data.dtype)
-        if bleach.shape != (data.shape[0],):
+        if bleach.shape != (n_kernels,):
             raise ValueError(
-                f"bleach must be per-frame gains of shape ({data.shape[0]},), "
-                f"got {bleach.shape}")
+                f"bleach must be per-{'dye' if mixm is not None else 'frame'} "
+                f"gains of shape ({n_kernels},), got {bleach.shape}")
         g4 = bleach.reshape(-1, 1, 1, 1)
 
     def _wrap(objective):
@@ -234,8 +264,8 @@ def make_sharded_objective(
 
         def objective(x):
             hx = sharded_convolve(x, k_hat, var_shape, mesh)
-            m = (hx if g4 is None else g4 * hx) + bg
-            return _regularize(generalized_kl(m, d, mask), x)
+            pred = _mix(hx if g4 is None else g4 * hx) + bg
+            return _regularize(generalized_kl(pred, d, mask), x)
 
         return _wrap(objective)
     if config.data_term != "gaussian":
@@ -251,7 +281,7 @@ def make_sharded_objective(
 
         def data_term(x):
             hx = sharded_convolve(x, k_hat, var_shape, mesh)
-            r = (hx if g4 is None else g4 * hx) - d_pad
+            r = _mix(hx if g4 is None else g4 * hx) - d_pad
             return 0.5 * jnp.sum(w_pad * r * r)
 
         def objective(x):
@@ -261,7 +291,7 @@ def make_sharded_objective(
 
     k_hat = sharded_spectrum(psf, mesh)
 
-    if weights is None:
+    if weights is None and mixm is None:
         kernel_sq = jnp.real(k_hat) ** 2 + jnp.imag(k_hat) ** 2
         b = sharded_irfftn(jnp.conj(k_hat) * sharded_rfftn(data, mesh), vol_shape, mesh)
         g2 = jnp.ones((), data.dtype) if g4 is None else g4 * g4
@@ -273,13 +303,17 @@ def make_sharded_objective(
             return _sharded_quadratic_cost(x, kernel_sq, g2, b, c, vol_shape, mesh)
 
     else:
-        # Zero weight EXCLUDES the voxel whatever its value (0*NaN=NaN
-        # would defeat the validity mask — WeightedConvolutionCost.build).
-        data = jnp.where(weights > 0, data, 0.0)
+        if weights is None:
+            # mixing without weights: explicit residual (see docstring).
+            weights = jnp.ones((), data.dtype)
+        else:
+            # Zero weight EXCLUDES the voxel whatever its value (0*NaN=NaN
+            # would defeat the validity mask — WeightedConvolutionCost.build).
+            data = jnp.where(weights > 0, data, 0.0)
 
         def data_term(x):
             hx = sharded_convolve(x, k_hat, vol_shape, mesh)
-            r = (hx if g4 is None else g4 * hx) - data
+            r = _mix(hx if g4 is None else g4 * hx) - data
             return 0.5 * jnp.sum(weights * r * r)
 
     def objective(x):
@@ -299,6 +333,7 @@ def sharded_deconvolve(
     epsilon_t: float | None = None,
     bleach: jax.Array | None = None,
     joint_channels: bool = False,
+    mixing: jax.Array | None = None,
 ) -> DeconvolutionResult:
     """Object update on the mesh; drop-in sharded analogue of
     ``jobs.deconv.deconvolve`` incl. padded-variable mode
@@ -312,17 +347,25 @@ def sharded_deconvolve(
     ``joint_channels=True`` switches the prior to the channel-coupled
     color TV — together the sharded analogue of
     ``jobs.multichannel.deconvolve_multichannel`` (channels ride the mesh
-    batch axis)."""
+    batch axis). ``mixing``: the (C_det, K) spectral bleed-through matrix
+    — the solve recovers the K dye volumes (x0 defaults to the clipped
+    pseudo-inverse unmix; see ``make_sharded_objective``)."""
     data = constrain_volume(data, mesh)
     var_shape = tuple(config.var_shape) if config.var_shape is not None else data.shape[-3:]
     if x0 is None:
-        x0 = pad_trailing(data, var_shape)
+        if mixing is None:
+            x0 = pad_trailing(data, var_shape)
+        else:
+            mixm = jnp.asarray(mixing, data.dtype)
+            x0 = pad_trailing(
+                jnp.einsum("kc,c...->k...", jnp.linalg.pinv(mixm), data),
+                var_shape)
         if config.positivity:
             x0 = jnp.maximum(x0, 0.0)
     x0 = constrain_volume(x0, mesh)
     fun = make_sharded_objective(psf, data, weights, config, mesh,
                                  mu_t=mu_t, epsilon_t=epsilon_t, bleach=bleach,
-                                 joint_channels=joint_channels)
+                                 joint_channels=joint_channels, mixing=mixing)
     res = minimize_vmlmb(
         fun,
         x0,

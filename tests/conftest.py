@@ -25,10 +25,16 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: the suite is compile-bound on this 1-core
-# host (~38 min cold). Warm cache re-runs skip XLA recompiles entirely.
-# Shared with the TPU bench cache dir — cache keys include the platform.
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# host (~38 min cold); warm cache re-runs skip XLA recompiles entirely.
+# OPT-IN since round 3: the CPU AOT executable (de)serialization SEGFAULTS
+# intermittently on some hosts (rc=139 mid-suite, faulthandler frames in
+# put_executable_and_time / backend_compile_and_load, cpu_aot_loader
+# machine-feature-mismatch errors when the cache crossed hosts — see
+# CLAUDE.md). Export MICROTIPI_COMPILE_CACHE=1 to re-enable after checking
+# one full suite run survives on the current host.
+if os.environ.get("MICROTIPI_COMPILE_CACHE") == "1":
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 # Two-tier suite (VERDICT r2 item 5). This is a 1-core host, so xdist
 # cannot parallelize; the dominant wall-clock cost is the subprocess-heavy

@@ -476,3 +476,55 @@ def test_mixing_from_controls_recovers_spectra():
                                rtol=1e-12)
     with pytest.raises(ValueError):
         mixing_from_controls([np.zeros((2, 4, 4))])
+
+
+def test_sharded_mixing_matches_dense():
+    """Unmixing on the mesh: the channel contraction crosses the
+    batch-sharded dye axis (GSPMD collective); sharded == dense pinned for
+    the gaussian explicit path and the Poisson path, plus the dye-space
+    pinv x0 default."""
+    from microtipi_tpu.parallel.deconv import sharded_deconvolve
+    from microtipi_tpu.parallel.mesh import make_mesh, volume_sharding
+
+    objs, psfs, data = _crosstalk_scene()
+    m = jnp.asarray(MIX)
+    mesh = make_mesh(batch=2, z=4)
+    data_sh = jax.device_put(data, volume_sharding(mesh, batched=True))
+    cfg = DeconvolutionConfig(mu=3e-3, epsilon=1.0, max_iter=8, grtol=0.0)
+    # same objective arithmetic dense-side: the explicit-residual form
+    ref = deconvolve_multichannel(data, psfs, config=cfg, mixing=m,
+                                  weights=jnp.ones(data.shape))
+    got = sharded_deconvolve(data_sh, psfs, mesh, config=cfg,
+                             joint_channels=True, mixing=m)
+    np.testing.assert_allclose(float(got.f), float(ref.f), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(got.x), np.asarray(ref.x), atol=1e-6)
+
+    # Poisson through the mixing on the mesh
+    rngp = np.random.default_rng(12)
+    counts = jnp.asarray(rngp.poisson(np.maximum(np.asarray(data), 0.0) + 2.0),
+                         jnp.float64)
+    cfgp = DeconvolutionConfig(mu=1e-3, epsilon=1.0, max_iter=6, grtol=0.0,
+                               data_term="poisson", background=2.0)
+    refp = deconvolve_multichannel(counts, psfs, config=cfgp, mixing=m)
+    gotp = sharded_deconvolve(
+        jax.device_put(counts, volume_sharding(mesh, batched=True)),
+        psfs, mesh, config=cfgp, joint_channels=True, mixing=m)
+    np.testing.assert_allclose(float(gotp.f), float(refp.f), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(gotp.x), np.asarray(refp.x), atol=1e-6)
+
+
+def test_sharded_mixing_validation():
+    from microtipi_tpu.parallel.deconv import make_sharded_objective
+    from microtipi_tpu.parallel.mesh import make_mesh
+
+    objs, psfs, data = _crosstalk_scene()
+    m = jnp.asarray(MIX)
+    mesh = make_mesh(batch=2, z=4)
+    cfg = DeconvolutionConfig(mu=3e-3, epsilon=1.0, max_iter=4)
+    with pytest.raises(ValueError):  # rows must match detected channels
+        make_sharded_objective(psfs, data, None, cfg, mesh, mixing=m[:1])
+    with pytest.raises(ValueError):  # mu_t and mixing disagree on the axis
+        make_sharded_objective(psfs, data, None, cfg, mesh, mixing=m, mu_t=0.1)
+    with pytest.raises(ValueError):  # bleach is per dye under mixing
+        make_sharded_objective(psfs, data, None, cfg, mesh, mixing=m,
+                               bleach=jnp.ones(3))
