@@ -15,7 +15,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+if jax.default_backend() in ("tpu", "axon"):
+    # Cache only on the TPU backend: the XLA:CPU executable
+    # serialization segfaults intermittently on some hosts (CLAUDE.md).
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
 # MICROTIPI_EXAMPLE_TINY=1 shrinks shapes/budgets so the CI smoke test
 # (tests/test_examples.py) can execute every example in seconds on CPU.

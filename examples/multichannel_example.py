@@ -27,7 +27,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+if jax.default_backend() in ("tpu", "axon"):
+    # Cache only on the TPU backend: the XLA:CPU executable
+    # serialization segfaults intermittently on some hosts (CLAUDE.md).
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 if jax.default_backend() not in ("tpu", "axon"):
     jax.config.update("jax_enable_x64", True)
 
@@ -50,7 +53,9 @@ KW = dict(shape=VOL, na=1.3, ni=1.518, dxy=100e-9, dz=250e-9,
 # ---- chromatic optics: one PSF per emission line -------------------------
 LAMBDAS = (488e-9, 647e-9)  # green bright, red dim
 models = [WideFieldConfig(wavelength=lam, **KW) for lam in LAMBDAS]
-psfs = jnp.stack([m.compute_psf(m.init_params()) for m in models])
+# jit the synthesis: eager dispatch remote-compiles per op on the axon
+# runtime and was observed to poison later fetches (CLAUDE.md rules).
+psfs = jnp.stack([jax.jit(m.compute_psf)(m.init_params()) for m in models])
 
 # ---- specimen: both labels share the SAME structures, red is 10x dimmer --
 rng = np.random.default_rng(0)
@@ -88,4 +93,34 @@ print(f"dim channel rel-L2:    joint {err(x_joint, 1):.3f}  "
       f"separate {err(x_sep, 1):.3f}")
 assert TINY or err(x_joint, 1) < err(x_sep, 1), \
     "joint coupling should win on the shared-structure dim channel"
+
+# ---- act 2: spectral crosstalk (joint unmixing) ---------------------------
+# Strong bleed-through between the detection channels: recovering the DYE
+# volumes through the mixing matrix jointly with deconvolution keeps the
+# correct (M^T M)-metric likelihood; the classical pinv unmixing amplifies
+# noise along the ill-conditioned spectral direction (BASELINE.md: joint
+# -28% error at cond(M^T M) ~ 121). M comes from dye tables or
+# single-stain controls (``mixing_from_controls``).
+M = jnp.asarray([[0.55, 0.45], [0.45, 0.55]], DTYPE)  # strongly overlapping
+clean = jax.vmap(lambda o, p: convolve(o, convolve_spectrum(p), VOL))(objs, psfs)
+mixed = jnp.einsum("ck,kzyx->czyx", M, clean) + jnp.asarray(
+    0.2 * rng.standard_normal(clean.shape), DTYPE)
+
+run_mix = jax.jit(lambda d, p, m: deconvolve_multichannel(
+    d, p, mixing=m,
+    config=DeconvolutionConfig(mu=1e-2, epsilon=1.0,
+                               max_iter=8 if TINY else 50, grtol=0.0),
+    coupling="separate").x)
+t0 = time.time()
+x_unmix = np.asarray(run_mix(mixed, psfs, M))
+print(f"joint unmix-deconv solve: {time.time()-t0:.1f}s incl. compile")
+# baseline: classical unmix-then-deconvolve at the same prior
+unm = jnp.einsum("kc,czyx->kzyx", jnp.linalg.pinv(M), mixed)
+x_seq = np.asarray(run(unm, psfs, "separate", 0.1))
+print(f"dye 0 rel-L2: joint-unmix {err(x_unmix, 0):.3f}  "
+      f"pinv-then-deconv {err(x_seq, 0):.3f}")
+print(f"dye 1 rel-L2: joint-unmix {err(x_unmix, 1):.3f}  "
+      f"pinv-then-deconv {err(x_seq, 1):.3f}")
+assert TINY or err(x_unmix, 0) < err(x_seq, 0), \
+    "joint unmixing should win under strong crosstalk"
 print("ok")

@@ -25,7 +25,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+if jax.default_backend() in ("tpu", "axon"):
+    # Cache only on the TPU backend: the XLA:CPU executable
+    # serialization segfaults intermittently on some hosts (CLAUDE.md).
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 if jax.default_backend() not in ("tpu", "axon"):
     jax.config.update("jax_enable_x64", True)
 

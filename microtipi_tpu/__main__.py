@@ -3048,7 +3048,16 @@ def _enable_compile_cache():
 
     if jax.config.jax_compilation_cache_dir:
         return  # user already configured one (env var or config)
-    d = os.environ.get("MICROTIPI_CACHE_DIR") or os.path.join(
+    d = os.environ.get("MICROTIPI_CACHE_DIR")
+    if not d and jax.default_backend() not in ("tpu", "axon"):
+        # Default the cache ON only for the TPU backend: the XLA:CPU
+        # executable (de)serialization segfaults intermittently on some
+        # hosts (rc=139 — CLAUDE.md; observed via the in-process main()
+        # test path, which had enabled the cache for the whole pytest
+        # process). CPU runs stay uncached unless explicitly pointed at a
+        # dir (MICROTIPI_CACHE_DIR / JAX_COMPILATION_CACHE_DIR = opt-in).
+        return
+    d = d or os.path.join(
         os.path.expanduser("~"), ".cache", "microtipi_tpu", "jax_cache")
     try:
         os.makedirs(d, exist_ok=True)

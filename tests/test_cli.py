@@ -23,10 +23,12 @@ def _run(args, cwd):
 
 
 def test_cli_enables_persistent_compile_cache(tmp_path):
-    """Every CLI command turns on JAX's disk compilation cache (axon remote
-    compiles are minutes; a fresh process per invocation would otherwise
-    re-pay them). MICROTIPI_CACHE_DIR relocates it; MICROTIPI_NO_COMPILE_CACHE
-    opts out; an explicit JAX_COMPILATION_CACHE_DIR wins."""
+    """On the TPU backend every CLI command turns on JAX's disk compilation
+    cache by default (axon remote compiles are minutes); on CPU the default
+    stays OFF (the XLA:CPU executable serialization segfaults on some hosts
+    — CLAUDE.md) but an explicit MICROTIPI_CACHE_DIR is an opt-in that
+    enables it anywhere. MICROTIPI_NO_COMPILE_CACHE opts out; an explicit
+    JAX_COMPILATION_CACHE_DIR wins."""
     from microtipi_tpu.io.tiffstack import write_stack
 
     write_stack(tmp_path / "d.tif", np.zeros((4, 16, 16), np.float32))
@@ -55,6 +57,11 @@ def test_cli_enables_persistent_compile_cache(tmp_path):
              "JAX_COMPILATION_CACHE_DIR": str(tmp_path / "c4")})
     assert r.returncode == 0, r.stderr
     assert not (tmp_path / "c3").exists()
+
+    # no explicit dir + CPU backend: the default cache stays OFF
+    r = run({"HOME": str(tmp_path / "h")})
+    assert r.returncode == 0, r.stderr
+    assert not (tmp_path / "h" / ".cache" / "microtipi_tpu").exists()
 
 
 def test_cli_psf_info_deconv_roundtrip(tmp_path):
@@ -758,6 +765,29 @@ def test_cli_deconv_timeseries_all_channels(tmp_path):
     assert outw.shape == block.shape and np.isfinite(outw).all()
     # a different noise model must change the solution
     assert not np.allclose(outw, out)
+
+    # --mixing composes with the 5D solve (dye volumes out; bleach-correct
+    # is rejected under unmixing — gains are per dye)
+    r = _run(
+        ["deconv", "d.ome.tif", "--all-channels", "--mu-t", "0.1",
+         "--mixing", "0.9,0.1;0.1,0.9", "--out", "od.ome.tif",
+         "--na", "1.3", "--ni", "1.518", "--radial",
+         "--mu", "1e-3", "--iters", "3"],
+        tmp_path,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "C=2 -> K=2 dyes" in r.stdout
+    outd, _ = read_ome_hyperstack(tmp_path / "od.ome.tif")
+    assert outd.shape == block.shape and np.isfinite(outd).all()
+    r = _run(
+        ["deconv", "d.ome.tif", "--all-channels", "--mu-t", "0.1",
+         "--mixing", "0.9,0.1;0.1,0.9", "--bleach-correct",
+         "--out", "x.ome.tif", "--na", "1.3", "--ni", "1.518", "--radial",
+         "--iters", "2"],
+        tmp_path,
+    )
+    assert r.returncode != 0
+    assert "--bleach-correct" in (r.stdout + r.stderr)
 
 
 def test_cli_h5_roundtrip(tmp_path):
