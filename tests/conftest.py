@@ -17,7 +17,14 @@ import pytest
 # Must precede the first CPU client creation.
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "parallel_codegen_split_count" not in flags:
+    # Defensive: XLA:CPU segfaults intermittently on this 1-core deployment
+    # host (rc=139 inside backend_compile_and_load / executable.serialize —
+    # CLAUDE.md). Parallel codegen buys nothing on one core; serializing it
+    # removes the most race-prone compile path.
+    flags = (flags + " --xla_cpu_parallel_codegen_split_count=1").strip()
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 
