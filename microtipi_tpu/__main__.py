@@ -1063,6 +1063,32 @@ def _read_hyperstack(args, errprefix):
         sys.exit(f"{errprefix} needs a (T, C, Z, Y, X) hyperstack input: {e}")
 
 
+def _prep_hyperstack(args, arr):
+    """Shared preprocessing flags + non-finite fencing for every (Z, Y, X)
+    volume of a (T, C, Z, Y, X) hyperstack — the hyperstack-input analogue
+    of ``_read_input_volume``'s tail (without it, --destripe/--flat/... were
+    silently ignored on the joint 4D/5D paths, and one NaN voxel poisons
+    every FFT-based cost)."""
+    import numpy as np
+
+    arr = np.ascontiguousarray(arr)
+    pre = _build_preprocess(args)
+    if pre is not None:
+        out = np.empty(arr.shape, np.float32)
+        for t in range(arr.shape[0]):
+            for c in range(arr.shape[1]):
+                out[t, c] = pre(arr[t, c])
+        arr = out
+        print("preprocessed input (ops.preprocess)")
+    bad = ~np.isfinite(arr)
+    if bad.any():
+        print(f"[input] {args.data}: zeroed {int(bad.sum())} non-finite "
+              "voxel(s) (dead pixels / corruption; --gain adds statistical "
+              "exclusion)")
+        arr = np.where(bad, 0.0, arr).astype(arr.dtype)
+    return arr
+
+
 def _write_hyperstack(args, out):
     """Write a (T, C, Z, Y, X) result next to the input's container format."""
     if str(args.out).lower().endswith(".zarr"):
@@ -1098,7 +1124,7 @@ def _cmd_deconv_timeseries(args):
     if nt < 2:
         sys.exit(f"--mu-t couples timepoints; input has SizeT={nt}")
     c = min(args.channel, nc - 1)
-    series = jnp.asarray(np.ascontiguousarray(arr[:, c]))
+    series = jnp.asarray(_prep_hyperstack(args, arr[:, c][:, None])[:, 0])
     _resolve_geometry(args, args.data, log=lambda *a: None)
     psf = jnp.asarray(read_stack(args.psf))
     if args.psf_centered:
@@ -1138,6 +1164,15 @@ def _cmd_deconv_timeseries(args):
     _write_hyperstack(args, np.asarray(res.x)[:, None])  # (T, 1, Z, Y, X)
 
 
+# Flags the joint multi-channel solves reject instead of silently ignoring
+# (shared by the 4D and 5D commands so the lists cannot drift).
+_MC_EXCLUSIVE_FLAGS = (
+    ("mesh", "--mesh"), ("tile", "--tile"), ("depthvar", "--depthvar"),
+    ("depthvar_maps", "--depthvar-maps"), ("superres", "--superres"),
+    ("auto_mu", "--auto-mu"),
+)
+
+
 def _parse_mixing(spec, nc):
     """--mixing SPEC -> (nc, K) NumPy bleed-through matrix. SPEC is a JSON
     file (list of rows), a CSV file, or inline rows 'a,b;c,d'."""
@@ -1166,13 +1201,16 @@ def _parse_mixing(spec, nc):
     return m
 
 
-def _resolve_channel_psfs(args, meta, nc, vol):
+def _resolve_channel_psfs(args, meta, nc, vol, explicit_wl=None):
     """One PSF per channel (or per dye, with --mixing) for the joint
     multi-channel solves: from ``--psf`` (a C-channel hyperstack, or one
     volume broadcast) or synthesized from the model flags at each OME
     channel's EmissionWavelength (chromatic optics — NA/lambda and
     ni/lambda scale with emission, WideFieldModel.java:165-166). Returns
-    (C,) + vol or one volume."""
+    (C,) + vol or one volume. ``explicit_wl`` is --wavelength captured
+    BEFORE ``_resolve_geometry`` defaults it (561 nm) — without the
+    capture, channels lacking OME emission metadata would silently all get
+    the same default-wavelength PSF instead of the intended hard error."""
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -1203,7 +1241,7 @@ def _resolve_channel_psfs(args, meta, nc, vol):
     lams = []
     for c in range(nc):
         em = channels[c].get("emission_wavelength") if c < len(channels) else None
-        em = em or args.wavelength
+        em = em or explicit_wl
         if not em:
             sys.exit(f"channel {c} has no OME EmissionWavelength and no "
                      "--wavelength was given; pass --psf or --wavelength")
@@ -1238,10 +1276,7 @@ def _cmd_deconv_multichannel(args):
     from microtipi_tpu.jobs.multichannel import deconvolve_multichannel
     from microtipi_tpu.utils.arrays import unroll
 
-    for flag, name in (("mesh", "--mesh"), ("tile", "--tile"),
-                       ("depthvar", "--depthvar"),
-                       ("depthvar_maps", "--depthvar-maps"),
-                       ("superres", "--superres"), ("auto_mu", "--auto-mu")):
+    for flag, name in _MC_EXCLUSIVE_FLAGS:
         if getattr(args, flag, None):
             sys.exit(f"--all-channels does not compose with {name}; run "
                      "per-channel solves instead")
@@ -1255,13 +1290,14 @@ def _cmd_deconv_multichannel(args):
     t = int(getattr(args, "timepoint", 0) or 0)
     if not (0 <= t < nt):
         sys.exit(f"--timepoint {t} out of range (T={nt})")
-    stack = jnp.asarray(np.ascontiguousarray(arr[t]))  # (C, Z, Y, X)
+    stack = jnp.asarray(_prep_hyperstack(args, arr[t][None])[0])  # (C, Z, Y, X)
     vol = stack.shape[1:]
+    explicit_wl = args.wavelength  # capture before _resolve_geometry defaults it
     _resolve_geometry(args, args.data, log=lambda *a: None)
 
     mix = _parse_mixing(args.mixing, nc) if getattr(args, "mixing", None) else None
     nk = mix.shape[1] if mix is not None else nc
-    psfs = _resolve_channel_psfs(args, meta, nk, vol)
+    psfs = _resolve_channel_psfs(args, meta, nk, vol, explicit_wl)
     cfg = _deconv_config(args, vol)
     w = None
     if getattr(args, "auto_gain", False) or args.gain > 0:
@@ -1274,14 +1310,14 @@ def _cmd_deconv_multichannel(args):
                 g_est, rv_est = est(stack[c])
                 print(f"auto-gain (channel {c}): gain={float(g_est):.4g}, "
                       f"readout var={float(rv_est):.4g}")
-                ws.append(InverseVarianceWeights(
-                    gain=float(g_est), readout_variance=float(rv_est)
-                ).from_data(stack[c]))
+                iv = InverseVarianceWeights(
+                    gain=float(g_est), readout_variance=float(rv_est))
+                ws.append(jax.jit(iv.from_data)(stack[c]))  # jit: axon rules
             w = jnp.stack(ws)
         else:
-            w = InverseVarianceWeights(
-                gain=args.gain, readout_variance=args.readout
-            ).from_data(stack)
+            iv = InverseVarianceWeights(
+                gain=args.gain, readout_variance=args.readout)
+            w = jax.jit(iv.from_data)(stack)
 
     coupling = getattr(args, "coupling", "joint")
     run = jax.jit(lambda d, p, w: deconvolve_multichannel(
@@ -1309,10 +1345,7 @@ def _cmd_deconv_timeseries_multichannel(args):
 
     from microtipi_tpu.jobs.multichannel import deconvolve_timeseries_multichannel
 
-    for flag, name in (("mesh", "--mesh"), ("tile", "--tile"),
-                       ("depthvar", "--depthvar"),
-                       ("depthvar_maps", "--depthvar-maps"),
-                       ("superres", "--superres"), ("auto_mu", "--auto-mu")):
+    for flag, name in _MC_EXCLUSIVE_FLAGS:
         if getattr(args, flag, None):
             sys.exit(f"--mu-t --all-channels does not compose with {name}")
     if args.method != "vmlmb":
@@ -1331,10 +1364,11 @@ def _cmd_deconv_timeseries_multichannel(args):
                  "estimator reads per-DETECTED-channel flux, but gains under "
                  "unmixing are per DYE — estimate them on unmixed/control "
                  "data and pass bleach= via the API")
-    block = jnp.asarray(np.ascontiguousarray(arr))  # (T, C, Z, Y, X)
+    block = jnp.asarray(_prep_hyperstack(args, arr))  # (T, C, Z, Y, X)
     vol = block.shape[2:]
+    explicit_wl = args.wavelength  # capture before _resolve_geometry defaults it
     _resolve_geometry(args, args.data, log=lambda *a: None)
-    psfs = _resolve_channel_psfs(args, meta, nk, vol)
+    psfs = _resolve_channel_psfs(args, meta, nk, vol, explicit_wl)
 
     if getattr(args, "register_t", False):
         from microtipi_tpu.ops.register import fourier_shift, register_timeseries
@@ -3032,8 +3066,8 @@ def cmd_watch(args):
           depthvar_params=depthvar_params)
 
 
-def _enable_compile_cache():
-    """Turn on JAX's persistent compilation cache for every CLI command.
+def _enable_compile_cache(cmd=None):
+    """Turn on JAX's persistent compilation cache for every compute command.
 
     On the axon/TPU runtime a first FFT-heavy compile is remote and takes
     minutes; without a disk cache EVERY CLI invocation pays it again (each
@@ -3049,16 +3083,24 @@ def _enable_compile_cache():
     if jax.config.jax_compilation_cache_dir:
         return  # user already configured one (env var or config)
     d = os.environ.get("MICROTIPI_CACHE_DIR")
-    if not d and jax.default_backend() not in ("tpu", "axon"):
-        # Default the cache ON only for the TPU backend: the XLA:CPU
-        # executable (de)serialization segfaults intermittently on some
-        # hosts (rc=139 — CLAUDE.md; observed via the in-process main()
-        # test path, which had enabled the cache for the whole pytest
-        # process). CPU runs stay uncached unless explicitly pointed at a
-        # dir (MICROTIPI_CACHE_DIR / JAX_COMPILATION_CACHE_DIR = opt-in).
-        return
-    d = d or os.path.join(
-        os.path.expanduser("~"), ".cache", "microtipi_tpu", "jax_cache")
+    if not d:
+        if cmd in ("info",):
+            # IO-only command: deciding the backend-gated default would
+            # call jax.default_backend(), which initializes the backend —
+            # an expensive remote handshake on tunnel-attached deployments
+            # that pure TIFF-metadata printing should never pay.
+            return
+        if jax.default_backend() not in ("tpu", "axon"):
+            # Default the cache ON only for the TPU backend: the XLA:CPU
+            # executable (de)serialization segfaults intermittently on
+            # some hosts (rc=139 — CLAUDE.md; observed via the in-process
+            # main() test path, which had enabled the cache for the whole
+            # pytest process). CPU runs stay uncached unless explicitly
+            # pointed at a dir (MICROTIPI_CACHE_DIR /
+            # JAX_COMPILATION_CACHE_DIR = opt-in).
+            return
+        d = os.path.join(
+            os.path.expanduser("~"), ".cache", "microtipi_tpu", "jax_cache")
     try:
         os.makedirs(d, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", d)
@@ -3628,7 +3670,7 @@ def main(argv=None):
     p.set_defaults(fn=cmd_watch)
 
     args = ap.parse_args(argv)
-    _enable_compile_cache()
+    _enable_compile_cache(args.cmd)
     args.fn(args)
 
 

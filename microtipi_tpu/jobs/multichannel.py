@@ -345,6 +345,11 @@ def deconvolve_timeseries_multichannel(
     else:
         if weights is None:  # mixing + bleach: explicit residual
             weights = jnp.ones((), data.dtype)
+        else:
+            # Zero weight EXCLUDES the voxel whatever its value (0*NaN=NaN
+            # would defeat the validity mask — same invariant as every
+            # other weighted path, ops/convolution.py).
+            data = jnp.where(weights > 0, data, 0.0)
 
         def data_term(x):
             r = model(x) - data

@@ -58,6 +58,11 @@ def destripe(
     if axis not in (-1, -2):
         raise ValueError("axis must be -1 (stripes along x) or -2 (along y)")
     data = jnp.asarray(data)
+    if not jnp.issubdtype(data.dtype, jnp.floating):
+        # Raw camera frames are integer (uint16): the fractional Fourier
+        # gain would truncate to 0 in the input dtype — compute and return
+        # in float32 instead.
+        data = data.astype(jnp.float32)
     if data.ndim < 2:
         raise ValueError(f"expected (..., Ny, Nx), got shape {data.shape}")
     ny, nx = data.shape[-2], data.shape[-1]

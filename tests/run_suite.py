@@ -57,7 +57,7 @@ CHUNKS: list[list[str]] = [
 ]
 
 
-def _chunks(extra: list[str]) -> list[list[str]]:
+def _chunks() -> list[list[str]]:
     listed = {m for c in CHUNKS for m in c}
     on_disk = sorted(
         f for f in os.listdir(HERE)
@@ -80,7 +80,7 @@ def _run_chunk(mods: list[str], extra: list[str]) -> tuple[int, str]:
 
 def main(argv: list[str] | None = None) -> int:
     extra = sys.argv[1:] if argv is None else argv
-    chunks = _chunks(extra)
+    chunks = _chunks()
     failed: list[str] = []
     crashed: list[str] = []
     for i, mods in enumerate(chunks):

@@ -58,8 +58,18 @@ def test_cli_enables_persistent_compile_cache(tmp_path):
     assert r.returncode == 0, r.stderr
     assert not (tmp_path / "c3").exists()
 
-    # no explicit dir + CPU backend: the default cache stays OFF
-    r = run({"HOME": str(tmp_path / "h")})
+    # no explicit dir + CPU backend: the default cache stays OFF even for
+    # a compute command (`info` skips the decision entirely — it must not
+    # initialize a backend just to print TIFF metadata)
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO
+    env["HOME"] = str(tmp_path / "h")
+    r = subprocess.run(
+        [sys.executable, "-m", "microtipi_tpu", "psf", "p.tif",
+         "--shape", "3", "8", "8", "--wavelength", "500e-9"],
+        capture_output=True, text=True, env=env, cwd=tmp_path, timeout=600)
     assert r.returncode == 0, r.stderr
     assert not (tmp_path / "h" / ".cache" / "microtipi_tpu").exists()
 
@@ -681,6 +691,17 @@ def test_cli_deconv_all_channels(tmp_path):
               "--mixing", "0.85,0.25", "--na", "1.3", "--ni", "1.518",
               "--radial", "--iters", "2"], tmp_path)
     assert r.returncode != 0 and "--mixing" in (r.stdout + r.stderr)
+
+    # channels without OME EmissionWavelength and no --wavelength must be
+    # a hard error, not a silent shared default-wavelength PSF (round-3
+    # review fix: _resolve_geometry's 561 nm default made this unreachable)
+    write_ome_hyperstack(tmp_path / "nowl.ome.tif", data[None],
+                         dxy=100e-9, dz=250e-9)
+    r = _run(["deconv", "nowl.ome.tif", "--all-channels", "--out",
+              "x2.ome.tif", "--na", "1.3", "--ni", "1.518", "--radial",
+              "--iters", "2"], tmp_path)
+    assert r.returncode != 0
+    assert "EmissionWavelength" in (r.stdout + r.stderr)
     r = _run(["deconv", "dm.ome.tif", "--out", "x.ome.tif",
               "--mixing", "0.85,0.25;0.15,0.75", "--iters", "2",
               "--psf", "unused.tif"], tmp_path)

@@ -528,3 +528,20 @@ def test_sharded_mixing_validation():
     with pytest.raises(ValueError):  # bleach is per dye under mixing
         make_sharded_objective(psfs, data, None, cfg, mesh, mixing=m,
                                bleach=jnp.ones(3))
+
+
+def test_weighted_zero_weight_excludes_nan_voxels():
+    """The repo-wide invariant (WeightedConvolutionCost.build): a NaN voxel
+    at ZERO weight must not poison the cost via 0*NaN=NaN (round-3 review
+    fix for the explicit-residual multichannel path)."""
+    objs, psfs, data = _scene()
+    w = jnp.ones(data.shape).at[0, 2, 5, 5].set(0.0)
+    poisoned = data.at[0, 2, 5, 5].set(jnp.nan)
+    cfg = DeconvolutionConfig(mu=1e-3, epsilon=1.0, max_iter=5, grtol=0.0)
+    clean = deconvolve_multichannel(data.at[0, 2, 5, 5].set(0.0), psfs,
+                                    weights=w, config=cfg)
+    got = deconvolve_multichannel(poisoned, psfs, weights=w, config=cfg)
+    assert np.isfinite(float(got.f))
+    np.testing.assert_allclose(float(got.f), float(clean.f), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(got.x), np.asarray(clean.x),
+                               atol=1e-12)

@@ -202,3 +202,18 @@ def test_build_preprocess_destripe_wiring():
     out = pre(vol)
     assert out.shape == vol.shape
     assert np.linalg.norm(out[0] - clean) < 0.25 * np.linalg.norm(stripes)
+
+
+def test_destripe_integer_input_upcasts():
+    """Raw uint16 camera frames: the fractional Fourier gain must not
+    truncate to 0 in the input dtype (round-3 review fix) — integer input
+    computes and returns float32, matching the float path."""
+    from microtipi_tpu.ops.preprocess import destripe
+
+    rng = np.random.default_rng(5)
+    plane = (1000 + 200 * rng.random((32, 32))).astype(np.uint16)
+    out = np.asarray(destripe(jnp.asarray(plane)))
+    assert out.dtype == np.float32
+    ref = np.asarray(destripe(jnp.asarray(plane, jnp.float32)))
+    np.testing.assert_allclose(out, ref, rtol=1e-6)
+    assert np.abs(out).max() > 100  # not zeroed by integer truncation
