@@ -57,6 +57,7 @@ from microtipi_tpu.jobs.richardson_lucy import (
     wb_backprojector,
 )
 from microtipi_tpu.jobs.tiled import field_psf, tiled_deconvolve
+from microtipi_tpu.jobs.uncertainty import ObjectUncertainty, object_uncertainty
 from microtipi_tpu.jobs.wiener import wiener
 from microtipi_tpu.ops.geometry import deskew
 from microtipi_tpu.ops.preprocess import (
@@ -114,6 +115,7 @@ __all__ = [
     "PsfFitConfig", "PsfFitResult", "average_beads", "bead_anchor_term", "center_bead_stack",
     "empirical_psf", "fit_psf", "fit_psf_beads", "fit_psf_joint",
     "FitUncertainty", "fit_uncertainty", "bead_fit_uncertainty",
+    "ObjectUncertainty", "object_uncertainty",
     "calibrate_field", "detect_beads",
     "multiview_richardson_lucy", "richardson_lucy", "wb_backprojector", "field_psf", "tiled_deconvolve", "wiener",
     "PoissonConvCost", "WeightedConvolutionCost", "convolve", "convolve_spectrum",

@@ -1536,6 +1536,24 @@ def cmd_deconv(args):
     if getattr(args, "mixing", None) and not getattr(args, "all_channels", False):
         sys.exit("--mixing is the joint unmixing solve over all channels; "
                  "it requires --all-channels")
+    if getattr(args, "uncertainty", 0):
+        # Laplace curvature of the single-volume VMLMB objective only —
+        # fail NOW rather than silently ignoring the flag on other paths.
+        for flag, name in (("mu_t", "--mu-t"), ("all_channels", "--all-channels"),
+                           ("tile", "--tile"), ("mesh", "--mesh"),
+                           ("superres", "--superres"), ("depthvar", "--depthvar"),
+                           ("depthvar_maps", "--depthvar-maps")):
+            if getattr(args, flag, None):
+                sys.exit(f"--uncertainty does not compose with {name}; run it "
+                         "on the plain single-volume solve (crop a region of "
+                         "interest if the full problem needs those paths)")
+        if _is_plate(args.data) and not getattr(args, "well", None):
+            sys.exit("--uncertainty does not compose with the whole-plate "
+                     "fan-out; pick one well (--well)")
+        if args.method != "vmlmb":
+            sys.exit("--uncertainty is the Laplace curvature of the VMLMB "
+                     "objective at its solution; --method rl has no such "
+                     "objective (its TV weight enters as a prior filter)")
     if getattr(args, "mu_t", None) is not None:
         if getattr(args, "superres", None):
             sys.exit("--mu-t and --superres do not compose yet; run the "
@@ -1738,6 +1756,37 @@ def cmd_deconv(args):
                 "pg_history": np.asarray(res.pg_history)[:it + 1].tolist(),
             }, fh, indent=1)
         print("wrote", args.report)
+    if getattr(args, "uncertainty", 0):
+        import dataclasses
+        import os
+
+        from microtipi_tpu.jobs.uncertainty import object_uncertainty
+
+        ucfg = cfg
+        if getattr(args, "auto_mu", False):
+            # The curvature must be taken at the mu the solve actually used.
+            ucfg = dataclasses.replace(cfg, mu=float(auto.mu))
+        k, seed = args.uncertainty, args.uncertainty_seed
+        t0 = time.time()
+        if w is None:
+            run_u = jax.jit(lambda d, p, x: object_uncertainty(
+                d, p, x, config=ucfg, n_probes=k, key=jax.random.PRNGKey(seed)))
+        else:
+            run_u = jax.jit(lambda d, p, x, w_: object_uncertainty(
+                d, p, x, weights=w_, config=ucfg, n_probes=k,
+                key=jax.random.PRNGKey(seed)))
+        est = run_u(data, psf, res.x) if w is None else run_u(data, psf, res.x, w)
+        sigma = np.asarray(est.sigma)
+        med = float(np.median(sigma[sigma > 0])) if (sigma > 0).any() else 0.0
+        std_path = getattr(args, "uncertainty_out", None)
+        if not std_path:
+            stem, ext = os.path.splitext(str(args.out))
+            std_path = stem + "_std" + ext
+        print(f"uncertainty: {k} probes, cg residual {float(est.residual):.2e}, "
+              f"median sigma {med:.4g}, {time.time()-t0:.1f}s (incl. compile)")
+        _write_out(args, std_path, sigma,
+                   dxy=getattr(args, "dxy", None), dz=getattr(args, "dz", None))
+        print("wrote", std_path)
 
 
 def _make_mesh(args):
@@ -3315,6 +3364,21 @@ def main(argv=None):
                         "with the locally interpolated model PSF")
     p.add_argument("--report", default=None,
                    help="write a JSON solve report (cost/grad-norm history, counters)")
+    p.add_argument("--uncertainty", type=int, default=0, metavar="K",
+                   help="after the solve, estimate the pixelwise Laplace "
+                        "posterior std of the restored object with K "
+                        "Hutchinson probes (CG over Hessian-vector "
+                        "products, ~K*100 extra FFT pairs; voxels pinned "
+                        "by positivity read exactly 0) and write it next "
+                        "to --out with an _std suffix. Units are data "
+                        "units under inverse-variance weights "
+                        "(--gain/--auto-gain) or the Poisson term; "
+                        "noise-sigma units otherwise")
+    p.add_argument("--uncertainty-out", default=None,
+                   help="[--uncertainty] path for the std volume "
+                        "(default: --out with _std before the extension)")
+    p.add_argument("--uncertainty-seed", type=int, default=0,
+                   help="[--uncertainty] Rademacher probe RNG seed")
     p.add_argument("--mesh", type=int, nargs=2, default=None, metavar=("BATCH", "Z"),
                    help="run sharded on a (batch, z) device mesh (needs BATCH*Z devices)")
     p.add_argument("--ome", action="store_true",

@@ -1792,3 +1792,62 @@ def test_deconv_config_tolerance_flags():
     a2 = argparse.Namespace(**base, grtol=None, gatol=None)
     cfg2 = _deconv_config(a2, (4, 16, 16))
     assert cfg2.grtol == 1e-3 and cfg2.gatol == 0.0
+
+
+def test_cli_deconv_uncertainty(tmp_path):
+    """deconv --uncertainty K writes the Laplace sigma volume next to --out;
+    incompatible paths are rejected up front instead of silently ignoring
+    the flag (jobs/uncertainty.py)."""
+    from microtipi_tpu.io.tiffstack import read_stack, write_stack
+
+    rng = np.random.default_rng(5)
+    shape = (4, 16, 16)
+    psf = np.zeros(shape, np.float32)
+    psf[0, 0, 0] = 0.7  # corner-origin near-delta: well-conditioned Hessian
+    psf[0, 0, 1] = psf[0, 1, 0] = psf[1, 0, 0] = 0.1
+    obj = np.abs(rng.standard_normal(shape)).astype(np.float32) + 0.2
+    data = np.real(np.fft.ifftn(np.fft.fftn(obj) * np.fft.fftn(psf))).astype(np.float32)
+    write_stack(tmp_path / "d.tif", data)
+    write_stack(tmp_path / "p.tif", psf)
+
+    r = _run(
+        ["deconv", str(tmp_path / "d.tif"), "--psf", str(tmp_path / "p.tif"),
+         "--out", str(tmp_path / "rec.tif"), "--iters", "30", "--mu", "0.01",
+         "--uncertainty", "4"],
+        tmp_path,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "uncertainty: 4 probes" in r.stdout
+    sigma = read_stack(tmp_path / "rec_std.tif")
+    assert sigma.shape == shape and np.isfinite(sigma).all()
+    rec = read_stack(tmp_path / "rec.tif")
+    # pinned voxels read exactly 0; free voxels are >= 0 (a low-probe
+    # Hutchinson estimate may clip individual voxels to 0) and not all 0
+    assert (sigma[rec == 0] == 0).all()
+    assert (sigma >= 0).all() and sigma.max() > 0
+
+    # explicit output path
+    r = _run(
+        ["deconv", str(tmp_path / "d.tif"), "--psf", str(tmp_path / "p.tif"),
+         "--out", str(tmp_path / "rec2.tif"), "--iters", "5",
+         "--uncertainty", "2", "--uncertainty-out", str(tmp_path / "s.tif")],
+        tmp_path,
+    )
+    assert r.returncode == 0, r.stderr
+    assert (tmp_path / "s.tif").exists()
+
+    # guards fail fast (before any solve)
+    r = _run(
+        ["deconv", str(tmp_path / "d.tif"), "--psf", str(tmp_path / "p.tif"),
+         "--out", str(tmp_path / "x.tif"), "--uncertainty", "2",
+         "--tile", "4", "16", "16"],
+        tmp_path,
+    )
+    assert r.returncode != 0 and "--tile" in (r.stdout + r.stderr)
+    r = _run(
+        ["deconv", str(tmp_path / "d.tif"), "--psf", str(tmp_path / "p.tif"),
+         "--out", str(tmp_path / "x.tif"), "--uncertainty", "2",
+         "--method", "rl"],
+        tmp_path,
+    )
+    assert r.returncode != 0 and "rl" in (r.stdout + r.stderr)
