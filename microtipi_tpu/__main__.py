@@ -1757,36 +1757,47 @@ def cmd_deconv(args):
             }, fh, indent=1)
         print("wrote", args.report)
     if getattr(args, "uncertainty", 0):
-        import dataclasses
-        import os
-
-        from microtipi_tpu.jobs.uncertainty import object_uncertainty
-
         ucfg = cfg
         if getattr(args, "auto_mu", False):
             # The curvature must be taken at the mu the solve actually used.
+            import dataclasses
+
             ucfg = dataclasses.replace(cfg, mu=float(auto.mu))
-        k, seed = args.uncertainty, args.uncertainty_seed
-        t0 = time.time()
-        if w is None:
-            run_u = jax.jit(lambda d, p, x: object_uncertainty(
-                d, p, x, config=ucfg, n_probes=k, key=jax.random.PRNGKey(seed)))
-        else:
-            run_u = jax.jit(lambda d, p, x, w_: object_uncertainty(
-                d, p, x, weights=w_, config=ucfg, n_probes=k,
-                key=jax.random.PRNGKey(seed)))
-        est = run_u(data, psf, res.x) if w is None else run_u(data, psf, res.x, w)
-        sigma = np.asarray(est.sigma)
-        med = float(np.median(sigma[sigma > 0])) if (sigma > 0).any() else 0.0
-        std_path = getattr(args, "uncertainty_out", None)
-        if not std_path:
-            stem, ext = os.path.splitext(str(args.out))
-            std_path = stem + "_std" + ext
-        print(f"uncertainty: {k} probes, cg residual {float(est.residual):.2e}, "
-              f"median sigma {med:.4g}, {time.time()-t0:.1f}s (incl. compile)")
-        _write_out(args, std_path, sigma,
-                   dxy=getattr(args, "dxy", None), dz=getattr(args, "dz", None))
-        print("wrote", std_path)
+        _emit_object_uncertainty(args, data, psf, res.x, w, ucfg)
+
+
+def _emit_object_uncertainty(args, data, psf, x, w, ucfg):
+    """Shared --uncertainty tail of the deconv/blind commands: jitted
+    Laplace sigma (jobs/uncertainty.py) written next to --out as *_std."""
+    import os
+
+    import jax
+    import numpy as np
+
+    from microtipi_tpu.jobs.uncertainty import object_uncertainty
+
+    k, seed = args.uncertainty, args.uncertainty_seed
+    t0 = time.time()
+    if w is None:
+        run_u = jax.jit(lambda d, p, x_: object_uncertainty(
+            d, p, x_, config=ucfg, n_probes=k, key=jax.random.PRNGKey(seed)))
+        est = run_u(data, psf, x)
+    else:
+        run_u = jax.jit(lambda d, p, x_, w_: object_uncertainty(
+            d, p, x_, weights=w_, config=ucfg, n_probes=k,
+            key=jax.random.PRNGKey(seed)))
+        est = run_u(data, psf, x, w)
+    sigma = np.asarray(est.sigma)
+    med = float(np.median(sigma[sigma > 0])) if (sigma > 0).any() else 0.0
+    std_path = getattr(args, "uncertainty_out", None)
+    if not std_path:
+        stem, ext = os.path.splitext(str(args.out))
+        std_path = stem + "_std" + ext
+    print(f"uncertainty: {k} probes, cg residual {float(est.residual):.2e}, "
+          f"median sigma {med:.4g}, {time.time()-t0:.1f}s (incl. compile)")
+    _write_out(args, std_path, sigma,
+               dxy=getattr(args, "dxy", None), dz=getattr(args, "dz", None))
+    print("wrote", std_path)
 
 
 def _make_mesh(args):
@@ -2042,6 +2053,17 @@ def cmd_blind(args):
     import jax.numpy as jnp
     from microtipi_tpu.jobs.blind import blind_deconvolve
 
+    if getattr(args, "uncertainty", 0):
+        # Single-volume single-device tail only — fail fast, don't ignore.
+        for flag, name in (("depthvar", "--depthvar"),
+                           ("all_channels", "--all-channels"),
+                           ("mesh", "--mesh")):
+            if getattr(args, flag, None):
+                sys.exit(f"--uncertainty does not compose with {name}; run "
+                         "it on the plain single-volume blind solve")
+        if _is_plate(args.data) and not getattr(args, "well", None):
+            sys.exit("--uncertainty does not compose with the whole-plate "
+                     "fan-out; pick one well (--well)")
     if getattr(args, "depthvar", 0):
         _cmd_blind_depthvar(args)
         return
@@ -2181,6 +2203,15 @@ def cmd_blind(args):
         with open(args.params_out, "w") as fh:
             json.dump(doc, fh, indent=1)
         print("wrote", args.params_out)
+    if getattr(args, "uncertainty", 0):
+        # Curvature at the mu the FINAL object round used (mu_schedule
+        # annealing decays to the base mu; an explicit schedule may not).
+        ucfg = cfg.deconv
+        if cfg.mu_schedule:
+            import dataclasses
+
+            ucfg = dataclasses.replace(ucfg, mu=float(cfg.mu_schedule[-1]))
+        _emit_object_uncertainty(args, data, res.psf, res.obj, w, ucfg)
 
 
 def _cmd_fitpsf_ladder(args, stacks):
@@ -3401,6 +3432,19 @@ def main(argv=None):
                         "deconv --params-json, e.g. for a depth-varying re-solve)")
     p.add_argument("--report", default=None,
                    help="write a JSON solve report (per-round costs, fitted parameters)")
+    p.add_argument("--uncertainty", type=int, default=0, metavar="K",
+                   help="after the final round, estimate the pixelwise "
+                        "Laplace posterior std of the restored object at "
+                        "the FITTED PSF (K Hutchinson probes + CG; see "
+                        "deconv --uncertainty) and write it next to --out "
+                        "with an _std suffix. Local curvature only: PSF-"
+                        "basin ambiguity of blind solves is NOT included "
+                        "(fitpsf --uncertainty covers the parameter side)")
+    p.add_argument("--uncertainty-out", default=None,
+                   help="[--uncertainty] path for the std volume "
+                        "(default: --out with _std before the extension)")
+    p.add_argument("--uncertainty-seed", type=int, default=0,
+                   help="[--uncertainty] Rademacher probe RNG seed")
     p.add_argument("--params-json", default=None,
                    help="start from calibrated PSF parameters (fitpsf/blind "
                         "--params-out JSON) instead of the unaberrated pupil — "

@@ -1851,3 +1851,42 @@ def test_cli_deconv_uncertainty(tmp_path):
         tmp_path,
     )
     assert r.returncode != 0 and "rl" in (r.stdout + r.stderr)
+
+
+def test_cli_blind_uncertainty(tmp_path):
+    """blind --uncertainty K writes the Laplace sigma at the FITTED PSF."""
+    import jax.numpy as jnp
+    from microtipi_tpu.io.tiffstack import read_stack, write_stack
+    from microtipi_tpu.models.widefield import WideFieldConfig
+    from microtipi_tpu.ops.convolution import convolve, convolve_spectrum
+
+    shape = (8, 32, 32)
+    model = WideFieldConfig(shape=shape, na=1.2, wavelength=500e-9, ni=1.33,
+                            dxy=100e-9, dz=250e-9, n_phase=3, radial=True)
+    true = model.init_params()._replace(phase=jnp.asarray([0.2, -0.1, 0.05]))
+    rng = np.random.default_rng(3)
+    obj = np.abs(rng.standard_normal(shape)).astype(np.float32) * 20
+    d = convolve(jnp.asarray(obj), convolve_spectrum(model.compute_psf(true)), shape)
+    write_stack(tmp_path / "d.tif", np.asarray(d))
+
+    r = _run(
+        ["blind", str(tmp_path / "d.tif"), "--out", str(tmp_path / "rec.tif"),
+         "--model", "widefield", "--na", "1.2", "--wavelength", "500e-9",
+         "--ni", "1.33", "--dxy", "100e-9", "--dz", "250e-9",
+         "--n-phase", "3", "--radial", "--loops", "2", "--iters", "10",
+         "--psf-iters", "3", "--uncertainty", "2"],
+        tmp_path,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "uncertainty: 2 probes" in r.stdout
+    sigma = read_stack(tmp_path / "rec_std.tif")
+    assert sigma.shape == shape and np.isfinite(sigma).all() and (sigma >= 0).all()
+    assert sigma.max() > 0
+
+    # non-composing paths fail fast
+    r = _run(
+        ["blind", str(tmp_path / "d.tif"), "--out", str(tmp_path / "x.tif"),
+         "--uncertainty", "2", "--mesh", "1", "2"],
+        tmp_path,
+    )
+    assert r.returncode != 0 and "--mesh" in (r.stdout + r.stderr)
