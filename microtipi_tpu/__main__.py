@@ -1777,15 +1777,17 @@ def _emit_object_uncertainty(args, data, psf, x, w, ucfg):
     from microtipi_tpu.jobs.uncertainty import object_uncertainty
 
     k, seed = args.uncertainty, args.uncertainty_seed
+    cg_maxiter = getattr(args, "uncertainty_cg_maxiter", 100)
     t0 = time.time()
     if w is None:
         run_u = jax.jit(lambda d, p, x_: object_uncertainty(
-            d, p, x_, config=ucfg, n_probes=k, key=jax.random.PRNGKey(seed)))
+            d, p, x_, config=ucfg, n_probes=k, cg_maxiter=cg_maxiter,
+            key=jax.random.PRNGKey(seed)))
         est = run_u(data, psf, x)
     else:
         run_u = jax.jit(lambda d, p, x_, w_: object_uncertainty(
             d, p, x_, weights=w_, config=ucfg, n_probes=k,
-            key=jax.random.PRNGKey(seed)))
+            cg_maxiter=cg_maxiter, key=jax.random.PRNGKey(seed)))
         est = run_u(data, psf, x, w)
     sigma = np.asarray(est.sigma)
     med = float(np.median(sigma[sigma > 0])) if (sigma > 0).any() else 0.0
@@ -1793,8 +1795,15 @@ def _emit_object_uncertainty(args, data, psf, x, w, ucfg):
     if not std_path:
         stem, ext = os.path.splitext(str(args.out))
         std_path = stem + "_std" + ext
-    print(f"uncertainty: {k} probes, cg residual {float(est.residual):.2e}, "
+    resid = float(est.residual)
+    print(f"uncertainty: {k} probes, cg residual {resid:.2e}, "
           f"median sigma {med:.4g}, {time.time()-t0:.1f}s (incl. compile)")
+    if resid > 1e-2:
+        # docs/TUNING.md: a CG residual that is not << 1 means the H u = z
+        # solves did not converge and sigma measures the wrong curvature.
+        print(f"WARNING: CG residual {resid:.2e} is not << 1 -- the sigma "
+              f"volume is unreliable; raise --uncertainty-cg-maxiter "
+              f"(currently {cg_maxiter})")
     _write_out(args, std_path, sigma,
                dxy=getattr(args, "dxy", None), dz=getattr(args, "dz", None))
     print("wrote", std_path)
@@ -3410,6 +3419,10 @@ def main(argv=None):
                         "(default: --out with _std before the extension)")
     p.add_argument("--uncertainty-seed", type=int, default=0,
                    help="[--uncertainty] Rademacher probe RNG seed")
+    p.add_argument("--uncertainty-cg-maxiter", type=int, default=100,
+                   help="[--uncertainty] CG iteration cap per Hutchinson "
+                        "probe solve; raise when the printed CG residual "
+                        "is not << 1 (ill-conditioned problems, small mu)")
     p.add_argument("--mesh", type=int, nargs=2, default=None, metavar=("BATCH", "Z"),
                    help="run sharded on a (batch, z) device mesh (needs BATCH*Z devices)")
     p.add_argument("--ome", action="store_true",
@@ -3445,6 +3458,10 @@ def main(argv=None):
                         "(default: --out with _std before the extension)")
     p.add_argument("--uncertainty-seed", type=int, default=0,
                    help="[--uncertainty] Rademacher probe RNG seed")
+    p.add_argument("--uncertainty-cg-maxiter", type=int, default=100,
+                   help="[--uncertainty] CG iteration cap per Hutchinson "
+                        "probe solve; raise when the printed CG residual "
+                        "is not << 1 (ill-conditioned problems, small mu)")
     p.add_argument("--params-json", default=None,
                    help="start from calibrated PSF parameters (fitpsf/blind "
                         "--params-out JSON) instead of the unaberrated pupil — "

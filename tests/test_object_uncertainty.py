@@ -150,3 +150,46 @@ def test_jit_matches_eager():
     np.testing.assert_allclose(
         np.asarray(jitted.sigma), np.asarray(eager.sigma), rtol=1e-10, atol=0
     )
+
+
+@pytest.mark.parametrize(
+    "data_term,weighted,extras",
+    [
+        ("gaussian", False, {}),                       # QuadraticConvCost fast path
+        ("gaussian", True, {}),                        # WeightedConvolutionCost path
+        ("gaussian", False, dict(sparsity=0.03, hessian=0.02)),
+        ("gaussian", True, dict(sparsity=0.03, hessian=0.02)),
+        ("poisson", False, {}),
+        ("poisson", False, dict(sparsity=0.03, hessian=0.02)),
+    ],
+)
+def test_laplace_objective_matches_solver_objective(data_term, weighted, extras):
+    """laplace_objective must equal the objective the solver minimized
+    (jobs.deconv.make_objective) in VALUE and GRADIENT — otherwise sigma
+    measures the curvature of a different function than the MAP point's.
+    Guards the two objective builders against silent divergence (e.g. a
+    prior added to make_regularizer but not regularization_cost)."""
+    from microtipi_tpu.jobs.deconv import make_objective
+
+    key = jax.random.PRNGKey(11)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    shape = (3, 8, 8)
+    psf = _near_delta_psf(shape, k1)
+    data = jax.random.uniform(k2, shape, jnp.float64, 0.5, 2.0)
+    w = (
+        jax.random.uniform(k3, shape, jnp.float64, 0.5, 4.0) if weighted else None
+    )
+    cfg = DeconvolutionConfig(
+        mu=0.05, epsilon=0.05, data_term=data_term,
+        background=0.3 if data_term == "poisson" else 0.0,
+        fused_tv=False, **extras,
+    )
+    solver_fg = make_objective(psf, data, w, cfg)
+    lap = laplace_objective(psf, data, w, cfg)
+    lap_fg = jax.value_and_grad(lap)
+    for i in range(3):
+        x = jax.random.uniform(jax.random.fold_in(k4, i), shape, jnp.float64, 0.1, 1.5)
+        f_s, g_s = solver_fg(x)
+        f_l, g_l = lap_fg(x)
+        np.testing.assert_allclose(float(f_l), float(f_s), rtol=1e-9)
+        np.testing.assert_allclose(np.asarray(g_l), np.asarray(g_s), rtol=1e-8, atol=1e-12)

@@ -16,7 +16,7 @@ def _smooth_volume(shape, seed=0):
     ky = np.fft.fftfreq(shape[1])[None, :, None]
     kx = np.fft.rfftfreq(shape[2])[None, None, :]
     spec *= np.exp(-40.0 * (kz**2 + ky**2 + kx**2))
-    return jnp.asarray(np.fft.irfftn(spec, s=shape))
+    return jnp.asarray(np.fft.irfftn(spec, s=shape, axes=(0, 1, 2)))
 
 
 def test_integer_shift_recovered_exactly():
