@@ -19,7 +19,7 @@ import bench
 
 def main(argv=None):
     argv = sys.argv[1:] if argv is None else argv
-    value = bench.measure_blind()
+    value, lo, hi, reps = bench.stats(bench.measure_blind())
     base, source = bench.CPU_BASELINE_BLIND_MVOX_ITER_S, "frozen"
     if "--baseline" in argv:
         p = bench._run_cpu_probe("blind")
@@ -28,6 +28,9 @@ def main(argv=None):
     print(json.dumps({
         "metric": "blind_deconv_throughput_256cubed",
         "value": round(value, 1),
+        "value_median": round(value, 1),
+        "value_spread": [round(lo, 1), round(hi, 1)],
+        "reps": reps,
         "unit": "Mvox*obj_iter/s",
         "vs_baseline": round(value / base, 1),
         "baseline_source": source,
