@@ -62,7 +62,7 @@ CHUNKS: list[list[str]] = [
     ["test_sim.py", "test_sted.py", "test_superres.py", "test_tiled.py",
      "test_timeseries.py", "test_uncertainty.py"],
     ["test_vmlmb.py", "test_widefield.py", "test_wiener.py", "test_zarr.py",
-     "test_zernike.py"],
+     "test_zernike.py", "test_wire_formats.py", "test_cli_help_snapshot.py"],
 ]
 
 
