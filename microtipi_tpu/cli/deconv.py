@@ -56,9 +56,9 @@ def cmd_deconv(args):
             sys.exit("--uncertainty does not compose with the whole-plate "
                      "fan-out; pick one well (--well)")
         if args.method != "vmlmb":
-            sys.exit("--uncertainty is the Laplace curvature of the VMLMB "
-                     "objective at its solution; --method rl has no such "
-                     "objective (its TV weight enters as a prior filter)")
+            sys.exit("--uncertainty is the Laplace curvature at the VMLMB "
+                     "solution (tolerance-converged MAP); rerun with "
+                     "--method vmlmb")
     if getattr(args, "mu_t", None) is not None:
         if getattr(args, "superres", None):
             sys.exit("--mu-t and --superres do not compose yet; run the "
@@ -188,6 +188,12 @@ def cmd_deconv(args):
         _write_out(args, args.out, np.asarray(x), dxy=getattr(args, "dxy", None), dz=getattr(args, "dz", None))
         print("wrote", args.out)
         return
+    if args.method in ("admm", "fista"):
+        for flag, name in (("tile", "--tile"), ("mesh", "--mesh"),
+                           ("auto_mu", "--auto-mu")):
+            if getattr(args, flag, None):
+                sys.exit(f"--method {args.method} runs the plain single-chip "
+                         f"solve; drop {name} or use --method vmlmb")
     cfg = _deconv_config(args, data.shape)
     w = _weights(args, data)
 
@@ -238,6 +244,19 @@ def cmd_deconv(args):
         from microtipi_tpu.parallel.deconv import sharded_deconvolve
 
         run = jax.jit(lambda d, p, w: sharded_deconvolve(d, p, mesh, weights=w, config=cfg))
+        t0 = time.time()
+        res = run(data, psf, w)
+    elif args.method in ("admm", "fista"):
+        # Alternative first-order engines on the same objective
+        # (jobs/admm.py; VERDICT r3 item 1 — measured head-to-head in
+        # BASELINE.md "time-to-quality"). Fixed iteration count (--iters).
+        from microtipi_tpu.jobs.admm import admm_deconvolve, fista_deconvolve
+
+        if args.method == "admm" and w is not None:
+            sys.exit("--method admm needs uniform weights (circulant "
+                     "x-update); drop --gain/--auto-gain or use fista/vmlmb")
+        eng = admm_deconvolve if args.method == "admm" else fista_deconvolve
+        run = jax.jit(lambda d, p, w: eng(d, p, weights=w, config=cfg))
         t0 = time.time()
         res = run(data, psf, w)
     else:

@@ -279,7 +279,7 @@ def main(argv=None):
                         "NGFF multiscale pyramid (viewers stream from it)")
     _preprocess_args(p)
     _model_args(p)  # used by --depthvar (anchor PSF synthesis); inert otherwise
-    _deconv_args(p)
+    _deconv_args(p, methods=("vmlmb", "rl", "admm", "fista"))
     _hyperstack_args(p)
     p.set_defaults(fn=cmd_deconv)
 

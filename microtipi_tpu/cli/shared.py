@@ -156,7 +156,9 @@ def _deconv_args(p: argparse.ArgumentParser, methods=("vmlmb", "rl")):
                         "data by single-shot photon transfer "
                         "(weights/updaters.py) and use variance weights")
     g.add_argument("--method", choices=list(methods), default="vmlmb",
-                   help="object solver: VMLMB+TV (default), Richardson-Lucy, or "
+                   help="object solver: VMLMB+TV (default), Richardson-Lucy, "
+                        "admm / fista (deconv only: first-order engines on "
+                        "the same TV objective, fixed --iters), or "
                         "(watch only) blind / blind-once (calibrate on first file)")
     g.add_argument("--rl-accelerate", action="store_true",
                    help="[rl] Biggs-Andrews vector extrapolation (~2-3x fewer "

@@ -45,8 +45,8 @@ REPO = os.path.dirname(HERE)
 # chunk ~= a few minutes. Anything not listed (new test files) lands in a
 # final catch-all chunk so the gate never silently skips coverage.
 CHUNKS: list[list[str]] = [
-    ["test_api.py", "test_autotune.py", "test_batch.py", "test_conventions.py",
-     "test_convolution.py"],
+    ["test_api.py", "test_autotune.py", "test_admm.py", "test_batch.py",
+     "test_conventions.py", "test_convolution.py"],
     ["test_cli.py", "test_cli_smoke.py"],
     ["test_depthvar.py", "test_diversity.py", "test_forward_oracle.py",
      "test_fourpi.py", "test_geometry.py", "test_golden.py"],

@@ -1,0 +1,142 @@
+"""ADMM / FISTA object-step engines (jobs/admm.py).
+
+Oracle strategy: both engines minimize (a boundary-variant of) the SAME
+objective as the VMLMB solver — so the solver itself is the oracle: at
+convergence their ``make_objective`` value must meet VMLMB's. The
+hyperbolic prox gets a brute-force scalar-minimization oracle.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from microtipi_tpu.jobs.admm import _hyperbolic_prox, admm_deconvolve, fista_deconvolve
+from microtipi_tpu.jobs.deconv import DeconvolutionConfig, deconvolve, make_objective
+from microtipi_tpu.utils.arrays import unroll
+
+
+def _periodic_problem(key, shape=(6, 12, 12), noise=0.01):
+    """Band-limited periodic ground truth: the replicate-vs-circular TV
+    boundary deviation (see jobs/admm.py docstring) is negligible, so the
+    engines and VMLMB chase the same minimum."""
+    k1, k2 = jax.random.split(key)
+    spec = jnp.fft.rfftn(jax.random.normal(k1, shape, jnp.float64))
+    kz = jnp.fft.fftfreq(shape[0])[:, None, None]
+    ky = jnp.fft.fftfreq(shape[1])[None, :, None]
+    kx = jnp.fft.rfftfreq(shape[2])[None, None, :]
+    truth = jnp.fft.irfftn(spec * jnp.exp(-30 * (kz**2 + ky**2 + kx**2)),
+                           s=shape, axes=(0, 1, 2))
+    truth = jnp.maximum(truth - truth.mean(), 0.0) * 10.0
+
+    zz, yy, xx = jnp.meshgrid(*(jnp.arange(n) for n in shape), indexing="ij")
+    cz, cy, cx = (n // 2 for n in shape)
+    g = jnp.exp(-((zz - cz) ** 2 + (yy - cy) ** 2 + (xx - cx) ** 2) / 3.0)
+    psf = unroll(g / g.sum())
+    data = jnp.fft.irfftn(jnp.fft.rfftn(truth) * jnp.fft.rfftn(psf), s=shape,
+                          axes=(0, 1, 2))
+    data = data + noise * float(data.max()) * jax.random.normal(k2, shape, jnp.float64)
+    return data, psf, truth
+
+
+def test_hyperbolic_prox_matches_bruteforce():
+    rng = np.random.default_rng(0)
+    for v, lam, eps in [(0.5, 0.1, 0.05), (2.0, 1.0, 0.5), (0.05, 0.2, 0.01),
+                        (3.0, 0.01, 1.0), (0.0, 0.3, 0.1)]:
+        s_grid = np.linspace(0.0, max(v, 1e-3) * 1.2, 400001)
+        obj = lam * np.sqrt(s_grid**2 + eps**2) + 0.5 * (s_grid - v) ** 2
+        s_star = s_grid[np.argmin(obj)]
+        s_hat = float(_hyperbolic_prox(
+            jnp.asarray(v, jnp.float64), lam, eps))
+        assert s_hat == pytest.approx(s_star, abs=2e-5), (v, lam, eps)
+
+
+@pytest.mark.parametrize("positivity", [True, False])
+def test_admm_reaches_vmlmb_objective(positivity):
+    data, psf, truth = _periodic_problem(jax.random.PRNGKey(1))
+    cfg = DeconvolutionConfig(mu=0.02, epsilon=0.1, positivity=positivity,
+                              max_iter=400, grtol=0.0, gatol=0.0)
+    ref = deconvolve(data, psf, config=cfg)
+    cfg_a = DeconvolutionConfig(mu=0.02, epsilon=0.1, positivity=positivity,
+                                max_iter=300, grtol=0.0)
+    res = admm_deconvolve(data, psf, config=cfg_a)
+    if positivity:
+        assert float(jnp.min(res.x)) >= 0.0
+    f_ref, f_admm = float(ref.f), float(res.f)
+    # EXACT objective parity (masked prox = replicate-boundary TV): both
+    # engines chase the same minimum.
+    assert f_admm <= f_ref * 1.001 + 1e-9, (f_admm, f_ref)
+    # and it actually deconvolves
+    assert float(jnp.linalg.norm(res.x - truth)) < float(
+        jnp.linalg.norm(data - truth))
+
+
+def test_admm_history_decreases():
+    data, psf, _ = _periodic_problem(jax.random.PRNGKey(2))
+    cfg = DeconvolutionConfig(mu=0.02, epsilon=0.1, max_iter=60, grtol=0.0)
+    res = admm_deconvolve(data, psf, config=cfg)
+    hist = np.asarray(res.f_history)
+    assert np.isfinite(hist).all()
+    assert hist[-1] < hist[0]
+    assert hist[-1] <= hist[10]
+    # final f equals the last tracked value (the output IS z2)
+    assert float(res.f) == pytest.approx(hist[-1], rel=1e-12)
+
+
+@pytest.mark.parametrize("weighted", [False, True])
+def test_fista_reaches_vmlmb_objective(weighted):
+    data, psf, truth = _periodic_problem(jax.random.PRNGKey(3))
+    w = None
+    if weighted:
+        w = jax.random.uniform(jax.random.PRNGKey(4), data.shape,
+                               jnp.float64, 0.5, 2.0)
+    cfg = DeconvolutionConfig(mu=0.02, epsilon=0.1, positivity=True,
+                              max_iter=400, grtol=0.0, gatol=0.0)
+    ref = deconvolve(data, psf, weights=w, config=cfg)
+    cfg_f = DeconvolutionConfig(mu=0.02, epsilon=0.1, positivity=True,
+                                max_iter=400, grtol=0.0)
+    res = fista_deconvolve(data, psf, weights=w, config=cfg_f)
+    # FISTA optimizes the EXACT same objective (replicate-boundary TV).
+    assert float(res.f) <= float(ref.f) * 1.001 + 1e-9, (float(res.f), float(ref.f))
+    assert float(jnp.min(res.x)) >= 0.0
+    # monotone safeguard: history never increases
+    hist = np.asarray(res.f_history)
+    assert (np.diff(hist) <= 1e-9 * np.abs(hist[:-1]) + 1e-12).all()
+
+
+def test_engines_jit_and_track_off():
+    data, psf, _ = _periodic_problem(jax.random.PRNGKey(5))
+    cfg = DeconvolutionConfig(mu=0.02, epsilon=0.1, max_iter=20, grtol=0.0)
+    a = jax.jit(lambda d, p: admm_deconvolve(
+        d, p, config=cfg, track_objective=False))(data, psf)
+    b = admm_deconvolve(data, psf, config=cfg, track_objective=True)
+    np.testing.assert_allclose(np.asarray(a.x), np.asarray(b.x), rtol=1e-12)
+    assert float(a.f) == pytest.approx(float(b.f), rel=1e-12)
+    fj = jax.jit(lambda d, p: fista_deconvolve(d, p, config=cfg))(data, psf)
+    assert np.isfinite(float(fj.f))
+
+
+def test_engine_guards():
+    data = jnp.zeros((4, 8, 8))
+    psf = jnp.zeros((4, 8, 8)).at[0, 0, 0].set(1.0)
+    with pytest.raises(ValueError, match="uniform weights"):
+        admm_deconvolve(data, psf, weights=jnp.ones_like(data))
+    with pytest.raises(ValueError, match="Gaussian"):
+        fista_deconvolve(data, psf,
+                         config=DeconvolutionConfig(data_term="poisson"))
+    with pytest.raises(ValueError, match="mu\\*TV"):
+        admm_deconvolve(data, psf, config=DeconvolutionConfig(sparsity=0.1))
+    with pytest.raises(ValueError, match="padded-variable"):
+        fista_deconvolve(data, psf,
+                         config=DeconvolutionConfig(var_shape=(8, 8, 8)))
+
+
+def test_admm_objective_parity_oracle():
+    """The engine's reported f must be make_objective's value at its x —
+    no private objective definitions."""
+    data, psf, _ = _periodic_problem(jax.random.PRNGKey(6))
+    cfg = DeconvolutionConfig(mu=0.02, epsilon=0.1, max_iter=30, grtol=0.0)
+    for eng in (admm_deconvolve, fista_deconvolve):
+        res = eng(data, psf, config=cfg)
+        f_check, _ = make_objective(psf, data, None, cfg)(res.x)
+        assert float(res.f) == pytest.approx(float(f_check), rel=1e-10)

@@ -1890,3 +1890,49 @@ def test_cli_blind_uncertainty(tmp_path):
         tmp_path,
     )
     assert r.returncode != 0 and "--mesh" in (r.stdout + r.stderr)
+
+
+def test_cli_deconv_method_admm_fista(tmp_path):
+    """deconv --method admm / fista (jobs/admm.py engines): both must beat
+    the raw data against the truth and write a finite volume; admm must
+    fail fast on non-composing flags."""
+    from microtipi_tpu.io.tiffstack import read_stack, write_stack
+
+    shape = (6, 24, 24)
+    rng = np.random.default_rng(11)
+    obj = np.zeros(shape, np.float32)
+    obj[1:5, 6:18, 6:18] = rng.uniform(0.5, 2.0, (4, 12, 12)).astype(np.float32)
+    psf = np.zeros(shape, np.float32)
+    psf[0, 0, 0] = 0.4
+    for dz, dy, dx in ((1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0),
+                       (0, 0, 1), (0, 0, -1)):
+        psf[dz % shape[0], dy % shape[1], dx % shape[2]] = 0.6 / 6
+    data = np.fft.irfftn(np.fft.rfftn(obj) * np.fft.rfftn(psf), s=shape,
+                         axes=(0, 1, 2)).astype(np.float32)
+    write_stack(tmp_path / "d.tif", data)
+    write_stack(tmp_path / "p.tif", psf)
+
+    err_data = np.linalg.norm(data - obj)
+    for method in ("admm", "fista"):
+        r = _run(
+            ["deconv", "d.tif", "--psf", "p.tif", "--out", f"{method}.tif",
+             "--method", method, "--iters", "40", "--mu", "1e-3"],
+            tmp_path,
+        )
+        assert r.returncode == 0, r.stderr
+        x = read_stack(tmp_path / f"{method}.tif")
+        assert np.isfinite(x).all() and x.min() >= 0
+        assert np.linalg.norm(x - obj) < err_data
+
+    r = _run(
+        ["deconv", "d.tif", "--psf", "p.tif", "--out", "x.tif",
+         "--method", "admm", "--tile", "6", "16", "16"],
+        tmp_path,
+    )
+    assert r.returncode != 0 and "--tile" in (r.stdout + r.stderr)
+    r = _run(
+        ["deconv", "d.tif", "--psf", "p.tif", "--out", "x.tif",
+         "--method", "admm", "--gain", "2.0"],
+        tmp_path,
+    )
+    assert r.returncode != 0 and "uniform weights" in (r.stdout + r.stderr)
