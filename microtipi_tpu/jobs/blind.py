@@ -328,10 +328,35 @@ def blind_deconvolve(
              config.bead_weight),
         )
 
+    # Windowed fit (PsfFitConfig.fit_window): the fit sub-problem moves to
+    # a centered crop — cropped data + cropped object-as-kernel + a
+    # window-shaped pupil model. The deconvolution step is untouched.
+    fitw = config.fit.fit_window
+    if fitw is not None:
+        fitw = tuple(int(v) for v in fitw)
+        if any(w > s for w, s in zip(fitw, data.shape)):
+            raise ValueError(
+                f"fit_window {fitw} exceeds the data shape {tuple(data.shape)}")
+        if fitw[1] != fitw[2]:
+            raise ValueError(
+                f"fit_window lateral dims must be square (pupil model), got {fitw}")
+        fit_model = dataclasses.replace(model, shape=fitw)
+    else:
+        fit_model = model
+
+    def _fit_view(x, w_fit):
+        """(data, object, weights) at the fit grid."""
+        xd = _obj_at_data(x)
+        if fitw is None:
+            return data, xd, w_fit
+        return (crop_to_shape(data, fitw), crop_to_shape(xd, fitw),
+                None if w_fit is None else crop_to_shape(w_fit, fitw))
+
     def fit_one(params, x, w_fit, j, phase_active):
         flag = config.families[j]
+        fdata, fobj, fw = _fit_view(x, w_fit)
         fres = fit_psf(
-            model, params, flag, data, _obj_at_data(x), weights=w_fit,
+            fit_model, params, flag, fdata, fobj, weights=fw,
             config=dataclasses.replace(fit_cfg, max_iter=config.psf_max_iter[j]),
             active=phase_active,
             freeze_head=config.phase_freeze_head if flag == PHASE else 0,
@@ -348,8 +373,9 @@ def blind_deconvolve(
     def fit_joint(params, x, w_fit, jfams):
         from microtipi_tpu.jobs.psf_fit import fit_psf_joint
 
+        fdata, fobj, fw = _fit_view(x, w_fit)
         fres = fit_psf_joint(
-            model, params, jfams, data, _obj_at_data(x), weights=w_fit,
+            fit_model, params, jfams, fdata, fobj, weights=fw,
             config=dataclasses.replace(fit_cfg, max_iter=max(config.psf_max_iter)),
             phase_freeze_head=config.phase_freeze_head,
             phase_anchor=phase_anchor,

@@ -62,6 +62,20 @@ class PsfFitConfig:
     gatol: float = 0.0  # :54
     grtol: float = 1e-3  # :55
     mem: int = 5  # :188
+    #: Windowed fit (beyond parity; VERDICT r3 item 3): evaluate the PSF
+    #: fit's data term on a CENTERED crop of this shape instead of the full
+    #: volume — the fit's ~40 pupil parameters don't need 16.7M voxels of
+    #: residual, and the object-as-kernel cost
+    #: (``PSF_Estimation.java:147-150``) is shape-agnostic, so the fit
+    #: sub-problem simply moves to the crop grid (cropped data + object as
+    #: kernel + a window-shaped pupil model; coefficients are
+    #: grid-independent physical parameters). Approximation: structure
+    #: blurring across the window edge is modeled periodically — keep the
+    #: window >= a few PSF supports (measured drift in BASELINE.md).
+    #: Lateral dims must be square (the pupil model requires Nx == Ny).
+    #: None = full-volume fit (reference semantics). Single-chip loops
+    #: only; the sharded loop rejects it.
+    fit_window: tuple[int, int, int] | None = None
 
 
 class PsfFitResult(NamedTuple):

@@ -77,6 +77,11 @@ def sharded_blind_deconvolve(
     var_shape = (_round_up(base_var[0], zp), _round_up(base_var[1], zp), base_var[2])
     padded = var_shape != vol
     dcfg = dataclasses.replace(config.deconv, var_shape=var_shape if padded else None)
+    if config.fit.fit_window is not None:
+        raise ValueError(
+            "PsfFitConfig.fit_window is a single-chip optimization (the "
+            "crop would gather across shards); drop it for the sharded loop"
+        )
     fit_cfg = dataclasses.replace(config.fit, grtol=0.0)  # BlindDeconvJob.java:124
 
     # Fit-step grid: the var grid when padded (zero weight outside the data

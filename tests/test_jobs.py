@@ -776,3 +776,68 @@ def test_empirical_psf_beats_raw_bead():
     assert err_emp < 0.5 * err_raw          # centering is load-bearing
     assert err_emp < 0.55 * err_data        # clearly beats no deconvolution
     assert err_emp < 1.6 * err_oracle       # within reach of the true PSF
+
+
+def test_blind_windowed_fit_mechanism_and_recovery():
+    """PsfFitConfig.fit_window (VERDICT r3 item 3) mechanism tests.
+
+    (a) A window equal to the data shape must reproduce the full fit
+    EXACTLY (the crop degenerates to the identity and the window model is
+    the data model) — pins the plumbing bit-for-bit. (b) A genuine crop
+    must still run end to end and recover the object.
+
+    The crop is a biased estimator at small window/PSF-support ratios:
+    measured here (8,32,32 -> 8,28,28, noiseless, TRUE object), the fit
+    minimum shifts by ~0.3 rad in phase norm because structure blurring
+    across the window edge is mis-modeled periodically. The
+    quality-vs-speed verdict at flagship scale is a BASELINE.md
+    measurement, not a unit test."""
+    import dataclasses
+
+    model = make_model(n_phase=3, radial=True)
+    true_params = model.init_params()._replace(phase=jnp.asarray([0.6, -0.3, 0.2]))
+    obj, psf, data = make_scene(model, true_params, noise=0.005)
+
+    base = BlindDeconvConfig(
+        loops=3,
+        families=(PHASE,),
+        psf_max_iter=(30,),
+        deconv=DeconvolutionConfig(mu=0.002, epsilon=2.0, max_iter=30),
+        fit=PsfFitConfig(),
+    )
+    full = blind_deconvolve(data, model, config=base)
+    same = blind_deconvolve(data, model, config=dataclasses.replace(
+        base, fit=PsfFitConfig(fit_window=tuple(SHAPE))))
+    np.testing.assert_allclose(np.asarray(same.params.phase),
+                               np.asarray(full.params.phase), rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(same.obj), np.asarray(full.obj),
+                               rtol=0, atol=1e-12)
+
+    win = blind_deconvolve(data, model, config=dataclasses.replace(
+        base, fit=PsfFitConfig(fit_window=(8, 24, 24))))
+    err_data = float(jnp.linalg.norm(data - obj))
+    assert float(jnp.linalg.norm(win.obj - obj)) < 0.8 * err_data
+    assert np.isfinite(np.asarray(win.params.phase)).all()
+    # PSF output stays at the DATA grid (deconv step untouched)
+    assert win.psf.shape == data.shape
+
+
+def test_blind_windowed_fit_guards():
+    import dataclasses
+
+    import pytest
+
+    from microtipi_tpu.jobs.blind import blind_deconvolve as bd
+
+    model = make_model(n_phase=3, radial=True)
+    data = jnp.zeros(SHAPE)
+    cfg = BlindDeconvConfig(
+        loops=2, families=(PHASE,), psf_max_iter=(2,),
+        deconv=DeconvolutionConfig(max_iter=2),
+        fit=PsfFitConfig(fit_window=(8, 16, 24)),
+    )
+    with pytest.raises(ValueError, match="square"):
+        bd(data, model, config=cfg)
+    cfg2 = dataclasses.replace(cfg, fit=PsfFitConfig(fit_window=(16, 32, 32)))
+    with pytest.raises(ValueError, match="exceeds"):
+        bd(data, model, config=cfg2)
