@@ -121,6 +121,7 @@ def admm_deconvolve(
     *,
     rho1: float | None = None,
     rho2: float | None = None,
+    adaptive_rho: bool = False,
     track_objective: bool = True,
 ) -> DeconvolutionResult:
     """ADMM object step (uniform-Gaussian + mu*TV + positivity).
@@ -137,7 +138,13 @@ def admm_deconvolve(
 
     ``rho1``/``rho2`` default to mu/epsilon (the TV curvature scale at the
     origin) — measured-robust across the bench problems; exposed for
-    tuning. Runs ``config.max_iter`` iterations as one ``lax.scan``.
+    tuning. ``adaptive_rho`` turns on per-split residual balancing (Boyd
+    et al. 2011 §3.4.1: double/halve a rho when its primal residual
+    outweighs its dual residual 10x or vice versa, rescaling the scaled
+    dual accordingly) — the circulant denominator is rebuilt elementwise
+    each iteration (negligible next to the FFT pair), making the engine
+    robust to badly scaled problems at the cost of determinism in rho.
+    Runs ``config.max_iter`` iterations as one ``lax.scan``.
     ``track_objective`` appends the true (replicate-boundary) solver
     objective per iterate to ``f_history`` (costs ~2 extra FFTs/iter);
     when off only the final f is computed.
@@ -155,7 +162,7 @@ def admm_deconvolve(
     h2 = jnp.real(h_hat * jnp.conj(h_hat))
     d_hat = jnp.fft.rfftn(data)
     htd_hat = jnp.conj(h_hat) * d_hat
-    den = h2 + r1 * _grad_sq_spectrum(shape, scales, jnp.real(d_hat).dtype) + r2
+    s2 = _grad_sq_spectrum(shape, scales, jnp.real(d_hat).dtype)
 
     fg = make_objective(psf, data, weights, config)
 
@@ -178,11 +185,15 @@ def admm_deconvolve(
     z2 = x
     u2 = jnp.zeros_like(x)
 
+    def _nrm(terms):
+        return jnp.sqrt(sum(jnp.sum(t * t) for t in terms))
+
     def step(carry, _):
-        x, z1, u1, z2, u2 = carry
+        x, z1, u1, z2, u2, rr1, rr2 = carry
+        den = h2 + rr1 * s2 + rr2
         # x-update: circulant solve
-        rhs = r1 * _circ_diffs_adjoint(
-            [z - u for z, u in zip(z1, u1)], scales) + r2 * (z2 - u2)
+        rhs = rr1 * _circ_diffs_adjoint(
+            [z - u for z, u in zip(z1, u1)], scales) + rr2 * (z2 - u2)
         x_hat = (htd_hat + jnp.fft.rfftn(rhs)) / den
         x = jnp.fft.irfftn(x_hat, s=shape).astype(dtype)
         # z1-update: pointwise hyperbolic prox on the MASKED gradient
@@ -192,19 +203,38 @@ def admm_deconvolve(
         v = [d + u for d, u in zip(dx, u1)]
         vmag = jnp.sqrt(
             sum(m * t * t for m, t in zip(masks, v)) + jnp.finfo(dtype).tiny)
-        s = _hyperbolic_prox(vmag, mu / r1, eps)
+        s = _hyperbolic_prox(vmag, mu / rr1, eps)
         scale = s / vmag
+        z1_old, z2_old = z1, z2
         z1 = [jnp.where(m > 0, scale * t, t) for m, t in zip(masks, v)]
         # z2-update: positivity projection
         z2 = jnp.maximum(x + u2, 0.0) if config.positivity else x + u2
         # dual updates
         u1 = [u + d - z for u, d, z in zip(u1, dx, z1)]
         u2 = u2 + x - z2
+        if adaptive_rho:
+            # Per-split residual balancing (Boyd 2011 §3.4.1), scaled-dual
+            # form: growing rho shrinks u by the same factor.
+            rp1 = _nrm([d - z for d, z in zip(dx, z1)])
+            sd1 = rr1 * _nrm([_circ_diffs_adjoint(
+                [a - b for a, b in zip(z1, z1_old)], scales)])
+            fac1 = jnp.where(rp1 > 10.0 * sd1, 2.0,
+                             jnp.where(sd1 > 10.0 * rp1, 0.5, 1.0))
+            rr1 = rr1 * fac1
+            u1 = [u / fac1 for u in u1]
+            rp2 = _nrm([x - z2])
+            sd2 = rr2 * _nrm([z2 - z2_old])
+            fac2 = jnp.where(rp2 > 10.0 * sd2, 2.0,
+                             jnp.where(sd2 > 10.0 * rp2, 0.5, 1.0))
+            rr2 = rr2 * fac2
+            u2 = u2 / fac2
         f = objective(z2) if track_objective else jnp.asarray(jnp.nan, dtype)
-        return (x, z1, u1, z2, u2), f
+        return (x, z1, u1, z2, u2, rr1, rr2), f
 
-    (x, z1, u1, z2, u2), fs = lax.scan(
-        step, (x, z1, u1, z2, u2), None, length=int(config.max_iter))
+    rr1 = jnp.asarray(r1, dtype)
+    rr2 = jnp.asarray(r2, dtype)
+    (x, z1, u1, z2, u2, rr1, rr2), fs = lax.scan(
+        step, (x, z1, u1, z2, u2, rr1, rr2), None, length=int(config.max_iter))
     out = z2 if config.positivity else x  # z2 is feasible (>= 0) by construction
     f_final = objective(out)
     n = int(config.max_iter)

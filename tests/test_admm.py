@@ -110,8 +110,9 @@ def test_engines_jit_and_track_off():
     a = jax.jit(lambda d, p: admm_deconvolve(
         d, p, config=cfg, track_objective=False))(data, psf)
     b = admm_deconvolve(data, psf, config=cfg, track_objective=True)
-    np.testing.assert_allclose(np.asarray(a.x), np.asarray(b.x), rtol=1e-12)
-    assert float(a.f) == pytest.approx(float(b.f), rel=1e-12)
+    # jit-vs-eager XLA fusion reassociation noise only
+    np.testing.assert_allclose(np.asarray(a.x), np.asarray(b.x), rtol=1e-9)
+    assert float(a.f) == pytest.approx(float(b.f), rel=1e-9)
     fj = jax.jit(lambda d, p: fista_deconvolve(d, p, config=cfg))(data, psf)
     assert np.isfinite(float(fj.f))
 
@@ -140,3 +141,20 @@ def test_admm_objective_parity_oracle():
         res = eng(data, psf, config=cfg)
         f_check, _ = make_objective(psf, data, None, cfg)(res.x)
         assert float(res.f) == pytest.approx(float(f_check), rel=1e-10)
+
+
+def test_admm_adaptive_rho_recovers_from_bad_rho():
+    """Residual balancing: starting from a rho 1000x too large, the
+    adaptive engine must still reach the VMLMB objective while the fixed
+    engine at that rho visibly lags."""
+    data, psf, _ = _periodic_problem(jax.random.PRNGKey(7))
+    cfg = DeconvolutionConfig(mu=0.02, epsilon=0.1, positivity=True,
+                              max_iter=300, grtol=0.0, gatol=0.0)
+    ref = deconvolve(data, psf, config=cfg)
+    bad = 0.02 / 0.1 * 1000.0
+    fixed = admm_deconvolve(data, psf, config=cfg, rho1=bad, rho2=bad)
+    adapt = admm_deconvolve(data, psf, config=cfg, rho1=bad, rho2=bad,
+                            adaptive_rho=True)
+    f_ref = float(ref.f)
+    assert float(adapt.f) <= f_ref * 1.002 + 1e-9, (float(adapt.f), f_ref)
+    assert float(adapt.f) < float(fixed.f), (float(adapt.f), float(fixed.f))
