@@ -252,9 +252,9 @@ def cmd_deconv(args):
         # BASELINE.md "time-to-quality"). Fixed iteration count (--iters).
         from microtipi_tpu.jobs.admm import admm_deconvolve, fista_deconvolve
 
-        if args.method == "admm" and w is not None:
-            sys.exit("--method admm needs uniform weights (circulant "
-                     "x-update); drop --gain/--auto-gain or use fista/vmlmb")
+        if args.method == "fista" and cfg.data_term == "poisson":
+            sys.exit("--method fista supports the Gaussian data term; use "
+                     "--method admm (pointwise KL prox) or vmlmb for poisson")
         eng = admm_deconvolve if args.method == "admm" else fista_deconvolve
         run = jax.jit(lambda d, p, w: eng(d, p, weights=w, config=cfg))
         t0 = time.time()

@@ -120,8 +120,6 @@ def test_engines_jit_and_track_off():
 def test_engine_guards():
     data = jnp.zeros((4, 8, 8))
     psf = jnp.zeros((4, 8, 8)).at[0, 0, 0].set(1.0)
-    with pytest.raises(ValueError, match="uniform weights"):
-        admm_deconvolve(data, psf, weights=jnp.ones_like(data))
     with pytest.raises(ValueError, match="Gaussian"):
         fista_deconvolve(data, psf,
                          config=DeconvolutionConfig(data_term="poisson"))
@@ -130,6 +128,43 @@ def test_engine_guards():
     with pytest.raises(ValueError, match="padded-variable"):
         fista_deconvolve(data, psf,
                          config=DeconvolutionConfig(var_shape=(8, 8, 8)))
+
+
+def test_admm_weighted_gaussian_reaches_vmlmb():
+    """The data split (z0 = Hx, pointwise weighted-Gaussian prox) must
+    reach the weighted VMLMB objective."""
+    data, psf, truth = _periodic_problem(jax.random.PRNGKey(8))
+    w = jax.random.uniform(jax.random.PRNGKey(9), data.shape,
+                           jnp.float64, 0.5, 3.0)
+    cfg = DeconvolutionConfig(mu=0.02, epsilon=0.1, positivity=True,
+                              max_iter=400, grtol=0.0, gatol=0.0)
+    ref = deconvolve(data, psf, weights=w, config=cfg)
+    res = admm_deconvolve(data, psf, weights=w, config=cfg)
+    assert float(res.f) <= float(ref.f) * 1.002 + 1e-9, (float(res.f), float(ref.f))
+    assert float(jnp.min(res.x)) >= 0.0
+    f_check, _ = make_objective(psf, data, w, cfg)(res.x)
+    assert float(res.f) == pytest.approx(float(f_check), rel=1e-10)
+
+
+def test_admm_poisson_reaches_vmlmb():
+    """Poisson data split: the pointwise quadratic-root prox of the
+    generalized KL deviance; the solver (VMLMB + Poisson term) is again
+    the oracle."""
+    key = jax.random.PRNGKey(10)
+    shape = (6, 12, 12)
+    _, psf, truth = _periodic_problem(key, shape=shape)
+    lam = jnp.fft.irfftn(jnp.fft.rfftn(truth * 3.0) * jnp.fft.rfftn(psf),
+                         s=shape, axes=(0, 1, 2))
+    data = jax.random.poisson(key, jnp.maximum(lam, 0.0) + 2.0).astype(jnp.float64)
+    cfg = DeconvolutionConfig(mu=0.02, epsilon=0.1, positivity=True,
+                              data_term="poisson", background=2.0,
+                              max_iter=400, grtol=0.0, gatol=0.0)
+    ref = deconvolve(data, psf, config=cfg)
+    res = admm_deconvolve(data, psf, config=cfg)
+    assert float(res.f) <= float(ref.f) * 1.005 + 1e-9, (float(res.f), float(ref.f))
+    assert float(jnp.min(res.x)) >= 0.0
+    f_check, _ = make_objective(psf, data, None, cfg)(res.x)
+    assert float(res.f) == pytest.approx(float(f_check), rel=1e-10)
 
 
 def test_admm_objective_parity_oracle():

@@ -1932,7 +1932,16 @@ def test_cli_deconv_method_admm_fista(tmp_path):
     assert r.returncode != 0 and "--tile" in (r.stdout + r.stderr)
     r = _run(
         ["deconv", "d.tif", "--psf", "p.tif", "--out", "x.tif",
-         "--method", "admm", "--gain", "2.0"],
+         "--method", "fista", "--data-term", "poisson"],
         tmp_path,
     )
-    assert r.returncode != 0 and "uniform weights" in (r.stdout + r.stderr)
+    assert r.returncode != 0 and "Gaussian" in (r.stdout + r.stderr)
+    # weighted admm (the z0 = Hx data split) works end to end
+    r = _run(
+        ["deconv", "d.tif", "--psf", "p.tif", "--out", "wadmm.tif",
+         "--method", "admm", "--iters", "30", "--mu", "1e-3", "--gain", "2.0"],
+        tmp_path,
+    )
+    assert r.returncode == 0, r.stderr
+    x = read_stack(tmp_path / "wadmm.tif")
+    assert np.isfinite(x).all() and np.linalg.norm(x - obj) < err_data
