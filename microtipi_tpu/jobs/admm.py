@@ -31,8 +31,10 @@ geometry instead of quasi-Newton line searches:
 
 Both run as a single ``lax.scan`` under jit (fixed iteration count — the
 engines are throughput probes; VMLMB keeps the reference's tolerance
-semantics). Supported objective: Gaussian data term (optionally weighted
-— FISTA only), mu*TV + positivity. Other priors/data terms raise.
+semantics). Supported objectives: ADMM = Gaussian (uniform or per-voxel
+weights) or Poisson data term + mu*TV + positivity; FISTA = (weighted)
+Gaussian + mu*TV + positivity. sparsity/hessian priors and
+padded-variable mode raise (VMLMB covers those).
 """
 
 from __future__ import annotations
@@ -42,7 +44,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from microtipi_tpu.jobs.deconv import DeconvolutionConfig, DeconvolutionResult, make_objective
-from microtipi_tpu.utils.arrays import pad_fft_kernel, pad_to_shape
+from microtipi_tpu.utils.arrays import pad_fft_kernel
 
 __all__ = ["admm_deconvolve", "fista_deconvolve"]
 
@@ -218,60 +220,58 @@ def admm_deconvolve(
             return (-B + jnp.sqrt(disc)) / (2.0 * rr0)
         return (weights * data + rr0 * v) / (weights + rr0)
 
-    def make_step():
-        def step(carry, _):
-            x, z0, u0, z1, u1, z2, u2, rr1, rr2 = carry
-            rhs = rr1 * _circ_diffs_adjoint(
-                [z - u for z, u in zip(z1, u1)], scales) + rr2 * (z2 - u2)
-            if data_split:
-                den = r0 * h2 + rr1 * s2 + rr2
-                x_hat = (r0 * jnp.conj(h_hat) * jnp.fft.rfftn(z0 - u0)
-                         + jnp.fft.rfftn(rhs)) / den
-            else:
-                den = h2 + rr1 * s2 + rr2
-                x_hat = (htd_hat + jnp.fft.rfftn(rhs)) / den
-            x = jnp.fft.irfftn(x_hat, s=shape).astype(dtype)
-            if data_split:
-                hx = _conv(x_hat)
-                z0 = _data_prox(hx + u0, r0)
-                u0 = u0 + hx - z0
-            # z1-update: pointwise hyperbolic prox on the MASKED gradient
-            # magnitude (replicate-boundary parity); unmasked (trailing-
-            # face) components are unpenalized -> identity prox.
-            dx = _circ_diffs(x, scales)
-            v = [d + u for d, u in zip(dx, u1)]
-            vmag = jnp.sqrt(
-                sum(m * t * t for m, t in zip(masks, v)) + jnp.finfo(dtype).tiny)
-            s = _hyperbolic_prox(vmag, mu / rr1, eps)
-            scale = s / vmag
-            z1_old, z2_old = z1, z2
-            z1 = [jnp.where(m > 0, scale * t, t) for m, t in zip(masks, v)]
-            # z2-update: positivity projection
-            z2 = jnp.maximum(x + u2, 0.0) if config.positivity else x + u2
-            # dual updates
-            u1 = [u + d - z for u, d, z in zip(u1, dx, z1)]
-            u2 = u2 + x - z2
-            if adaptive_rho:
-                # Per-split residual balancing (Boyd 2011 §3.4.1),
-                # scaled-dual form: growing rho shrinks u by the same
-                # factor. rho0 stays fixed (its dual residual would cost
-                # an extra FFT pair to evaluate).
-                rp1 = _nrm([d - z for d, z in zip(dx, z1)])
-                sd1 = rr1 * _nrm([_circ_diffs_adjoint(
-                    [a - b for a, b in zip(z1, z1_old)], scales)])
-                fac1 = jnp.where(rp1 > 10.0 * sd1, 2.0,
-                                 jnp.where(sd1 > 10.0 * rp1, 0.5, 1.0))
-                rr1 = rr1 * fac1
-                u1 = [u / fac1 for u in u1]
-                rp2 = _nrm([x - z2])
-                sd2 = rr2 * _nrm([z2 - z2_old])
-                fac2 = jnp.where(rp2 > 10.0 * sd2, 2.0,
-                                 jnp.where(sd2 > 10.0 * rp2, 0.5, 1.0))
-                rr2 = rr2 * fac2
-                u2 = u2 / fac2
-            f = objective(z2) if track_objective else jnp.asarray(jnp.nan, dtype)
-            return (x, z0, u0, z1, u1, z2, u2, rr1, rr2), f
-        return step
+    def step(carry, _):
+        x, z0, u0, z1, u1, z2, u2, rr1, rr2 = carry
+        rhs = rr1 * _circ_diffs_adjoint(
+            [z - u for z, u in zip(z1, u1)], scales) + rr2 * (z2 - u2)
+        if data_split:
+            den = r0 * h2 + rr1 * s2 + rr2
+            x_hat = (r0 * jnp.conj(h_hat) * jnp.fft.rfftn(z0 - u0)
+                     + jnp.fft.rfftn(rhs)) / den
+        else:
+            den = h2 + rr1 * s2 + rr2
+            x_hat = (htd_hat + jnp.fft.rfftn(rhs)) / den
+        x = jnp.fft.irfftn(x_hat, s=shape).astype(dtype)
+        if data_split:
+            hx = _conv(x_hat)
+            z0 = _data_prox(hx + u0, r0)
+            u0 = u0 + hx - z0
+        # z1-update: pointwise hyperbolic prox on the MASKED gradient
+        # magnitude (replicate-boundary parity); unmasked (trailing-
+        # face) components are unpenalized -> identity prox.
+        dx = _circ_diffs(x, scales)
+        v = [d + u for d, u in zip(dx, u1)]
+        vmag = jnp.sqrt(
+            sum(m * t * t for m, t in zip(masks, v)) + jnp.finfo(dtype).tiny)
+        s = _hyperbolic_prox(vmag, mu / rr1, eps)
+        scale = s / vmag
+        z1_old, z2_old = z1, z2
+        z1 = [jnp.where(m > 0, scale * t, t) for m, t in zip(masks, v)]
+        # z2-update: positivity projection
+        z2 = jnp.maximum(x + u2, 0.0) if config.positivity else x + u2
+        # dual updates
+        u1 = [u + d - z for u, d, z in zip(u1, dx, z1)]
+        u2 = u2 + x - z2
+        if adaptive_rho:
+            # Per-split residual balancing (Boyd 2011 §3.4.1),
+            # scaled-dual form: growing rho shrinks u by the same
+            # factor. rho0 stays fixed (its dual residual would cost
+            # an extra FFT pair to evaluate).
+            rp1 = _nrm([d - z for d, z in zip(dx, z1)])
+            sd1 = rr1 * _nrm([_circ_diffs_adjoint(
+                [a - b for a, b in zip(z1, z1_old)], scales)])
+            fac1 = jnp.where(rp1 > 10.0 * sd1, 2.0,
+                             jnp.where(sd1 > 10.0 * rp1, 0.5, 1.0))
+            rr1 = rr1 * fac1
+            u1 = [u / fac1 for u in u1]
+            rp2 = _nrm([x - z2])
+            sd2 = rr2 * _nrm([z2 - z2_old])
+            fac2 = jnp.where(rp2 > 10.0 * sd2, 2.0,
+                             jnp.where(sd2 > 10.0 * rp2, 0.5, 1.0))
+            rr2 = rr2 * fac2
+            u2 = u2 / fac2
+        f = objective(z2) if track_objective else jnp.asarray(jnp.nan, dtype)
+        return (x, z0, u0, z1, u1, z2, u2, rr1, rr2), f
 
     if data_split:
         z0 = _conv(jnp.fft.rfftn(x))
@@ -282,7 +282,7 @@ def admm_deconvolve(
     rr1 = jnp.asarray(r1, dtype)
     rr2 = jnp.asarray(r2, dtype)
     (x, z0, u0, z1, u1, z2, u2, rr1, rr2), fs = lax.scan(
-        make_step(), (x, z0, u0, z1, u1, z2, u2, rr1, rr2), None,
+        step, (x, z0, u0, z1, u1, z2, u2, rr1, rr2), None,
         length=int(config.max_iter))
     out = z2 if config.positivity else x  # z2 is feasible (>= 0) by construction
     f_final = objective(out)
