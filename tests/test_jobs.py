@@ -841,3 +841,4 @@ def test_blind_windowed_fit_guards():
     cfg2 = dataclasses.replace(cfg, fit=PsfFitConfig(fit_window=(16, 32, 32)))
     with pytest.raises(ValueError, match="exceeds"):
         bd(data, model, config=cfg2)
+
