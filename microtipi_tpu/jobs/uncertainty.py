@@ -128,6 +128,7 @@ def object_uncertainty(
     cg_tol: float = 1e-5,
     cg_maxiter: int = 100,
     active_tol: float = 0.0,
+    precondition: bool = True,
 ) -> ObjectUncertainty:
     """Laplace posterior standard deviation of a deconvolved object.
 
@@ -142,6 +143,15 @@ def object_uncertainty(
     ``x_hat <= active_tol`` count as pinned by the bound (VMLMB projects
     exactly onto 0.0, so the default 0.0 is exact; raise it to also pin
     voxels the solver left epsilon above the bound).
+
+    ``precondition``: circulant preconditioner for the CG solves. The
+    Hessian is near-circulant — data curvature ``mean(w)|H^|^2`` (Poisson:
+    the mean of its pointwise curvature ``d/m^2``) plus the TV curvature
+    bound ``mu/eps * sum|D^|^2`` diagonalize in the rfftn basis — so
+    ``M^-1 = F^-1 diag(...)^-1 F`` captures most of the spectrum and CG
+    converges in a few iterations instead of O(100) (measured envelope in
+    BASELINE.md). Costs one extra FFT pair per CG iteration; exact result
+    is unchanged (preconditioning only reshapes the Krylov space).
     """
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -156,11 +166,46 @@ def object_uncertainty(
     def matvec(v):
         return free * hvp(free * v) + (1.0 - free) * v
 
+    minv = None
+    if precondition:
+        var_shape = (tuple(config.var_shape)
+                     if config.var_shape is not None else data.shape)
+        h_hat = jnp.fft.rfftn(pad_fft_kernel(psf, var_shape))
+        h2 = jnp.real(h_hat * jnp.conj(h_hat))
+        if config.data_term == "poisson":
+            from microtipi_tpu.utils.arrays import crop_to_shape
+
+            m = jnp.fft.irfftn(h_hat * jnp.fft.rfftn(x_hat), s=var_shape)
+            if m.shape != data.shape:
+                m = crop_to_shape(m, data.shape)
+            m = jnp.maximum(m + config.background, jnp.finfo(x_hat.dtype).eps)
+            w_mean = jnp.mean(data / (m * m))
+        elif weights is None:
+            w_mean = jnp.asarray(1.0, x_hat.dtype)
+        else:
+            w_mean = jnp.mean(weights)
+        sz = ((1.0, 1.0, 1.0) if config.scales is None
+              else tuple(float(s) for s in config.scales))
+        fz = jnp.fft.fftfreq(var_shape[0]).astype(h2.dtype)
+        fy = jnp.fft.fftfreq(var_shape[1]).astype(h2.dtype)
+        fx = jnp.fft.rfftfreq(var_shape[2]).astype(h2.dtype)
+        s2 = ((4.0 / sz[0] ** 2) * jnp.sin(jnp.pi * fz)[:, None, None] ** 2
+              + (4.0 / sz[1] ** 2) * jnp.sin(jnp.pi * fy)[None, :, None] ** 2
+              + (4.0 / sz[2] ** 2) * jnp.sin(jnp.pi * fx)[None, None, :] ** 2)
+        den = w_mean * h2 + (config.mu / max(config.epsilon, 1e-30)) * s2
+        den = den + jnp.finfo(x_hat.dtype).eps * jnp.max(den)
+
+        def minv(v):
+            p = jnp.fft.irfftn(jnp.fft.rfftn(free * v) / den,
+                               s=var_shape).astype(v.dtype)
+            return free * p + (1.0 - free) * v
+
     probes = jax.random.rademacher(key, (n_probes,) + x_hat.shape, x_hat.dtype)
 
     def solve_one(z):
         zf = free * z
-        u, _ = jax.scipy.sparse.linalg.cg(matvec, zf, tol=cg_tol, maxiter=cg_maxiter)
+        u, _ = jax.scipy.sparse.linalg.cg(matvec, zf, tol=cg_tol,
+                                          maxiter=cg_maxiter, M=minv)
         r = matvec(u) - zf
         rel = jnp.sqrt(jnp.vdot(r, r).real) / jnp.maximum(
             jnp.sqrt(jnp.vdot(zf, zf).real), jnp.finfo(x_hat.dtype).tiny

@@ -193,3 +193,60 @@ def test_laplace_objective_matches_solver_objective(data_term, weighted, extras)
         f_l, g_l = lap_fg(x)
         np.testing.assert_allclose(float(f_l), float(f_s), rtol=1e-9)
         np.testing.assert_allclose(np.asarray(g_l), np.asarray(g_s), rtol=1e-8, atol=1e-12)
+
+
+def test_preconditioned_cg_converges_much_faster():
+    """The circulant preconditioner must (a) leave the converged result
+    unchanged and (b) reach a far smaller residual at a tight iteration
+    budget than plain CG — the Hessian is near-circulant, so M^-1 captures
+    most of its spectrum."""
+    data, psf, x_hat, cfg = _problem(jax.random.PRNGKey(21), positivity=True)
+    kw = dict(config=cfg, n_probes=4, cg_tol=1e-12, key=jax.random.PRNGKey(3))
+    full_p = object_uncertainty(data, psf, x_hat, cg_maxiter=400,
+                                precondition=True, **kw)
+    full_n = object_uncertainty(data, psf, x_hat, cg_maxiter=400,
+                                precondition=False, **kw)
+    np.testing.assert_allclose(np.asarray(full_p.sigma),
+                               np.asarray(full_n.sigma), rtol=1e-6, atol=1e-10)
+
+    tight_p = object_uncertainty(data, psf, x_hat, cg_maxiter=5,
+                                 precondition=True, **kw)
+    tight_n = object_uncertainty(data, psf, x_hat, cg_maxiter=5,
+                                 precondition=False, **kw)
+    assert float(tight_p.residual) < 0.5 * float(tight_n.residual), (
+        float(tight_p.residual), float(tight_n.residual))
+
+
+def test_preconditioned_poisson_and_weighted_paths():
+    """Preconditioning with the Poisson curvature estimate and per-voxel
+    weights must match the unpreconditioned converged answer."""
+    key = jax.random.PRNGKey(22)
+    data, psf, x_hat, cfg = _problem(key, positivity=False)
+    w = jax.random.uniform(key, data.shape, jnp.float64, 0.5, 2.0)
+    a = object_uncertainty(data, psf, x_hat, weights=w, config=cfg,
+                           n_probes=4, cg_tol=1e-12, cg_maxiter=400,
+                           precondition=True, key=jax.random.PRNGKey(5))
+    b = object_uncertainty(data, psf, x_hat, weights=w, config=cfg,
+                           n_probes=4, cg_tol=1e-12, cg_maxiter=400,
+                           precondition=False, key=jax.random.PRNGKey(5))
+    np.testing.assert_allclose(np.asarray(a.sigma), np.asarray(b.sigma),
+                               rtol=1e-6, atol=1e-10)
+
+    shape = (2, 8, 8)
+    psf2 = _near_delta_psf(shape, key)
+    truth = jax.random.uniform(key, shape, jnp.float64, 5.0, 50.0)
+    lam = jnp.fft.irfftn(jnp.fft.rfftn(truth) * jnp.fft.rfftn(psf2), s=shape,
+                         axes=(0, 1, 2))
+    pdata = jax.random.poisson(key, lam + 2.0).astype(jnp.float64)
+    pcfg = DeconvolutionConfig(data_term="poisson", background=2.0, mu=0.01,
+                               epsilon=0.05, positivity=False, max_iter=200,
+                               grtol=0.0)
+    px = deconvolve(pdata, psf2, config=pcfg).x
+    pa = object_uncertainty(pdata, psf2, px, config=pcfg, n_probes=4,
+                            cg_tol=1e-12, cg_maxiter=500, precondition=True,
+                            key=jax.random.PRNGKey(6))
+    pb = object_uncertainty(pdata, psf2, px, config=pcfg, n_probes=4,
+                            cg_tol=1e-12, cg_maxiter=500, precondition=False,
+                            key=jax.random.PRNGKey(6))
+    np.testing.assert_allclose(np.asarray(pa.sigma), np.asarray(pb.sigma),
+                               rtol=1e-6, atol=1e-10)
