@@ -50,6 +50,7 @@ def _blind_config(args, data_shape):
         init="wiener" if args.wiener_init else "data",
         phase_prior_weight=args.phase_prior,
         bead_weight=getattr(args, "bead_weight", 1.0),
+        deconv_engine=getattr(args, "deconv_engine", "vmlmb"),
     )
     if args.recipe == "quality":
         # One flag for the measured-best recipe (BlindDeconvConfig.recommended):

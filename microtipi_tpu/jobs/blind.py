@@ -113,6 +113,19 @@ class BlindDeconvConfig:
     #: object; relax in later rounds to recover detail. Like phase_schedule,
     #: a schedule unrolls the rounds (static per-round numerics).
     mu_schedule: tuple[float, ...] | None = None
+    #: Object-step engine: "vmlmb" (reference semantics,
+    #: ``PSF_Estimation.java:186-199``) or "admm" (``jobs.admm``: closed-form
+    #: circulant x-update — measured ~5x faster to matched reconstruction
+    #: quality at 256^3 and able to reach objectives the f32 VMLMB path
+    #: line-search-stalls above; BASELINE.md round-4 engine head-to-head).
+    #: "admm" runs ``deconv.max_iter`` fixed iterations per round and
+    #: requires the plain TV objective (no sparsity/hessian priors, no
+    #: padded-variable mode); dense path only. IMPORTANT: pair it with an
+    #: annealed ``mu_schedule`` (e.g. :meth:`recommended`) — the exactly-
+    #: converged object step under a weak constant mu absorbs the
+    #: aberration and the PSF fits blow up (measured both ways,
+    #: BASELINE.md "ADMM engine inside the blind loop").
+    deconv_engine: str = "vmlmb"
 
     def __post_init__(self):
         if len(self.families) != len(self.psf_max_iter):
@@ -125,6 +138,18 @@ class BlindDeconvConfig:
             raise ValueError("phase_schedule is not supported with joint_fit")
         if self.init not in ("data", "wiener"):
             raise ValueError(f"unknown init {self.init!r}")
+        if self.deconv_engine not in ("vmlmb", "admm"):
+            raise ValueError(f"unknown deconv_engine {self.deconv_engine!r}")
+        if self.deconv_engine == "admm" and (
+            self.deconv.sparsity > 0
+            or self.deconv.hessian > 0
+            or self.deconv.var_shape is not None
+        ):
+            raise ValueError(
+                "deconv_engine='admm' supports the plain TV objective only "
+                "(no sparsity/hessian priors, no padded-variable mode); "
+                "use the vmlmb engine"
+            )
 
     @classmethod
     def recommended(cls, pin_z4: bool = False, **overrides) -> "BlindDeconvConfig":
@@ -286,7 +311,13 @@ def blind_deconvolve(
         # deliberately disables the pre-deconv weight update
         # (BlindDeconvJob.java:105-107). Keeping weights=None here also
         # preserves the uniform-weight quadratic fast path.
-        dres = deconvolve(data, psf, weights=weights, x0=x, config=dcfg)
+        if config.deconv_engine == "admm":
+            from microtipi_tpu.jobs.admm import admm_deconvolve
+
+            dres = admm_deconvolve(data, psf, weights=weights, x0=x,
+                                   config=dcfg, track_objective=False)
+        else:
+            dres = deconvolve(data, psf, weights=weights, x0=x, config=dcfg)
         return dres.x, dres.f, dres.iterations, psf
 
     def fit_weights(x, psf):

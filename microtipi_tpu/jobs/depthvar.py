@@ -358,6 +358,10 @@ def blind_deconvolve_depthvar(
 
     if config is None:
         config = BlindDeconvConfig()
+    if config.deconv_engine != "vmlmb":
+        raise ValueError(
+            "deconv_engine='admm' needs a circulant forward model; the "
+            "depth-varying anchor blend is not circulant — use vmlmb")
     if params0 is None:
         params0 = model.init_params()
     if not hasattr(params0, "depth"):

@@ -82,6 +82,11 @@ def sharded_blind_deconvolve(
             "PsfFitConfig.fit_window is a single-chip optimization (the "
             "crop would gather across shards); drop it for the sharded loop"
         )
+    if config.deconv_engine != "vmlmb":
+        raise ValueError(
+            "deconv_engine='admm' is dense-path only for now; the sharded "
+            "loop runs the VMLMB object step (BlindDeconvConfig docstring)"
+        )
     fit_cfg = dataclasses.replace(config.fit, grtol=0.0)  # BlindDeconvJob.java:124
 
     # Fit-step grid: the var grid when padded (zero weight outside the data
