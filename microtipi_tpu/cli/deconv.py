@@ -55,10 +55,16 @@ def cmd_deconv(args):
         if _is_plate(args.data) and not getattr(args, "well", None):
             sys.exit("--uncertainty does not compose with the whole-plate "
                      "fan-out; pick one well (--well)")
-        if args.method != "vmlmb":
-            sys.exit("--uncertainty is the Laplace curvature at the VMLMB "
-                     "solution (tolerance-converged MAP); rerun with "
-                     "--method vmlmb")
+        if args.method not in ("vmlmb", "admm", "fista"):
+            # vmlmb/admm/fista all converge the SAME TV objective
+            # (tests/test_admm.py pins f == make_objective at their x), so
+            # the Laplace curvature is valid at any of their solutions —
+            # ADMM's, in fact, converges furthest (BASELINE.md round-4
+            # engine head-to-head). RL maximizes a different (prior-free)
+            # likelihood; its point is not a MAP of this objective.
+            sys.exit("--uncertainty is the Laplace curvature of the TV "
+                     "objective at its converged MAP; use --method "
+                     "vmlmb/admm/fista (rl solves a different objective)")
     if getattr(args, "mu_t", None) is not None:
         if getattr(args, "superres", None):
             sys.exit("--mu-t and --superres do not compose yet; run the "

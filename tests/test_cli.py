@@ -1836,6 +1836,17 @@ def test_cli_deconv_uncertainty(tmp_path):
     assert r.returncode == 0, r.stderr
     assert (tmp_path / "s.tif").exists()
 
+    # --method admm composes (same objective, same MAP — the gate only
+    # rejects engines that solve a DIFFERENT objective, like rl)
+    r = _run(
+        ["deconv", str(tmp_path / "d.tif"), "--psf", str(tmp_path / "p.tif"),
+         "--out", str(tmp_path / "rec3.tif"), "--iters", "40",
+         "--mu", "0.01", "--method", "admm", "--uncertainty", "2"],
+        tmp_path,
+    )
+    assert r.returncode == 0, r.stderr
+    assert (tmp_path / "rec3_std.tif").exists()
+
     # guards fail fast (before any solve)
     r = _run(
         ["deconv", str(tmp_path / "d.tif"), "--psf", str(tmp_path / "p.tif"),
