@@ -120,7 +120,8 @@ class BlindDeconvConfig:
     #: line-search-stalls above; BASELINE.md round-4 engine head-to-head).
     #: "admm" runs ``deconv.max_iter`` fixed iterations per round and
     #: requires the plain TV objective (no sparsity/hessian priors, no
-    #: padded-variable mode); dense path only. IMPORTANT: pair it with an
+    #: padded-variable mode); dense path + single-volume mesh-divisible
+    #: sharded path (``parallel.admm``). IMPORTANT: pair it with an
     #: annealed ``mu_schedule`` (e.g. :meth:`recommended`) — the exactly-
     #: converged object step under a weak constant mu absorbs the
     #: aberration and the PSF fits blow up (measured both ways,

@@ -82,10 +82,11 @@ def sharded_blind_deconvolve(
             "PsfFitConfig.fit_window is a single-chip optimization (the "
             "crop would gather across shards); drop it for the sharded loop"
         )
-    if config.deconv_engine != "vmlmb":
+    if config.deconv_engine == "admm" and (batched or padded):
         raise ValueError(
-            "deconv_engine='admm' is dense-path only for now; the sharded "
-            "loop runs the VMLMB object step (BlindDeconvConfig docstring)"
+            "the sharded admm object engine takes one mesh-divisible "
+            "(Nz, Ny, Nx) volume (parallel.admm); batched/auto-padded "
+            "sharded loops run the VMLMB object step"
         )
     fit_cfg = dataclasses.replace(config.fit, grtol=0.0)  # BlindDeconvJob.java:124
 
@@ -119,7 +120,14 @@ def sharded_blind_deconvolve(
     def object_step(x, params, mu):
         psf = model.compute_psf(params)
         cfg_i = dcfg if mu is None else dataclasses.replace(dcfg, mu=mu)
-        res = sharded_deconvolve(data, psf, mesh, weights=weights, x0=x, config=cfg_i)
+        if config.deconv_engine == "admm":
+            from microtipi_tpu.parallel.admm import sharded_admm_deconvolve
+
+            res = sharded_admm_deconvolve(data, psf, mesh, weights=weights,
+                                          x0=x, config=cfg_i,
+                                          track_objective=False)
+        else:
+            res = sharded_deconvolve(data, psf, mesh, weights=weights, x0=x, config=cfg_i)
         return res.x, res.f, res.iterations, psf
 
     def fit_weights(x, psf):

@@ -356,3 +356,80 @@ def test_sharded_sparse_hessian_priors_match_dense(mesh8, scene):
     got = sharded_deconvolve(data_sh, psf, mesh8, config=cfg)
     np.testing.assert_allclose(float(got.f), float(ref.f), rtol=1e-8)
     np.testing.assert_allclose(np.asarray(got.x), np.asarray(ref.x), atol=1e-6)
+
+
+def test_sharded_admm_matches_dense(mesh8, scene):
+    """parallel.admm.sharded_admm_deconvolve == jobs.admm.admm_deconvolve:
+    same splitting, same masked-prox objective, distributed FFTs — identical
+    trajectory up to cross-mesh reduction order. Uniform-Gaussian (2-FFT
+    x-update), weighted (data split), and Poisson variants."""
+    from microtipi_tpu.jobs.admm import admm_deconvolve
+    from microtipi_tpu.parallel.admm import sharded_admm_deconvolve
+
+    model, true, obj, psf, data = scene
+    cfg = DeconvolutionConfig(mu=0.002, epsilon=1.0, max_iter=15, grtol=0.0)
+    data_sh = jax.device_put(data, volume_sharding(mesh8, batched=False))
+
+    ref = admm_deconvolve(data, psf, config=cfg)
+    got = sharded_admm_deconvolve(data_sh, psf, mesh8, config=cfg)
+    np.testing.assert_allclose(float(got.f), float(ref.f), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(got.x), np.asarray(ref.x), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.f_history),
+                               np.asarray(ref.f_history), rtol=1e-7)
+
+    rng = np.random.default_rng(1)
+    w = jnp.asarray(0.5 + rng.random(SHAPE))
+    ref_w = admm_deconvolve(data, psf, weights=w, config=cfg)
+    got_w = sharded_admm_deconvolve(data_sh, psf, mesh8, weights=w, config=cfg)
+    np.testing.assert_allclose(float(got_w.f), float(ref_w.f), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(got_w.x), np.asarray(ref_w.x), atol=1e-6)
+
+    dpois = jnp.maximum(data, 0.0) + 1.0
+    pcfg = DeconvolutionConfig(mu=0.002, epsilon=1.0, max_iter=10, grtol=0.0,
+                               data_term="poisson", background=0.5)
+    ref_p = admm_deconvolve(dpois, psf, config=pcfg)
+    dpois_sh = jax.device_put(dpois, volume_sharding(mesh8, batched=False))
+    got_p = sharded_admm_deconvolve(dpois_sh, psf, mesh8, config=pcfg)
+    np.testing.assert_allclose(float(got_p.f), float(ref_p.f), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(got_p.x), np.asarray(ref_p.x), atol=1e-6)
+
+
+def test_sharded_blind_admm_engine_matches_dense(mesh8, scene):
+    """The sharded blind loop with deconv_engine='admm' == the dense loop
+    with the same engine (mesh-divisible volume, no padding)."""
+    from microtipi_tpu.jobs.blind import blind_deconvolve
+    from microtipi_tpu.models.microscope import DEFOCUS
+
+    model, true, obj, psf, data = scene
+    cfg = BlindDeconvConfig(
+        loops=2, families=(DEFOCUS, PHASE), psf_max_iter=(3, 3),
+        joint_fit=True, deconv_engine="admm",
+        deconv=DeconvolutionConfig(mu=0.002, epsilon=1.0, max_iter=8,
+                                   grtol=0.0, gatol=0.0),
+        fit=PsfFitConfig(grtol=0.0))
+    ref = blind_deconvolve(data, model, config=cfg)
+    data_sh = jax.device_put(data, volume_sharding(mesh8, batched=False))
+    got = sharded_blind_deconvolve(data_sh, model, mesh8, config=cfg)
+    np.testing.assert_allclose(np.asarray(got.deconv_f),
+                               np.asarray(ref.deconv_f), rtol=1e-7)
+    np.testing.assert_allclose(np.asarray(got.params.phase),
+                               np.asarray(ref.params.phase), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.obj), np.asarray(ref.obj),
+                               atol=1e-5)
+
+
+def test_sharded_blind_admm_guards(mesh8, scene):
+    """Batched and auto-padded sharded loops reject the admm engine with an
+    actionable message instead of silently running a different solver."""
+    model, true, obj, psf, data = scene
+    cfg = BlindDeconvConfig(
+        loops=2, families=(PHASE,), psf_max_iter=(2,), deconv_engine="admm",
+        deconv=DeconvolutionConfig(mu=0.002, max_iter=4, grtol=0.0))
+    with pytest.raises(ValueError, match="mesh-divisible"):
+        sharded_blind_deconvolve(
+            jnp.stack([data, data]), model, mesh8, config=cfg)
+    odd = data[:-1]  # Nz=15 on an 8-way z axis -> auto-pad path
+    model_odd = WideFieldConfig(shape=odd.shape, n_phase=3, radial=True,
+                                dtype=jnp.float64, **KW)
+    with pytest.raises(ValueError, match="mesh-divisible"):
+        sharded_blind_deconvolve(odd, model_odd, mesh8, config=cfg)
