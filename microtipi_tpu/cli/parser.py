@@ -646,7 +646,7 @@ def main(argv=None):
                         "(fitpsf --params-out / --depth-ladder JSON)")
     _preprocess_args(p)
     _model_args(p)
-    _deconv_args(p, methods=("vmlmb", "rl", "blind", "blind-once"))
+    _deconv_args(p, methods=("vmlmb", "rl", "admm", "blind", "blind-once"))
     _hyperstack_args(p)
     p.set_defaults(fn=cmd_watch)
 

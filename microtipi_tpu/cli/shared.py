@@ -157,9 +157,10 @@ def _deconv_args(p: argparse.ArgumentParser, methods=("vmlmb", "rl")):
                         "(weights/updaters.py) and use variance weights")
     g.add_argument("--method", choices=list(methods), default="vmlmb",
                    help="object solver: VMLMB+TV (default), Richardson-Lucy, "
-                        "admm / fista (deconv only: first-order engines on "
-                        "the same TV objective, fixed --iters), or "
-                        "(watch only) blind / blind-once (calibrate on first file)")
+                        "admm (first-order engine on the same TV objective, "
+                        "fixed --iters; ~5x faster to matched quality — "
+                        "BASELINE.md), fista (deconv only), or (watch only) "
+                        "blind / blind-once (calibrate on first file)")
     g.add_argument("--rl-accelerate", action="store_true",
                    help="[rl] Biggs-Andrews vector extrapolation (~2-3x fewer "
                         "iterations to a given likelihood)")

@@ -208,6 +208,10 @@ def watch(
     fitted pupil parameters are kept (and logged), and every later file gets
     the fast fixed-PSF solve with the calibrated PSF — parameters transfer
     across volume shapes because they live on the pupil, not the grid.
+    ``method``: "vmlmb" (default), "rl", "admm" (the round-4
+    seconds-to-quality engine — fixed ``config.max_iter`` iterations per
+    file, same TV objective; BASELINE.md engine head-to-head), or the
+    blind variants below.
     Blind methods take ``model_factory(shape) -> PsfModel config`` (and an
     optional ``blind_config``) instead of ``psf_path``.
 
@@ -358,6 +362,20 @@ def watch(
                     return richardson_lucy(
                         d, kern, iterations=rl_iterations, mu=config.mu, epsilon=config.epsilon
                     )
+
+                solvers[key] = jax.jit(run, donate_argnums=0)
+            elif method == "admm":
+                # Serving wants throughput: the ADMM engine reaches matched
+                # reconstruction quality ~5x faster than VMLMB at scale
+                # (BASELINE.md round-4 engine head-to-head); fixed
+                # config.max_iter iterations per file.
+                from microtipi_tpu.jobs.admm import admm_deconvolve
+
+                def run(d, psf=psf):
+                    kern = pad_fft_kernel(psf, d.shape)
+                    return admm_deconvolve(d, kern, weights=_weights_of(d),
+                                           config=config,
+                                           track_objective=False).x
 
                 solvers[key] = jax.jit(run, donate_argnums=0)
             elif depthvar_k:

@@ -124,6 +124,22 @@ def test_watch_rl_method(tmp_path):
     assert rec.shape == d.shape and np.isfinite(rec).all() and (rec >= 0).all()
 
 
+def test_watch_admm_method(tmp_path):
+    """watch --method admm: the round-4 throughput engine serves files
+    (fixed config.max_iter iterations, same TV objective as vmlmb)."""
+    indir = tmp_path / "in"
+    outdir = tmp_path / "out"
+    indir.mkdir()
+    psf, d = _mini_scene(tmp_path)
+    write_stack(indir / "t.tif", d)
+    out = watch(indir, outdir, tmp_path / "psf.tif", method="admm",
+                config=DeconvolutionConfig(mu=0.001, epsilon=1.0, max_iter=8),
+                poll_seconds=0.02, max_files=1, log=lambda m: None)
+    assert len(out) == 1
+    rec = read_stack(outdir / "t.tif")
+    assert rec.shape == d.shape and np.isfinite(rec).all() and (rec >= 0).all()
+
+
 def test_watch_metrics_snapshot(tmp_path):
     import json
 
