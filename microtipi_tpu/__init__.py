@@ -26,7 +26,11 @@ from microtipi_tpu.models.fourpi import FourPiConfig, FourPiParams
 from microtipi_tpu.models.ism import ISMConfig, hex_offsets
 from microtipi_tpu.models.sted import STEDConfig, STEDParams
 from microtipi_tpu.models.vectorial import VectorialConfig
-from microtipi_tpu.jobs.admm import admm_deconvolve, fista_deconvolve
+from microtipi_tpu.jobs.admm import (
+    admm_deconvolve,
+    admm_deconvolve_timeseries,
+    fista_deconvolve,
+)
 from microtipi_tpu.jobs.autotune import AutoMuResult, deconvolve_auto_mu, estimate_noise_sigma
 from microtipi_tpu.jobs.phase_retrieval import (
     PupilRetrievalResult, project_phase, remove_position_gauges, retrieve_pupil)
@@ -104,7 +108,7 @@ __all__ = [
     "LightSheetConfig", "LightSheetParams", "StructuredSheetConfig",
     "BlindDeconvConfig", "BlindDeconvResult", "blind_deconvolve",
     "DeconvolutionConfig", "DeconvolutionResult", "deconvolve",
-    "admm_deconvolve", "fista_deconvolve",
+    "admm_deconvolve", "admm_deconvolve_timeseries", "fista_deconvolve",
     "AutoMuResult", "deconvolve_auto_mu", "estimate_noise_sigma",
     "PupilRetrievalResult", "project_phase", "remove_position_gauges", "retrieve_pupil",
     "defocus_diversity", "diversity_fit_uncertainty",

@@ -279,14 +279,28 @@ def _cmd_deconv_timeseries(args):
             gain, rv = float(g_est), float(rv_est)
             print(f"auto-gain (frame 0): gain={gain:.4g}, readout var={rv:.4g}")
         w = InverseVarianceWeights(gain=gain, readout_variance=rv).from_data(series)
-    run = jax.jit(lambda d, p, w, g: deconvolve_timeseries(
-        d, p, weights=w, config=cfg, mu_t=args.mu_t,
-        epsilon_t=args.epsilon_t, bleach=g))
+    if args.method == "admm":
+        # The round-4 engine on the joint 4D objective (same
+        # make_timeseries_objective; fixed --iters). Poisson+bleach is the
+        # one combination it does not take (jobs/admm.py).
+        from microtipi_tpu.jobs.admm import admm_deconvolve_timeseries
+
+        solver = lambda d, p, w, g: admm_deconvolve_timeseries(
+            d, p, weights=w, config=cfg, mu_t=args.mu_t,
+            epsilon_t=args.epsilon_t, bleach=g, track_objective=False)
+    elif args.method != "vmlmb":
+        sys.exit(f"--mu-t takes --method vmlmb or admm, not {args.method} "
+                 "(rl has no coupled temporal form)")
+    else:
+        solver = lambda d, p, w, g: deconvolve_timeseries(
+            d, p, weights=w, config=cfg, mu_t=args.mu_t,
+            epsilon_t=args.epsilon_t, bleach=g)
+    run = jax.jit(solver)
     t0 = time.time()
     res = run(series, psf, w, bleach)
     f = float(res.f)
-    print(f"deconv[timeseries T={nt}]: {int(res.iterations)} iters, "
-          f"cost {f:.6g}, {time.time()-t0:.1f}s (incl. compile)")
+    print(f"deconv[timeseries T={nt} {args.method}]: {int(res.iterations)} "
+          f"iters, cost {f:.6g}, {time.time()-t0:.1f}s (incl. compile)")
     _write_hyperstack(args, np.asarray(res.x)[:, None])  # (T, 1, Z, Y, X)
 
 

@@ -35,6 +35,12 @@ semantics). Supported objectives: ADMM = Gaussian (uniform or per-voxel
 weights) or Poisson data term + mu*TV + positivity; FISTA = (weighted)
 Gaussian + mu*TV + positivity. sparsity/hessian priors and
 padded-variable mode raise (VMLMB covers those).
+
+:func:`admm_deconvolve_timeseries` extends the ADMM engine to the joint
+4D time-series objective (``jobs.timeseries``): the temporal TV becomes a
+third split whose difference operator is circulant along t, so the
+x-update stays ONE (4D) FFT pair. The distributed analogue of the 3D
+engine lives in ``parallel.admm``.
 """
 
 from __future__ import annotations
@@ -46,7 +52,7 @@ from jax import lax
 from microtipi_tpu.jobs.deconv import DeconvolutionConfig, DeconvolutionResult, make_objective
 from microtipi_tpu.utils.arrays import pad_fft_kernel
 
-__all__ = ["admm_deconvolve", "fista_deconvolve"]
+__all__ = ["admm_deconvolve", "admm_deconvolve_timeseries", "fista_deconvolve"]
 
 
 def _check_config(config: DeconvolutionConfig, engine: str, weights=None):
@@ -367,5 +373,221 @@ def fista_deconvolve(
         else jnp.full((n + 1,), jnp.nan, dtype).at[0].set(f_fin)
     return DeconvolutionResult(
         x, f_fin, jnp.asarray(n), jnp.asarray(2 * n),
+        jnp.asarray(0), hist, jnp.full_like(hist, jnp.nan),
+    )
+
+
+def admm_deconvolve_timeseries(
+    data: jax.Array,
+    psf: jax.Array,
+    weights: jax.Array | None = None,
+    x0: jax.Array | None = None,
+    config: DeconvolutionConfig = DeconvolutionConfig(),
+    *,
+    mu_t: float = 0.0,
+    epsilon_t: float | None = None,
+    bleach: jax.Array | None = None,
+    rho0: float | None = None,
+    rho1: float | None = None,
+    rho1t: float | None = None,
+    rho2: float | None = None,
+    track_objective: bool = True,
+) -> DeconvolutionResult:
+    """ADMM engine for the joint 4D time-series solve.
+
+    Same objective as :func:`jobs.timeseries.deconvolve_timeseries`
+    (``make_timeseries_objective`` is the shared definition): per-frame
+    (weighted/Poisson) data term + mu*TV_eps per frame + mu_t*TV_eps_t
+    along t + positivity. The whole 4D operator stays circulant — the
+    spatial differences and the per-frame ``|H|^2`` are constant across
+    frames, the temporal difference is circulant along t — so the x-update
+    is ONE 4D rfftn/irfftn pair with denominator
+    ``rho0 |H|^2 + rho1 sum|D_s|^2 + rho1t |D_t|^2 + rho2`` (every term
+    broadcast over the axes it is constant in). Replicate-boundary parity
+    uses the same masked-prox construction as the 3D engine: trailing
+    faces of each frame (spatial) and the trailing FRAME (temporal) are
+    unpenalized identity-prox components.
+
+    ``bleach`` (per-frame gains in the MODEL, ``g_t H x_t``): handled in
+    the DATA prox — the split variable stays ``z0 = H x`` (unscaled, so
+    the x-update keeps its t-constant circulant denominator) and the
+    pointwise prox absorbs ``g_t`` (Gaussian:
+    ``z = (w g d + rho0 v) / (w g^2 + rho0)``). Poisson+bleach is not
+    wired (use the VMLMB engine). ``rho1t`` defaults to
+    ``mu_t/epsilon_t`` — the temporal analogue of the rho1 rule.
+    """
+    _check_config(config, "admm", weights)
+    data = jnp.asarray(data)
+    if data.ndim != 4:
+        raise ValueError(f"expected a (T, Nz, Ny, Nx) stack, got {data.shape}")
+    poisson = config.data_term == "poisson"
+    if poisson and bleach is not None:
+        raise ValueError("admm timeseries: poisson+bleach is not wired; "
+                         "use deconvolve_timeseries (VMLMB)")
+    shape = data.shape
+    vol = shape[1:]
+    dtype = data.dtype
+    mu, eps = float(config.mu), float(config.epsilon)
+    eps_t = float(config.epsilon if epsilon_t is None else epsilon_t)
+    mu_t = float(mu_t)
+    bg = float(config.background)
+    scales = config.scales
+    if weights is not None:
+        weights = jnp.asarray(weights)
+        if weights.shape == vol:
+            weights = weights[None]
+    g4 = None
+    if bleach is not None:
+        bleach = jnp.asarray(bleach, dtype)
+        if bleach.shape != (shape[0],):
+            raise ValueError(
+                f"bleach must be per-frame gains of shape ({shape[0]},), "
+                f"got {bleach.shape}")
+        g4 = bleach.reshape(-1, 1, 1, 1)
+    data_split = poisson or weights is not None or g4 is not None
+    r1 = float(rho1) if rho1 is not None else max(mu / max(eps, 1e-30), 1e-6)
+    r1t = (float(rho1t) if rho1t is not None
+           else max(mu_t / max(eps_t, 1e-30), 1e-6))
+    r2 = float(rho2) if rho2 is not None else r1
+    if rho0 is not None:
+        r0 = float(rho0)
+    elif poisson:
+        r0 = 1.0 / jnp.maximum(jnp.mean(data) + bg, 1e-12)
+    elif weights is not None:
+        r0 = jnp.mean(weights)
+    else:
+        r0 = 1.0
+
+    kernel = pad_fft_kernel(psf, vol)
+    k_hat = jnp.fft.rfftn(kernel)          # 3D, broadcast [None] over t
+    h2 = (jnp.real(k_hat) ** 2 + jnp.imag(k_hat) ** 2)[None]
+    fdtype = jnp.real(k_hat).dtype
+    s2 = _grad_sq_spectrum(vol, scales, fdtype)[None]
+    ft = jnp.fft.fftfreq(shape[0]).astype(fdtype)
+    st2 = (4.0 * jnp.sin(jnp.pi * ft) ** 2)[:, None, None, None]
+    temporal = mu_t > 0
+
+    from microtipi_tpu.jobs.timeseries import make_timeseries_objective
+
+    fg = make_timeseries_objective(psf, data, weights, config, mu_t=mu_t,
+                                   epsilon_t=epsilon_t, bleach=bleach)
+
+    def objective(x):
+        return fg(x)[0]
+
+    def _sdiffs(x):
+        sz = (1.0, 1.0, 1.0) if scales is None else tuple(float(s) for s in scales)
+        return [(jnp.roll(x, -1, axis=a + 1) - x) / sz[a] for a in range(3)]
+
+    def _sdiffs_adj(gs):
+        sz = (1.0, 1.0, 1.0) if scales is None else tuple(float(s) for s in scales)
+        out = 0.0
+        for a, g in enumerate(gs):
+            out = out + (jnp.roll(g, 1, axis=a + 1) - g) / sz[a]
+        return out
+
+    def _tdiff(x):
+        return jnp.roll(x, -1, axis=0) - x
+
+    def _tdiff_adj(g):
+        return jnp.roll(g, 1, axis=0) - g
+
+    if x0 is None:
+        x0 = jnp.maximum(data, 0.0) if config.positivity else data
+    x = x0.astype(dtype)
+    f0 = objective(x)
+
+    smasks = []
+    for a in range(3):
+        m = jnp.ones(vol, dtype)
+        smasks.append(m.at[tuple(
+            slice(-1, None) if i == a else slice(None)
+            for i in range(3))].set(0.0)[None])
+    tmask = jnp.ones((shape[0], 1, 1, 1), dtype).at[-1].set(0.0)
+
+    den = (r0 if data_split else 1.0) * h2 + r1 * s2 + r2
+    if temporal:
+        den = den + r1t * st2
+
+    def _data_prox(v, rr0):
+        g = 1.0 if g4 is None else g4
+        if poisson:
+            b_ = jnp.asarray(bg, dtype)
+            B = 1.0 + rr0 * (b_ - v)
+            C = b_ - data - rr0 * v * b_
+            disc = jnp.maximum(B * B - 4.0 * rr0 * C, 0.0)
+            return (-B + jnp.sqrt(disc)) / (2.0 * rr0)
+        w = jnp.asarray(1.0, dtype) if weights is None else weights
+        return (w * g * data + rr0 * v) / (w * g * g + rr0)
+
+    if not data_split:
+        htd = jnp.fft.irfftn(jnp.conj(k_hat)[None]
+                             * jnp.fft.rfftn(data, axes=(1, 2, 3)),
+                             s=vol, axes=(1, 2, 3)).astype(dtype)
+
+    def step(carry, _):
+        x, z0, u0, z1, u1, zt, ut, z2, u2 = carry
+        rhs = r1 * _sdiffs_adj([z - u for z, u in zip(z1, u1)]) + r2 * (z2 - u2)
+        if temporal:
+            rhs = rhs + r1t * _tdiff_adj(zt - ut)
+        if data_split:
+            x_hat = (r0 * jnp.conj(k_hat)[None] * jnp.fft.rfftn(z0 - u0)
+                     + jnp.fft.rfftn(rhs)) / den
+        else:
+            x_hat = jnp.fft.rfftn(htd + rhs) / den
+        x = jnp.fft.irfftn(x_hat, s=shape).astype(dtype)
+        if data_split:
+            hx = jnp.fft.irfftn(k_hat[None] * x_hat, s=shape).astype(dtype)
+            z0 = _data_prox(hx + u0, r0)
+            u0 = u0 + hx - z0
+        dx = _sdiffs(x)
+        v = [d + u for d, u in zip(dx, u1)]
+        vmag = jnp.sqrt(
+            sum(m * t * t for m, t in zip(smasks, v)) + jnp.finfo(dtype).tiny)
+        s = _hyperbolic_prox(vmag, mu / r1, eps)
+        scale = s / vmag
+        z1 = [jnp.where(m > 0, scale * t, t) for m, t in zip(smasks, v)]
+        u1 = [u + d - z for u, d, z in zip(u1, dx, z1)]
+        if temporal:
+            dt = _tdiff(x)
+            vt = dt + ut
+            vmag_t = jnp.sqrt(tmask * vt * vt + jnp.finfo(dtype).tiny)
+            st = _hyperbolic_prox(vmag_t, mu_t / r1t, eps_t)
+            zt = jnp.where(tmask > 0, st * jnp.sign(vt), vt)
+            ut = ut + dt - zt
+        z2 = jnp.maximum(x + u2, 0.0) if config.positivity else x + u2
+        u2 = u2 + x - z2
+        f = objective(z2) if track_objective else jnp.asarray(jnp.nan, dtype)
+        return (x, z0, u0, z1, u1, zt, ut, z2, u2), f
+
+    if data_split:
+        z0 = jnp.fft.irfftn(k_hat[None] * jnp.fft.rfftn(x, axes=(1, 2, 3)),
+                            s=vol, axes=(1, 2, 3)).astype(dtype)
+        u0 = jnp.zeros_like(x)
+    else:
+        z0 = jnp.zeros((0,), dtype)
+        u0 = jnp.zeros((0,), dtype)
+    z1 = _sdiffs(x)
+    u1 = [jnp.zeros_like(g) for g in z1]
+    if temporal:
+        zt = _tdiff(x)
+        ut = jnp.zeros_like(zt)
+    else:
+        zt = jnp.zeros((0,), dtype)
+        ut = jnp.zeros((0,), dtype)
+    z2 = x
+    u2 = jnp.zeros_like(x)
+    (x, z0, u0, z1, u1, zt, ut, z2, u2), fs = lax.scan(
+        step, (x, z0, u0, z1, u1, zt, ut, z2, u2), None,
+        length=int(config.max_iter))
+    out = z2 if config.positivity else x
+    f_final = objective(out)
+    n = int(config.max_iter)
+    if track_objective:
+        hist = jnp.concatenate([f0[None], fs])
+    else:
+        hist = jnp.full((n + 1,), jnp.nan, dtype).at[0].set(f0)
+    return DeconvolutionResult(
+        out, f_final, jnp.asarray(n), jnp.asarray(n),
         jnp.asarray(0), hist, jnp.full_like(hist, jnp.nan),
     )

@@ -28,6 +28,7 @@ def batched_deconvolve(
     weights: jax.Array | None = None,
     x0: jax.Array | None = None,
     config: DeconvolutionConfig = DeconvolutionConfig(),
+    engine: str = "vmlmb",
 ) -> DeconvolutionResult:
     """Object update over a (B, ...) stack sharing one PSF.
 
@@ -36,12 +37,22 @@ def batched_deconvolve(
     under vmap via its custom_vmap routing to the flattened (B*Nz,)-grid
     kernel — measured 1.3x over the jnp TV at 256^2 planes, parity below
     (BASELINE.md), so the standard auto rule applies unmodified.
+
+    ``engine="admm"`` vmaps the round-4 seconds-to-quality engine instead
+    (``jobs.admm.admm_deconvolve``, fixed ``config.max_iter`` per lane —
+    no lockstep line searches at all; BASELINE.md engine head-to-head).
     """
+    if engine == "admm":
+        from microtipi_tpu.jobs.admm import admm_deconvolve
+
+        solve = lambda d, p, w, x: admm_deconvolve(
+            d, p, weights=w, x0=x, config=config, track_objective=False)
+    elif engine != "vmlmb":
+        raise ValueError(f"unknown engine {engine!r}")
+    else:
+        solve = lambda d, p, w, x: deconvolve(d, p, weights=w, x0=x, config=config)
     in_axes = (0, None, 0 if weights is not None else None, 0 if x0 is not None else None)
-    fn = jax.vmap(
-        lambda d, p, w, x: deconvolve(d, p, weights=w, x0=x, config=config),
-        in_axes=in_axes,
-    )
+    fn = jax.vmap(solve, in_axes=in_axes)
     return fn(data, psf, weights, x0)
 
 

@@ -41,7 +41,7 @@ from microtipi_tpu.ops.regularization import hyperbolic_tv
 from microtipi_tpu.optim.vmlmb import minimize_vmlmb
 from microtipi_tpu.utils.arrays import pad_fft_kernel
 
-__all__ = ["deconvolve_timeseries"]
+__all__ = ["deconvolve_timeseries", "make_timeseries_objective"]
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(5,))
@@ -103,6 +103,43 @@ def deconvolve_timeseries(
     it, monotone fading reads as real change to the temporal prior: the
     prior then smears the decay across frames instead of averaging noise.
     """
+    fun = make_timeseries_objective(
+        psf, data, weights, config, mu_t=mu_t, epsilon_t=epsilon_t,
+        bleach=bleach)
+
+    if x0 is None:
+        x0 = jnp.asarray(data)
+    if config.positivity:
+        x0 = jnp.maximum(x0, 0.0)
+
+    res = minimize_vmlmb(
+        fun, x0,
+        lower=0.0 if config.positivity else None,
+        mem=config.mem, maxiter=config.max_iter, maxeval=config.max_eval,
+        gatol=config.gatol, grtol=config.grtol,
+        mem_dtype=resolve_mem_dtype(config, x0),
+    )
+    return DeconvolutionResult(
+        res.x, res.f, res.iterations, res.evaluations, res.status,
+        res.f_history, res.pg_history,
+    )
+
+
+def make_timeseries_objective(
+    psf: jax.Array,
+    data: jax.Array,
+    weights: jax.Array | None,
+    config: DeconvolutionConfig,
+    *,
+    mu_t: float = 0.0,
+    epsilon_t: float | None = None,
+    bleach: jax.Array | None = None,
+):
+    """Fused value-and-gradient of the joint 4D objective (see
+    :func:`deconvolve_timeseries`). The single objective definition shared
+    by the VMLMB solver and the ADMM engine
+    (:func:`jobs.admm.admm_deconvolve_timeseries`), mirroring
+    ``jobs.deconv.make_objective``."""
     data = jnp.asarray(data)
     if data.ndim != 4:
         raise ValueError(f"expected a (T, Nz, Ny, Nx) stack, got {data.shape}")
@@ -171,19 +208,4 @@ def deconvolve_timeseries(
             f = f + mu_t * hyperbolic_tv(x, eps_t, axes=(0,))
         return f
 
-    if x0 is None:
-        x0 = data
-    if config.positivity:
-        x0 = jnp.maximum(x0, 0.0)
-
-    res = minimize_vmlmb(
-        jax.value_and_grad(objective), x0,
-        lower=0.0 if config.positivity else None,
-        mem=config.mem, maxiter=config.max_iter, maxeval=config.max_eval,
-        gatol=config.gatol, grtol=config.grtol,
-        mem_dtype=resolve_mem_dtype(config, x0),
-    )
-    return DeconvolutionResult(
-        res.x, res.f, res.iterations, res.evaluations, res.status,
-        res.f_history, res.pg_history,
-    )
+    return jax.value_and_grad(objective)

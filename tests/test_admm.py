@@ -245,3 +245,88 @@ def test_blind_engine_guards():
     with pytest.raises(ValueError, match="plain TV objective"):
         BlindDeconvConfig(deconv_engine="admm",
                           deconv=DeconvolutionConfig(var_shape=(8, 8, 8)))
+
+
+def _periodic_series(key, t=4, vol=(6, 12, 12), noise=0.01):
+    """T band-limited periodic frames drifting slowly (temporal coupling
+    has signal to use), one shared kernel."""
+    ks = jax.random.split(key, t + 1)
+    base, psf, _ = _periodic_problem(ks[0], vol, noise=0.0)
+    frames = []
+    x = base
+    for i in range(t):
+        x = jnp.roll(base, i, axis=2) * (1.0 - 0.05 * i)
+        d = jnp.fft.irfftn(jnp.fft.rfftn(x) * jnp.fft.rfftn(psf), s=vol,
+                           axes=(0, 1, 2))
+        d = d + noise * float(d.max()) * jax.random.normal(ks[i + 1], vol,
+                                                           jnp.float64)
+        frames.append(d)
+    return jnp.stack(frames), psf
+
+
+@pytest.mark.parametrize("variant", ["uniform", "weighted", "bleach", "poisson"])
+def test_admm_timeseries_reaches_vmlmb_objective(variant):
+    """admm_deconvolve_timeseries minimizes EXACTLY the joint 4D objective
+    of deconvolve_timeseries (shared make_timeseries_objective): at
+    convergence its f must meet the VMLMB engine's, and the reported f is
+    the shared objective's value at its x."""
+    from microtipi_tpu.jobs.admm import admm_deconvolve_timeseries
+    from microtipi_tpu.jobs.timeseries import (
+        deconvolve_timeseries, make_timeseries_objective)
+
+    series, psf = _periodic_series(jax.random.PRNGKey(10))
+    kw = {}
+    w = None
+    if variant == "weighted":
+        w = 0.5 + jax.random.uniform(jax.random.PRNGKey(11), series.shape,
+                                     jnp.float64)
+    elif variant == "bleach":
+        kw["bleach"] = jnp.asarray([1.0, 0.9, 0.8, 0.72], jnp.float64)
+    cfg = DeconvolutionConfig(mu=0.02, epsilon=0.1, max_iter=150, grtol=0.0,
+                              gatol=0.0)
+    if variant == "poisson":
+        series = jnp.maximum(series, 0.0) + 1.0
+        cfg = DeconvolutionConfig(mu=0.02, epsilon=0.1, max_iter=150,
+                                  grtol=0.0, gatol=0.0, data_term="poisson",
+                                  background=0.5)
+    ref = deconvolve_timeseries(series, psf, weights=w, config=cfg,
+                                mu_t=0.05, **kw)
+    acfg = DeconvolutionConfig(**{**cfg.__dict__, "max_iter": 300})
+    res = admm_deconvolve_timeseries(series, psf, weights=w, config=acfg,
+                                     mu_t=0.05, **kw)
+    f_ref, f_admm = float(ref.f), float(res.f)
+    assert f_admm <= f_ref * 1.002 + 1e-9, (variant, f_admm, f_ref)
+    assert float(jnp.min(res.x)) >= 0.0
+    fg = make_timeseries_objective(psf, series, w, acfg, mu_t=0.05, **kw)
+    f_check = float(fg(res.x)[0])
+    assert f_admm == pytest.approx(f_check, rel=1e-10)
+
+
+def test_admm_timeseries_mu_t_zero_equals_per_frame():
+    """mu_t=0 decouples the frames: the 4D engine's trajectory must equal
+    per-frame admm_deconvolve exactly (same splits, same rho defaults)."""
+    from microtipi_tpu.jobs.admm import admm_deconvolve_timeseries
+
+    series, psf = _periodic_series(jax.random.PRNGKey(12), t=3)
+    cfg = DeconvolutionConfig(mu=0.02, epsilon=0.1, max_iter=25, grtol=0.0)
+    joint = admm_deconvolve_timeseries(series, psf, config=cfg, mu_t=0.0)
+    per = [admm_deconvolve(series[i], psf, config=cfg) for i in range(3)]
+    np.testing.assert_allclose(np.asarray(joint.x),
+                               np.stack([np.asarray(p.x) for p in per]),
+                               atol=1e-10)
+    assert float(joint.f) == pytest.approx(sum(float(p.f) for p in per),
+                                           rel=1e-10)
+
+
+def test_admm_timeseries_guards():
+    from microtipi_tpu.jobs.admm import admm_deconvolve_timeseries
+
+    series = jnp.zeros((3, 4, 8, 8))
+    psf = jnp.zeros((4, 8, 8)).at[0, 0, 0].set(1.0)
+    with pytest.raises(ValueError, match="poisson\\+bleach"):
+        admm_deconvolve_timeseries(
+            series + 1.0, psf,
+            config=DeconvolutionConfig(data_term="poisson"),
+            bleach=jnp.ones((3,)))
+    with pytest.raises(ValueError, match="T, Nz, Ny, Nx"):
+        admm_deconvolve_timeseries(jnp.zeros((4, 8, 8)), psf)

@@ -177,3 +177,29 @@ def test_batched_auto_mu_tracks_per_frame_noise():
     for i in range(3):
         assert float(jnp.linalg.norm(res.result.x[i] - jnp.asarray(obj))) < \
             float(jnp.linalg.norm(data[i] - jnp.asarray(obj)))
+
+
+def test_batched_deconvolve_admm_engine():
+    """engine='admm' vmaps the round-4 engine: per-lane results equal the
+    unbatched admm solves exactly (pure-jnp engine under vmap)."""
+    import numpy as np
+    import pytest
+    from microtipi_tpu.jobs.admm import admm_deconvolve
+    from microtipi_tpu.jobs.batch import batched_deconvolve
+    from microtipi_tpu.jobs.deconv import DeconvolutionConfig
+
+    rng = np.random.default_rng(4)
+    shape = (4, 12, 12)
+    psf = jnp.zeros(shape).at[0, 0, 0].set(0.7)
+    psf = psf.at[0, 0, 1].set(0.1).at[0, 1, 0].set(0.1).at[1, 0, 0].set(0.1)
+    data = jnp.asarray(np.abs(rng.standard_normal((3,) + shape)) + 0.1)
+    cfg = DeconvolutionConfig(mu=0.01, epsilon=0.5, max_iter=20, grtol=0.0)
+    got = batched_deconvolve(data, psf, config=cfg, engine="admm")
+    assert got.x.shape == data.shape
+    for i in range(3):
+        ref = admm_deconvolve(data[i], psf, config=cfg, track_objective=False)
+        np.testing.assert_allclose(np.asarray(got.x[i]), np.asarray(ref.x),
+                                   atol=1e-10)
+        assert float(got.f[i]) == pytest.approx(float(ref.f), rel=1e-10)
+    with pytest.raises(ValueError, match="unknown engine"):
+        batched_deconvolve(data, psf, config=cfg, engine="sgd")

@@ -217,10 +217,22 @@ def test_cli_deconv_mu_t_hyperstack(tmp_path, bleach):
         cmd, capture_output=True, text=True, env=env, cwd=tmp_path, timeout=600,
     )
     assert r.returncode == 0, r.stderr
-    assert "deconv[timeseries T=4]" in r.stdout
+    assert "deconv[timeseries T=4 vmlmb]" in r.stdout
     assert ("bleach gains (relative to frame 0):" in r.stdout) == bleach
     out, _meta = read_ome_hyperstack(tmp_path / "rec.ome.tif")
     assert out.shape == (4, 1) + vol and np.isfinite(out).all()
+
+    # --method admm runs the same joint objective through the round-4
+    # engine (bleach composes via the data-split prox)
+    r = subprocess.run(
+        cmd + ["--method", "admm", "--out",
+               str(tmp_path / "rec_admm.ome.tif")],  # last --out wins
+        capture_output=True, text=True, env=env, cwd=tmp_path, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "deconv[timeseries T=4 admm]" in r.stdout
+    out_a, _ = read_ome_hyperstack(tmp_path / "rec_admm.ome.tif")
+    assert out_a.shape == (4, 1) + vol and np.isfinite(out_a).all()
 
     if bleach:
         return  # the refusal cases below do not depend on the parameter
