@@ -28,6 +28,7 @@ from microtipi_tpu.models.sted import STEDConfig, STEDParams
 from microtipi_tpu.models.vectorial import VectorialConfig
 from microtipi_tpu.jobs.admm import (
     admm_deconvolve,
+    admm_deconvolve_multichannel,
     admm_deconvolve_timeseries,
     fista_deconvolve,
 )
@@ -108,7 +109,8 @@ __all__ = [
     "LightSheetConfig", "LightSheetParams", "StructuredSheetConfig",
     "BlindDeconvConfig", "BlindDeconvResult", "blind_deconvolve",
     "DeconvolutionConfig", "DeconvolutionResult", "deconvolve",
-    "admm_deconvolve", "admm_deconvolve_timeseries", "fista_deconvolve",
+    "admm_deconvolve", "admm_deconvolve_multichannel",
+    "admm_deconvolve_timeseries", "fista_deconvolve",
     "AutoMuResult", "deconvolve_auto_mu", "estimate_noise_sigma",
     "PupilRetrievalResult", "project_phase", "remove_position_gauges", "retrieve_pupil",
     "defocus_diversity", "diversity_fit_uncertainty",

@@ -418,9 +418,9 @@ def _cmd_deconv_multichannel(args):
         if getattr(args, flag, None):
             sys.exit(f"--all-channels does not compose with {name}; run "
                      "per-channel solves instead")
-    if args.method != "vmlmb":
-        sys.exit("--all-channels couples channels through the VMLMB prior; "
-                 "--method rl has no coupled form (run rl per channel)")
+    if args.method not in ("vmlmb", "admm"):
+        sys.exit("--all-channels takes --method vmlmb or admm "
+                 "(rl has no coupled form; run rl per channel)")
     arr, meta = _read_hyperstack(args, "--all-channels")
     nt, nc = arr.shape[:2]
     if nc < 2:
@@ -458,12 +458,23 @@ def _cmd_deconv_multichannel(args):
             w = jax.jit(iv.from_data)(stack)
 
     coupling = getattr(args, "coupling", "joint")
-    run = jax.jit(lambda d, p, w: deconvolve_multichannel(
-        d, p, weights=w, config=cfg, coupling=coupling, mixing=mix))
+    if args.method == "admm":
+        # The round-4 engine on the same coupled objective (jobs/admm.py:
+        # mixing = constant KxK data prox; weighted/poisson unmixing stays
+        # on vmlmb and the engine says so itself).
+        from microtipi_tpu.jobs.admm import admm_deconvolve_multichannel
+
+        solver = lambda d, p, w: admm_deconvolve_multichannel(
+            d, p, weights=w, config=cfg, coupling=coupling, mixing=mix,
+            track_objective=False)
+    else:
+        solver = lambda d, p, w: deconvolve_multichannel(
+            d, p, weights=w, config=cfg, coupling=coupling, mixing=mix)
+    run = jax.jit(solver)
     t0 = time.time()
     res = run(stack, psfs, w)
     unmix_tag = f" -> K={nk} dyes" if mix is not None else ""
-    print(f"deconv[channels C={nc}{unmix_tag}, {coupling}]: "
+    print(f"deconv[channels C={nc}{unmix_tag}, {coupling} {args.method}]: "
           f"{int(res.iterations)} iters, "
           f"cost {float(res.f):.6g}, {time.time()-t0:.1f}s (incl. compile)")
     _write_hyperstack(args, np.asarray(res.x)[None])  # (1, C or K, Z, Y, X)
@@ -487,8 +498,9 @@ def _cmd_deconv_timeseries_multichannel(args):
         if getattr(args, flag, None):
             sys.exit(f"--mu-t --all-channels does not compose with {name}")
     if args.method != "vmlmb":
-        sys.exit("--mu-t --all-channels couples through the VMLMB priors; "
-                 "--method rl has no coupled form")
+        sys.exit("--mu-t --all-channels runs the VMLMB engine (the admm "
+                 "engine covers --mu-t and --all-channels separately, not "
+                 "their 5D composition; rl has no coupled form)")
     arr, meta = _read_hyperstack(args, "--mu-t --all-channels")
     nt, nc = arr.shape[:2]
     if nt < 2:

@@ -52,7 +52,8 @@ from jax import lax
 from microtipi_tpu.jobs.deconv import DeconvolutionConfig, DeconvolutionResult, make_objective
 from microtipi_tpu.utils.arrays import pad_fft_kernel
 
-__all__ = ["admm_deconvolve", "admm_deconvolve_timeseries", "fista_deconvolve"]
+__all__ = ["admm_deconvolve", "admm_deconvolve_multichannel",
+           "admm_deconvolve_timeseries", "fista_deconvolve"]
 
 
 def _check_config(config: DeconvolutionConfig, engine: str, weights=None):
@@ -580,6 +581,247 @@ def admm_deconvolve_timeseries(
     (x, z0, u0, z1, u1, zt, ut, z2, u2), fs = lax.scan(
         step, (x, z0, u0, z1, u1, zt, ut, z2, u2), None,
         length=int(config.max_iter))
+    out = z2 if config.positivity else x
+    f_final = objective(out)
+    n = int(config.max_iter)
+    if track_objective:
+        hist = jnp.concatenate([f0[None], fs])
+    else:
+        hist = jnp.full((n + 1,), jnp.nan, dtype).at[0].set(f0)
+    return DeconvolutionResult(
+        out, f_final, jnp.asarray(n), jnp.asarray(n),
+        jnp.asarray(0), hist, jnp.full_like(hist, jnp.nan),
+    )
+
+
+def admm_deconvolve_multichannel(
+    data: jax.Array,
+    psfs: jax.Array,
+    weights: jax.Array | None = None,
+    x0: jax.Array | None = None,
+    config: DeconvolutionConfig = DeconvolutionConfig(),
+    *,
+    coupling: str = "joint",
+    mixing: jax.Array | None = None,
+    rho0: float | None = None,
+    rho1: float | None = None,
+    rho2: float | None = None,
+    track_objective: bool = True,
+) -> DeconvolutionResult:
+    """ADMM engine for the joint multi-channel solve.
+
+    Same objective as :func:`jobs.multichannel.deconvolve_multichannel`
+    (per-channel chromatic spectra + the Bresson-Chan color TV or
+    per-channel TV + positivity; equivalence pinned in tests). Structure:
+
+    - x-update: per-channel circulant solves batched over C — the data
+      term never couples channels without ``mixing``, so the denominator
+      is ``(rho0)|H_c|^2 + rho1 sum|D_s|^2 + rho2`` per channel, ONE
+      batched 3D FFT pair.
+    - color-TV prox: the coupled norm takes ONE magnitude across channels
+      AND axes per voxel — the shrinkage scale is shared by all (c, a)
+      components there (``coupling="separate"``: per-channel magnitude).
+    - ``mixing`` (K dyes behind a (C, K) bleed-through matrix, uniform
+      weights): the data split ``z0_k = H_k x_k`` makes the mixing purely
+      POINTWISE — its prox solves the constant K x K system
+      ``(M^T M + rho0 I) z = M^T d + rho0 v`` with a precomputed inverse,
+      so unmixing costs one tiny channel einsum per iteration and the
+      x-update stays per-dye circulant. Weighted or Poisson data through
+      ``mixing`` is not wired (the prox stops being a constant matrix /
+      closed form — use the VMLMB engine).
+    """
+    _check_config(config, "admm", weights)
+    data = jnp.asarray(data)
+    if data.ndim != 4:
+        raise ValueError(f"expected a (C, Nz, Ny, Nx) stack, got {data.shape}")
+    if coupling not in ("joint", "separate"):
+        raise ValueError(f"unknown coupling {coupling!r}")
+    poisson = config.data_term == "poisson"
+    nc = data.shape[0]
+    vol = data.shape[1:]
+    dtype = data.dtype
+    mu, eps = float(config.mu), float(config.epsilon)
+    bg = float(config.background)
+    scales = config.scales
+    m = None
+    nk = nc
+    if mixing is not None:
+        m = jnp.asarray(mixing, dtype)
+        if m.ndim != 2 or m.shape[0] != nc:
+            raise ValueError(
+                f"mixing must be a ({nc}, K) detection-spectra matrix, got "
+                f"{getattr(m, 'shape', None)}")
+        nk = m.shape[1]
+        if poisson or weights is not None:
+            raise ValueError(
+                "admm multichannel: mixing composes with the uniform "
+                "Gaussian data term only (weighted/poisson unmixing: use "
+                "deconvolve_multichannel)")
+    psfs = jnp.asarray(psfs)
+    if psfs.ndim == 3:
+        psfs = psfs[None]
+    kernel = jax.vmap(lambda p: pad_fft_kernel(p, vol))(psfs)
+    k_hat = jnp.fft.rfftn(kernel, axes=(1, 2, 3))
+    if k_hat.shape[0] == 1 and nk > 1:
+        k_hat = jnp.broadcast_to(k_hat, (nk,) + k_hat.shape[1:])
+    if weights is not None:
+        weights = jnp.asarray(weights)
+        if weights.ndim == 3:
+            weights = weights[None]
+    data_split = poisson or weights is not None or m is not None
+    r1 = float(rho1) if rho1 is not None else max(mu / max(eps, 1e-30), 1e-6)
+    r2 = float(rho2) if rho2 is not None else r1
+    if rho0 is not None:
+        r0 = float(rho0)
+    elif poisson:
+        r0 = 1.0 / jnp.maximum(jnp.mean(data) + bg, 1e-12)
+    elif weights is not None:
+        r0 = jnp.mean(weights)
+    else:
+        r0 = 1.0
+
+    h2 = jnp.real(k_hat) ** 2 + jnp.imag(k_hat) ** 2
+    fdtype = jnp.real(k_hat).dtype
+    s2 = _grad_sq_spectrum(vol, scales, fdtype)[None]
+    den = (r0 if data_split else 1.0) * h2 + r1 * s2 + r2
+
+    def _build_mc_objective():
+        from microtipi_tpu.ops.convolution import generalized_kl
+        from microtipi_tpu.ops.regularization import joint_hyperbolic_tv
+        from microtipi_tpu.jobs.deconv import regularization_cost
+
+        def model(x):
+            hx = jnp.fft.irfftn(k_hat * jnp.fft.rfftn(x, axes=(1, 2, 3)),
+                                s=vol, axes=(1, 2, 3))
+            if m is not None:
+                hx = jnp.einsum("ck,kzyx->czyx", m, hx)
+            return hx
+
+        if poisson:
+            def dt(x):
+                return generalized_kl(model(x) + bg, jnp.maximum(data, 0.0))
+        elif weights is not None:
+            def dt(x):
+                r = model(x) - data
+                return 0.5 * jnp.sum(weights * r * r)
+        else:
+            def dt(x):
+                r = model(x) - data
+                return 0.5 * jnp.sum(r * r)
+
+        def obj(x):
+            f = dt(x)
+            if coupling == "joint" and mu > 0:
+                f = f + mu * joint_hyperbolic_tv(
+                    x, eps, scales, axes=(-3, -2, -1), couple_axis=0)
+            elif coupling == "separate":
+                f = f + regularization_cost(x, config, axes=(-3, -2, -1))
+            return f
+
+        return obj
+
+    # Equals deconvolve_multichannel's objective on the engine's supported
+    # subset (equivalence pinned in tests/test_admm.py).
+    objective = _build_mc_objective()
+
+    def _sdiffs(x):
+        sz = (1.0, 1.0, 1.0) if scales is None else tuple(float(s) for s in scales)
+        return [(jnp.roll(x, -1, axis=a + 1) - x) / sz[a] for a in range(3)]
+
+    def _sdiffs_adj(gs):
+        sz = (1.0, 1.0, 1.0) if scales is None else tuple(float(s) for s in scales)
+        out = 0.0
+        for a, g in enumerate(gs):
+            out = out + (jnp.roll(g, 1, axis=a + 1) - g) / sz[a]
+        return out
+
+    if x0 is None:
+        if m is None:
+            x0 = data
+        else:
+            x0 = jnp.einsum("kc,czyx->kzyx", jnp.linalg.pinv(m), data)
+        if config.positivity:
+            x0 = jnp.maximum(x0, 0.0)
+    x = jnp.asarray(x0, dtype)
+    f0 = objective(x)
+
+    smasks = []
+    for a in range(3):
+        msk = jnp.ones(vol, dtype)
+        smasks.append(msk.at[tuple(
+            slice(-1, None) if i == a else slice(None)
+            for i in range(3))].set(0.0)[None])
+
+    if m is not None:
+        # Constant K x K data-prox system (see docstring).
+        mtm = m.T @ m
+        prox_inv = jnp.linalg.inv(mtm + r0 * jnp.eye(nk, dtype=dtype))
+        mtd = jnp.einsum("ck,czyx->kzyx", m, data)
+
+    def _data_prox(v, rr0):
+        if m is not None:
+            return jnp.einsum("kj,jzyx->kzyx", prox_inv, mtd + rr0 * v)
+        if poisson:
+            b_ = jnp.asarray(bg, dtype)
+            B = 1.0 + rr0 * (b_ - v)
+            C = b_ - data - rr0 * v * b_
+            disc = jnp.maximum(B * B - 4.0 * rr0 * C, 0.0)
+            return (-B + jnp.sqrt(disc)) / (2.0 * rr0)
+        return (weights * data + rr0 * v) / (weights + rr0)
+
+    if not data_split:
+        htd = jnp.fft.irfftn(jnp.conj(k_hat) * jnp.fft.rfftn(data, axes=(1, 2, 3)),
+                             s=vol, axes=(1, 2, 3)).astype(dtype)
+
+    def step(carry, _):
+        x, z0, u0, z1, u1, z2, u2 = carry
+        rhs = r1 * _sdiffs_adj([z - u for z, u in zip(z1, u1)]) + r2 * (z2 - u2)
+        if data_split:
+            x_hat = (r0 * jnp.conj(k_hat) * jnp.fft.rfftn(z0 - u0, axes=(1, 2, 3))
+                     + jnp.fft.rfftn(rhs, axes=(1, 2, 3))) / den
+        else:
+            x_hat = jnp.fft.rfftn(htd + rhs, axes=(1, 2, 3)) / den
+        x = jnp.fft.irfftn(x_hat, s=vol, axes=(1, 2, 3)).astype(dtype)
+        if data_split:
+            hx = jnp.fft.irfftn(k_hat * x_hat, s=vol, axes=(1, 2, 3)).astype(dtype)
+            z0 = _data_prox(hx + u0, r0)
+            u0 = u0 + hx - z0
+        dx = _sdiffs(x)
+        v = [d + u for d, u in zip(dx, u1)]
+        if coupling == "joint":
+            # ONE magnitude across channels and axes per voxel (the coupled
+            # norm); shared shrinkage scale broadcast back over (c, a).
+            vmag = jnp.sqrt(
+                sum(jnp.sum(msk * t * t, axis=0) for msk, t in zip(smasks, v))
+                + jnp.finfo(dtype).tiny)
+            s = _hyperbolic_prox(vmag, mu / r1, eps)
+            scale = (s / vmag)[None]
+        else:
+            vmag = jnp.sqrt(
+                sum(msk * t * t for msk, t in zip(smasks, v))
+                + jnp.finfo(dtype).tiny)
+            s = _hyperbolic_prox(vmag, mu / r1, eps)
+            scale = s / vmag
+        z1 = [jnp.where(msk > 0, scale * t, t) for msk, t in zip(smasks, v)]
+        u1 = [u + d - z for u, d, z in zip(u1, dx, z1)]
+        z2 = jnp.maximum(x + u2, 0.0) if config.positivity else x + u2
+        u2 = u2 + x - z2
+        f = objective(z2) if track_objective else jnp.asarray(jnp.nan, dtype)
+        return (x, z0, u0, z1, u1, z2, u2), f
+
+    if data_split:
+        z0 = jnp.fft.irfftn(k_hat * jnp.fft.rfftn(x, axes=(1, 2, 3)),
+                            s=vol, axes=(1, 2, 3)).astype(dtype)
+        u0 = jnp.zeros_like(z0)
+    else:
+        z0 = jnp.zeros((0,), dtype)
+        u0 = jnp.zeros((0,), dtype)
+    z1 = _sdiffs(x)
+    u1 = [jnp.zeros_like(g) for g in z1]
+    z2 = x
+    u2 = jnp.zeros_like(x)
+    (x, z0, u0, z1, u1, z2, u2), fs = lax.scan(
+        step, (x, z0, u0, z1, u1, z2, u2), None, length=int(config.max_iter))
     out = z2 if config.positivity else x
     f_final = objective(out)
     n = int(config.max_iter)

@@ -659,9 +659,21 @@ def test_cli_deconv_all_channels(tmp_path):
     )
     assert r.returncode == 0, r.stderr
     assert "per-channel emission wavelengths [nm]: [488.0, 647.0]" in r.stdout
-    assert "deconv[channels C=2, joint]" in r.stdout
+    assert "deconv[channels C=2, joint vmlmb]" in r.stdout
     out, _meta = read_ome_hyperstack(tmp_path / "o.ome.tif")
     assert out.shape == (1, 2) + vol and np.isfinite(out).all()
+
+    # --method admm: the round-4 engine on the same coupled objective
+    r = _run(
+        ["deconv", "d.ome.tif", "--all-channels", "--out", "oa.ome.tif",
+         "--na", "1.3", "--ni", "1.518", "--radial",
+         "--mu", "1e-3", "--iters", "5", "--method", "admm"],
+        tmp_path,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "deconv[channels C=2, joint admm]" in r.stdout
+    out_a, _ = read_ome_hyperstack(tmp_path / "oa.ome.tif")
+    assert out_a.shape == (1, 2) + vol and np.isfinite(out_a).all()
 
     # --mixing: joint spectral unmixing of a crosstalk acquisition; the
     # output holds the K dye volumes
@@ -678,7 +690,7 @@ def test_cli_deconv_all_channels(tmp_path):
         tmp_path,
     )
     assert r.returncode == 0, r.stderr
-    assert "deconv[channels C=2 -> K=2 dyes, joint]" in r.stdout
+    assert "deconv[channels C=2 -> K=2 dyes, joint vmlmb]" in r.stdout
     outm, _ = read_ome_hyperstack(tmp_path / "om.ome.tif")
     assert outm.shape == (1, 2) + vol and np.isfinite(outm).all()
     # dye 1 was 0.3x dim; the unmixed dye volumes must be closer to the
@@ -718,7 +730,7 @@ def test_cli_deconv_all_channels(tmp_path):
         tmp_path,
     )
     assert r.returncode == 0, r.stderr
-    assert "deconv[channels C=2, separate]" in r.stdout
+    assert "deconv[channels C=2, separate vmlmb]" in r.stdout
 
     # single-channel input is an error, not a silent one-channel solve
     write_ome_hyperstack(tmp_path / "one.ome.tif", data[None, :1],
