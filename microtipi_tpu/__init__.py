@@ -47,7 +47,8 @@ from microtipi_tpu.jobs.diversity import (
 from microtipi_tpu.jobs.deconv import DeconvolutionConfig, DeconvolutionResult, deconvolve
 from microtipi_tpu.jobs.depthvar import deconvolve_depthvar, depth_anchor_psfs
 from microtipi_tpu.jobs.superres import (
-    bin_volume, deconvolve_superres, upsample_psf, upsample_volume)
+    admm_deconvolve_superres, bin_volume, deconvolve_superres,
+    upsample_psf, upsample_volume)
 from microtipi_tpu.jobs.timeseries import deconvolve_timeseries
 from microtipi_tpu.jobs.multichannel import (
     deconvolve_multichannel, deconvolve_timeseries_multichannel,
@@ -119,7 +120,8 @@ __all__ = [
     "deconvolve_depthvar", "depth_anchor_psfs", "deconvolve_timeseries",
     "deconvolve_multichannel", "deconvolve_timeseries_multichannel",
     "mixing_from_controls",
-    "bin_volume", "deconvolve_superres", "upsample_psf", "upsample_volume",
+    "admm_deconvolve_superres", "bin_volume", "deconvolve_superres",
+    "upsample_psf", "upsample_volume",
     "PsfFitConfig", "PsfFitResult", "average_beads", "bead_anchor_term", "center_bead_stack",
     "empirical_psf", "fit_psf", "fit_psf_beads", "fit_psf_joint",
     "FitUncertainty", "fit_uncertainty", "bead_fit_uncertainty",

@@ -601,9 +601,10 @@ def _cmd_deconv_superres(args, data):
     if getattr(args, "mesh", None) or getattr(args, "tile", None) \
             or getattr(args, "depthvar", 0) or getattr(args, "depthvar_maps", None) \
             or getattr(args, "auto_mu", False) \
-            or args.method == "rl" or getattr(args, "pad", 0):
-        sys.exit("--superres is a single-chip fine-grid VMLMB solve; drop "
-                 "--mesh/--tile/--depthvar/--auto-mu/--method rl/--pad")
+            or args.method not in ("vmlmb", "admm") or getattr(args, "pad", 0):
+        sys.exit("--superres is a single-chip fine-grid solve (vmlmb/admm); "
+                 "drop --mesh/--tile/--depthvar/--auto-mu/--method rl|fista/"
+                 "--pad")
     f = tuple(int(v) for v in args.superres)
     fine_shape = tuple(fi * s for fi, s in zip(f, data.shape))
     needs_upsample = False
@@ -646,6 +647,11 @@ def _cmd_deconv_superres(args, data):
             from microtipi_tpu.jobs.superres import upsample_psf
 
             p = upsample_psf(p, f)
+        if args.method == "admm":
+            from microtipi_tpu.jobs.superres import admm_deconvolve_superres
+
+            return admm_deconvolve_superres(d, p, factor=f, weights=w,
+                                            config=cfg, track_objective=False)
         return deconvolve_superres(d, p, factor=f, weights=w, config=cfg)
 
     run = jax.jit(_solve)
@@ -653,7 +659,7 @@ def _cmd_deconv_superres(args, data):
     res = run(data, psf_fine, w)
     fval = float(res.f)
     wall = time.time() - t0
-    print(f"deconv[superres x{f}]: {int(res.iterations)} iters, cost "
+    print(f"deconv[superres x{f} {args.method}]: {int(res.iterations)} iters, cost "
           f"{fval:.6g}, {wall:.1f}s (incl. compile); fine grid "
           f"{fine_shape}")
     _write_out(args, args.out, np.asarray(res.x),

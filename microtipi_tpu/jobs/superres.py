@@ -40,7 +40,8 @@ from microtipi_tpu.ops.convolution import generalized_kl
 from microtipi_tpu.optim.vmlmb import minimize_vmlmb
 from microtipi_tpu.utils.arrays import pad_fft_kernel
 
-__all__ = ["bin_volume", "deconvolve_superres", "upsample_psf", "upsample_volume"]
+__all__ = ["admm_deconvolve_superres", "bin_volume", "deconvolve_superres",
+           "make_superres_objective", "upsample_psf", "upsample_volume"]
 
 
 def upsample_psf(psf: jax.Array, factor: tuple[int, int, int]) -> jax.Array:
@@ -131,6 +132,29 @@ def deconvolve_superres(
     the data — it is the deconvolved image integrated to camera pixels).
     """
     data = jnp.asarray(data)
+    factor, fine_shape = _check_superres(data, psf_fine, factor, config)
+    objective = make_superres_objective(psf_fine, data, weights, config, factor)
+
+    if x0 is None:
+        x0 = upsample_volume(data, factor)
+    if config.positivity:
+        x0 = jnp.maximum(x0, 0.0)
+
+    res = minimize_vmlmb(
+        jax.value_and_grad(objective), x0,
+        lower=0.0 if config.positivity else None,
+        mem=config.mem, maxiter=config.max_iter, maxeval=config.max_eval,
+        gatol=config.gatol, grtol=config.grtol,
+        mem_dtype=resolve_mem_dtype(config, x0),
+    )
+    return DeconvolutionResult(
+        res.x, res.f, res.iterations, res.evaluations, res.status,
+        res.f_history, res.pg_history,
+    )
+
+
+def _check_superres(data, psf_fine, factor, config):
+    """Shared validation; returns (factor, fine_shape)."""
     if data.ndim != 3:
         raise ValueError(f"expected a (Nz, Ny, Nx) volume, got {data.shape}")
     if config.var_shape is not None:
@@ -147,7 +171,16 @@ def deconvolve_superres(
         raise ValueError(
             f"psf_fine shape {psf_fine.shape} != fine grid {fine_shape} "
             f"(= factor {factor} x data {data.shape})")
+    return factor, fine_shape
 
+
+def make_superres_objective(psf_fine, data, weights, config, factor):
+    """The fine-grid objective value (scalar) — the single definition shared
+    by the VMLMB solver and the ADMM engine (mirrors
+    ``jobs.timeseries.make_timeseries_objective``; returns the plain
+    objective, wrap in ``jax.value_and_grad`` for the solver)."""
+    factor, fine_shape = _check_superres(jnp.asarray(data), psf_fine, factor,
+                                         config)
     kernel = pad_fft_kernel(psf_fine, fine_shape)
     k_hat = jnp.fft.rfftn(kernel)
 
@@ -183,19 +216,145 @@ def deconvolve_superres(
             f = f + reg(x)
         return f
 
+    return objective
+
+
+def admm_deconvolve_superres(
+    data: jax.Array,
+    psf_fine: jax.Array,
+    factor: tuple[int, int, int] = (1, 2, 2),
+    weights: jax.Array | None = None,
+    x0: jax.Array | None = None,
+    config: DeconvolutionConfig = DeconvolutionConfig(),
+    *,
+    rho0: float | None = None,
+    rho1: float | None = None,
+    rho2: float | None = None,
+    track_objective: bool = True,
+) -> DeconvolutionResult:
+    """ADMM engine for the finer-grid solve (same objective as
+    :func:`deconvolve_superres` via ``make_superres_objective``).
+
+    The binning operator does not break the circulant structure: split
+    ``z0 = h_fine (*) x`` on the FINE grid, so the x-update is the plain
+    fine-grid circulant solve, and the data term ``0.5 w ||Bin(z0) - d||^2``
+    has a PER-BLOCK closed-form prox — ``Bin^T Bin`` is rank-1 on each
+    f_z x f_y x f_x block (Sherman-Morrison):
+
+        z = v - 1 * w (sum_block v - d) / (rho0 + w n),   n = fz*fy*fx
+
+    (Poisson: the scalar binned intensity ``s = sum_block z`` solves the
+    same quadratic-root prox as the 3D engine with ``rho0/n``, then
+    ``z = v + (s - sum_block v)/n``.) Per iteration: 4 fine-grid FFTs +
+    pointwise proxes. sparsity/hessian priors raise (VMLMB covers them).
+    """
+    from microtipi_tpu.jobs.admm import (
+        _check_config,
+        _circ_diffs,
+        _circ_diffs_adjoint,
+        _grad_sq_spectrum,
+        _hyperbolic_prox,
+    )
+
+    _check_config(config, "admm", weights)
+    data = jnp.asarray(data)
+    factor, fine_shape = _check_superres(data, psf_fine, factor, config)
+    fz, fy, fx = factor
+    nblk = fz * fy * fx
+    dtype = data.dtype
+    mu, eps = float(config.mu), float(config.epsilon)
+    bg = float(config.background)
+    scales = config.scales
+    poisson = config.data_term == "poisson"
+    r1 = float(rho1) if rho1 is not None else max(mu / max(eps, 1e-30), 1e-6)
+    r2 = float(rho2) if rho2 is not None else r1
+    if rho0 is not None:
+        r0 = float(rho0)
+    elif poisson:
+        r0 = 1.0 / jnp.maximum(jnp.mean(data) / nblk + bg, 1e-12)
+    elif weights is not None:
+        r0 = jnp.mean(weights)
+    else:
+        r0 = 1.0
+
+    kernel = pad_fft_kernel(psf_fine, fine_shape)
+    k_hat = jnp.fft.rfftn(kernel)
+    h2 = jnp.real(k_hat) ** 2 + jnp.imag(k_hat) ** 2
+    s2 = _grad_sq_spectrum(fine_shape, scales, h2.dtype)
+    den = r0 * h2 + r1 * s2 + r2
+
+    objective = make_superres_objective(psf_fine, data, weights, config, factor)
+
+    w_d = jnp.asarray(1.0, dtype) if weights is None else jnp.asarray(weights)
+
+    def _data_prox(v, rr0):
+        """Per-block prox of the binned data term (see docstring)."""
+        s_v = bin_volume(v, factor)  # sum over each block
+        if poisson:
+            b_ = jnp.asarray(bg, dtype)
+            rr = rr0 / nblk
+            B = 1.0 + rr * (b_ - s_v)
+            C = b_ - data - rr * s_v * b_
+            disc = jnp.maximum(B * B - 4.0 * rr * C, 0.0)
+            s_star = (-B + jnp.sqrt(disc)) / (2.0 * rr)
+            corr = (s_star - s_v) / nblk
+        else:
+            corr = -w_d * (s_v - data) / (rr0 + w_d * nblk)
+        return v + upsample_volume(corr, factor) * nblk
+
+    def step(carry, _):
+        x, z0, u0, z1, u1, z2, u2 = carry
+        rhs = r1 * _circ_diffs_adjoint(
+            [z - u for z, u in zip(z1, u1)], scales) + r2 * (z2 - u2)
+        x_hat = (r0 * jnp.conj(k_hat) * jnp.fft.rfftn(z0 - u0)
+                 + jnp.fft.rfftn(rhs)) / den
+        x = jnp.fft.irfftn(x_hat, s=fine_shape).astype(dtype)
+        hx = jnp.fft.irfftn(k_hat * x_hat, s=fine_shape).astype(dtype)
+        z0 = _data_prox(hx + u0, r0)
+        u0 = u0 + hx - z0
+        dx = _circ_diffs(x, scales)
+        v = [d + u for d, u in zip(dx, u1)]
+        vmag = jnp.sqrt(
+            sum(m * t * t for m, t in zip(masks, v)) + jnp.finfo(dtype).tiny)
+        s = _hyperbolic_prox(vmag, mu / r1, eps)
+        scale = s / vmag
+        z1 = [jnp.where(m > 0, scale * t, t) for m, t in zip(masks, v)]
+        u1 = [u + d - z for u, d, z in zip(u1, dx, z1)]
+        z2 = jnp.maximum(x + u2, 0.0) if config.positivity else x + u2
+        u2 = u2 + x - z2
+        f = objective(z2) if track_objective else jnp.asarray(jnp.nan, dtype)
+        return (x, z0, u0, z1, u1, z2, u2), f
+
     if x0 is None:
         x0 = upsample_volume(data, factor)
     if config.positivity:
         x0 = jnp.maximum(x0, 0.0)
+    x = jnp.asarray(x0, dtype)
+    f0 = objective(x)
+    masks = []
+    for a in range(3):
+        m = jnp.ones(fine_shape, dtype)
+        masks.append(m.at[tuple(
+            slice(-1, None) if i == a else slice(None)
+            for i in range(3))].set(0.0))
+    z0 = jnp.fft.irfftn(k_hat * jnp.fft.rfftn(x), s=fine_shape).astype(dtype)
+    u0 = jnp.zeros_like(x)
+    z1 = _circ_diffs(x, scales)
+    u1 = [jnp.zeros_like(g) for g in z1]
+    z2 = x
+    u2 = jnp.zeros_like(x)
+    from jax import lax
 
-    res = minimize_vmlmb(
-        jax.value_and_grad(objective), x0,
-        lower=0.0 if config.positivity else None,
-        mem=config.mem, maxiter=config.max_iter, maxeval=config.max_eval,
-        gatol=config.gatol, grtol=config.grtol,
-        mem_dtype=resolve_mem_dtype(config, x0),
-    )
+    (x, z0, u0, z1, u1, z2, u2), fs = lax.scan(
+        step, (x, z0, u0, z1, u1, z2, u2), None, length=int(config.max_iter))
+    out = z2 if config.positivity else x
+    f_final = objective(out)
+    n = int(config.max_iter)
+    if track_objective:
+        hist = jnp.concatenate([f0[None], fs])
+    else:
+        hist = jnp.full((n + 1,), jnp.nan, dtype).at[0].set(f0)
     return DeconvolutionResult(
-        res.x, res.f, res.iterations, res.evaluations, res.status,
-        res.f_history, res.pg_history,
+        out, f_final, jnp.asarray(n), jnp.asarray(n),
+        jnp.asarray(0), hist, jnp.full_like(hist, jnp.nan),
     )

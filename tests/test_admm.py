@@ -409,3 +409,41 @@ def test_admm_multichannel_guards():
             config=DeconvolutionConfig(data_term="poisson"))
     with pytest.raises(ValueError, match="C, Nz, Ny, Nx"):
         admm_deconvolve_multichannel(jnp.zeros((4, 8, 8)), psfs)
+
+
+@pytest.mark.parametrize("variant", ["uniform", "weighted", "poisson"])
+def test_admm_superres_reaches_vmlmb_objective(variant):
+    """admm_deconvolve_superres minimizes deconvolve_superres's objective
+    (shared make_superres_objective): the binning data term's per-block
+    Sherman-Morrison prox + the plain fine-grid circulant x-update."""
+    from microtipi_tpu.jobs.superres import (
+        admm_deconvolve_superres, deconvolve_superres)
+
+    vol = (4, 10, 10)
+    factor = (1, 2, 2)
+    fine = (4, 20, 20)
+    truth, psf_fine, _ = _periodic_problem(jax.random.PRNGKey(30), fine,
+                                           noise=0.0)
+    conv = jnp.fft.irfftn(jnp.fft.rfftn(truth) * jnp.fft.rfftn(psf_fine),
+                          s=fine, axes=(0, 1, 2))
+    data = conv.reshape(4, 1, 10, 2, 10, 2).sum(axis=(1, 3, 5))
+    data = data + 0.01 * float(data.max()) * jax.random.normal(
+        jax.random.PRNGKey(31), vol, jnp.float64)
+    kw = {}
+    cfg = DeconvolutionConfig(mu=0.02, epsilon=0.1, max_iter=150, grtol=0.0,
+                              gatol=0.0)
+    if variant == "weighted":
+        kw["weights"] = 0.5 + jax.random.uniform(jax.random.PRNGKey(32), vol,
+                                                 jnp.float64)
+    elif variant == "poisson":
+        data = jnp.maximum(data, 0.0) + 1.0
+        cfg = DeconvolutionConfig(mu=0.02, epsilon=0.1, max_iter=150,
+                                  grtol=0.0, gatol=0.0, data_term="poisson",
+                                  background=0.5)
+    ref = deconvolve_superres(data, psf_fine, factor, config=cfg, **kw)
+    acfg = DeconvolutionConfig(**{**cfg.__dict__, "max_iter": 400})
+    res = admm_deconvolve_superres(data, psf_fine, factor, config=acfg, **kw)
+    f_ref, f_admm = float(ref.f), float(res.f)
+    assert f_admm <= f_ref * 1.002 + 1e-9, (variant, f_admm, f_ref)
+    assert float(jnp.min(res.x)) >= 0.0
+    assert res.x.shape == fine

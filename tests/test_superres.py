@@ -169,6 +169,20 @@ def test_cli_deconv_superres(tmp_path):
     assert "deconv[superres" in r.stdout
     rec = read_stack(tmp_path / "rec.tif")
     assert rec.shape == FINE and np.isfinite(rec).all()
+
+    # --method admm: the round-4 engine through the binning prox
+    r2 = subprocess.run(
+        [sys.executable, "-m", "microtipi_tpu", "deconv", str(tmp_path / "d.tif"),
+         "--out", str(tmp_path / "rec_admm.tif"), "--superres", "1", "2", "2",
+         "--na", "1.2", "--wavelength", "500e-9", "--ni", "1.33",
+         "--iters", "40", "--mu", "0.01", "--epsilon", "0.5",
+         "--method", "admm"],
+        capture_output=True, text=True, env=env, cwd=tmp_path, timeout=600,
+    )
+    assert r2.returncode == 0, r2.stderr
+    assert "deconv[superres x(1, 2, 2) admm]" in r2.stdout
+    rec_a = read_stack(tmp_path / "rec_admm.tif")
+    assert rec_a.shape == FINE and np.isfinite(rec_a).all()
     # fine pixel size in the metadata
     dxy, dz = read_pixel_size(tmp_path / "rec.tif")
     assert dxy == pytest.approx(100e-9, rel=1e-3)
