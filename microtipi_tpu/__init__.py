@@ -30,6 +30,7 @@ from microtipi_tpu.jobs.admm import (
     admm_deconvolve,
     admm_deconvolve_multichannel,
     admm_deconvolve_timeseries,
+    admm_deconvolve_timeseries_multichannel,
     fista_deconvolve,
 )
 from microtipi_tpu.jobs.autotune import AutoMuResult, deconvolve_auto_mu, estimate_noise_sigma
@@ -111,7 +112,8 @@ __all__ = [
     "BlindDeconvConfig", "BlindDeconvResult", "blind_deconvolve",
     "DeconvolutionConfig", "DeconvolutionResult", "deconvolve",
     "admm_deconvolve", "admm_deconvolve_multichannel",
-    "admm_deconvolve_timeseries", "fista_deconvolve",
+    "admm_deconvolve_timeseries",
+    "admm_deconvolve_timeseries_multichannel", "fista_deconvolve",
     "AutoMuResult", "deconvolve_auto_mu", "estimate_noise_sigma",
     "PupilRetrievalResult", "project_phase", "remove_position_gauges", "retrieve_pupil",
     "defocus_diversity", "diversity_fit_uncertainty",

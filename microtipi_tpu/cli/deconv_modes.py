@@ -497,10 +497,9 @@ def _cmd_deconv_timeseries_multichannel(args):
     for flag, name in _MC_EXCLUSIVE_FLAGS:
         if getattr(args, flag, None):
             sys.exit(f"--mu-t --all-channels does not compose with {name}")
-    if args.method != "vmlmb":
-        sys.exit("--mu-t --all-channels runs the VMLMB engine (the admm "
-                 "engine covers --mu-t and --all-channels separately, not "
-                 "their 5D composition; rl has no coupled form)")
+    if args.method not in ("vmlmb", "admm"):
+        sys.exit("--mu-t --all-channels takes --method vmlmb or admm "
+                 "(rl has no coupled form)")
     arr, meta = _read_hyperstack(args, "--mu-t --all-channels")
     nt, nc = arr.shape[:2]
     if nt < 2:
@@ -572,15 +571,27 @@ def _cmd_deconv_timeseries_multichannel(args):
                 gain=args.gain, readout_variance=args.readout)
             w = jax.jit(iv.from_data)(block)
     coupling = getattr(args, "coupling", "joint")
-    run = jax.jit(lambda d, p, w, g: deconvolve_timeseries_multichannel(
-        d, p, weights=w, config=cfg, mu_t=args.mu_t, epsilon_t=args.epsilon_t,
-        bleach=g, coupling=coupling, mixing=mix))
+    if args.method == "admm":
+        # The round-4 engine on the full 5D objective; its unsupported
+        # combinations (weighted/poisson unmixing, poisson+bleach) raise
+        # with actionable messages (jobs/admm.py).
+        from microtipi_tpu.jobs.admm import admm_deconvolve_timeseries_multichannel
+
+        solver = lambda d, p, w, g: admm_deconvolve_timeseries_multichannel(
+            d, p, weights=w, config=cfg, mu_t=args.mu_t,
+            epsilon_t=args.epsilon_t, bleach=g, coupling=coupling,
+            mixing=mix, track_objective=False)
+    else:
+        solver = lambda d, p, w, g: deconvolve_timeseries_multichannel(
+            d, p, weights=w, config=cfg, mu_t=args.mu_t,
+            epsilon_t=args.epsilon_t, bleach=g, coupling=coupling, mixing=mix)
+    run = jax.jit(solver)
     t0 = time.time()
     res = run(block, psfs, w, bleach)
     unmix_tag = f" -> K={nk} dyes" if mix is not None else ""
     print(f"deconv[timeseries T={nt} x channels C={nc}{unmix_tag}, "
-          f"{coupling}]: {int(res.iterations)} iters, cost {float(res.f):.6g}, "
-          f"{time.time()-t0:.1f}s (incl. compile)")
+          f"{coupling} {args.method}]: {int(res.iterations)} iters, "
+          f"cost {float(res.f):.6g}, {time.time()-t0:.1f}s (incl. compile)")
     _write_hyperstack(args, np.asarray(res.x))  # (T, C or K, Z, Y, X)
 
 

@@ -53,7 +53,8 @@ from microtipi_tpu.jobs.deconv import DeconvolutionConfig, DeconvolutionResult, 
 from microtipi_tpu.utils.arrays import pad_fft_kernel
 
 __all__ = ["admm_deconvolve", "admm_deconvolve_multichannel",
-           "admm_deconvolve_timeseries", "fista_deconvolve"]
+           "admm_deconvolve_timeseries",
+           "admm_deconvolve_timeseries_multichannel", "fista_deconvolve"]
 
 
 def _check_config(config: DeconvolutionConfig, engine: str, weights=None):
@@ -822,6 +823,234 @@ def admm_deconvolve_multichannel(
     u2 = jnp.zeros_like(x)
     (x, z0, u0, z1, u1, z2, u2), fs = lax.scan(
         step, (x, z0, u0, z1, u1, z2, u2), None, length=int(config.max_iter))
+    out = z2 if config.positivity else x
+    f_final = objective(out)
+    n = int(config.max_iter)
+    if track_objective:
+        hist = jnp.concatenate([f0[None], fs])
+    else:
+        hist = jnp.full((n + 1,), jnp.nan, dtype).at[0].set(f0)
+    return DeconvolutionResult(
+        out, f_final, jnp.asarray(n), jnp.asarray(n),
+        jnp.asarray(0), hist, jnp.full_like(hist, jnp.nan),
+    )
+
+
+def admm_deconvolve_timeseries_multichannel(
+    data: jax.Array,
+    psfs: jax.Array,
+    weights: jax.Array | None = None,
+    x0: jax.Array | None = None,
+    config: DeconvolutionConfig = DeconvolutionConfig(),
+    *,
+    mu_t: float = 0.0,
+    epsilon_t: float | None = None,
+    bleach: jax.Array | None = None,
+    coupling: str = "joint",
+    mixing: jax.Array | None = None,
+    rho0: float | None = None,
+    rho1: float | None = None,
+    rho1t: float | None = None,
+    rho2: float | None = None,
+    track_objective: bool = True,
+) -> DeconvolutionResult:
+    """ADMM engine for the full (T, C) 5D acquisition — same objective as
+    :func:`jobs.multichannel.deconvolve_timeseries_multichannel`
+    (``make_tsmc_objective`` is the shared definition).
+
+    Everything that kept the lower-dimensional engines closed-form
+    composes here: per-channel spectra are t-CONSTANT so the x-update is
+    one 4D rfftn/irfftn pair over (t, z, y, x) batched over the channel
+    axis; the temporal TV is a third circulant split; the color-TV prox
+    couples channels within each timepoint; bleach gains ``g_tk`` live in
+    the data prox; and ``mixing`` (uniform-Gaussian) becomes T precomputed
+    ``(K, K)`` prox inverses ``(G_t M^T M G_t + rho0 I)^-1`` — the
+    unmixing+bleach composition costs one channel einsum per iteration.
+    Not wired (use VMLMB): weighted or Poisson data THROUGH ``mixing``,
+    Poisson+bleach, sparsity/hessian priors, padded-variable mode.
+    """
+    from microtipi_tpu.jobs.multichannel import make_tsmc_objective
+
+    _check_config(config, "admm", weights)
+    poisson = config.data_term == "poisson"
+    if mixing is not None and (poisson or weights is not None):
+        raise ValueError(
+            "admm 5D: mixing composes with the uniform Gaussian data term "
+            "only (weighted/poisson unmixing: use "
+            "deconvolve_timeseries_multichannel)")
+    if poisson and bleach is not None:
+        raise ValueError("admm 5D: poisson+bleach is not wired; use "
+                         "deconvolve_timeseries_multichannel (VMLMB)")
+    objective_raw, aux = make_tsmc_objective(
+        psfs, data, weights, config, mu_t=mu_t, epsilon_t=epsilon_t,
+        bleach=bleach, coupling=coupling, mixing=mixing)
+    data = aux["data"]
+    weights = aux["weights"]
+    k_hat, m, g5, nk = aux["k_hat"], aux["m"], aux["g5"], aux["nk"]
+    nt = aux["nt"]
+    vol = aux["vol"]
+    shape = data.shape  # (T, C, Z, Y, X)
+    dtype = data.dtype
+    mu, eps = float(config.mu), float(config.epsilon)
+    eps_t = float(config.epsilon if epsilon_t is None else epsilon_t)
+    mu_t = float(mu_t)
+    bg = float(config.background)
+    scales = config.scales
+    data_split = poisson or weights is not None or g5 is not None or m is not None
+    r1 = float(rho1) if rho1 is not None else max(mu / max(eps, 1e-30), 1e-6)
+    r1t = (float(rho1t) if rho1t is not None
+           else max(mu_t / max(eps_t, 1e-30), 1e-6))
+    r2 = float(rho2) if rho2 is not None else r1
+    if rho0 is not None:
+        r0 = float(rho0)
+    elif poisson:
+        r0 = 1.0 / jnp.maximum(jnp.mean(data) + bg, 1e-12)
+    elif weights is not None:
+        r0 = jnp.mean(weights)
+    else:
+        r0 = 1.0
+
+    # 4D transforms over (t, z, y, x), channels batched on axis 1; the
+    # per-channel spectra are t-constant so they broadcast over t-frequency.
+    tzyx = (0, 2, 3, 4)
+    kc_hat = k_hat[None]  # (1, C or K, Z, Y, Xr)
+    if kc_hat.shape[1] == 1 and data.ndim == 5:
+        kc_hat = jnp.broadcast_to(
+            kc_hat, (1, shape[1] if m is None else nk) + kc_hat.shape[2:])
+    h2 = jnp.real(kc_hat) ** 2 + jnp.imag(kc_hat) ** 2
+    fdtype = jnp.real(k_hat).dtype
+    s2 = _grad_sq_spectrum(vol, scales, fdtype)[None, None]
+    ft = jnp.fft.fftfreq(nt).astype(fdtype)
+    st2 = (4.0 * jnp.sin(jnp.pi * ft) ** 2)[:, None, None, None, None]
+    temporal = mu_t > 0
+    den = (r0 if data_split else 1.0) * h2 + r1 * s2 + r2
+    if temporal:
+        den = den + r1t * st2
+
+    def objective(x):
+        return objective_raw(x)
+
+    def _sdiffs(x):
+        sz = (1.0, 1.0, 1.0) if scales is None else tuple(float(s) for s in scales)
+        return [(jnp.roll(x, -1, axis=a + 2) - x) / sz[a] for a in range(3)]
+
+    def _sdiffs_adj(gs):
+        sz = (1.0, 1.0, 1.0) if scales is None else tuple(float(s) for s in scales)
+        out = 0.0
+        for a, g in enumerate(gs):
+            out = out + (jnp.roll(g, 1, axis=a + 2) - g) / sz[a]
+        return out
+
+    if x0 is None:
+        if m is None:
+            x0 = data
+        else:
+            x0 = jnp.einsum("kc,tczyx->tkzyx", jnp.linalg.pinv(m), data)
+        if config.positivity:
+            x0 = jnp.maximum(x0, 0.0)
+    x = jnp.asarray(x0, dtype)
+    f0 = objective(x)
+
+    smasks = []
+    for a in range(3):
+        msk = jnp.ones(vol, dtype)
+        smasks.append(msk.at[tuple(
+            slice(-1, None) if i == a else slice(None)
+            for i in range(3))].set(0.0)[None, None])
+    tmask = jnp.ones((nt, 1, 1, 1, 1), dtype).at[-1].set(0.0)
+
+    g = None if g5 is None else g5  # (T, K, 1, 1, 1)
+    if m is not None:
+        # T precomputed (K, K) prox inverses (G_t M^T M G_t + r0 I)^-1.
+        mtm = jnp.asarray(m.T @ m, dtype)
+        gk = jnp.ones((nt, nk), dtype) if g is None else g[..., 0, 0, 0]
+        sys_t = (gk[:, :, None] * mtm[None] * gk[:, None, :]
+                 + r0 * jnp.eye(nk, dtype=dtype)[None])
+        prox_inv = jnp.linalg.inv(sys_t)  # (T, K, K)
+        # G_t M^T d_t, a constant: (T, K, Z, Y, X)
+        rhs0 = jnp.einsum("tk,ck,tczyx->tkzyx", gk, jnp.asarray(m, dtype), data)
+
+    def _data_prox(v, rr0):
+        if m is not None:
+            return jnp.einsum("tkj,tjzyx->tkzyx", prox_inv, rhs0 + rr0 * v)
+        if poisson:
+            b_ = jnp.asarray(bg, dtype)
+            B = 1.0 + rr0 * (b_ - v)
+            C = b_ - data - rr0 * v * b_
+            disc = jnp.maximum(B * B - 4.0 * rr0 * C, 0.0)
+            return (-B + jnp.sqrt(disc)) / (2.0 * rr0)
+        gg = 1.0 if g is None else g
+        w = jnp.asarray(1.0, dtype) if weights is None else weights
+        return (w * gg * data + rr0 * v) / (w * gg * gg + rr0)
+
+    if not data_split:
+        htd = jnp.fft.irfftn(jnp.conj(k_hat) * jnp.fft.rfftn(data, axes=(2, 3, 4)),
+                             s=vol, axes=(2, 3, 4)).astype(dtype)
+
+    def step(carry, _):
+        x, z0, u0, z1, u1, zt, ut, z2, u2 = carry
+        rhs = r1 * _sdiffs_adj([z - u for z, u in zip(z1, u1)]) + r2 * (z2 - u2)
+        if temporal:
+            rhs = rhs + r1t * ((jnp.roll(zt - ut, 1, axis=0)) - (zt - ut))
+        if data_split:
+            x_hat = (r0 * jnp.conj(kc_hat) * jnp.fft.rfftn(z0 - u0, axes=tzyx)
+                     + jnp.fft.rfftn(rhs, axes=tzyx)) / den
+        else:
+            x_hat = jnp.fft.rfftn(htd + rhs, axes=tzyx) / den
+        x = jnp.fft.irfftn(x_hat, s=(nt,) + vol, axes=tzyx).astype(dtype)
+        if data_split:
+            hx = jnp.fft.irfftn(kc_hat * x_hat, s=(nt,) + vol,
+                                axes=tzyx).astype(dtype)
+            z0 = _data_prox(hx + u0, r0)
+            u0 = u0 + hx - z0
+        dx = _sdiffs(x)
+        v = [d + u for d, u in zip(dx, u1)]
+        if coupling == "joint":
+            vmag = jnp.sqrt(
+                sum(jnp.sum(msk * t * t, axis=1) for msk, t in zip(smasks, v))
+                + jnp.finfo(dtype).tiny)  # (T, Z, Y, X)
+            s = _hyperbolic_prox(vmag, mu / r1, eps)
+            scale = (s / vmag)[:, None]
+        else:
+            vmag = jnp.sqrt(
+                sum(msk * t * t for msk, t in zip(smasks, v))
+                + jnp.finfo(dtype).tiny)
+            s = _hyperbolic_prox(vmag, mu / r1, eps)
+            scale = s / vmag
+        z1 = [jnp.where(msk > 0, scale * t, t) for msk, t in zip(smasks, v)]
+        u1 = [u + d - z for u, d, z in zip(u1, dx, z1)]
+        if temporal:
+            dt = jnp.roll(x, -1, axis=0) - x
+            vt = dt + ut
+            vmag_t = jnp.sqrt(tmask * vt * vt + jnp.finfo(dtype).tiny)
+            st = _hyperbolic_prox(vmag_t, mu_t / r1t, eps_t)
+            zt = jnp.where(tmask > 0, st * jnp.sign(vt), vt)
+            ut = ut + dt - zt
+        z2 = jnp.maximum(x + u2, 0.0) if config.positivity else x + u2
+        u2 = u2 + x - z2
+        f = objective(z2) if track_objective else jnp.asarray(jnp.nan, dtype)
+        return (x, z0, u0, z1, u1, zt, ut, z2, u2), f
+
+    if data_split:
+        z0 = jnp.fft.irfftn(k_hat * jnp.fft.rfftn(x, axes=(2, 3, 4)),
+                            s=vol, axes=(2, 3, 4)).astype(dtype)
+        u0 = jnp.zeros_like(x)
+    else:
+        z0 = jnp.zeros((0,), dtype)
+        u0 = jnp.zeros((0,), dtype)
+    z1 = _sdiffs(x)
+    u1 = [jnp.zeros_like(gg) for gg in z1]
+    if temporal:
+        zt = jnp.roll(x, -1, axis=0) - x
+        ut = jnp.zeros_like(zt)
+    else:
+        zt = jnp.zeros((0,), dtype)
+        ut = jnp.zeros((0,), dtype)
+    z2 = x
+    u2 = jnp.zeros_like(x)
+    (x, z0, u0, z1, u1, zt, ut, z2, u2), fs = lax.scan(
+        step, (x, z0, u0, z1, u1, zt, ut, z2, u2), None,
+        length=int(config.max_iter))
     out = z2 if config.positivity else x
     f_final = objective(out)
     n = int(config.max_iter)

@@ -49,6 +49,7 @@ from microtipi_tpu.utils.arrays import pad_fft_kernel
 
 __all__ = [
     "deconvolve_multichannel",
+    "make_tsmc_objective",
     "deconvolve_timeseries_multichannel",
     "mixing_from_controls",
 ]
@@ -251,6 +252,54 @@ def deconvolve_timeseries_multichannel(
     trajectories; ``mixing=I`` reproduces the unmixed solve. ``weights``
     may be (T, C)+vol, (C,)+vol (broadcast over t) or one volume.
     """
+    objective, aux = make_tsmc_objective(
+        psfs, data, weights, config, mu_t=mu_t, epsilon_t=epsilon_t,
+        bleach=bleach, coupling=coupling, mixing=mixing)
+
+    if x0 is None:
+        if aux["m"] is None:
+            x0 = aux["data"]
+        else:
+            # Linear-unmix warm start: the least-squares dye estimate
+            # M^+ d, clipped — the classical unmix-then-deconvolve result
+            # is exactly this followed by per-dye deconvolution.
+            x0 = jnp.einsum("kc,tczyx->tkzyx", jnp.linalg.pinv(aux["m"]),
+                            aux["data"])
+    if config.positivity:
+        x0 = jnp.maximum(x0, 0.0)
+
+    res = minimize_vmlmb(
+        jax.value_and_grad(objective), x0,
+        lower=0.0 if config.positivity else None,
+        mem=config.mem, maxiter=config.max_iter, maxeval=config.max_eval,
+        gatol=config.gatol, grtol=config.grtol,
+        mem_dtype=resolve_mem_dtype(config, x0),
+    )
+    return DeconvolutionResult(
+        res.x, res.f, res.iterations, res.evaluations, res.status,
+        res.f_history, res.pg_history,
+    )
+
+
+def make_tsmc_objective(
+    psfs: jax.Array,
+    data: jax.Array,
+    weights: jax.Array | None,
+    config: DeconvolutionConfig,
+    *,
+    mu_t: float = 0.0,
+    epsilon_t: float | None = None,
+    bleach: jax.Array | None = None,
+    coupling: str = "joint",
+    mixing: jax.Array | None = None,
+):
+    """The joint (T, C)-block objective — the single definition shared by
+    the VMLMB solver and the ADMM engine (mirrors
+    ``jobs.timeseries.make_timeseries_objective``). Returns
+    ``(objective, aux)`` with ``aux`` carrying the prepared pieces the
+    engines reuse: ``k_hat`` (per-channel spectra), ``m`` (mixing), ``g5``
+    (bleach gains), ``nk``, and the (possibly zero-weight-masked)
+    ``data``/``weights``."""
     data = jnp.asarray(data)
     if data.ndim != 5:
         raise ValueError(f"expected a (T, C, Nz, Ny, Nx) block, got {data.shape}")
@@ -372,25 +421,6 @@ def deconvolve_timeseries_multichannel(
             f = f + mu_t * hyperbolic_tv(x, eps_t, axes=(0,))
         return f
 
-    if x0 is None:
-        if m is None:
-            x0 = data
-        else:
-            # Linear-unmix warm start: the least-squares dye estimate
-            # M^+ d, clipped — the classical unmix-then-deconvolve result
-            # is exactly this followed by per-dye deconvolution.
-            x0 = jnp.einsum("kc,tczyx->tkzyx", jnp.linalg.pinv(m), data)
-    if config.positivity:
-        x0 = jnp.maximum(x0, 0.0)
-
-    res = minimize_vmlmb(
-        jax.value_and_grad(objective), x0,
-        lower=0.0 if config.positivity else None,
-        mem=config.mem, maxiter=config.max_iter, maxeval=config.max_eval,
-        gatol=config.gatol, grtol=config.grtol,
-        mem_dtype=resolve_mem_dtype(config, x0),
-    )
-    return DeconvolutionResult(
-        res.x, res.f, res.iterations, res.evaluations, res.status,
-        res.f_history, res.pg_history,
-    )
+    aux = {"k_hat": k_hat, "m": m, "g5": g5, "nk": nk, "nt": nt, "nc": nc,
+           "vol": vol, "data": data, "weights": weights}
+    return objective, aux

@@ -447,3 +447,65 @@ def test_admm_superres_reaches_vmlmb_objective(variant):
     assert f_admm <= f_ref * 1.002 + 1e-9, (variant, f_admm, f_ref)
     assert float(jnp.min(res.x)) >= 0.0
     assert res.x.shape == fine
+
+
+@pytest.mark.parametrize("variant", ["plain", "mu_t", "bleach_mixing",
+                                     "weighted", "poisson"])
+def test_admm_5d_reaches_vmlmb_objective(variant):
+    """admm_deconvolve_timeseries_multichannel minimizes the shared 5D
+    objective (make_tsmc_objective): color TV within each timepoint +
+    temporal TV + per-frame-per-channel bleach + mixing (as supported)."""
+    from microtipi_tpu.jobs.admm import admm_deconvolve_timeseries_multichannel
+    from microtipi_tpu.jobs.multichannel import deconvolve_timeseries_multichannel
+
+    t_frames, psfs = [], None
+    for seed in (40, 41, 42):
+        d, p = _chromatic_scene(jax.random.PRNGKey(seed))
+        t_frames.append(d)
+        psfs = p
+    data = jnp.stack(t_frames)  # (T=3, C=2, 6, 12, 12)
+    kw = dict(coupling="joint", mu_t=0.0)
+    w = None
+    mixing = None
+    cfg = DeconvolutionConfig(mu=0.02, epsilon=0.1, max_iter=150, grtol=0.0,
+                              gatol=0.0)
+    if variant == "mu_t":
+        kw["mu_t"] = 0.05
+    elif variant == "bleach_mixing":
+        kw["mu_t"] = 0.05
+        kw["bleach"] = jnp.asarray([[1.0, 1.0], [0.9, 0.85], [0.8, 0.7]],
+                                   jnp.float64)
+        mixing = jnp.asarray([[0.8, 0.3], [0.2, 0.7]], jnp.float64)
+        data = jnp.einsum("ck,tkzyx->tczyx", mixing, jnp.maximum(data, 0.0))
+    elif variant == "weighted":
+        w = 0.5 + jax.random.uniform(jax.random.PRNGKey(43), data.shape,
+                                     jnp.float64)
+    elif variant == "poisson":
+        data = jnp.maximum(data, 0.0) + 1.0
+        cfg = DeconvolutionConfig(mu=0.02, epsilon=0.1, max_iter=150,
+                                  grtol=0.0, gatol=0.0, data_term="poisson",
+                                  background=0.5)
+    ref = deconvolve_timeseries_multichannel(data, psfs, weights=w,
+                                             config=cfg, mixing=mixing, **kw)
+    acfg = DeconvolutionConfig(**{**cfg.__dict__, "max_iter": 300})
+    res = admm_deconvolve_timeseries_multichannel(
+        data, psfs, weights=w, config=acfg, mixing=mixing, **kw)
+    f_ref, f_admm = float(ref.f), float(res.f)
+    assert f_admm <= f_ref * 1.002 + 1e-9, (variant, f_admm, f_ref)
+    assert float(jnp.min(res.x)) >= 0.0
+    assert res.x.shape == ref.x.shape
+
+
+def test_admm_5d_guards():
+    from microtipi_tpu.jobs.admm import admm_deconvolve_timeseries_multichannel
+
+    data = jnp.zeros((2, 2, 4, 8, 8))
+    psfs = jnp.zeros((2, 4, 8, 8)).at[:, 0, 0, 0].set(1.0)
+    m = jnp.asarray([[0.8, 0.3], [0.2, 0.7]])
+    with pytest.raises(ValueError, match="uniform"):
+        admm_deconvolve_timeseries_multichannel(
+            data, psfs, weights=jnp.ones_like(data), mixing=m)
+    with pytest.raises(ValueError, match="poisson\\+bleach"):
+        admm_deconvolve_timeseries_multichannel(
+            data + 1.0, psfs, bleach=jnp.ones((2, 2)),
+            config=DeconvolutionConfig(data_term="poisson"))

@@ -780,9 +780,23 @@ def test_cli_deconv_timeseries_all_channels(tmp_path):
     )
     assert r.returncode == 0, r.stderr
     assert "bleach gains (relative to frame 0, per channel):" in r.stdout
-    assert "deconv[timeseries T=3 x channels C=2, joint]" in r.stdout
+    assert "deconv[timeseries T=3 x channels C=2, joint vmlmb]" in r.stdout
     out, _meta = read_ome_hyperstack(tmp_path / "o.ome.tif")
     assert out.shape == block.shape and np.isfinite(out).all()
+
+    # --method admm: the round-4 engine on the full 5D objective
+    # (bleach composes via the data prox)
+    r = _run(
+        ["deconv", "d.ome.tif", "--all-channels", "--mu-t", "0.1",
+         "--register-t", "--bleach-correct", "--out", "oa.ome.tif",
+         "--na", "1.3", "--ni", "1.518", "--radial",
+         "--mu", "1e-3", "--iters", "4", "--method", "admm"],
+        tmp_path,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "deconv[timeseries T=3 x channels C=2, joint admm]" in r.stdout
+    out_a, _ = read_ome_hyperstack(tmp_path / "oa.ome.tif")
+    assert out_a.shape == block.shape and np.isfinite(out_a).all()
 
     # --gain/--readout build inverse-variance weights on the 5D path too
     # (round-3 review fix: they were silently ignored)
