@@ -127,6 +127,43 @@ def measure_deconv(iters=ITERS, repeats=5):
     return [float(np.prod(SHAPE)) * n / w / 1e6 for w in walls]
 
 
+def measure_deconv_admm(iters=ITERS, repeats=5):
+    """Informational lane: the adopted round-4 ADMM engine on the IDENTICAL
+    workload/iteration count (jobs/admm.py; BASELINE.md engine
+    head-to-head — at 20 iterations it reaches a LOWER objective than any
+    measured VMLMB budget, so Mvox*iter/s at equal iters understates its
+    real seconds-to-quality advantage). The headline stays VMLMB (the
+    reference-parity protocol); this key documents the engine's throughput
+    in the same driver artifact."""
+    from microtipi_tpu.jobs.admm import admm_deconvolve
+
+    model = _model()
+    obj, noise = _object_and_noise()
+
+    @jax.jit
+    def make_data(obj, noise):
+        psf = model.compute_psf(model.init_params())
+        d = convolve(obj, convolve_spectrum(psf), SHAPE)
+        return d + 0.01 * d.max() * noise, psf
+
+    data, psf = make_data(obj, noise)
+    cfg = DeconvolutionConfig(mu=0.01, epsilon=1.0, max_iter=iters,
+                              grtol=0.0, gatol=0.0)
+    run = jax.jit(lambda d, p: admm_deconvolve(d, p, config=cfg,
+                                               track_objective=False))
+    res = run(data, psf)
+    _ = float(res.f)
+    walls = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        res = run(data, psf)
+        _ = float(res.f)
+        walls.append(time.perf_counter() - t0)
+    if not bool(jnp.isfinite(res.f)):
+        raise SystemExit("non-finite admm final cost")
+    return [float(np.prod(SHAPE)) * iters / w / 1e6 for w in walls]
+
+
 def measure_blind(loops=BLIND_LOOPS, obj_iters=BLIND_OBJ_ITERS, psf_iters=5, repeats=5):
     """North-star blind loop (``BlindDeconvJob.java:97-138`` semantics).
 
@@ -230,6 +267,16 @@ def main(argv=None):
 
     value, lo, hi, reps = stats(measure_deconv())
     blind_value, blo, bhi, _ = stats(measure_blind())
+    try:
+        admm_value, alo, ahi, _ = stats(measure_deconv_admm())
+        admm_extra = {"admm_value": round(admm_value, 1),
+                      "admm_value_spread": [round(alo, 1), round(ahi, 1)],
+                      "admm_unit": "Mvox*iter/s (same workload/iters; "
+                                   "reaches a lower objective — BASELINE.md)"}
+    except SystemExit:
+        raise
+    except Exception:
+        admm_extra = {}  # informational lane must not kill the headline
 
     base, blind_base, source = (
         CPU_BASELINE_MVOX_ITER_S, CPU_BASELINE_BLIND_MVOX_ITER_S, "frozen",
@@ -259,6 +306,7 @@ def main(argv=None):
         "blind_unit": "Mvox*obj_iter/s",
         "blind_vs_baseline": round(blind_value / blind_base, 1),
         "baseline_source": source,
+        **admm_extra,
         **out_extra,
     }))
 

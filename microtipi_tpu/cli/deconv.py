@@ -195,8 +195,12 @@ def cmd_deconv(args):
         print("wrote", args.out)
         return
     if args.method in ("admm", "fista"):
-        for flag, name in (("tile", "--tile"), ("mesh", "--mesh"),
-                           ("auto_mu", "--auto-mu")):
+        # admm composes with --tile (each tile is a plain circulant solve;
+        # jobs/tiled.py); mesh/auto-mu and all of fista stay vmlmb-only.
+        gated = (("mesh", "--mesh"), ("auto_mu", "--auto-mu"))
+        if args.method == "fista":
+            gated = (("tile", "--tile"),) + gated
+        for flag, name in gated:
             if getattr(args, flag, None):
                 sys.exit(f"--method {args.method} runs the plain single-chip "
                          f"solve; drop {name} or use --method vmlmb")

@@ -179,9 +179,10 @@ def tiled_deconvolve(
     — tiles stream through in batches of ``max_batch``). ``psf`` is
     corner-origin; it is embedded at the tile shape, so its support should
     fit one tile and ``overlap`` should be at least its half-width per axis.
-    ``method``: "vmlmb" (TV + positivity, ``config``) or "rl"
-    (Richardson-Lucy, ``rl_iterations``; ``config.mu``/``epsilon`` feed its
-    TV variant).
+    ``method``: "vmlmb" (TV + positivity, ``config``), "admm" (the same
+    objective through the round-4 circulant engine, fixed
+    ``config.max_iter`` per tile) or "rl" (Richardson-Lucy,
+    ``rl_iterations``; ``config.mu``/``epsilon`` feed its TV variant).
 
     ``psf`` may instead be a CALLABLE ``psf_fn(center) -> corner-origin
     PSF`` receiving each tile's center in volume voxel coordinates — the
@@ -260,6 +261,20 @@ def tiled_deconvolve(
         def solve_one(d, w, k):
             return richardson_lucy(d, k, iterations=rl_iterations,
                                    mu=config.mu, epsilon=config.epsilon)
+
+    elif method == "admm":
+        # The round-4 engine per tile (each tile is a plain circulant
+        # solve, so the engine composes unchanged; fixed config.max_iter
+        # per tile — BASELINE.md engine head-to-head).
+        import dataclasses
+
+        from microtipi_tpu.jobs.admm import admm_deconvolve
+
+        cfg = dataclasses.replace(config, var_shape=None)
+
+        def solve_one(d, w, k):
+            return admm_deconvolve(d, k, weights=w, config=cfg,
+                                   track_objective=False).x
 
     elif method == "vmlmb":
         from microtipi_tpu.jobs.deconv import deconvolve

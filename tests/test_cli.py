@@ -1961,9 +1961,20 @@ def test_cli_deconv_method_admm_fista(tmp_path):
         assert np.isfinite(x).all() and x.min() >= 0
         assert np.linalg.norm(x - obj) < err_data
 
+    # admm composes with --tile (each tile is a plain circulant solve);
+    # fista does not
+    r = _run(
+        ["deconv", "d.tif", "--psf", "p.tif", "--out", "tadmm.tif",
+         "--method", "admm", "--iters", "20", "--mu", "1e-3",
+         "--tile", "6", "16", "16", "--overlap", "0", "4", "4"],
+        tmp_path,
+    )
+    assert r.returncode == 0, r.stderr
+    xt = read_stack(tmp_path / "tadmm.tif")
+    assert np.isfinite(xt).all() and np.linalg.norm(xt - obj) < err_data
     r = _run(
         ["deconv", "d.tif", "--psf", "p.tif", "--out", "x.tif",
-         "--method", "admm", "--tile", "6", "16", "16"],
+         "--method", "fista", "--tile", "6", "16", "16"],
         tmp_path,
     )
     assert r.returncode != 0 and "--tile" in (r.stdout + r.stderr)

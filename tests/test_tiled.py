@@ -73,6 +73,25 @@ def test_tiled_single_tile_is_exact():
     np.testing.assert_allclose(tiled, full, rtol=1e-10, atol=1e-12)
 
 
+def test_tiled_admm_single_tile_is_exact():
+    """method='admm', tile == volume: identical to the plain ADMM engine
+    (the per-tile solve IS admm_deconvolve)."""
+    from microtipi_tpu.jobs.admm import admm_deconvolve
+
+    shape = (8, 24, 24)
+    psf, obj, data = _scene(shape, seed=3)
+    cfg = DeconvolutionConfig(mu=1e-3, epsilon=1.0, max_iter=12, grtol=0.0)
+    full = np.asarray(admm_deconvolve(jnp.asarray(data), jnp.asarray(psf),
+                                      config=cfg, track_objective=False).x)
+    tiled = tiled_deconvolve(data, psf, tile=shape, overlap=4, config=cfg,
+                             method="admm")
+    np.testing.assert_allclose(tiled, full, rtol=1e-10, atol=1e-12)
+    # multi-tile runs and stays finite/nonnegative
+    out = tiled_deconvolve(data, psf, tile=(8, 16, 16), overlap=(0, 6, 6),
+                           config=cfg, method="admm")
+    assert out.shape == shape and np.isfinite(out).all() and (out >= 0).all()
+
+
 def test_tiled_rl_method_runs():
     shape = (8, 32, 32)
     psf, obj, data = _scene(shape, seed=2)
