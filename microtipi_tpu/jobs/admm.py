@@ -164,6 +164,11 @@ def admm_deconvolve(
     when off only the final f is computed.
     """
     _check_config(config, "admm", weights)
+    if weights is not None:
+        # Zero weight EXCLUDES the voxel whatever its value: the prox
+        # computes ``weights * data`` and 0*NaN = NaN would poison the
+        # split (same invariant as WeightedConvolutionCost.build).
+        data = jnp.where(weights > 0, data, 0.0)
     shape = data.shape
     dtype = data.dtype
     mu, eps = float(config.mu), float(config.epsilon)
@@ -438,6 +443,8 @@ def admm_deconvolve_timeseries(
         weights = jnp.asarray(weights)
         if weights.shape == vol:
             weights = weights[None]
+        # Zero weight EXCLUDES the voxel (0*NaN in the prox would poison).
+        data = jnp.where(weights > 0, data, 0.0)
     g4 = None
     if bleach is not None:
         bleach = jnp.asarray(bleach, dtype)
@@ -669,6 +676,8 @@ def admm_deconvolve_multichannel(
         weights = jnp.asarray(weights)
         if weights.ndim == 3:
             weights = weights[None]
+        # Zero weight EXCLUDES the voxel (0*NaN in the prox would poison).
+        data = jnp.where(weights > 0, data, 0.0)
     data_split = poisson or weights is not None or m is not None
     r1 = float(rho1) if rho1 is not None else max(mu / max(eps, 1e-30), 1e-6)
     r2 = float(rho2) if rho2 is not None else r1

@@ -198,6 +198,10 @@ def make_superres_objective(psf_fine, data, weights, config, factor):
     elif config.data_term != "gaussian":
         raise ValueError(f"unknown data_term {config.data_term!r}")
     else:
+        if weights is not None:
+            # Zero weight EXCLUDES the voxel (0*NaN = NaN would defeat the
+            # validity mask — WeightedConvolutionCost.build invariant).
+            data = jnp.where(weights > 0, data, 0.0)
 
         def data_term(x):
             r = model(x) - data
@@ -258,6 +262,10 @@ def admm_deconvolve_superres(
 
     _check_config(config, "admm", weights)
     data = jnp.asarray(data)
+    if weights is not None:
+        # Zero weight EXCLUDES the camera pixel (0*NaN in the block prox
+        # would poison — WeightedConvolutionCost.build invariant).
+        data = jnp.where(jnp.asarray(weights) > 0, data, 0.0)
     factor, fine_shape = _check_superres(data, psf_fine, factor, config)
     fz, fy, fx = factor
     nblk = fz * fy * fx

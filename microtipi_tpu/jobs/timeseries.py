@@ -193,6 +193,10 @@ def make_timeseries_objective(
         def data_term(x):
             return _batched_quadratic_cost(x, kernel_sq, g2, b, c, vol)
     else:
+        # Zero weight EXCLUDES the voxel whatever its value (0*NaN = NaN
+        # would defeat the validity mask — WeightedConvolutionCost.build
+        # invariant, shared by every weighted path).
+        data = jnp.where(weights > 0, data, 0.0)
 
         def data_term(x):
             r = model(x) - data

@@ -509,3 +509,61 @@ def test_admm_5d_guards():
         admm_deconvolve_timeseries_multichannel(
             data + 1.0, psfs, bleach=jnp.ones((2, 2)),
             config=DeconvolutionConfig(data_term="poisson"))
+
+
+def test_zero_weight_nan_exclusion_every_weighted_path():
+    """Zero weight EXCLUDES the voxel whatever its value: a NaN at a
+    zero-weight voxel must not poison any weighted solver path (the
+    WeightedConvolutionCost.build invariant, extended to the ADMM proxes
+    and the 4D/superres objectives — a review-pass fix this round)."""
+    from microtipi_tpu.jobs.admm import (
+        admm_deconvolve, admm_deconvolve_multichannel,
+        admm_deconvolve_timeseries)
+    from microtipi_tpu.jobs.superres import (
+        admm_deconvolve_superres, deconvolve_superres)
+    from microtipi_tpu.jobs.timeseries import deconvolve_timeseries
+
+    data, psf, _ = _periodic_problem(jax.random.PRNGKey(50))
+    w = jnp.ones_like(data).at[0, 0, 0].set(0.0)
+    bad = data.at[0, 0, 0].set(jnp.nan)
+    cfg = DeconvolutionConfig(mu=0.02, epsilon=0.1, max_iter=10, grtol=0.0)
+
+    res = admm_deconvolve(bad, psf, weights=w, config=cfg)
+    assert np.isfinite(np.asarray(res.x)).all() and np.isfinite(float(res.f))
+
+    # The ADMM engines are NaN-proof end to end (data is masked BEFORE the
+    # default x0 is derived); the VMLMB paths share the masked OBJECTIVE
+    # but keep the dense path's contract — x0 must be finite (the CLI
+    # zeroes non-finite input voxels up front, cli/shared.py).
+    series = jnp.stack([bad, data])
+    ws = jnp.stack([w, jnp.ones_like(data)])
+    x0_ts = jnp.maximum(jnp.nan_to_num(series), 0.0)
+    r = deconvolve_timeseries(series, psf, weights=ws, x0=x0_ts, config=cfg,
+                              mu_t=0.05)
+    assert np.isfinite(np.asarray(r.x)).all() and np.isfinite(float(r.f))
+    r = admm_deconvolve_timeseries(series, psf, weights=ws, config=cfg,
+                                   mu_t=0.05)
+    assert np.isfinite(np.asarray(r.x)).all() and np.isfinite(float(r.f))
+
+    r = admm_deconvolve_multichannel(series, jnp.stack([psf, psf]),
+                                     weights=ws, config=cfg)
+    assert np.isfinite(np.asarray(r.x)).all() and np.isfinite(float(r.f))
+
+    # superres: NaN camera pixel at zero weight
+    vol = (4, 10, 10)
+    truth, psf_fine, _ = _periodic_problem(jax.random.PRNGKey(51), (4, 20, 20),
+                                           noise=0.0)
+    conv = jnp.fft.irfftn(jnp.fft.rfftn(truth) * jnp.fft.rfftn(psf_fine),
+                          s=(4, 20, 20), axes=(0, 1, 2))
+    d = conv.reshape(4, 1, 10, 2, 10, 2).sum(axis=(1, 3, 5))
+    wc = jnp.ones(vol).at[0, 0, 0].set(0.0)
+    dbad = d.at[0, 0, 0].set(jnp.nan)
+    from microtipi_tpu.jobs.superres import upsample_volume
+
+    x0_sr = jnp.maximum(upsample_volume(jnp.nan_to_num(dbad), (1, 2, 2)), 0.0)
+    r = deconvolve_superres(dbad, psf_fine, (1, 2, 2), weights=wc, x0=x0_sr,
+                            config=cfg)
+    assert np.isfinite(np.asarray(r.x)).all() and np.isfinite(float(r.f))
+    r = admm_deconvolve_superres(dbad, psf_fine, (1, 2, 2), weights=wc,
+                                 config=cfg)
+    assert np.isfinite(np.asarray(r.x)).all() and np.isfinite(float(r.f))
