@@ -315,8 +315,15 @@ def blind_deconvolve(
         if config.deconv_engine == "admm":
             from microtipi_tpu.jobs.admm import admm_deconvolve
 
+            # over_relax=1.0 INSIDE the alternation: the relaxed engine's
+            # faster per-round convergence re-feeds the object-absorbs-
+            # aberration mode (measured 3-seed quality probe, BASELINE.md
+            # over-relaxation entry) — the same mechanism the annealed
+            # mu_schedule exists to suppress. Standalone solves keep the
+            # engine's 1.8 default.
             dres = admm_deconvolve(data, psf, weights=weights, x0=x,
-                                   config=dcfg, track_objective=False)
+                                   config=dcfg, over_relax=1.0,
+                                   track_objective=False)
         else:
             dres = deconvolve(data, psf, weights=weights, x0=x, config=dcfg)
         return dres.x, dres.f, dres.iterations, psf

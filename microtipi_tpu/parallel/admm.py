@@ -76,6 +76,7 @@ def sharded_admm_deconvolve(
     rho0: float | None = None,
     rho1: float | None = None,
     rho2: float | None = None,
+    over_relax: float = 1.8,
     track_objective: bool = True,
 ) -> DeconvolutionResult:
     """ADMM object step on the mesh; see the module docstring.
@@ -164,20 +165,25 @@ def sharded_admm_deconvolve(
         else:
             x_hat = (htd_hat + sharded_rfftn(rhs, mesh)) / den
         x = sharded_irfftn(x_hat, shape, mesh).astype(dtype)
+        al = float(over_relax)  # Boyd 2011 §3.4.3; measured table BASELINE.md
         if data_split:
             hx = sharded_irfftn(h_hat * x_hat, shape, mesh).astype(dtype)
-            z0 = _data_prox(hx + u0, r0)
-            u0 = u0 + hx - z0
+            hxr = hx if al == 1.0 else al * hx + (1.0 - al) * z0
+            z0 = _data_prox(hxr + u0, r0)
+            u0 = u0 + hxr - z0
         dx = _circ_diffs(x, scales)
-        v = [d + u for d, u in zip(dx, u1)]
+        dxr = dx if al == 1.0 else [al * d + (1.0 - al) * z
+                                    for d, z in zip(dx, z1)]
+        v = [d + u for d, u in zip(dxr, u1)]
         vmag = jnp.sqrt(
             sum(m * t * t for m, t in zip(masks, v)) + jnp.finfo(dtype).tiny)
         s = _hyperbolic_prox(vmag, mu / r1, eps)
         scale = s / vmag
         z1 = [jnp.where(m > 0, scale * t, t) for m, t in zip(masks, v)]
-        z2 = jnp.maximum(x + u2, 0.0) if config.positivity else x + u2
-        u1 = [u + d - z for u, d, z in zip(u1, dx, z1)]
-        u2 = u2 + x - z2
+        xr = x if al == 1.0 else al * x + (1.0 - al) * z2
+        z2 = jnp.maximum(xr + u2, 0.0) if config.positivity else xr + u2
+        u1 = [u + d - z for u, d, z in zip(u1, dxr, z1)]
+        u2 = u2 + xr - z2
         f = objective(z2) if track_objective else jnp.asarray(jnp.nan, dtype)
         return (x, z0, u0, z1, u1, z2, u2), f
 

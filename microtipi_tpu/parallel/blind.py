@@ -123,8 +123,10 @@ def sharded_blind_deconvolve(
         if config.deconv_engine == "admm":
             from microtipi_tpu.parallel.admm import sharded_admm_deconvolve
 
+            # over_relax=1.0 inside the alternation (jobs/blind.py rationale).
             res = sharded_admm_deconvolve(data, psf, mesh, weights=weights,
                                           x0=x, config=cfg_i,
+                                          over_relax=1.0,
                                           track_objective=False)
         else:
             res = sharded_deconvolve(data, psf, mesh, weights=weights, x0=x, config=cfg_i)
