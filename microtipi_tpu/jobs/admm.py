@@ -678,6 +678,11 @@ def admm_deconvolve_multichannel(
     if coupling not in ("joint", "separate"):
         raise ValueError(f"unknown coupling {coupling!r}")
     poisson = config.data_term == "poisson"
+    if poisson and weights is not None:
+        # Same guard as make_tsmc_objective/make_objective: silently
+        # dropping the weights (the Poisson prox has no weight slot) would
+        # solve a different problem than the caller asked for.
+        raise ValueError("data_term='poisson' does not compose with weights")
     nc = data.shape[0]
     vol = data.shape[1:]
     dtype = data.dtype

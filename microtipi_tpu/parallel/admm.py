@@ -93,6 +93,12 @@ def sharded_admm_deconvolve(
             "the sharded VMLMB path for batched axes")
     if psf.shape != data.shape:
         raise ValueError("sharded mode requires psf shape == volume shape")
+    if weights is not None:
+        # Zero weight EXCLUDES the voxel whatever its value (same invariant
+        # as the dense engine and WeightedConvolutionCost.build): the prox
+        # computes ``weights * data`` and the default x0 uses raw data, so a
+        # NaN at a zero-weight voxel would otherwise poison the whole solve.
+        data = jnp.where(weights > 0, data, 0.0)
     shape = data.shape
     dtype = data.dtype
     mu, eps = float(config.mu), float(config.epsilon)

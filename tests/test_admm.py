@@ -409,6 +409,12 @@ def test_admm_multichannel_guards():
             config=DeconvolutionConfig(data_term="poisson"))
     with pytest.raises(ValueError, match="C, Nz, Ny, Nx"):
         admm_deconvolve_multichannel(jnp.zeros((4, 8, 8)), psfs)
+    # poisson+weights must raise like make_tsmc_objective/make_objective,
+    # not silently solve the UNweighted Poisson problem (ADVICE r4).
+    with pytest.raises(ValueError, match="does not compose with weights"):
+        admm_deconvolve_multichannel(
+            data + 1.0, psfs, weights=jnp.ones_like(data),
+            config=DeconvolutionConfig(data_term="poisson"))
 
 
 @pytest.mark.parametrize("variant", ["uniform", "weighted", "poisson"])

@@ -384,6 +384,18 @@ def test_sharded_admm_matches_dense(mesh8, scene):
     np.testing.assert_allclose(float(got_w.f), float(ref_w.f), rtol=1e-8)
     np.testing.assert_allclose(np.asarray(got_w.x), np.asarray(ref_w.x), atol=1e-6)
 
+    # Zero-weight NaN exclusion (ADVICE r4): a NaN at a zero-weight voxel
+    # must not poison the sharded solve — the dense-engine invariant,
+    # pinned here because the sharded prox/default-x0 read data directly.
+    wz = w.at[0, 0, 0].set(0.0)
+    bad = data.at[0, 0, 0].set(jnp.nan)
+    ref_z = admm_deconvolve(bad, psf, weights=wz, config=cfg)
+    bad_sh = jax.device_put(bad, volume_sharding(mesh8, batched=False))
+    got_z = sharded_admm_deconvolve(bad_sh, psf, mesh8, weights=wz, config=cfg)
+    assert np.isfinite(np.asarray(got_z.x)).all()
+    assert np.isfinite(float(got_z.f))
+    np.testing.assert_allclose(float(got_z.f), float(ref_z.f), rtol=1e-8)
+
     dpois = jnp.maximum(data, 0.0) + 1.0
     pcfg = DeconvolutionConfig(mu=0.002, epsilon=1.0, max_iter=10, grtol=0.0,
                                data_term="poisson", background=0.5)
