@@ -25,6 +25,18 @@ def main(argv=None):
         p = bench._run_cpu_probe("blind")
         if p:
             base, source = p, "measured"
+    extra = {}
+    try:
+        # The recommended-recipe lane (annealed + joint + admm engine) —
+        # mirrors bench.py's blind_admm_value (VERDICT r4 item 3).
+        bav, balo, bahi, _ = bench.stats(bench.measure_blind_admm())
+        extra = {"blind_admm_value": round(bav, 1),
+                 "blind_admm_value_spread": [round(balo, 1), round(bahi, 1)],
+                 "blind_admm_unit": "Mvox*obj_iter/s (recommended recipe)"}
+    except SystemExit:
+        raise
+    except Exception:
+        pass  # informational lane must not kill the headline
     print(json.dumps({
         "metric": "blind_deconv_throughput_256cubed",
         "value": round(value, 1),
@@ -34,6 +46,7 @@ def main(argv=None):
         "unit": "Mvox*obj_iter/s",
         "vs_baseline": round(value / base, 1),
         "baseline_source": source,
+        **extra,
     }))
 
 

@@ -161,6 +161,16 @@ def _deconv_args(p: argparse.ArgumentParser, methods=("vmlmb", "rl")):
                         "fixed --iters; ~5x faster to matched quality — "
                         "BASELINE.md), fista (deconv only), or (watch only) "
                         "blind / blind-once (calibrate on first file)")
+    g.add_argument("--admm-reltol", type=float, default=0.0,
+                   help="[admm] relative primal/dual residual tolerance "
+                        "(Boyd 2011 §3.3; the admm analogue of --grtol). "
+                        "0 (default) runs --iters out; 1e-3 is a practical "
+                        "production value, 1e-4 tight (--iters becomes the "
+                        "cap)")
+    g.add_argument("--admm-abstol", type=float, default=0.0,
+                   help="[admm] absolute residual tolerance in data units "
+                        "(Boyd 2011 §3.3; the admm analogue of --gatol; "
+                        "scaled internally by sqrt(#elements))")
     g.add_argument("--rl-accelerate", action="store_true",
                    help="[rl] Biggs-Andrews vector extrapolation (~2-3x fewer "
                         "iterations to a given likelihood)")
@@ -457,6 +467,8 @@ def _deconv_config(args, shape):
         sparsity=getattr(args, "sparsity", 0.0),
         hessian=getattr(args, "hessian", 0.0),
         sparsity_epsilon=getattr(args, "sparsity_epsilon", None),
+        admm_abstol=getattr(args, "admm_abstol", 0.0),
+        admm_reltol=getattr(args, "admm_reltol", 0.0),
         **tol,
     )
 

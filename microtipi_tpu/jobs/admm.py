@@ -29,12 +29,18 @@ geometry instead of quasi-Newton line searches:
   1/L with the exact circulant Lipschitz bound
   L = max(w)*max|H^|^2 + mu*(sum_a 4/scale_a^2)/eps.
 
-Both run as a single ``lax.scan`` under jit (fixed iteration count — the
-engines are throughput probes; VMLMB keeps the reference's tolerance
-semantics). Supported objectives: ADMM = Gaussian (uniform or per-voxel
-weights) or Poisson data term + mu*TV + positivity; FISTA = (weighted)
-Gaussian + mu*TV + positivity. sparsity/hessian priors and
-padded-variable mode raise (VMLMB covers those).
+Both run under jit with zero host round-trips. By default the ADMM
+engines run exactly ``config.max_iter`` iterations as one ``lax.scan``
+(the fixed-budget bench/parity protocol); setting
+``config.admm_abstol``/``admm_reltol`` switches them to primal/dual
+residual-controlled stopping (Boyd et al. 2011 §3.3) in a bounded
+``lax.while_loop`` — the ADMM analogue of the reference's run-to-
+tolerance solver surface (``gatol``/``grtol``,
+``PSF_Estimation.java:285-294``). Supported objectives: ADMM = Gaussian
+(uniform or per-voxel weights) or Poisson data term + mu*TV +
+positivity; FISTA = (weighted) Gaussian + mu*TV + positivity.
+sparsity/hessian priors and padded-variable mode raise (VMLMB covers
+those).
 
 :func:`admm_deconvolve_timeseries` extends the ADMM engine to the joint
 4D time-series objective (``jobs.timeseries``): the temporal TV becomes a
@@ -103,6 +109,60 @@ def _circ_diffs_adjoint(gs, scales):
     return out
 
 
+def _stack_norm(terms):
+    """L2 norm of a stacked list of arrays."""
+    return jnp.sqrt(sum(jnp.sum(t * t) for t in terms))
+
+
+def _boyd_criterion(r_terms, ax_terms, z_terms, dual_fn,
+                    p_el, n_el, abstol, reltol):
+    """Boyd et al. 2011 §3.3 stopping pair for the stacked-splits form
+    ``A x - z = 0`` (A = the stacked split operators, y = rho*u the
+    unscaled duals):
+
+        ||r||   <= sqrt(p)*abstol + reltol*max(||Ax||, ||z||)   (primal)
+        ||s||   <= sqrt(n)*abstol + reltol*||A^T y||            (dual)
+
+    with r the stacked primal residuals, s = sum_i rho_i A_i^T (z_i^+ -
+    z_i) the dual residual in x-space, p/n the stacked-constraint and
+    variable element counts. Under over-relaxation the formulas are the
+    standard alpha=1 expressions evaluated at the true (unrelaxed) Ax —
+    a sound stopping heuristic (at a fixed point every relaxed quantity
+    coincides with the unrelaxed one).
+
+    ``dual_fn() -> (s_vec, aty_vec)`` is evaluated UNDER ``lax.cond`` only
+    when the primal test passes: far from convergence (the common case for
+    a check) only the cheap elementwise primal norms are paid — the dual
+    residual's H^T applications (FFTs on data-split paths) and extra array
+    passes are skipped. Measured overhead at 256^3 with check_every=5:
+    13.9% for the eager pair, ~3% with this ordering (BASELINE.md r5)."""
+    fd = r_terms[0].dtype
+    rpri = _stack_norm(r_terms)
+    eps_pri = (jnp.sqrt(jnp.asarray(p_el, fd)) * abstol
+               + reltol * jnp.maximum(_stack_norm(ax_terms),
+                                      _stack_norm(z_terms)))
+    prim_ok = rpri <= eps_pri
+
+    def _dual(_):
+        s_vec, aty_vec = dual_fn()
+        sdual = _stack_norm([s_vec])
+        eps_dua = (jnp.sqrt(jnp.asarray(n_el, s_vec.dtype)) * abstol
+                   + reltol * _stack_norm([aty_vec]))
+        return sdual <= eps_dua
+
+    return lax.cond(prim_ok, _dual, lambda _: jnp.asarray(False), None)
+
+
+def _admm_tolerances(config: DeconvolutionConfig):
+    """(abstol, reltol, check_every, use_tol) from the config fields."""
+    abstol = float(config.admm_abstol)
+    reltol = float(config.admm_reltol)
+    if abstol < 0 or reltol < 0:
+        raise ValueError("admm_abstol/admm_reltol must be >= 0")
+    check_every = max(int(config.admm_check_every), 1)
+    return abstol, reltol, check_every, (abstol > 0.0 or reltol > 0.0)
+
+
 def _hyperbolic_prox(vmag, lam, eps, newton_iters=8):
     """prox of lam*(sqrt(t^2+eps^2)-eps) on the gradient MAGNITUDE:
     argmin_s>=0  lam*sqrt(s^2+eps^2) + 0.5*(s-v)^2, v >= 0.
@@ -168,10 +228,14 @@ def admm_deconvolve(
     dual accordingly) — the circulant denominator is rebuilt elementwise
     each iteration (negligible next to the FFT pair), making the engine
     robust to badly scaled problems at the cost of determinism in rho.
-    Runs ``config.max_iter`` iterations as one ``lax.scan``.
-    ``track_objective`` appends the true (replicate-boundary) solver
-    objective per iterate to ``f_history`` (costs ~2 extra FFTs/iter);
-    when off only the final f is computed.
+    Runs ``config.max_iter`` iterations as one ``lax.scan`` — or, when
+    ``config.admm_abstol``/``admm_reltol`` is set, up to ``max_iter``
+    iterations with Boyd §3.3 primal/dual residual stopping checked every
+    ``admm_check_every`` iterations (``result.status``: 0 = converged,
+    1 = budget exhausted; ``iterations`` reports the actual count and
+    ``f_history`` is NaN past it). ``track_objective`` appends the true
+    (replicate-boundary) solver objective per iterate to ``f_history``
+    (costs ~2 extra FFTs/iter); when off only the final f is computed.
     """
     _check_config(config, "admm", weights)
     if over_relax is None:
@@ -249,8 +313,9 @@ def admm_deconvolve(
             return (-B + jnp.sqrt(disc)) / (2.0 * rr0)
         return (weights * data + rr0 * v) / (weights + rr0)
 
-    def step(carry, _):
+    def step_core(carry):
         x, z0, u0, z1, u1, z2, u2, rr1, rr2 = carry
+        hx = None
         rhs = rr1 * _circ_diffs_adjoint(
             [z - u for z, u in zip(z1, u1)], scales) + rr2 * (z2 - u2)
         if data_split:
@@ -309,7 +374,11 @@ def admm_deconvolve(
             rr2 = rr2 * fac2
             u2 = u2 / fac2
         f = objective(z2) if track_objective else jnp.asarray(jnp.nan, dtype)
-        return (x, z0, u0, z1, u1, z2, u2, rr1, rr2), f
+        return (x, z0, u0, z1, u1, z2, u2, rr1, rr2), f, dx, hx
+
+    def step(carry, _):
+        new_carry, f, _, _ = step_core(carry)
+        return new_carry, f
 
     if data_split:
         z0 = _conv(jnp.fft.rfftn(x))
@@ -319,19 +388,86 @@ def admm_deconvolve(
         u0 = jnp.zeros((0,), dtype)
     rr1 = jnp.asarray(r1, dtype)
     rr2 = jnp.asarray(r2, dtype)
-    (x, z0, u0, z1, u1, z2, u2, rr1, rr2), fs = lax.scan(
-        step, (x, z0, u0, z1, u1, z2, u2, rr1, rr2), None,
-        length=int(config.max_iter))
-    out = z2 if config.positivity else x  # z2 is feasible (>= 0) by construction
-    f_final = objective(out)
+    init = (x, z0, u0, z1, u1, z2, u2, rr1, rr2)
     n = int(config.max_iter)
-    if track_objective:
-        hist = jnp.concatenate([f0[None], fs])  # hist[i] = f after iter i
-    else:
-        hist = jnp.full((n + 1,), jnp.nan, dtype).at[0].set(f0)
+    abstol, reltol, check_every, use_tol = _admm_tolerances(config)
+    if not use_tol:
+        (x, z0, u0, z1, u1, z2, u2, rr1, rr2), fs = lax.scan(
+            step, init, None, length=n)
+        out = z2 if config.positivity else x  # z2 is feasible (>= 0) by construction
+        f_final = objective(out)
+        if track_objective:
+            hist = jnp.concatenate([f0[None], fs])  # hist[i] = f after iter i
+        else:
+            hist = jnp.full((n + 1,), jnp.nan, dtype).at[0].set(f0)
+        return DeconvolutionResult(
+            out, f_final, jnp.asarray(n), jnp.asarray(n),
+            jnp.asarray(0), hist, jnp.full_like(hist, jnp.nan),
+        )
+
+    # --- Boyd §3.3 residual-controlled path (admm_abstol/admm_reltol) ----
+    # Same step_core — a bounded lax.while_loop that additionally checks
+    # the primal/dual residual pair every check_every iterations. The
+    # splits are z0 = Hx (data paths), z1 = Dx, z2 = x, so the residual
+    # norms are elementwise except the two H^T applications on data-split
+    # paths (2 extra FFT pairs per CHECK, amortized by check_every).
+    n_el = 1.0
+    for d_ in shape:
+        n_el *= float(d_)
+    p_el = n_el * (4.0 + (1.0 if data_split else 0.0))
+
+    def _convT(v):
+        return jnp.fft.irfftn(jnp.conj(h_hat) * jnp.fft.rfftn(v),
+                              s=shape).astype(dtype)
+
+    hist0 = jnp.full((n + 1,), jnp.nan, jnp.asarray(f0).dtype).at[0].set(f0)
+
+    def w_cond(st):
+        _, i, _, conv = st
+        return (~conv) & (i < n)
+
+    def w_body(st):
+        carry, i, hist, _ = st
+        z0_o, z1_o, z2_o = carry[1], carry[3], carry[5]
+        new_carry, f, dx, hx = step_core(carry)
+        xn, z0n, u0n, z1n, u1n, z2n, u2n, rr1n, rr2n = new_carry
+        i1 = i + 1
+        hist = hist.at[i1].set(f)
+        check = jnp.mod(i1, check_every) == 0
+
+        def _chk(_):
+            r_terms = [d - z for d, z in zip(dx, z1n)] + [xn - z2n]
+            ax_terms = list(dx) + [xn]
+            z_terms = list(z1n) + [z2n]
+            if data_split:
+                r_terms = r_terms + [hx - z0n]
+                ax_terms = ax_terms + [hx]
+                z_terms = z_terms + [z0n]
+
+            def dual_fn():
+                s_vec = (rr1n * _circ_diffs_adjoint(
+                    [a - b for a, b in zip(z1n, z1_o)], scales)
+                    + rr2n * (z2n - z2_o))
+                aty = rr1n * _circ_diffs_adjoint(u1n, scales) + rr2n * u2n
+                if data_split:
+                    s_vec = s_vec + r0 * _convT(z0n - z0_o)
+                    aty = aty + r0 * _convT(u0n)
+                return s_vec, aty
+
+            return _boyd_criterion(r_terms, ax_terms, z_terms, dual_fn,
+                                   p_el, n_el, abstol, reltol)
+
+        conv = lax.cond(check, _chk, lambda _: jnp.asarray(False), None)
+        return new_carry, i1, hist, conv
+
+    st0 = (init, jnp.asarray(0, jnp.int32), hist0, jnp.asarray(False))
+    (x, z0, u0, z1, u1, z2, u2, rr1, rr2), k, hist, conv = lax.while_loop(
+        w_cond, w_body, st0)
+    out = z2 if config.positivity else x
+    f_final = objective(out)
+    status = jnp.where(conv, 0, 1).astype(jnp.int32)
     return DeconvolutionResult(
-        out, f_final, jnp.asarray(n), jnp.asarray(n),
-        jnp.asarray(0), hist, jnp.full_like(hist, jnp.nan),
+        out, f_final, k, k, status, hist, jnp.full_like(hist, jnp.nan),
     )
 
 
@@ -560,8 +696,10 @@ def admm_deconvolve_timeseries(
                              * jnp.fft.rfftn(data, axes=(1, 2, 3)),
                              s=vol, axes=(1, 2, 3)).astype(dtype)
 
-    def step(carry, _):
+    def step_core(carry):
         x, z0, u0, z1, u1, zt, ut, z2, u2 = carry
+        hx = None
+        dt = None
         rhs = r1 * _sdiffs_adj([z - u for z, u in zip(z1, u1)]) + r2 * (z2 - u2)
         if temporal:
             rhs = rhs + r1t * _tdiff_adj(zt - ut)
@@ -599,7 +737,11 @@ def admm_deconvolve_timeseries(
         z2 = jnp.maximum(xr + u2, 0.0) if config.positivity else xr + u2
         u2 = u2 + xr - z2
         f = objective(z2) if track_objective else jnp.asarray(jnp.nan, dtype)
-        return (x, z0, u0, z1, u1, zt, ut, z2, u2), f
+        return (x, z0, u0, z1, u1, zt, ut, z2, u2), f, dx, hx, dt
+
+    def step(carry, _):
+        new_carry, f, _, _, _ = step_core(carry)
+        return new_carry, f
 
     if data_split:
         z0 = jnp.fft.irfftn(k_hat[None] * jnp.fft.rfftn(x, axes=(1, 2, 3)),
@@ -618,19 +760,89 @@ def admm_deconvolve_timeseries(
         ut = jnp.zeros((0,), dtype)
     z2 = x
     u2 = jnp.zeros_like(x)
-    (x, z0, u0, z1, u1, zt, ut, z2, u2), fs = lax.scan(
-        step, (x, z0, u0, z1, u1, zt, ut, z2, u2), None,
-        length=int(config.max_iter))
+    init = (x, z0, u0, z1, u1, zt, ut, z2, u2)
+    n = int(config.max_iter)
+    abstol, reltol, check_every, use_tol = _admm_tolerances(config)
+    if not use_tol:
+        (x, z0, u0, z1, u1, zt, ut, z2, u2), fs = lax.scan(
+            step, init, None, length=n)
+        out = z2 if config.positivity else x
+        f_final = objective(out)
+        if track_objective:
+            hist = jnp.concatenate([f0[None], fs])
+        else:
+            hist = jnp.full((n + 1,), jnp.nan, dtype).at[0].set(f0)
+        return DeconvolutionResult(
+            out, f_final, jnp.asarray(n), jnp.asarray(n),
+            jnp.asarray(0), hist, jnp.full_like(hist, jnp.nan),
+        )
+
+    # Boyd §3.3 residual-controlled path — see admm_deconvolve. Splits:
+    # z0 = Hx (data paths), z1 = D_s x, zt = D_t x (temporal), z2 = x.
+    n_el = 1.0
+    for d_ in shape:
+        n_el *= float(d_)
+    p_el = n_el * (4.0 + (1.0 if data_split else 0.0)
+                   + (1.0 if temporal else 0.0))
+
+    def _convT(v):
+        return jnp.fft.irfftn(jnp.conj(k_hat)[None] * jnp.fft.rfftn(
+            v, axes=(1, 2, 3)), s=vol, axes=(1, 2, 3)).astype(dtype)
+
+    hist0 = jnp.full((n + 1,), jnp.nan, jnp.asarray(f0).dtype).at[0].set(f0)
+
+    def w_cond(st):
+        _, i, _, conv = st
+        return (~conv) & (i < n)
+
+    def w_body(st):
+        carry, i, hist, _ = st
+        z0_o, z1_o, zt_o, z2_o = carry[1], carry[3], carry[5], carry[7]
+        new_carry, f, dx, hx, dt = step_core(carry)
+        xn, z0n, u0n, z1n, u1n, ztn, utn, z2n, u2n = new_carry
+        i1 = i + 1
+        hist = hist.at[i1].set(f)
+        check = jnp.mod(i1, check_every) == 0
+
+        def _chk(_):
+            r_terms = [d - z for d, z in zip(dx, z1n)] + [xn - z2n]
+            ax_terms = list(dx) + [xn]
+            z_terms = list(z1n) + [z2n]
+            if temporal:
+                r_terms = r_terms + [dt - ztn]
+                ax_terms = ax_terms + [dt]
+                z_terms = z_terms + [ztn]
+            if data_split:
+                r_terms = r_terms + [hx - z0n]
+                ax_terms = ax_terms + [hx]
+                z_terms = z_terms + [z0n]
+
+            def dual_fn():
+                s_vec = (r1 * _sdiffs_adj([a - b for a, b in zip(z1n, z1_o)])
+                         + r2 * (z2n - z2_o))
+                aty = r1 * _sdiffs_adj(u1n) + r2 * u2n
+                if temporal:
+                    s_vec = s_vec + r1t * _tdiff_adj(ztn - zt_o)
+                    aty = aty + r1t * _tdiff_adj(utn)
+                if data_split:
+                    s_vec = s_vec + r0 * _convT(z0n - z0_o)
+                    aty = aty + r0 * _convT(u0n)
+                return s_vec, aty
+
+            return _boyd_criterion(r_terms, ax_terms, z_terms, dual_fn,
+                                   p_el, n_el, abstol, reltol)
+
+        conv = lax.cond(check, _chk, lambda _: jnp.asarray(False), None)
+        return new_carry, i1, hist, conv
+
+    st0 = (init, jnp.asarray(0, jnp.int32), hist0, jnp.asarray(False))
+    (x, z0, u0, z1, u1, zt, ut, z2, u2), k, hist, conv = lax.while_loop(
+        w_cond, w_body, st0)
     out = z2 if config.positivity else x
     f_final = objective(out)
-    n = int(config.max_iter)
-    if track_objective:
-        hist = jnp.concatenate([f0[None], fs])
-    else:
-        hist = jnp.full((n + 1,), jnp.nan, dtype).at[0].set(f0)
+    status = jnp.where(conv, 0, 1).astype(jnp.int32)
     return DeconvolutionResult(
-        out, f_final, jnp.asarray(n), jnp.asarray(n),
-        jnp.asarray(0), hist, jnp.full_like(hist, jnp.nan),
+        out, f_final, k, k, status, hist, jnp.full_like(hist, jnp.nan),
     )
 
 
@@ -821,8 +1033,9 @@ def admm_deconvolve_multichannel(
         htd = jnp.fft.irfftn(jnp.conj(k_hat) * jnp.fft.rfftn(data, axes=(1, 2, 3)),
                              s=vol, axes=(1, 2, 3)).astype(dtype)
 
-    def step(carry, _):
+    def step_core(carry):
         x, z0, u0, z1, u1, z2, u2 = carry
+        hx = None
         rhs = r1 * _sdiffs_adj([z - u for z, u in zip(z1, u1)]) + r2 * (z2 - u2)
         if data_split:
             x_hat = (r0 * jnp.conj(k_hat) * jnp.fft.rfftn(z0 - u0, axes=(1, 2, 3))
@@ -860,7 +1073,11 @@ def admm_deconvolve_multichannel(
         z2 = jnp.maximum(xr + u2, 0.0) if config.positivity else xr + u2
         u2 = u2 + xr - z2
         f = objective(z2) if track_objective else jnp.asarray(jnp.nan, dtype)
-        return (x, z0, u0, z1, u1, z2, u2), f
+        return (x, z0, u0, z1, u1, z2, u2), f, dx, hx
+
+    def step(carry, _):
+        new_carry, f, _, _ = step_core(carry)
+        return new_carry, f
 
     if data_split:
         z0 = jnp.fft.irfftn(k_hat * jnp.fft.rfftn(x, axes=(1, 2, 3)),
@@ -873,18 +1090,81 @@ def admm_deconvolve_multichannel(
     u1 = [jnp.zeros_like(g) for g in z1]
     z2 = x
     u2 = jnp.zeros_like(x)
-    (x, z0, u0, z1, u1, z2, u2), fs = lax.scan(
-        step, (x, z0, u0, z1, u1, z2, u2), None, length=int(config.max_iter))
+    init = (x, z0, u0, z1, u1, z2, u2)
+    n = int(config.max_iter)
+    abstol, reltol, check_every, use_tol = _admm_tolerances(config)
+    if not use_tol:
+        (x, z0, u0, z1, u1, z2, u2), fs = lax.scan(
+            step, init, None, length=n)
+        out = z2 if config.positivity else x
+        f_final = objective(out)
+        if track_objective:
+            hist = jnp.concatenate([f0[None], fs])
+        else:
+            hist = jnp.full((n + 1,), jnp.nan, dtype).at[0].set(f0)
+        return DeconvolutionResult(
+            out, f_final, jnp.asarray(n), jnp.asarray(n),
+            jnp.asarray(0), hist, jnp.full_like(hist, jnp.nan),
+        )
+
+    # Boyd §3.3 residual-controlled path — see admm_deconvolve. Splits:
+    # z0 = Hx per dye (data paths incl. mixing), z1 = D_s x, z2 = x.
+    n_el = 1.0
+    for d_ in x.shape:
+        n_el *= float(d_)
+    p_el = n_el * (4.0 + (1.0 if data_split else 0.0))
+
+    def _convT(v):
+        return jnp.fft.irfftn(jnp.conj(k_hat) * jnp.fft.rfftn(
+            v, axes=(1, 2, 3)), s=vol, axes=(1, 2, 3)).astype(dtype)
+
+    hist0 = jnp.full((n + 1,), jnp.nan, jnp.asarray(f0).dtype).at[0].set(f0)
+
+    def w_cond(st):
+        _, i, _, conv = st
+        return (~conv) & (i < n)
+
+    def w_body(st):
+        carry, i, hist, _ = st
+        z0_o, z1_o, z2_o = carry[1], carry[3], carry[5]
+        new_carry, f, dx, hx = step_core(carry)
+        xn, z0n, u0n, z1n, u1n, z2n, u2n = new_carry
+        i1 = i + 1
+        hist = hist.at[i1].set(f)
+        check = jnp.mod(i1, check_every) == 0
+
+        def _chk(_):
+            r_terms = [d - z for d, z in zip(dx, z1n)] + [xn - z2n]
+            ax_terms = list(dx) + [xn]
+            z_terms = list(z1n) + [z2n]
+            if data_split:
+                r_terms = r_terms + [hx - z0n]
+                ax_terms = ax_terms + [hx]
+                z_terms = z_terms + [z0n]
+
+            def dual_fn():
+                s_vec = (r1 * _sdiffs_adj([a - b for a, b in zip(z1n, z1_o)])
+                         + r2 * (z2n - z2_o))
+                aty = r1 * _sdiffs_adj(u1n) + r2 * u2n
+                if data_split:
+                    s_vec = s_vec + r0 * _convT(z0n - z0_o)
+                    aty = aty + r0 * _convT(u0n)
+                return s_vec, aty
+
+            return _boyd_criterion(r_terms, ax_terms, z_terms, dual_fn,
+                                   p_el, n_el, abstol, reltol)
+
+        conv = lax.cond(check, _chk, lambda _: jnp.asarray(False), None)
+        return new_carry, i1, hist, conv
+
+    st0 = (init, jnp.asarray(0, jnp.int32), hist0, jnp.asarray(False))
+    (x, z0, u0, z1, u1, z2, u2), k, hist, conv = lax.while_loop(
+        w_cond, w_body, st0)
     out = z2 if config.positivity else x
     f_final = objective(out)
-    n = int(config.max_iter)
-    if track_objective:
-        hist = jnp.concatenate([f0[None], fs])
-    else:
-        hist = jnp.full((n + 1,), jnp.nan, dtype).at[0].set(f0)
+    status = jnp.where(conv, 0, 1).astype(jnp.int32)
     return DeconvolutionResult(
-        out, f_final, jnp.asarray(n), jnp.asarray(n),
-        jnp.asarray(0), hist, jnp.full_like(hist, jnp.nan),
+        out, f_final, k, k, status, hist, jnp.full_like(hist, jnp.nan),
     )
 
 
@@ -1040,8 +1320,10 @@ def admm_deconvolve_timeseries_multichannel(
         htd = jnp.fft.irfftn(jnp.conj(k_hat) * jnp.fft.rfftn(data, axes=(2, 3, 4)),
                              s=vol, axes=(2, 3, 4)).astype(dtype)
 
-    def step(carry, _):
+    def step_core(carry):
         x, z0, u0, z1, u1, zt, ut, z2, u2 = carry
+        hx = None
+        dt = None
         rhs = r1 * _sdiffs_adj([z - u for z, u in zip(z1, u1)]) + r2 * (z2 - u2)
         if temporal:
             rhs = rhs + r1t * ((jnp.roll(zt - ut, 1, axis=0)) - (zt - ut))
@@ -1088,7 +1370,11 @@ def admm_deconvolve_timeseries_multichannel(
         z2 = jnp.maximum(xr + u2, 0.0) if config.positivity else xr + u2
         u2 = u2 + xr - z2
         f = objective(z2) if track_objective else jnp.asarray(jnp.nan, dtype)
-        return (x, z0, u0, z1, u1, zt, ut, z2, u2), f
+        return (x, z0, u0, z1, u1, zt, ut, z2, u2), f, dx, hx, dt
+
+    def step(carry, _):
+        new_carry, f, _, _, _ = step_core(carry)
+        return new_carry, f
 
     if data_split:
         z0 = jnp.fft.irfftn(k_hat * jnp.fft.rfftn(x, axes=(2, 3, 4)),
@@ -1107,17 +1393,90 @@ def admm_deconvolve_timeseries_multichannel(
         ut = jnp.zeros((0,), dtype)
     z2 = x
     u2 = jnp.zeros_like(x)
-    (x, z0, u0, z1, u1, zt, ut, z2, u2), fs = lax.scan(
-        step, (x, z0, u0, z1, u1, zt, ut, z2, u2), None,
-        length=int(config.max_iter))
+    init = (x, z0, u0, z1, u1, zt, ut, z2, u2)
+    n = int(config.max_iter)
+    abstol, reltol, check_every, use_tol = _admm_tolerances(config)
+    if not use_tol:
+        (x, z0, u0, z1, u1, zt, ut, z2, u2), fs = lax.scan(
+            step, init, None, length=n)
+        out = z2 if config.positivity else x
+        f_final = objective(out)
+        if track_objective:
+            hist = jnp.concatenate([f0[None], fs])
+        else:
+            hist = jnp.full((n + 1,), jnp.nan, dtype).at[0].set(f0)
+        return DeconvolutionResult(
+            out, f_final, jnp.asarray(n), jnp.asarray(n),
+            jnp.asarray(0), hist, jnp.full_like(hist, jnp.nan),
+        )
+
+    # Boyd §3.3 residual-controlled path — see admm_deconvolve. Splits:
+    # z0 = Hx per dye (data paths), z1 = D_s x, zt = D_t x, z2 = x.
+    n_el = 1.0
+    for d_ in x.shape:
+        n_el *= float(d_)
+    p_el = n_el * (4.0 + (1.0 if data_split else 0.0)
+                   + (1.0 if temporal else 0.0))
+
+    def _convT(v):
+        return jnp.fft.irfftn(jnp.conj(k_hat) * jnp.fft.rfftn(
+            v, axes=(2, 3, 4)), s=vol, axes=(2, 3, 4)).astype(dtype)
+
+    def _tadj(g):
+        return jnp.roll(g, 1, axis=0) - g
+
+    hist0 = jnp.full((n + 1,), jnp.nan, jnp.asarray(f0).dtype).at[0].set(f0)
+
+    def w_cond(st):
+        _, i, _, conv = st
+        return (~conv) & (i < n)
+
+    def w_body(st):
+        carry, i, hist, _ = st
+        z0_o, z1_o, zt_o, z2_o = carry[1], carry[3], carry[5], carry[7]
+        new_carry, f, dx, hx, dt = step_core(carry)
+        xn, z0n, u0n, z1n, u1n, ztn, utn, z2n, u2n = new_carry
+        i1 = i + 1
+        hist = hist.at[i1].set(f)
+        check = jnp.mod(i1, check_every) == 0
+
+        def _chk(_):
+            r_terms = [d - z for d, z in zip(dx, z1n)] + [xn - z2n]
+            ax_terms = list(dx) + [xn]
+            z_terms = list(z1n) + [z2n]
+            if temporal:
+                r_terms = r_terms + [dt - ztn]
+                ax_terms = ax_terms + [dt]
+                z_terms = z_terms + [ztn]
+            if data_split:
+                r_terms = r_terms + [hx - z0n]
+                ax_terms = ax_terms + [hx]
+                z_terms = z_terms + [z0n]
+
+            def dual_fn():
+                s_vec = (r1 * _sdiffs_adj([a - b for a, b in zip(z1n, z1_o)])
+                         + r2 * (z2n - z2_o))
+                aty = r1 * _sdiffs_adj(u1n) + r2 * u2n
+                if temporal:
+                    s_vec = s_vec + r1t * _tadj(ztn - zt_o)
+                    aty = aty + r1t * _tadj(utn)
+                if data_split:
+                    s_vec = s_vec + r0 * _convT(z0n - z0_o)
+                    aty = aty + r0 * _convT(u0n)
+                return s_vec, aty
+
+            return _boyd_criterion(r_terms, ax_terms, z_terms, dual_fn,
+                                   p_el, n_el, abstol, reltol)
+
+        conv = lax.cond(check, _chk, lambda _: jnp.asarray(False), None)
+        return new_carry, i1, hist, conv
+
+    st0 = (init, jnp.asarray(0, jnp.int32), hist0, jnp.asarray(False))
+    (x, z0, u0, z1, u1, zt, ut, z2, u2), k, hist, conv = lax.while_loop(
+        w_cond, w_body, st0)
     out = z2 if config.positivity else x
     f_final = objective(out)
-    n = int(config.max_iter)
-    if track_objective:
-        hist = jnp.concatenate([f0[None], fs])
-    else:
-        hist = jnp.full((n + 1,), jnp.nan, dtype).at[0].set(f0)
+    status = jnp.where(conv, 0, 1).astype(jnp.int32)
     return DeconvolutionResult(
-        out, f_final, jnp.asarray(n), jnp.asarray(n),
-        jnp.asarray(0), hist, jnp.full_like(hist, jnp.nan),
+        out, f_final, k, k, status, hist, jnp.full_like(hist, jnp.nan),
     )

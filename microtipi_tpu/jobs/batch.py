@@ -39,8 +39,11 @@ def batched_deconvolve(
     (BASELINE.md), so the standard auto rule applies unmodified.
 
     ``engine="admm"`` vmaps the round-4 seconds-to-quality engine instead
-    (``jobs.admm.admm_deconvolve``, fixed ``config.max_iter`` per lane —
-    no lockstep line searches at all; BASELINE.md engine head-to-head).
+    (``jobs.admm.admm_deconvolve``, ``config.max_iter`` per lane — no
+    lockstep line searches at all; BASELINE.md engine head-to-head).
+    ``config.admm_abstol``/``admm_reltol`` compose: each lane stops at its
+    own Boyd §3.3 residual test (converged lanes freeze under the batched
+    while_loop; the batch runs until the slowest lane stops).
     """
     if engine == "admm":
         from microtipi_tpu.jobs.admm import admm_deconvolve

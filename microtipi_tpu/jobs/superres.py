@@ -311,7 +311,7 @@ def admm_deconvolve_superres(
             corr = -w_d * (s_v - data) / (rr0 + w_d * nblk)
         return v + upsample_volume(corr, factor) * nblk
 
-    def step(carry, _):
+    def step_core(carry):
         x, z0, u0, z1, u1, z2, u2 = carry
         rhs = r1 * _circ_diffs_adjoint(
             [z - u for z, u in zip(z1, u1)], scales) + r2 * (z2 - u2)
@@ -337,7 +337,11 @@ def admm_deconvolve_superres(
         z2 = jnp.maximum(xr + u2, 0.0) if config.positivity else xr + u2
         u2 = u2 + xr - z2
         f = objective(z2) if track_objective else jnp.asarray(jnp.nan, dtype)
-        return (x, z0, u0, z1, u1, z2, u2), f
+        return (x, z0, u0, z1, u1, z2, u2), f, dx, hx
+
+    def step(carry, _):
+        new_carry, f, _, _ = step_core(carry)
+        return new_carry, f
 
     if x0 is None:
         x0 = upsample_volume(data, factor)
@@ -359,16 +363,78 @@ def admm_deconvolve_superres(
     u2 = jnp.zeros_like(x)
     from jax import lax
 
-    (x, z0, u0, z1, u1, z2, u2), fs = lax.scan(
-        step, (x, z0, u0, z1, u1, z2, u2), None, length=int(config.max_iter))
+    from microtipi_tpu.jobs.admm import _admm_tolerances, _boyd_criterion
+
+    init = (x, z0, u0, z1, u1, z2, u2)
+    n = int(config.max_iter)
+    abstol, reltol, check_every, use_tol = _admm_tolerances(config)
+    if not use_tol:
+        (x, z0, u0, z1, u1, z2, u2), fs = lax.scan(
+            step, init, None, length=n)
+        out = z2 if config.positivity else x
+        f_final = objective(out)
+        if track_objective:
+            hist = jnp.concatenate([f0[None], fs])
+        else:
+            hist = jnp.full((n + 1,), jnp.nan, dtype).at[0].set(f0)
+        return DeconvolutionResult(
+            out, f_final, jnp.asarray(n), jnp.asarray(n),
+            jnp.asarray(0), hist, jnp.full_like(hist, jnp.nan),
+        )
+
+    # Boyd §3.3 residual-controlled path — see jobs.admm.admm_deconvolve.
+    # Splits: z0 = h_fine (*) x (always — the binned data term lives in its
+    # prox), z1 = Dx, z2 = x, all on the fine grid.
+    n_el = 1.0
+    for d_ in fine_shape:
+        n_el *= float(d_)
+    p_el = n_el * 5.0
+
+    def _convT(v):
+        return jnp.fft.irfftn(jnp.conj(k_hat) * jnp.fft.rfftn(v),
+                              s=fine_shape).astype(dtype)
+
+    hist0 = jnp.full((n + 1,), jnp.nan, jnp.asarray(f0).dtype).at[0].set(f0)
+
+    def w_cond(st):
+        _, i, _, conv = st
+        return (~conv) & (i < n)
+
+    def w_body(st):
+        carry, i, hist, _ = st
+        z0_o, z1_o, z2_o = carry[1], carry[3], carry[5]
+        new_carry, f, dx, hx = step_core(carry)
+        xn, z0n, u0n, z1n, u1n, z2n, u2n = new_carry
+        i1 = i + 1
+        hist = hist.at[i1].set(f)
+        check = jnp.mod(i1, check_every) == 0
+
+        def _chk(_):
+            r_terms = ([d - z for d, z in zip(dx, z1n)]
+                       + [xn - z2n, hx - z0n])
+            ax_terms = list(dx) + [xn, hx]
+            z_terms = list(z1n) + [z2n, z0n]
+
+            def dual_fn():
+                s_vec = (r1 * _circ_diffs_adjoint(
+                    [a - b for a, b in zip(z1n, z1_o)], scales)
+                    + r2 * (z2n - z2_o) + r0 * _convT(z0n - z0_o))
+                aty = (r1 * _circ_diffs_adjoint(u1n, scales) + r2 * u2n
+                       + r0 * _convT(u0n))
+                return s_vec, aty
+
+            return _boyd_criterion(r_terms, ax_terms, z_terms, dual_fn,
+                                   p_el, n_el, abstol, reltol)
+
+        conv = lax.cond(check, _chk, lambda _: jnp.asarray(False), None)
+        return new_carry, i1, hist, conv
+
+    st0 = (init, jnp.asarray(0, jnp.int32), hist0, jnp.asarray(False))
+    (x, z0, u0, z1, u1, z2, u2), k, hist, conv = lax.while_loop(
+        w_cond, w_body, st0)
     out = z2 if config.positivity else x
     f_final = objective(out)
-    n = int(config.max_iter)
-    if track_objective:
-        hist = jnp.concatenate([f0[None], fs])
-    else:
-        hist = jnp.full((n + 1,), jnp.nan, dtype).at[0].set(f0)
+    status = jnp.where(conv, 0, 1).astype(jnp.int32)
     return DeconvolutionResult(
-        out, f_final, jnp.asarray(n), jnp.asarray(n),
-        jnp.asarray(0), hist, jnp.full_like(hist, jnp.nan),
+        out, f_final, k, k, status, hist, jnp.full_like(hist, jnp.nan),
     )

@@ -136,12 +136,20 @@ def minimize_vmlmb(
     ls_xtol: float = 1e-17,
     ls_max_evals: int = 20,
     mem_dtype=None,
+    maxiter_cap=None,
 ) -> VMLMBResult:
     """Minimize ``fun`` from ``x0``; see module docstring for semantics.
 
     ``maxeval`` defaults to ``2 * maxiter`` like the reference's
     ``setMaximumIterations`` (``PSF_Estimation.java:270-273``). ``mem`` and the
-    iteration caps are static (they size buffers / bound loops).
+    iteration caps are static (they size buffers / bound loops) — except
+    ``maxiter_cap``/``maxeval``, which may be TRACED values when a caller
+    continues a budget mid-program (the f32 stall-continuation in
+    ``jobs.deconv``): ``maxiter`` keeps sizing the history buffers while
+    ``maxiter_cap`` (<= maxiter; default ``maxiter``) bounds the iteration
+    count dynamically. A ``maxiter_cap <= 0`` (or an exhausted ``maxeval``)
+    returns after the initial evaluation with the CONVERGED status — the
+    caller is expected to guard/ignore that case.
 
     ``mem_dtype`` (e.g. ``jnp.bfloat16``) stores the L-BFGS ``s``/``y``
     history in a narrower dtype than the iterate: halves the two-loop's HBM
@@ -152,6 +160,8 @@ def minimize_vmlmb(
     """
     if maxeval is None:
         maxeval = 2 * maxiter
+    cap = jnp.asarray(maxiter if maxiter_cap is None else maxiter_cap,
+                      jnp.int32)
 
     bounded = lower is not None or upper is not None
     x0 = jax.tree.map(jnp.asarray, x0)
@@ -193,7 +203,9 @@ def minimize_vmlmb(
         gamma=jnp.ones((), f_dtype), head=jnp.asarray(0, jnp.int32),
         alpha_prev=jnp.ones((), f_dtype),
         iters=jnp.asarray(0, jnp.int32), evals=jnp.asarray(1, jnp.int32),
-        done=pg0norm <= gstop, status=jnp.asarray(VMLMBStatus.CONVERGED, jnp.int32),
+        done=(pg0norm <= gstop) | (cap <= 0)
+             | (jnp.asarray(maxeval, jnp.int32) <= 1),
+        status=jnp.asarray(VMLMBStatus.CONVERGED, jnp.int32),
         hist_f=hist_f, hist_pg=hist_pg,
     )
 
@@ -308,7 +320,7 @@ def minimize_vmlmb(
         hist_pg = s["hist_pg"].at[iters].set(pgnorm)
 
         converged = pgnorm <= gstop
-        done = converged | (iters >= maxiter) | (evals >= maxeval) | (~ls_ok) | no_descent
+        done = converged | (iters >= cap) | (evals >= maxeval) | (~ls_ok) | no_descent
         # MAX_EVAL outranks LINESEARCH_FAIL: a search truncated by the global
         # eval budget reports budget exhaustion, not failure.
         status = jnp.where(

@@ -38,6 +38,8 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from microtipi_tpu.jobs.admm import (
+    _admm_tolerances,
+    _boyd_criterion,
     _check_config,
     _circ_diffs,
     _circ_diffs_adjoint,
@@ -161,8 +163,9 @@ def sharded_admm_deconvolve(
     else:
         den = h2 + r1 * s2 + r2
 
-    def step(carry, _):
+    def step_core(carry):
         x, z0, u0, z1, u1, z2, u2 = carry
+        hx = None
         rhs = r1 * _circ_diffs_adjoint(
             [z - u for z, u in zip(z1, u1)], scales) + r2 * (z2 - u2)
         if data_split:
@@ -191,7 +194,11 @@ def sharded_admm_deconvolve(
         u1 = [u + d - z for u, d, z in zip(u1, dxr, z1)]
         u2 = u2 + xr - z2
         f = objective(z2) if track_objective else jnp.asarray(jnp.nan, dtype)
-        return (x, z0, u0, z1, u1, z2, u2), f
+        return (x, z0, u0, z1, u1, z2, u2), f, dx, hx
+
+    def step(carry, _):
+        new_carry, f, _, _ = step_core(carry)
+        return new_carry, f
 
     if data_split:
         z0 = sharded_irfftn(h_hat * sharded_rfftn(x, mesh), shape, mesh).astype(dtype)
@@ -199,16 +206,82 @@ def sharded_admm_deconvolve(
     else:
         z0 = jnp.zeros((0,), dtype)
         u0 = jnp.zeros((0,), dtype)
-    (x, z0, u0, z1, u1, z2, u2), fs = lax.scan(
-        step, (x, z0, u0, z1, u1, z2, u2), None, length=int(config.max_iter))
+    init = (x, z0, u0, z1, u1, z2, u2)
+    n = int(config.max_iter)
+    abstol, reltol, check_every, use_tol = _admm_tolerances(config)
+    if not use_tol:
+        (x, z0, u0, z1, u1, z2, u2), fs = lax.scan(
+            step, init, None, length=n)
+        out = z2 if config.positivity else x
+        f_final = objective(out)
+        if track_objective:
+            hist = jnp.concatenate([f0[None], fs])
+        else:
+            hist = jnp.full((n + 1,), jnp.nan, dtype).at[0].set(f0)
+        return DeconvolutionResult(
+            out, f_final, jnp.asarray(n), jnp.asarray(n),
+            jnp.asarray(0), hist, jnp.full_like(hist, jnp.nan),
+        )
+
+    # Boyd §3.3 residual-controlled path — the dense engine's criterion
+    # verbatim (jobs.admm.admm_deconvolve); the residual norms are global
+    # reductions GSPMD lowers to all-reduces, and the two H^T applications
+    # per check ride the distributed transpose FFT.
+    n_el = 1.0
+    for d_ in shape:
+        n_el *= float(d_)
+    p_el = n_el * (4.0 + (1.0 if data_split else 0.0))
+
+    def _convT(v):
+        return sharded_irfftn(jnp.conj(h_hat) * sharded_rfftn(v, mesh),
+                              shape, mesh).astype(dtype)
+
+    hist0 = jnp.full((n + 1,), jnp.nan, jnp.asarray(f0).dtype).at[0].set(f0)
+
+    def w_cond(st):
+        _, i, _, conv = st
+        return (~conv) & (i < n)
+
+    def w_body(st):
+        carry, i, hist, _ = st
+        z0_o, z1_o, z2_o = carry[1], carry[3], carry[5]
+        new_carry, f, dx, hx = step_core(carry)
+        xn, z0n, u0n, z1n, u1n, z2n, u2n = new_carry
+        i1 = i + 1
+        hist = hist.at[i1].set(f)
+        check = jnp.mod(i1, check_every) == 0
+
+        def _chk(_):
+            r_terms = [d - z for d, z in zip(dx, z1n)] + [xn - z2n]
+            ax_terms = list(dx) + [xn]
+            z_terms = list(z1n) + [z2n]
+            if data_split:
+                r_terms = r_terms + [hx - z0n]
+                ax_terms = ax_terms + [hx]
+                z_terms = z_terms + [z0n]
+
+            def dual_fn():
+                s_vec = (r1 * _circ_diffs_adjoint(
+                    [a - b for a, b in zip(z1n, z1_o)], scales)
+                    + r2 * (z2n - z2_o))
+                aty = r1 * _circ_diffs_adjoint(u1n, scales) + r2 * u2n
+                if data_split:
+                    s_vec = s_vec + r0 * _convT(z0n - z0_o)
+                    aty = aty + r0 * _convT(u0n)
+                return s_vec, aty
+
+            return _boyd_criterion(r_terms, ax_terms, z_terms, dual_fn,
+                                   p_el, n_el, abstol, reltol)
+
+        conv = lax.cond(check, _chk, lambda _: jnp.asarray(False), None)
+        return new_carry, i1, hist, conv
+
+    st0 = (init, jnp.asarray(0, jnp.int32), hist0, jnp.asarray(False))
+    (x, z0, u0, z1, u1, z2, u2), k, hist, conv = lax.while_loop(
+        w_cond, w_body, st0)
     out = z2 if config.positivity else x
     f_final = objective(out)
-    n = int(config.max_iter)
-    if track_objective:
-        hist = jnp.concatenate([f0[None], fs])
-    else:
-        hist = jnp.full((n + 1,), jnp.nan, dtype).at[0].set(f0)
+    status = jnp.where(conv, 0, 1).astype(jnp.int32)
     return DeconvolutionResult(
-        out, f_final, jnp.asarray(n), jnp.asarray(n),
-        jnp.asarray(0), hist, jnp.full_like(hist, jnp.nan),
+        out, f_final, k, k, status, hist, jnp.full_like(hist, jnp.nan),
     )

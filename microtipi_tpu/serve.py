@@ -209,8 +209,10 @@ def watch(
     the fast fixed-PSF solve with the calibrated PSF — parameters transfer
     across volume shapes because they live on the pupil, not the grid.
     ``method``: "vmlmb" (default), "rl", "admm" (the round-4
-    seconds-to-quality engine — fixed ``config.max_iter`` iterations per
-    file, same TV objective; BASELINE.md engine head-to-head), or the
+    seconds-to-quality engine — ``config.max_iter`` iterations per file,
+    same TV objective, BASELINE.md engine head-to-head;
+    ``config.admm_abstol``/``admm_reltol`` switch it to Boyd §3.3
+    residual-controlled stopping with ``max_iter`` as the cap), or the
     blind variants below.
     Blind methods take ``model_factory(shape) -> PsfModel config`` (and an
     optional ``blind_config``) instead of ``psf_path``.
@@ -367,8 +369,9 @@ def watch(
             elif method == "admm":
                 # Serving wants throughput: the ADMM engine reaches matched
                 # reconstruction quality ~5x faster than VMLMB at scale
-                # (BASELINE.md round-4 engine head-to-head); fixed
-                # config.max_iter iterations per file.
+                # (BASELINE.md round-4 engine head-to-head). config.max_iter
+                # iterations per file; config.admm_abstol/admm_reltol make
+                # that a cap with Boyd §3.3 residual stopping underneath.
                 from microtipi_tpu.jobs.admm import admm_deconvolve
 
                 def run(d, psf=psf):

@@ -573,3 +573,170 @@ def test_zero_weight_nan_exclusion_every_weighted_path():
     r = admm_deconvolve_superres(dbad, psf_fine, (1, 2, 2), weights=wc,
                                  config=cfg)
     assert np.isfinite(np.asarray(r.x)).all() and np.isfinite(float(r.f))
+
+
+# ---------------------------------------------------------------------------
+# Boyd §3.3 residual-controlled stopping (round 5: admm_abstol/admm_reltol)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("variant", ["uniform", "weighted", "poisson",
+                                     "adaptive"])
+def test_admm_residual_stopping_dense(variant):
+    """admm_abstol/admm_reltol (Boyd 2011 §3.3) on the dense engine:
+    a practical tolerance stops early (status 0) at the long fixed run's
+    objective; an unreachable tolerance runs the budget out (status 1) on
+    the EXACT fixed-iteration trajectory (f_history pins the while_loop
+    path to the lax.scan path)."""
+    rng = np.random.default_rng(7)
+    data, psf, _ = _periodic_problem(jax.random.PRNGKey(60))
+    w = None
+    kw = {}
+    cfgkw = {}
+    if variant == "weighted":
+        w = jnp.asarray(0.5 + rng.random(data.shape))
+    elif variant == "poisson":
+        data = jnp.maximum(data, 0.0) + 1.0
+        cfgkw = dict(data_term="poisson", background=0.5)
+    elif variant == "adaptive":
+        kw = dict(adaptive_rho=True)
+    base = dict(mu=0.02, epsilon=0.1, **cfgkw)
+    ref = admm_deconvolve(data, psf, weights=w,
+                          config=DeconvolutionConfig(max_iter=400, **base),
+                          **kw)
+    res = admm_deconvolve(
+        data, psf, weights=w,
+        config=DeconvolutionConfig(max_iter=400, admm_reltol=1e-3,
+                                   admm_abstol=1e-6, **base), **kw)
+    k = int(res.iterations)
+    assert k < 400 and int(res.status) == 0, (variant, k, int(res.status))
+    assert float(res.f) <= float(ref.f) * 1.001 + 1e-9, (variant,)
+    hist = np.asarray(res.f_history)
+    assert np.isfinite(hist[: k + 1]).all()
+    assert np.isnan(hist[k + 1:]).all()
+
+    # unreachable tolerance == fixed-iteration trajectory, budget status
+    rz = admm_deconvolve(
+        data, psf, weights=w,
+        config=DeconvolutionConfig(max_iter=25, admm_reltol=1e-300, **base),
+        **kw)
+    rf = admm_deconvolve(
+        data, psf, weights=w,
+        config=DeconvolutionConfig(max_iter=25, **base), **kw)
+    assert int(rz.iterations) == 25 and int(rz.status) == 1
+    np.testing.assert_allclose(np.asarray(rz.f_history),
+                               np.asarray(rf.f_history), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(rz.x), np.asarray(rf.x), rtol=1e-12)
+
+
+def test_admm_residual_stopping_rollout():
+    """The tolerance surface is live on every rolled-out ADMM engine:
+    4D time-series (temporal split), multichannel (coupled prox + mixing),
+    5D, and superres (binned data prox) each stop early at a practical
+    tolerance with the long run's objective."""
+    from microtipi_tpu.jobs.admm import (
+        admm_deconvolve_multichannel, admm_deconvolve_timeseries,
+        admm_deconvolve_timeseries_multichannel)
+    from microtipi_tpu.jobs.superres import admm_deconvolve_superres
+
+    tol = dict(admm_reltol=1e-3, admm_abstol=1e-6)
+
+    def _pin(res, ref, tag):
+        assert int(res.iterations) < int(ref.iterations), tag
+        assert int(res.status) == 0, tag
+        assert float(res.f) <= float(ref.f) * 1.002 + 1e-9, (
+            tag, float(res.f), float(ref.f))
+
+    data, psf, _ = _periodic_problem(jax.random.PRNGKey(61))
+    series = jnp.stack([data, data * 0.9])
+    cfg_l = DeconvolutionConfig(mu=0.02, epsilon=0.1, max_iter=800)
+    cfg_t = DeconvolutionConfig(mu=0.02, epsilon=0.1, max_iter=800, **tol)
+    ref = admm_deconvolve_timeseries(series, psf, config=cfg_l, mu_t=0.05,
+                                     bleach=jnp.asarray([1.0, 0.9]))
+    res = admm_deconvolve_timeseries(series, psf, config=cfg_t, mu_t=0.05,
+                                     bleach=jnp.asarray([1.0, 0.9]))
+    _pin(res, ref, "timeseries")
+
+    cdata, psfs = _chromatic_scene(jax.random.PRNGKey(62))
+    m = jnp.asarray([[0.8, 0.3], [0.2, 0.7]], jnp.float64)
+    mixed = jnp.einsum("ck,kzyx->czyx", m, jnp.maximum(cdata, 0.0))
+    ref = admm_deconvolve_multichannel(mixed, psfs, config=cfg_l, mixing=m)
+    res = admm_deconvolve_multichannel(mixed, psfs, config=cfg_t, mixing=m)
+    _pin(res, ref, "multichannel")
+
+    five = jnp.stack([cdata, cdata * 0.9])
+    ref = admm_deconvolve_timeseries_multichannel(five, psfs, config=cfg_l,
+                                                  mu_t=0.05)
+    res = admm_deconvolve_timeseries_multichannel(five, psfs, config=cfg_t,
+                                                  mu_t=0.05)
+    _pin(res, ref, "5d")
+
+    truth, psf_fine, _ = _periodic_problem(jax.random.PRNGKey(63),
+                                           (4, 20, 20), noise=0.0)
+    conv = jnp.fft.irfftn(jnp.fft.rfftn(truth) * jnp.fft.rfftn(psf_fine),
+                          s=(4, 20, 20), axes=(0, 1, 2))
+    d = conv.reshape(4, 1, 10, 2, 10, 2).sum(axis=(1, 3, 5))
+    ref = admm_deconvolve_superres(d, psf_fine, (1, 2, 2), config=cfg_l)
+    res = admm_deconvolve_superres(d, psf_fine, (1, 2, 2), config=cfg_t)
+    _pin(res, ref, "superres")
+
+
+def test_admm_residual_stopping_sharded_and_batched():
+    """Tolerance parity across execution surfaces: the sharded engine stops
+    at the same iteration with the same f as the dense engine, and the
+    batched (vmapped) engine stops each lane independently (a converged
+    lane freezes; per-lane x equals the corresponding unbatched solve)."""
+    import os
+
+    from microtipi_tpu.jobs.batch import batched_deconvolve
+
+    data, psf, _ = _periodic_problem(jax.random.PRNGKey(64), (8, 16, 16))
+    cfg = DeconvolutionConfig(mu=0.02, epsilon=0.1, max_iter=400,
+                              admm_reltol=1e-3, admm_abstol=1e-6)
+    ref = admm_deconvolve(data, psf, config=cfg)
+    assert int(ref.status) == 0 and int(ref.iterations) < 400
+
+    if jax.device_count() >= 8:
+        from microtipi_tpu.parallel.admm import sharded_admm_deconvolve
+        from microtipi_tpu.parallel.mesh import make_mesh, volume_sharding
+
+        mesh = make_mesh(batch=1, z=8)
+        data_sh = jax.device_put(data, volume_sharding(mesh, batched=False))
+        got = sharded_admm_deconvolve(data_sh, psf, mesh, config=cfg)
+        assert int(got.iterations) == int(ref.iterations)
+        assert int(got.status) == 0
+        np.testing.assert_allclose(float(got.f), float(ref.f), rtol=1e-8)
+
+    noisy = data + 0.3 * jnp.asarray(
+        np.random.default_rng(0).normal(0, 1, data.shape))
+    batch = jnp.stack([data, noisy])
+    got_b = batched_deconvolve(batch, psf, config=cfg, engine="admm")
+    uref0 = admm_deconvolve(data, psf, config=cfg, track_objective=False)
+    uref1 = admm_deconvolve(noisy, psf, config=cfg, track_objective=False)
+    its = np.asarray(got_b.iterations)
+    assert its[0] == int(uref0.iterations) and its[1] == int(uref1.iterations)
+    np.testing.assert_allclose(np.asarray(got_b.x[0]), np.asarray(uref0.x),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(got_b.x[1]), np.asarray(uref1.x),
+                               rtol=1e-10, atol=1e-12)
+
+
+def test_admm_tolerance_config_guards_and_cli_plumbing():
+    from microtipi_tpu.jobs.admm import _admm_tolerances
+
+    with pytest.raises(ValueError, match=">= 0"):
+        _admm_tolerances(DeconvolutionConfig(admm_reltol=-1.0))
+    # CLI flags land on the config (cli/shared._deconv_config; flag
+    # registration itself is pinned by the --help snapshot test)
+    import argparse
+
+    from microtipi_tpu.cli.shared import _deconv_args, _deconv_config
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("stack")
+    _deconv_args(ap, methods=("vmlmb", "rl", "admm", "fista"))
+    args = ap.parse_args(["in.tif", "--method", "admm",
+                          "--admm-reltol", "1e-3", "--admm-abstol", "1e-7"])
+    args.pad = 0
+    cfg = _deconv_config(args, (8, 16, 16))
+    assert cfg.admm_reltol == 1e-3 and cfg.admm_abstol == 1e-7

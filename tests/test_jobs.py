@@ -842,3 +842,53 @@ def test_blind_windowed_fit_guards():
     with pytest.raises(ValueError, match="exceeds"):
         bd(data, model, config=cfg2)
 
+
+
+def test_f32_stall_continuation_reaches_f64_optimum():
+    """VERDICT r4 item 2: an f32 uniform-Gaussian solve whose quadratic
+    fast path exhausts its eps*c value resolution (LINESEARCH_FAIL
+    mid-budget) must continue on the residual-form objective and land at
+    the f64 optimum — not 3.5x above it. The large-DC scene makes
+    c = 0.5||d||^2 huge relative to f, the documented stall mechanism
+    (jobs/deconv._f32_stall_continue; BASELINE.md round 5)."""
+    from microtipi_tpu.jobs.deconv import make_objective
+    from microtipi_tpu.optim.vmlmb import VMLMBStatus, minimize_vmlmb
+
+    shape = (16, 48, 48)
+    rng = np.random.default_rng(0)
+    truth = (np.maximum(rng.normal(0, 1, shape), 0)
+             * (rng.random(shape) < 0.02) * 300 + 2000.0)
+    zz, yy, xx = np.meshgrid(*(np.arange(n) for n in shape), indexing="ij")
+    cz, cy, cx = (n // 2 for n in shape)
+    g = np.exp(-((zz - cz) ** 2 / 6 + (yy - cy) ** 2 / 5 + (xx - cx) ** 2 / 5))
+    psf = np.fft.ifftshift(g / g.sum())
+    data = np.fft.irfftn(np.fft.rfftn(truth) * np.fft.rfftn(psf), s=shape,
+                         axes=(0, 1, 2))
+    data = data + 0.002 * 300 * rng.standard_normal(shape)
+
+    cfg = DeconvolutionConfig(mu=0.01, epsilon=1.0, max_iter=400,
+                              max_eval=100000, grtol=0.0, gatol=0.0)
+    r64 = deconvolve(jnp.asarray(data), jnp.asarray(psf), config=cfg)
+
+    d32 = jnp.asarray(data, jnp.float32)
+    p32 = jnp.asarray(psf, jnp.float32)
+    # the uncured quadratic path stalls early (the mechanism precondition)
+    rq = minimize_vmlmb(
+        make_objective(p32, d32, None, cfg), jnp.maximum(d32, 0.0),
+        lower=0.0, mem=5, maxiter=400, maxeval=100000, gatol=0.0, grtol=0.0)
+    assert int(rq.status) == VMLMBStatus.LINESEARCH_FAIL
+    assert int(rq.iterations) < 50
+
+    r32 = deconvolve(d32, p32, config=cfg)
+    assert int(r32.iterations) > int(rq.iterations) + 20  # it continued
+
+    fg64 = make_objective(jnp.asarray(psf), jnp.asarray(data), None, cfg)
+    f_star = float(r64.f)
+    f_cured = float(fg64(jnp.asarray(np.asarray(r32.x), jnp.float64))[0])
+    f_stall = float(fg64(jnp.asarray(np.asarray(rq.x), jnp.float64))[0])
+    assert f_stall > 2.0 * f_star          # the stall is real on this scene
+    assert f_cured <= f_star * 1.01        # the cure lands at the optimum
+    # merged bookkeeping is sane
+    assert int(r32.evaluations) > int(rq.evaluations)
+    hist = np.asarray(r32.f_history)
+    assert np.isfinite(hist[: int(r32.iterations) + 1]).all()
