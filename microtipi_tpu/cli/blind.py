@@ -262,12 +262,86 @@ def _cmd_blind_depthvar(args):
         print("wrote", args.report)
 
 
+def _cmd_blind_tiled(args):
+    """``blind --tile``: the out-of-core loop (jobs/tiled_blind.py)."""
+    import json
+
+    import numpy as np
+
+    for flag, name in (("mesh", "--mesh"), ("checkpoint", "--checkpoint"),
+                       ("bead", "--bead"), ("all_channels", "--all-channels"),
+                       ("depthvar", "--depthvar"),
+                       ("uncertainty", "--uncertainty"),
+                       ("auto_mu", "--auto-mu"), ("auto_gain", "--auto-gain")):
+        if getattr(args, flag, None):
+            sys.exit(f"blind --tile does not compose with {name}")
+    if getattr(args, "gain", 0.0):
+        sys.exit("blind --tile is uniform-weights only (the streamed fit's "
+                 "quadratic reduction needs them); drop --gain")
+    from microtipi_tpu.jobs.tiled_blind import blind_deconvolve_tiled
+
+    data = np.asarray(_read_input_volume(args, args.data))
+    _resolve_geometry(args, args.data)
+    support = getattr(args, "psf_support", None)
+    if support is None:
+        lat = min(64, data.shape[1] // 2, data.shape[2] // 2)
+        lat -= lat % 2
+        sz = min(32, data.shape[0] // 2)
+        sz = max(sz - sz % 2, 2)
+        support = (sz, lat, lat)
+    support = tuple(int(s) for s in support)
+    if support[1] != support[2]:
+        sys.exit("--psf-support lateral dims must be square (SY == SX)")
+    model = _build_model(args, support)
+    params0 = (_load_params_json(model, args.params_json)
+               if args.params_json else None)
+    cfg = _blind_config(args, data.shape)
+    overlap = args.overlap
+    if isinstance(overlap, list):
+        overlap = overlap[0] if len(overlap) == 1 else tuple(overlap)
+    t0 = time.time()
+    out, params, psf, df, ff = blind_deconvolve_tiled(
+        data, model, cfg, params0=params0, tile=tuple(args.tile),
+        overlap=overlap, max_batch=args.tile_batch, log=print)
+    wall = time.time() - t0
+    print(f"blind --tile: {args.loops} rounds over {data.shape} in "
+          f"{wall:.1f}s (psf support {support})")
+    print("defocus:", np.asarray(params.defocus))
+    if model.n_phase:
+        print("phase:", np.round(np.asarray(params.phase), 4))
+    _write_out(args, args.out, out, dxy=args.dxy, dz=args.dz)
+    print("wrote", args.out)
+    if args.psf_out:
+        _write_out(args, args.psf_out, psf, dxy=args.dxy, dz=args.dz)
+        print("wrote", args.psf_out)
+    if args.params_out:
+        doc = {"model": args.model, "dxy": args.dxy, "dz": args.dz}
+        for name in params._fields:
+            doc[name] = np.asarray(getattr(params, name)).tolist()
+        with open(args.params_out, "w") as fh:
+            json.dump(doc, fh, indent=1)
+        print("wrote", args.params_out)
+    if args.report:
+        with open(args.report, "w") as fh:
+            json.dump({
+                "rounds": args.loops, "wall_seconds": round(wall, 3),
+                "fit_f": np.asarray(ff).tolist(),
+                "psf_support": list(support),
+                "phase": np.asarray(params.phase).tolist(),
+                "defocus": np.asarray(params.defocus).tolist(),
+            }, fh, indent=1)
+        print("wrote", args.report)
+
+
 def cmd_blind(args):
     import numpy as np
     import jax
     import jax.numpy as jnp
     from microtipi_tpu.jobs.blind import blind_deconvolve
 
+    if getattr(args, "tile", None):
+        _cmd_blind_tiled(args)
+        return
     if getattr(args, "uncertainty", 0):
         # Single-volume single-device tail only — fail fast, don't ignore.
         for flag, name in (("depthvar", "--depthvar"),

@@ -386,6 +386,25 @@ def main(argv=None):
     p.add_argument("--families", nargs="+", default=["defocus", "phase"],
                    choices=["defocus", "phase", "modulus", "depth", "sheet", "sted",
                             "cavity"])
+    p.add_argument("--tile", type=int, nargs=3, default=None,
+                   metavar=("TZ", "TY", "TX"),
+                   help="out-of-core BLIND loop (beyond-HBM volumes): tiled "
+                        "object steps + ONE tile-streamed PSF-fit statistics "
+                        "pass per round (exact for the support-limited PSF; "
+                        "jobs/tiled_blind.py). Uniform weights only; the PSF "
+                        "support is --psf-support")
+    p.add_argument("--psf-support", type=int, nargs=3, default=None,
+                   metavar=("SZ", "SY", "SX"),
+                   help="[--tile] PSF support grid (the model synthesizes at "
+                        "this shape; needs 2*support <= volume per axis and "
+                        "SY == SX; default: min(volume//2, (32, 64, 64)) "
+                        "rounded even)")
+    p.add_argument("--overlap", type=int, nargs="+", default=[16],
+                   metavar="O",
+                   help="[--tile] tile halo in voxels (>= PSF half-width): "
+                        "one value or three (OZ OY OX)")
+    p.add_argument("--tile-batch", type=int, default=4,
+                   help="[--tile] tiles solved per batched dispatch")
     _preprocess_args(p)
     _model_args(p)
     _deconv_args(p)

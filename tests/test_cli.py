@@ -1993,3 +1993,56 @@ def test_cli_deconv_method_admm_fista(tmp_path):
     assert r.returncode == 0, r.stderr
     x = read_stack(tmp_path / "wadmm.tif")
     assert np.isfinite(x).all() and np.linalg.norm(x - obj) < err_data
+
+
+def test_cli_blind_tiled(tmp_path):
+    """blind --tile: the out-of-core loop end to end (tiled object steps +
+    streamed PSF-fit statistics + f64 CPU fits), with params/psf outputs."""
+    import jax.numpy as jnp
+
+    from microtipi_tpu.io.tiffstack import read_stack, write_stack
+    from microtipi_tpu.models.widefield import WideFieldConfig
+    from microtipi_tpu.ops.convolution import convolve, convolve_spectrum
+    from microtipi_tpu.utils.arrays import pad_fft_kernel
+
+    vol = (8, 48, 48)
+    support = (4, 16, 16)
+    m = WideFieldConfig(shape=support, na=1.2, wavelength=500e-9, ni=1.33,
+                        dxy=100e-9, dz=250e-9, n_phase=3, n_modulus=1,
+                        dtype=jnp.float64)
+    rng = np.random.default_rng(0)
+    obj = np.zeros(vol)
+    for _ in range(15):
+        z, y, x = rng.integers(0, 6), rng.integers(4, 40), rng.integers(4, 40)
+        obj[z:z + 2, y:y + 3, x:x + 3] = rng.uniform(30, 100)
+    true = m.init_params()._replace(phase=jnp.asarray([0.3, -0.2, 0.1]))
+    kern = pad_fft_kernel(m.compute_psf(true), vol)
+    data = np.asarray(convolve(jnp.asarray(obj), convolve_spectrum(kern), vol))
+    write_stack(tmp_path / "d.tif", (data + 0.01 * rng.standard_normal(vol)
+                                     ).astype(np.float32))
+
+    r = _run([
+        "blind", "d.tif", "--out", "o.tif", "--psf-out", "p.tif",
+        "--params-out", "params.json", "--report", "rep.json",
+        "--tile", "8", "32", "32", "--overlap", "0", "8", "8",
+        "--psf-support", "4", "16", "16",
+        "--na", "1.2", "--wavelength", "500e-9", "--ni", "1.33",
+        "--dxy", "100e-9", "--dz", "250e-9", "--n-phase", "3",
+        "--families", "phase", "--loops", "2", "--psf-iters", "5",
+        "--joint-fit", "--iters", "8", "--mu", "0.01",
+    ], tmp_path)
+    assert r.returncode == 0, r.stderr + r.stdout
+    out = read_stack(tmp_path / "o.tif")
+    assert out.shape == vol and np.isfinite(out).all()
+    psf = read_stack(tmp_path / "p.tif")
+    assert psf.shape == support
+    doc = json.loads((tmp_path / "params.json").read_text())
+    assert len(doc["phase"]) == 3
+    rep = json.loads((tmp_path / "rep.json").read_text())
+    assert rep["psf_support"] == [4, 16, 16]
+
+    # guard: weighted out-of-core fits are rejected with a clear message
+    r2 = _run(["blind", "d.tif", "--out", "o2.tif", "--tile", "8", "32", "32",
+               "--gain", "2.0"], tmp_path)
+    assert r2.returncode != 0
+    assert "uniform-weights only" in (r2.stderr + r2.stdout)
