@@ -275,7 +275,10 @@ def admm_deconvolve(
     htd_hat = jnp.conj(h_hat) * d_hat
     s2 = _grad_sq_spectrum(shape, scales, jnp.real(d_hat).dtype)
 
-    fg = make_objective(psf, data, weights, config)
+    # accurate=True: value-only tracking in residual form — same FFT count,
+    # no eps*sum|x*Ax| error (measured 25%+ of f on bright 256^3 f32
+    # scenes; BASELINE.md round 5).
+    fg = make_objective(psf, data, weights, config, accurate=True)
 
     def objective(x):
         return fg(x)[0]
@@ -506,7 +509,11 @@ def fista_deconvolve(
     l_tv = mu * sum(4.0 / s**2 for s in sz) / max(eps, 1e-30)
     lip = wmax * h2max + l_tv
 
-    fg = make_objective(psf, data, weights, config)  # fused value_and_grad
+    # accurate: FISTA's monotone-restart test compares f VALUES — the
+    # residual form costs one more FFT per evaluation but its f32 value
+    # error is eps*f, not eps*sum|x*Ax| (the engine is a reference
+    # implementation; correctness over speed).
+    fg = make_objective(psf, data, weights, config, accurate=True)
 
     if x0 is None:
         x0 = jnp.maximum(data, 0.0) if config.positivity else data
@@ -641,7 +648,8 @@ def admm_deconvolve_timeseries(
     from microtipi_tpu.jobs.timeseries import make_timeseries_objective
 
     fg = make_timeseries_objective(psf, data, weights, config, mu_t=mu_t,
-                                   epsilon_t=epsilon_t, bleach=bleach)
+                                   epsilon_t=epsilon_t, bleach=bleach,
+                                   accurate=True)
 
     def objective(x):
         return fg(x)[0]
@@ -1216,7 +1224,7 @@ def admm_deconvolve_timeseries_multichannel(
                          "deconvolve_timeseries_multichannel (VMLMB)")
     objective_raw, aux = make_tsmc_objective(
         psfs, data, weights, config, mu_t=mu_t, epsilon_t=epsilon_t,
-        bleach=bleach, coupling=coupling, mixing=mixing)
+        bleach=bleach, coupling=coupling, mixing=mixing, accurate=True)
     data = aux["data"]
     weights = aux["weights"]
     k_hat, m, g5, nk = aux["k_hat"], aux["m"], aux["g5"], aux["nk"]

@@ -198,6 +198,7 @@ def make_objective(
     data: jax.Array,
     weights: jax.Array | None,
     config: DeconvolutionConfig,
+    accurate: bool = False,
 ):
     """Build the fused cost+gradient closure for the object step.
 
@@ -205,6 +206,16 @@ def make_objective(
     into the variable grid if padding is configured. The kernel spectrum is
     precomputed once per call — one rfftn per outer blind round, not per
     VMLMB iteration.
+
+    ``accurate``: route the uniform-Gaussian case through the residual-form
+    ``UniformConvCost`` instead of the quadratic identity. For VALUE-ONLY
+    evaluation both cost the same 2 FFTs, but the quadratic form's f32
+    error scales with ``eps * sum|x*(Ax)|`` — measured 25%+ of f itself on
+    bright extended 256^3 scenes (BASELINE.md round 5) — while the residual
+    form's scales with ``eps * f``. The ADMM engines track ``f_history``
+    with ``accurate=True``; the VMLMB step keeps the quadratic fused
+    value+gradient (2 vs 3 FFTs per value+grad evaluation) with the
+    ``_f32_stall_continue`` cure for its known near-convergence failure.
     """
     var_shape = tuple(config.var_shape) if config.var_shape is not None else data.shape
     kernel = pad_fft_kernel(psf, var_shape)
@@ -229,9 +240,14 @@ def make_objective(
     elif config.data_term != "gaussian":
         raise ValueError(f"unknown data_term {config.data_term!r}")
     elif weights is None and var_shape == data.shape:
-        from microtipi_tpu.ops.convolution import QuadraticConvCost
+        if accurate:
+            from microtipi_tpu.ops.convolution import UniformConvCost
 
-        cost = QuadraticConvCost.build(kernel, data)
+            cost = UniformConvCost.build(kernel, data)
+        else:
+            from microtipi_tpu.ops.convolution import QuadraticConvCost
+
+            cost = QuadraticConvCost.build(kernel, data)
     else:
         cost = WeightedConvolutionCost.build(kernel, data, weights, var_shape)
 

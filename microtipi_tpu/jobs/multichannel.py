@@ -292,6 +292,7 @@ def make_tsmc_objective(
     bleach: jax.Array | None = None,
     coupling: str = "joint",
     mixing: jax.Array | None = None,
+    accurate: bool = False,
 ):
     """The joint (T, C)-block objective — the single definition shared by
     the VMLMB solver and the ADMM engine (mirrors
@@ -367,6 +368,12 @@ def make_tsmc_objective(
             return generalized_kl(model(x) + bg, jnp.maximum(data, 0.0))
     elif config.data_term != "gaussian":
         raise ValueError(f"unknown data_term {config.data_term!r}")
+    elif weights is None and m is None and accurate:
+        # Residual form: same FFT count for a VALUE, no eps*c cancellation
+        # (the ADMM engines' f_history tracker; jobs.deconv.make_objective).
+        def data_term(x):
+            r = model(x) - data
+            return 0.5 * jnp.sum(r * r)
     elif weights is None and m is None:
         kernel_sq = jnp.real(k_hat) ** 2 + jnp.imag(k_hat) ** 2
         g2 = jnp.ones((), data.dtype) if g5 is None else g5 * g5
@@ -378,6 +385,10 @@ def make_tsmc_objective(
 
         def data_term(x):
             return _perchannel_quadratic_cost(x, kernel_sq, g2, b, c, vol)
+    elif weights is None and g5 is None and accurate:
+        def data_term(x):
+            r = model(x) - data
+            return 0.5 * jnp.sum(r * r)
     elif weights is None and g5 is None:
         # Mixed quadratic fast path: pointwise (K, K) Fourier coupling.
         gram = m.T @ m  # (K, K)

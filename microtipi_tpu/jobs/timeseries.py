@@ -134,12 +134,15 @@ def make_timeseries_objective(
     mu_t: float = 0.0,
     epsilon_t: float | None = None,
     bleach: jax.Array | None = None,
+    accurate: bool = False,
 ):
     """Fused value-and-gradient of the joint 4D objective (see
     :func:`deconvolve_timeseries`). The single objective definition shared
     by the VMLMB solver and the ADMM engine
     (:func:`jobs.admm.admm_deconvolve_timeseries`), mirroring
-    ``jobs.deconv.make_objective``."""
+    ``jobs.deconv.make_objective`` — including its ``accurate`` switch
+    (residual-form uniform data term for cancellation-free f32 VALUES;
+    the ADMM tracker passes True)."""
     data = jnp.asarray(data)
     if data.ndim != 4:
         raise ValueError(f"expected a (T, Nz, Ny, Nx) stack, got {data.shape}")
@@ -177,6 +180,12 @@ def make_timeseries_objective(
             return generalized_kl(model(x) + bg, jnp.maximum(data, 0.0))
     elif config.data_term != "gaussian":
         raise ValueError(f"unknown data_term {config.data_term!r}")
+    elif weights is None and accurate:
+        # Residual form: same 2 batched FFTs for a VALUE, no eps*c
+        # cancellation (the ADMM engines' f_history tracker).
+        def data_term(x):
+            r = model(x) - data
+            return 0.5 * jnp.sum(r * r)
     elif weights is None:
         # Uniform weights: the 2-FFT quadratic fast path, batched over t.
         # With bleach, f = sum_t 0.5||g_t H x_t - d_t||^2 expands to

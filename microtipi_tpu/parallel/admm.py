@@ -129,7 +129,8 @@ def sharded_admm_deconvolve(
     s2 = _constrain_spectrum(
         _grad_sq_spectrum(shape, scales, jnp.real(d_hat).dtype), mesh)
 
-    fg = make_sharded_objective(psf, data, weights, config, mesh)
+    fg = make_sharded_objective(psf, data, weights, config, mesh,
+                                accurate=True)
 
     def objective(x):
         return fg(x)[0]

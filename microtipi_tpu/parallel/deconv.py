@@ -120,8 +120,13 @@ def make_sharded_objective(
     bleach: jax.Array | None = None,
     joint_channels: bool = False,
     mixing: jax.Array | None = None,
+    accurate: bool = False,
 ):
     """Fused sharded cost+gradient for the object step.
+
+    ``accurate`` mirrors ``jobs.deconv.make_objective``: residual-form
+    uniform data term (cancellation-free f32 VALUES — the sharded ADMM
+    engine's f_history tracker).
 
     ``data`` is (Nz, Ny, Nx) or batched (B, Nz, Ny, Nx), z-sharded; ``psf``
     is one unbatched volume at the data shape, OR — batched data only — a
@@ -291,7 +296,12 @@ def make_sharded_objective(
 
     k_hat = sharded_spectrum(psf, mesh)
 
-    if weights is None and mixm is None:
+    if weights is None and mixm is None and accurate:
+        def data_term(x):
+            hx = sharded_convolve(x, k_hat, vol_shape, mesh)
+            r = (hx if g4 is None else g4 * hx) - data
+            return 0.5 * jnp.sum(r * r)
+    elif weights is None and mixm is None:
         kernel_sq = jnp.real(k_hat) ** 2 + jnp.imag(k_hat) ** 2
         b = sharded_irfftn(jnp.conj(k_hat) * sharded_rfftn(data, mesh), vol_shape, mesh)
         g2 = jnp.ones((), data.dtype) if g4 is None else g4 * g4
