@@ -63,9 +63,18 @@ __all__ = ["admm_deconvolve", "admm_deconvolve_multichannel",
            "admm_deconvolve_timeseries_multichannel", "fista_deconvolve"]
 
 
-def _check_config(config: DeconvolutionConfig, engine: str, weights=None):
+def _check_config(config: DeconvolutionConfig, engine: str, weights=None,
+                  allow_exact: bool = False):
     if engine == "fista" and config.data_term != "gaussian":
         raise ValueError("fista engine supports the Gaussian data term only")
+    from microtipi_tpu.jobs.deconv import resolve_exact_fft
+
+    if resolve_exact_fft(config) and not allow_exact:
+        raise ValueError(
+            "exact_fft is wired for the 3D single-volume solvers "
+            "(deconvolve / admm_deconvolve / fista_deconvolve, incl. per-"
+            "tile through tiled_deconvolve); this surface would silently "
+            "run the XLA FFT — drop exact_fft here")
     if config.sparsity > 0 or config.hessian > 0:
         raise ValueError(
             f"{engine} engine supports the mu*TV prior only (sparsity/"
@@ -114,33 +123,34 @@ def _stack_norm(terms):
     return jnp.sqrt(sum(jnp.sum(t * t) for t in terms))
 
 
-def _boyd_criterion(r_terms, ax_terms, z_terms, dual_fn,
-                    p_el, n_el, abstol, reltol):
+def _boyd_criterion(r_terms, z_terms, dual_fn, p_el, n_el, abstol, reltol):
     """Boyd et al. 2011 §3.3 stopping pair for the stacked-splits form
     ``A x - z = 0`` (A = the stacked split operators, y = rho*u the
     unscaled duals):
 
-        ||r||   <= sqrt(p)*abstol + reltol*max(||Ax||, ||z||)   (primal)
-        ||s||   <= sqrt(n)*abstol + reltol*||A^T y||            (dual)
+        ||r||   <= sqrt(p)*abstol + reltol*||z||       (primal)
+        ||s||   <= sqrt(n)*abstol + reltol*||A^T y||   (dual)
 
     with r the stacked primal residuals, s = sum_i rho_i A_i^T (z_i^+ -
     z_i) the dual residual in x-space, p/n the stacked-constraint and
-    variable element counts. Under over-relaxation the formulas are the
-    standard alpha=1 expressions evaluated at the true (unrelaxed) Ax —
-    a sound stopping heuristic (at a fixed point every relaxed quantity
-    coincides with the unrelaxed one).
+    variable element counts. The relative primal scale uses ``||z||``
+    alone instead of Boyd's ``max(||Ax||, ||z||)`` — strictly
+    conservative (eps_pri can only shrink; at convergence Ax = z so the
+    stop point is unchanged) and it halves the check's array passes.
+    Under over-relaxation the formulas are the standard alpha=1
+    expressions evaluated at the true (unrelaxed) Ax.
 
     ``dual_fn() -> (s_vec, aty_vec)`` is evaluated UNDER ``lax.cond`` only
     when the primal test passes: far from convergence (the common case for
     a check) only the cheap elementwise primal norms are paid — the dual
     residual's H^T applications (FFTs on data-split paths) and extra array
-    passes are skipped. Measured overhead at 256^3 with check_every=5:
-    13.9% for the eager pair, ~3% with this ordering (BASELINE.md r5)."""
+    passes are skipped. Measured overhead at 256^3 (BASELINE.md r5):
+    13.9% eager pair at check_every=5 -> ~3% with this ordering at the
+    default check_every=10."""
     fd = r_terms[0].dtype
     rpri = _stack_norm(r_terms)
     eps_pri = (jnp.sqrt(jnp.asarray(p_el, fd)) * abstol
-               + reltol * jnp.maximum(_stack_norm(ax_terms),
-                                      _stack_norm(z_terms)))
+               + reltol * _stack_norm(z_terms))
     prim_ok = rpri <= eps_pri
 
     def _dual(_):
@@ -237,7 +247,11 @@ def admm_deconvolve(
     (replicate-boundary) solver objective per iterate to ``f_history``
     (costs ~2 extra FFTs/iter); when off only the final f is computed.
     """
-    _check_config(config, "admm", weights)
+    _check_config(config, "admm", weights, allow_exact=True)
+    from microtipi_tpu.jobs.deconv import resolve_exact_fft
+    from microtipi_tpu.ops.convolution import fft_pair
+
+    _rfftn, _irfftn = fft_pair(resolve_exact_fft(config))
     if over_relax is None:
         # Over-relaxation theory assumes a FIXED rho per iteration; with
         # residual balancing live the combination measured slightly worse
@@ -269,9 +283,9 @@ def admm_deconvolve(
         r0 = 1.0
 
     kernel = pad_fft_kernel(psf, shape)
-    h_hat = jnp.fft.rfftn(kernel)
+    h_hat = _rfftn(kernel)
     h2 = jnp.real(h_hat * jnp.conj(h_hat))
-    d_hat = jnp.fft.rfftn(data)
+    d_hat = _rfftn(data)
     htd_hat = jnp.conj(h_hat) * d_hat
     s2 = _grad_sq_spectrum(shape, scales, jnp.real(d_hat).dtype)
 
@@ -303,7 +317,7 @@ def admm_deconvolve(
         return jnp.sqrt(sum(jnp.sum(t * t) for t in terms))
 
     def _conv(x_hat):
-        return jnp.fft.irfftn(h_hat * x_hat, s=shape).astype(dtype)
+        return _irfftn(h_hat * x_hat, s=shape).astype(dtype)
 
     def _data_prox(v, rr0):
         """argmin_z g(z) + rr0/2 (z - v)^2 pointwise for the data term."""
@@ -323,12 +337,12 @@ def admm_deconvolve(
             [z - u for z, u in zip(z1, u1)], scales) + rr2 * (z2 - u2)
         if data_split:
             den = r0 * h2 + rr1 * s2 + rr2
-            x_hat = (r0 * jnp.conj(h_hat) * jnp.fft.rfftn(z0 - u0)
-                     + jnp.fft.rfftn(rhs)) / den
+            x_hat = (r0 * jnp.conj(h_hat) * _rfftn(z0 - u0)
+                     + _rfftn(rhs)) / den
         else:
             den = h2 + rr1 * s2 + rr2
-            x_hat = (htd_hat + jnp.fft.rfftn(rhs)) / den
-        x = jnp.fft.irfftn(x_hat, s=shape).astype(dtype)
+            x_hat = (htd_hat + _rfftn(rhs)) / den
+        x = _irfftn(x_hat, s=shape).astype(dtype)
         # Over-relaxation (Boyd 2011 §3.4.3): replace each split's Ax by
         # alpha*Ax + (1-alpha)*z_old in the prox argument and the dual
         # update; alpha ~ 1.6-1.8 typically ~1.5x fewer iterations at
@@ -384,7 +398,7 @@ def admm_deconvolve(
         return new_carry, f
 
     if data_split:
-        z0 = _conv(jnp.fft.rfftn(x))
+        z0 = _conv(_rfftn(x))
         u0 = jnp.zeros_like(x)
     else:  # zero-size placeholders keep the carry structure uniform
         z0 = jnp.zeros((0,), dtype)
@@ -420,8 +434,7 @@ def admm_deconvolve(
     p_el = n_el * (4.0 + (1.0 if data_split else 0.0))
 
     def _convT(v):
-        return jnp.fft.irfftn(jnp.conj(h_hat) * jnp.fft.rfftn(v),
-                              s=shape).astype(dtype)
+        return _irfftn(jnp.conj(h_hat) * _rfftn(v), s=shape).astype(dtype)
 
     hist0 = jnp.full((n + 1,), jnp.nan, jnp.asarray(f0).dtype).at[0].set(f0)
 
@@ -440,11 +453,9 @@ def admm_deconvolve(
 
         def _chk(_):
             r_terms = [d - z for d, z in zip(dx, z1n)] + [xn - z2n]
-            ax_terms = list(dx) + [xn]
             z_terms = list(z1n) + [z2n]
             if data_split:
                 r_terms = r_terms + [hx - z0n]
-                ax_terms = ax_terms + [hx]
                 z_terms = z_terms + [z0n]
 
             def dual_fn():
@@ -457,7 +468,7 @@ def admm_deconvolve(
                     aty = aty + r0 * _convT(u0n)
                 return s_vec, aty
 
-            return _boyd_criterion(r_terms, ax_terms, z_terms, dual_fn,
+            return _boyd_criterion(r_terms, z_terms, dual_fn,
                                    p_el, n_el, abstol, reltol)
 
         conv = lax.cond(check, _chk, lambda _: jnp.asarray(False), None)
@@ -495,14 +506,18 @@ def fista_deconvolve(
     the momentum from the previous iterate (adaptive restart, O'Donoghue &
     Candes 2015).
     """
-    _check_config(config, "fista", None)
+    _check_config(config, "fista", None, allow_exact=True)
+    from microtipi_tpu.ops.convolution import fft_pair as _fp
+
     shape = data.shape
     dtype = data.dtype
     mu, eps = float(config.mu), float(config.epsilon)
     scales = config.scales
 
     kernel = pad_fft_kernel(psf, shape)
-    h_hat = jnp.fft.rfftn(kernel)
+    from microtipi_tpu.jobs.deconv import resolve_exact_fft as _ref
+
+    h_hat = _fp(_ref(config))[0](kernel)
     h2max = jnp.max(jnp.real(h_hat * jnp.conj(h_hat)))
     wmax = 1.0 if weights is None else jnp.max(weights)
     sz = (1.0, 1.0, 1.0) if scales is None else tuple(float(s) for s in scales)
@@ -814,15 +829,12 @@ def admm_deconvolve_timeseries(
 
         def _chk(_):
             r_terms = [d - z for d, z in zip(dx, z1n)] + [xn - z2n]
-            ax_terms = list(dx) + [xn]
             z_terms = list(z1n) + [z2n]
             if temporal:
                 r_terms = r_terms + [dt - ztn]
-                ax_terms = ax_terms + [dt]
                 z_terms = z_terms + [ztn]
             if data_split:
                 r_terms = r_terms + [hx - z0n]
-                ax_terms = ax_terms + [hx]
                 z_terms = z_terms + [z0n]
 
             def dual_fn():
@@ -837,7 +849,7 @@ def admm_deconvolve_timeseries(
                     aty = aty + r0 * _convT(u0n)
                 return s_vec, aty
 
-            return _boyd_criterion(r_terms, ax_terms, z_terms, dual_fn,
+            return _boyd_criterion(r_terms, z_terms, dual_fn,
                                    p_el, n_el, abstol, reltol)
 
         conv = lax.cond(check, _chk, lambda _: jnp.asarray(False), None)
@@ -1143,11 +1155,9 @@ def admm_deconvolve_multichannel(
 
         def _chk(_):
             r_terms = [d - z for d, z in zip(dx, z1n)] + [xn - z2n]
-            ax_terms = list(dx) + [xn]
             z_terms = list(z1n) + [z2n]
             if data_split:
                 r_terms = r_terms + [hx - z0n]
-                ax_terms = ax_terms + [hx]
                 z_terms = z_terms + [z0n]
 
             def dual_fn():
@@ -1159,7 +1169,7 @@ def admm_deconvolve_multichannel(
                     aty = aty + r0 * _convT(u0n)
                 return s_vec, aty
 
-            return _boyd_criterion(r_terms, ax_terms, z_terms, dual_fn,
+            return _boyd_criterion(r_terms, z_terms, dual_fn,
                                    p_el, n_el, abstol, reltol)
 
         conv = lax.cond(check, _chk, lambda _: jnp.asarray(False), None)
@@ -1450,15 +1460,12 @@ def admm_deconvolve_timeseries_multichannel(
 
         def _chk(_):
             r_terms = [d - z for d, z in zip(dx, z1n)] + [xn - z2n]
-            ax_terms = list(dx) + [xn]
             z_terms = list(z1n) + [z2n]
             if temporal:
                 r_terms = r_terms + [dt - ztn]
-                ax_terms = ax_terms + [dt]
                 z_terms = z_terms + [ztn]
             if data_split:
                 r_terms = r_terms + [hx - z0n]
-                ax_terms = ax_terms + [hx]
                 z_terms = z_terms + [z0n]
 
             def dual_fn():
@@ -1473,7 +1480,7 @@ def admm_deconvolve_timeseries_multichannel(
                     aty = aty + r0 * _convT(u0n)
                 return s_vec, aty
 
-            return _boyd_criterion(r_terms, ax_terms, z_terms, dual_fn,
+            return _boyd_criterion(r_terms, z_terms, dual_fn,
                                    p_el, n_el, abstol, reltol)
 
         conv = lax.cond(check, _chk, lambda _: jnp.asarray(False), None)

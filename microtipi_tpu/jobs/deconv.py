@@ -110,7 +110,21 @@ class DeconvolutionConfig:
     #: VMLMB/FISTA engines.
     admm_abstol: float = 0.0
     admm_reltol: float = 0.0
-    admm_check_every: int = 5
+    admm_check_every: int = 20
+    #: f32-exact FFTs via the highest-precision matmul-DFT
+    #: (``ops.exactfft``). The XLA TPU FFT runs at bf16-grade internal
+    #: precision — measured ~35% RMS error on a single 256^3 white-noise
+    #: convolution, which ill-conditioned solves amplify to tens of
+    #: percent of reconstruction error on extended low-contrast scenes
+    #: (BASELINE.md round 5 "TPU FFT precision"; sparse/high-contrast
+    #: scenes are unaffected, and CPU backends are exact either way).
+    #: True routes every data-term FFT of the 3D single-volume solvers
+    #: (deconvolve / admm_deconvolve / fista_deconvolve) through the
+    #: exact transforms at a measured ~parity-to-moderate throughput
+    #: cost (BASELINE table). None (default) = off — the fixed bench
+    #: protocol; CLI ``--exact-fft``. Unsupported surfaces (4D/5D/
+    #: multichannel/sharded) raise rather than silently ignore it.
+    exact_fft: bool | None = None
 
 
 class DeconvolutionResult(NamedTuple):
@@ -121,6 +135,12 @@ class DeconvolutionResult(NamedTuple):
     status: jax.Array
     f_history: jax.Array
     pg_history: jax.Array
+
+
+def resolve_exact_fft(config: DeconvolutionConfig) -> bool:
+    """The ``exact_fft`` auto rule: explicit value wins; None = off (see
+    the config field's docstring and BASELINE.md round 5)."""
+    return bool(config.exact_fft) if config.exact_fft is not None else False
 
 
 def resolve_mem_dtype(config: DeconvolutionConfig, x0) -> jnp.dtype | None:
@@ -219,6 +239,7 @@ def make_objective(
     """
     var_shape = tuple(config.var_shape) if config.var_shape is not None else data.shape
     kernel = pad_fft_kernel(psf, var_shape)
+    exact = resolve_exact_fft(config)
 
     # Uniform weights on the un-padded grid: circulant quadratic form — cost
     # AND gradient from one rfftn/irfftn pair (half the FFTs of the general
@@ -236,20 +257,22 @@ def make_objective(
             )
         from microtipi_tpu.ops.convolution import PoissonConvCost
 
-        cost = PoissonConvCost.build(kernel, data, config.background, var_shape)
+        cost = PoissonConvCost.build(kernel, data, config.background, var_shape,
+                                     exact=exact)
     elif config.data_term != "gaussian":
         raise ValueError(f"unknown data_term {config.data_term!r}")
     elif weights is None and var_shape == data.shape:
         if accurate:
             from microtipi_tpu.ops.convolution import UniformConvCost
 
-            cost = UniformConvCost.build(kernel, data)
+            cost = UniformConvCost.build(kernel, data, exact=exact)
         else:
             from microtipi_tpu.ops.convolution import QuadraticConvCost
 
-            cost = QuadraticConvCost.build(kernel, data)
+            cost = QuadraticConvCost.build(kernel, data, exact=exact)
     else:
-        cost = WeightedConvolutionCost.build(kernel, data, weights, var_shape)
+        cost = WeightedConvolutionCost.build(kernel, data, weights, var_shape,
+                                             exact=exact)
 
     reg = make_regularizer(config, var_shape)
 
@@ -290,7 +313,7 @@ def _f32_stall_continue(
     from microtipi_tpu.optim.vmlmb import VMLMBStatus
 
     kernel = pad_fft_kernel(psf, data.shape)
-    cost = UniformConvCost.build(kernel, data)
+    cost = UniformConvCost.build(kernel, data, exact=resolve_exact_fft(config))
     reg = make_regularizer(config, data.shape)
 
     def objective(x):

@@ -121,6 +121,13 @@ def deconvolve_depthvar(
     data grid (default: K evenly spaced). Supports the padded-variable mode
     (``config.var_shape``) like the shift-invariant solver.
     """
+    from microtipi_tpu.jobs.deconv import resolve_exact_fft as _ref_exact
+
+    if _ref_exact(config):
+        raise ValueError(
+            "exact_fft is wired for the 3D single-volume solvers only "
+            "(deconvolve / admm_deconvolve / fista_deconvolve, incl. "
+            "per-tile through tiled_deconvolve); drop it here")
     var_shape = tuple(config.var_shape) if config.var_shape is not None else data.shape
     if psfs.shape[1:] != var_shape:
         psfs = jax.vmap(lambda h: pad_fft_kernel(h, var_shape))(psfs)

@@ -301,6 +301,14 @@ def make_tsmc_objective(
     engines reuse: ``k_hat`` (per-channel spectra), ``m`` (mixing), ``g5``
     (bleach gains), ``nk``, and the (possibly zero-weight-masked)
     ``data``/``weights``."""
+    from microtipi_tpu.jobs.deconv import resolve_exact_fft as _ref_exact
+
+    if _ref_exact(config):
+        raise ValueError(
+            "exact_fft is wired for the 3D single-volume solvers only "
+            "(deconvolve / admm_deconvolve / fista_deconvolve, incl. "
+            "per-tile through tiled_deconvolve); drop it here")
+
     data = jnp.asarray(data)
     if data.ndim != 5:
         raise ValueError(f"expected a (T, C, Nz, Ny, Nx) block, got {data.shape}")

@@ -179,6 +179,13 @@ def make_superres_objective(psf_fine, data, weights, config, factor):
     by the VMLMB solver and the ADMM engine (mirrors
     ``jobs.timeseries.make_timeseries_objective``; returns the plain
     objective, wrap in ``jax.value_and_grad`` for the solver)."""
+    from microtipi_tpu.jobs.deconv import resolve_exact_fft as _ref_exact
+
+    if _ref_exact(config):
+        raise ValueError(
+            "exact_fft is wired for the 3D single-volume solvers only "
+            "(deconvolve / admm_deconvolve / fista_deconvolve, incl. "
+            "per-tile through tiled_deconvolve); drop it here")
     factor, fine_shape = _check_superres(jnp.asarray(data), psf_fine, factor,
                                          config)
     kernel = pad_fft_kernel(psf_fine, fine_shape)
@@ -412,7 +419,6 @@ def admm_deconvolve_superres(
         def _chk(_):
             r_terms = ([d - z for d, z in zip(dx, z1n)]
                        + [xn - z2n, hx - z0n])
-            ax_terms = list(dx) + [xn, hx]
             z_terms = list(z1n) + [z2n, z0n]
 
             def dual_fn():
@@ -423,7 +429,7 @@ def admm_deconvolve_superres(
                        + r0 * _convT(u0n))
                 return s_vec, aty
 
-            return _boyd_criterion(r_terms, ax_terms, z_terms, dual_fn,
+            return _boyd_criterion(r_terms, z_terms, dual_fn,
                                    p_el, n_el, abstol, reltol)
 
         conv = lax.cond(check, _chk, lambda _: jnp.asarray(False), None)

@@ -149,6 +149,14 @@ def make_timeseries_objective(
     if config.var_shape is not None:
         raise ValueError("var_shape is not supported for the joint 4D solve; "
                          "pad the input data instead")
+    from microtipi_tpu.jobs.deconv import resolve_exact_fft as _ref_exact
+
+    if _ref_exact(config):
+        raise ValueError(
+            "exact_fft is wired for the 3D single-volume solvers only "
+            "(deconvolve / admm_deconvolve / fista_deconvolve, incl. "
+            "per-tile through tiled_deconvolve); drop it here")
+
     vol = data.shape[1:]
     kernel = pad_fft_kernel(psf, vol)
     k_hat = jnp.fft.rfftn(kernel)

@@ -41,8 +41,23 @@ __all__ = [
     "WeightedConvolutionCost",
     "convolve",
     "convolve_spectrum",
+    "fft_pair",
     "generalized_kl",
 ]
+
+
+def fft_pair(exact: bool = False):
+    """(rfftn, irfftn) — ``exact=True`` routes to the highest-precision
+    matmul-DFT (``ops.exactfft``): f32-exact transforms on TPU, where the
+    XLA FFT runs at bf16-grade internal precision (measured ~35% RMS error
+    on a 256^3 white-noise convolution — BASELINE.md round 5 "TPU FFT
+    precision"). CPU backends keep ``jnp.fft`` semantics either way (the
+    exact path equals it there to f32 round-off; tests pin this)."""
+    if exact:
+        from microtipi_tpu.ops import exactfft
+
+        return exactfft.rfftn, exactfft.irfftn
+    return jnp.fft.rfftn, jnp.fft.irfftn
 
 
 def generalized_kl(m: jax.Array, d: jax.Array, mask: jax.Array | None = None) -> jax.Array:
@@ -60,14 +75,16 @@ def generalized_kl(m: jax.Array, d: jax.Array, mask: jax.Array | None = None) ->
     return jnp.sum(term if mask is None else mask * term)
 
 
-def convolve_spectrum(kernel: jax.Array) -> jax.Array:
+def convolve_spectrum(kernel: jax.Array, exact: bool = False) -> jax.Array:
     """Precompute the rfftn spectrum of a corner-origin kernel."""
-    return jnp.fft.rfftn(kernel)
+    return fft_pair(exact)[0](kernel)
 
 
-def convolve(x: jax.Array, kernel_hat: jax.Array, shape: tuple[int, ...]) -> jax.Array:
+def convolve(x: jax.Array, kernel_hat: jax.Array, shape: tuple[int, ...],
+             exact: bool = False) -> jax.Array:
     """Circular convolution of ``x`` with a precomputed kernel spectrum."""
-    return jnp.fft.irfftn(jnp.fft.rfftn(x) * kernel_hat, s=shape)
+    fwd, inv = fft_pair(exact)
+    return inv(fwd(x) * kernel_hat, s=shape)
 
 
 class WeightedConvolutionCost(NamedTuple):
@@ -89,6 +106,7 @@ class WeightedConvolutionCost(NamedTuple):
     data: jax.Array
     weights: jax.Array | None
     var_shape: tuple[int, ...]
+    exact: bool = False
 
     @classmethod
     def build(
@@ -97,6 +115,7 @@ class WeightedConvolutionCost(NamedTuple):
         data: jax.Array,
         weights: jax.Array | None = None,
         var_shape: tuple[int, ...] | None = None,
+        exact: bool = False,
     ) -> "WeightedConvolutionCost":
         """Assemble the cost. ``kernel`` is corner-origin at ``var_shape``
         (defaults to the data shape, the reference's configuration —
@@ -116,13 +135,14 @@ class WeightedConvolutionCost(NamedTuple):
             # poisons the cost through 0*NaN=NaN (IEEE), defeating the
             # validity mask (weights/updaters.validity_mask) entirely.
             data = jnp.where(weights > 0, data, 0.0)
-        return cls(convolve_spectrum(kernel), data, weights, tuple(var_shape))
+        return cls(convolve_spectrum(kernel, exact), data, weights,
+                   tuple(var_shape), exact)
 
     # -- model & residual --------------------------------------------------
 
     def model(self, x: jax.Array) -> jax.Array:
         """Forward model H x = crop(K (*) x) at the data window."""
-        hx = convolve(x, self.kernel_hat, self.var_shape)
+        hx = convolve(x, self.kernel_hat, self.var_shape, self.exact)
         if hx.shape != self.data.shape:
             hx = crop_to_shape(hx, self.data.shape)
         return hx
@@ -163,6 +183,7 @@ class PoissonConvCost(NamedTuple):
     data: jax.Array
     background: float
     var_shape: tuple[int, ...]
+    exact: bool = False
 
     @classmethod
     def build(
@@ -171,6 +192,7 @@ class PoissonConvCost(NamedTuple):
         data: jax.Array,
         background: float = 0.0,
         var_shape: tuple[int, ...] | None = None,
+        exact: bool = False,
     ) -> "PoissonConvCost":
         if var_shape is None:
             var_shape = data.shape
@@ -181,10 +203,11 @@ class PoissonConvCost(NamedTuple):
             )
         if background < 0:
             raise ValueError("background must be >= 0")
-        return cls(convolve_spectrum(kernel), data, float(background), tuple(var_shape))
+        return cls(convolve_spectrum(kernel, exact), data, float(background),
+                   tuple(var_shape), exact)
 
     def model(self, x: jax.Array) -> jax.Array:
-        hx = convolve(x, self.kernel_hat, self.var_shape)
+        hx = convolve(x, self.kernel_hat, self.var_shape, self.exact)
         if hx.shape != self.data.shape:
             hx = crop_to_shape(hx, self.data.shape)
         return hx
@@ -219,41 +242,48 @@ class QuadraticConvCost(NamedTuple):
     b: jax.Array  # H^T d, real space
     c: jax.Array  # 0.5 * sum(d^2)
     shape: tuple[int, ...]
+    exact: bool = False
 
     @classmethod
-    def build(cls, kernel: jax.Array, data: jax.Array) -> "QuadraticConvCost":
+    def build(cls, kernel: jax.Array, data: jax.Array,
+              exact: bool = False) -> "QuadraticConvCost":
         if kernel.shape != data.shape:
             raise ValueError("quadratic fast path requires kernel shape == data shape")
-        k_hat = jnp.fft.rfftn(kernel)
+        fwd, inv = fft_pair(exact)
+        k_hat = fwd(kernel)
         kernel_sq = jnp.real(k_hat) ** 2 + jnp.imag(k_hat) ** 2
-        b = jnp.fft.irfftn(jnp.conj(k_hat) * jnp.fft.rfftn(data), s=data.shape)
+        b = inv(jnp.conj(k_hat) * fwd(data), s=data.shape)
         c = 0.5 * jnp.sum(data * data)
-        return cls(kernel_sq, b, c, tuple(data.shape))
+        return cls(kernel_sq, b, c, tuple(data.shape), exact)
 
     def cost(self, x: jax.Array) -> jax.Array:
         """Differentiable cost; under value_and_grad the gradient is the
         byproduct A x - b (no extra FFTs)."""
-        return _quadratic_cost(x, self.kernel_sq, self.b, self.c, self.shape)
+        return _quadratic_cost(x, self.kernel_sq, self.b, self.c, self.shape,
+                               self.exact)
 
     def cost_and_gradient(self, x: jax.Array):
-        ax = jnp.fft.irfftn(self.kernel_sq * jnp.fft.rfftn(x), s=self.shape)
+        fwd, inv = fft_pair(self.exact)
+        ax = inv(self.kernel_sq * fwd(x), s=self.shape)
         f = 0.5 * jnp.vdot(x, ax) - jnp.vdot(x, self.b) + self.c
         return f.real.astype(x.dtype), ax - self.b
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(4,))
-def _quadratic_cost(x, kernel_sq, b, c, shape):
-    ax = jnp.fft.irfftn(kernel_sq * jnp.fft.rfftn(x), s=shape)
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _quadratic_cost(x, kernel_sq, b, c, shape, exact=False):
+    fwd, inv = fft_pair(exact)
+    ax = inv(kernel_sq * fwd(x), s=shape)
     return (0.5 * jnp.vdot(x, ax) - jnp.vdot(x, b) + c).real.astype(x.dtype)
 
 
-def _quadratic_cost_fwd(x, kernel_sq, b, c, shape):
-    ax = jnp.fft.irfftn(kernel_sq * jnp.fft.rfftn(x), s=shape)
+def _quadratic_cost_fwd(x, kernel_sq, b, c, shape, exact=False):
+    fwd, inv = fft_pair(exact)
+    ax = inv(kernel_sq * fwd(x), s=shape)
     f = (0.5 * jnp.vdot(x, ax) - jnp.vdot(x, b) + c).real.astype(x.dtype)
     return f, (ax - b)
 
 
-def _quadratic_cost_bwd(shape, res, g):
+def _quadratic_cost_bwd(shape, exact, res, g):
     grad = res
     # cotangents for (x, kernel_sq, b, c): only x is differentiated here —
     # the kernel spectrum/b/c are per-round constants in the object step.
@@ -282,35 +312,41 @@ class UniformConvCost(NamedTuple):
     b: jax.Array  # H^T d
     data: jax.Array
     shape: tuple[int, ...]
+    exact: bool = False
 
     @classmethod
-    def build(cls, kernel: jax.Array, data: jax.Array) -> "UniformConvCost":
+    def build(cls, kernel: jax.Array, data: jax.Array,
+              exact: bool = False) -> "UniformConvCost":
         if kernel.shape != data.shape:
             raise ValueError("uniform fast path requires kernel shape == data shape")
-        k_hat = jnp.fft.rfftn(kernel)
+        fwd, inv = fft_pair(exact)
+        k_hat = fwd(kernel)
         kernel_sq = jnp.real(k_hat) ** 2 + jnp.imag(k_hat) ** 2
-        b = jnp.fft.irfftn(jnp.conj(k_hat) * jnp.fft.rfftn(data), s=data.shape)
-        return cls(k_hat, kernel_sq, b, data, tuple(data.shape))
+        b = inv(jnp.conj(k_hat) * fwd(data), s=data.shape)
+        return cls(k_hat, kernel_sq, b, data, tuple(data.shape), exact)
 
     def cost(self, x: jax.Array) -> jax.Array:
-        return _uniform_cost(x, self.kernel_hat, self.kernel_sq, self.b, self.data, self.shape)
+        return _uniform_cost(x, self.kernel_hat, self.kernel_sq, self.b,
+                             self.data, self.shape, self.exact)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(5,))
-def _uniform_cost(x, kernel_hat, kernel_sq, b, data, shape):
-    r = jnp.fft.irfftn(kernel_hat * jnp.fft.rfftn(x), s=shape) - data
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _uniform_cost(x, kernel_hat, kernel_sq, b, data, shape, exact=False):
+    fwd, inv = fft_pair(exact)
+    r = inv(kernel_hat * fwd(x), s=shape) - data
     return 0.5 * jnp.sum(r * r)
 
 
-def _uniform_cost_fwd(x, kernel_hat, kernel_sq, b, data, shape):
-    x_hat = jnp.fft.rfftn(x)
-    r = jnp.fft.irfftn(kernel_hat * x_hat, s=shape) - data
+def _uniform_cost_fwd(x, kernel_hat, kernel_sq, b, data, shape, exact=False):
+    fwd, inv = fft_pair(exact)
+    x_hat = fwd(x)
+    r = inv(kernel_hat * x_hat, s=shape) - data
     f = 0.5 * jnp.sum(r * r)
-    grad = jnp.fft.irfftn(kernel_sq * x_hat, s=shape) - b
+    grad = inv(kernel_sq * x_hat, s=shape) - b
     return f, grad
 
 
-def _uniform_cost_bwd(shape, grad, g):
+def _uniform_cost_bwd(shape, exact, grad, g):
     return (g * grad, None, None, None, None)
 
 

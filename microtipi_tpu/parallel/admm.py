@@ -254,11 +254,9 @@ def sharded_admm_deconvolve(
 
         def _chk(_):
             r_terms = [d - z for d, z in zip(dx, z1n)] + [xn - z2n]
-            ax_terms = list(dx) + [xn]
             z_terms = list(z1n) + [z2n]
             if data_split:
                 r_terms = r_terms + [hx - z0n]
-                ax_terms = ax_terms + [hx]
                 z_terms = z_terms + [z0n]
 
             def dual_fn():
@@ -271,7 +269,7 @@ def sharded_admm_deconvolve(
                     aty = aty + r0 * _convT(u0n)
                 return s_vec, aty
 
-            return _boyd_criterion(r_terms, ax_terms, z_terms, dual_fn,
+            return _boyd_criterion(r_terms, z_terms, dual_fn,
                                    p_el, n_el, abstol, reltol)
 
         conv = lax.cond(check, _chk, lambda _: jnp.asarray(False), None)

@@ -160,6 +160,13 @@ def make_sharded_objective(
     to mesh-divisible grids for arbitrary-sized stacks (pad Nz/Ny up to a
     multiple of the mesh z-axis).
     """
+    from microtipi_tpu.jobs.deconv import resolve_exact_fft as _ref_exact
+
+    if _ref_exact(config):
+        raise ValueError(
+            "exact_fft is wired for the 3D single-volume solvers only "
+            "(deconvolve / admm_deconvolve / fista_deconvolve, incl. "
+            "per-tile through tiled_deconvolve); drop it here")
     vol_shape = data.shape[-3:]
     batched = data.ndim == 4
     per_channel = psf.ndim == 4
