@@ -168,13 +168,14 @@ def _deconv_args(p: argparse.ArgumentParser, methods=("vmlmb", "rl")):
                         "production value, 1e-4 tight (--iters becomes the "
                         "cap)")
     g.add_argument("--exact-fft", action="store_true",
-                   help="f32-exact FFTs via highest-precision matmul-DFT "
-                        "(3D single-volume solvers, incl. per-tile). The "
-                        "XLA TPU FFT runs at bf16-grade internal precision "
-                        "— on extended low-contrast scenes this costs tens "
-                        "of percent of reconstruction accuracy (BASELINE.md "
-                        "round 5); enable this there. No effect on CPU "
-                        "(already exact)")
+                   help="force f32-exact matmul-DFT FFTs (default: AUTO — "
+                        "on for TPU backends, where they are both exact "
+                        "and faster than the bf16-grade XLA FFT, measured "
+                        "+45-80%% at 256-512^3 — BASELINE.md round 5; "
+                        "3D single-volume solvers incl. per-tile)")
+    g.add_argument("--no-exact-fft", action="store_true",
+                   help="force the XLA FFT (reproduce pre-round-5 "
+                        "trajectories)")
     g.add_argument("--admm-abstol", type=float, default=0.0,
                    help="[admm] absolute residual tolerance in data units "
                         "(Boyd 2011 §3.3; the admm analogue of --gatol; "
@@ -477,7 +478,9 @@ def _deconv_config(args, shape):
         sparsity_epsilon=getattr(args, "sparsity_epsilon", None),
         admm_abstol=getattr(args, "admm_abstol", 0.0),
         admm_reltol=getattr(args, "admm_reltol", 0.0),
-        exact_fft=True if getattr(args, "exact_fft", False) else None,
+        exact_fft=(True if getattr(args, "exact_fft", False)
+                   else False if getattr(args, "no_exact_fft", False)
+                   else None),
         **tol,
     )
 

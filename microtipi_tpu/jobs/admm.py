@@ -67,9 +67,7 @@ def _check_config(config: DeconvolutionConfig, engine: str, weights=None,
                   allow_exact: bool = False):
     if engine == "fista" and config.data_term != "gaussian":
         raise ValueError("fista engine supports the Gaussian data term only")
-    from microtipi_tpu.jobs.deconv import resolve_exact_fft
-
-    if resolve_exact_fft(config) and not allow_exact:
+    if config.exact_fft is True and not allow_exact:
         raise ValueError(
             "exact_fft is wired for the 3D single-volume solvers "
             "(deconvolve / admm_deconvolve / fista_deconvolve, incl. per-"

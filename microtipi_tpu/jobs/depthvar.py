@@ -121,9 +121,8 @@ def deconvolve_depthvar(
     data grid (default: K evenly spaced). Supports the padded-variable mode
     (``config.var_shape``) like the shift-invariant solver.
     """
-    from microtipi_tpu.jobs.deconv import resolve_exact_fft as _ref_exact
-
-    if _ref_exact(config):
+    if config.exact_fft is True:  # explicit only: the auto default keeps
+        # the XLA FFT on surfaces the exact path has not reached yet
         raise ValueError(
             "exact_fft is wired for the 3D single-volume solvers only "
             "(deconvolve / admm_deconvolve / fista_deconvolve, incl. "

@@ -301,9 +301,8 @@ def make_tsmc_objective(
     engines reuse: ``k_hat`` (per-channel spectra), ``m`` (mixing), ``g5``
     (bleach gains), ``nk``, and the (possibly zero-weight-masked)
     ``data``/``weights``."""
-    from microtipi_tpu.jobs.deconv import resolve_exact_fft as _ref_exact
-
-    if _ref_exact(config):
+    if config.exact_fft is True:  # explicit only: the auto default keeps
+        # the XLA FFT on surfaces the exact path has not reached yet
         raise ValueError(
             "exact_fft is wired for the 3D single-volume solvers only "
             "(deconvolve / admm_deconvolve / fista_deconvolve, incl. "

@@ -179,9 +179,8 @@ def make_superres_objective(psf_fine, data, weights, config, factor):
     by the VMLMB solver and the ADMM engine (mirrors
     ``jobs.timeseries.make_timeseries_objective``; returns the plain
     objective, wrap in ``jax.value_and_grad`` for the solver)."""
-    from microtipi_tpu.jobs.deconv import resolve_exact_fft as _ref_exact
-
-    if _ref_exact(config):
+    if config.exact_fft is True:  # explicit only: the auto default keeps
+        # the XLA FFT on surfaces the exact path has not reached yet
         raise ValueError(
             "exact_fft is wired for the 3D single-volume solvers only "
             "(deconvolve / admm_deconvolve / fista_deconvolve, incl. "

@@ -149,9 +149,8 @@ def make_timeseries_objective(
     if config.var_shape is not None:
         raise ValueError("var_shape is not supported for the joint 4D solve; "
                          "pad the input data instead")
-    from microtipi_tpu.jobs.deconv import resolve_exact_fft as _ref_exact
-
-    if _ref_exact(config):
+    if config.exact_fft is True:  # explicit only: the auto default keeps
+        # the XLA FFT on surfaces the exact path has not reached yet
         raise ValueError(
             "exact_fft is wired for the 3D single-volume solvers only "
             "(deconvolve / admm_deconvolve / fista_deconvolve, incl. "
