@@ -51,12 +51,16 @@ def cmd_simulate(args):
         anchors = _depthvar_anchor_array(args, dv, shape[0])
         zw = depth_weights(shape[0], anchors)
 
+        from microtipi_tpu.ops.convolution import auto_exact_fft, fft_pair
+
+        _exact = auto_exact_fft()
+
         @jax.jit
         def blur(o, p):
             psfs = depth_anchor_psfs(model, p, anchors, depth0=p.depth[1])
             return depth_varying_convolve(
-                o, jnp.fft.rfftn(psfs, axes=(1, 2, 3)),
-                jnp.asarray(zw, model.dtype), shape)
+                o, fft_pair(_exact)[0](psfs, axes=(1, 2, 3)),
+                jnp.asarray(zw, model.dtype), shape, _exact)
     else:
 
         @jax.jit

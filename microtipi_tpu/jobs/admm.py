@@ -64,15 +64,11 @@ __all__ = ["admm_deconvolve", "admm_deconvolve_multichannel",
 
 
 def _check_config(config: DeconvolutionConfig, engine: str, weights=None,
-                  allow_exact: bool = False):
+                  allow_exact: bool = True):
+    # allow_exact is retained for signature stability; every engine
+    # surface now honors config.exact_fft (round 5 roll-out).
     if engine == "fista" and config.data_term != "gaussian":
         raise ValueError("fista engine supports the Gaussian data term only")
-    if config.exact_fft is True and not allow_exact:
-        raise ValueError(
-            "exact_fft is wired for the 3D single-volume solvers "
-            "(deconvolve / admm_deconvolve / fista_deconvolve, incl. per-"
-            "tile through tiled_deconvolve); this surface would silently "
-            "run the XLA FFT — drop exact_fft here")
     if config.sparsity > 0 or config.hessian > 0:
         raise ValueError(
             f"{engine} engine supports the mu*TV prior only (sparsity/"
@@ -605,7 +601,10 @@ def admm_deconvolve_timeseries(
     wired (use the VMLMB engine). ``rho1t`` defaults to
     ``mu_t/epsilon_t`` — the temporal analogue of the rho1 rule.
     """
-    _check_config(config, "admm", weights)
+    _check_config(config, "admm", weights, allow_exact=True)
+    from microtipi_tpu.jobs.deconv import resolve_exact_fft as _ref
+    from microtipi_tpu.ops.convolution import fft_pair as _fp
+    _rfftn, _irfftn = _fp(_ref(config))
     data = jnp.asarray(data)
     if data.ndim != 4:
         raise ValueError(f"expected a (T, Nz, Ny, Nx) stack, got {data.shape}")
@@ -650,7 +649,7 @@ def admm_deconvolve_timeseries(
         r0 = 1.0
 
     kernel = pad_fft_kernel(psf, vol)
-    k_hat = jnp.fft.rfftn(kernel)          # 3D, broadcast [None] over t
+    k_hat = _rfftn(kernel)          # 3D, broadcast [None] over t
     h2 = (jnp.real(k_hat) ** 2 + jnp.imag(k_hat) ** 2)[None]
     fdtype = jnp.real(k_hat).dtype
     s2 = _grad_sq_spectrum(vol, scales, fdtype)[None]
@@ -713,8 +712,8 @@ def admm_deconvolve_timeseries(
         return (w * g * data + rr0 * v) / (w * g * g + rr0)
 
     if not data_split:
-        htd = jnp.fft.irfftn(jnp.conj(k_hat)[None]
-                             * jnp.fft.rfftn(data, axes=(1, 2, 3)),
+        htd = _irfftn(jnp.conj(k_hat)[None]
+                             * _rfftn(data, axes=(1, 2, 3)),
                              s=vol, axes=(1, 2, 3)).astype(dtype)
 
     def step_core(carry):
@@ -725,14 +724,14 @@ def admm_deconvolve_timeseries(
         if temporal:
             rhs = rhs + r1t * _tdiff_adj(zt - ut)
         if data_split:
-            x_hat = (r0 * jnp.conj(k_hat)[None] * jnp.fft.rfftn(z0 - u0)
-                     + jnp.fft.rfftn(rhs)) / den
+            x_hat = (r0 * jnp.conj(k_hat)[None] * _rfftn(z0 - u0)
+                     + _rfftn(rhs)) / den
         else:
-            x_hat = jnp.fft.rfftn(htd + rhs) / den
-        x = jnp.fft.irfftn(x_hat, s=shape).astype(dtype)
+            x_hat = _rfftn(htd + rhs) / den
+        x = _irfftn(x_hat, s=shape).astype(dtype)
         al = float(over_relax)  # Boyd 2011 §3.4.3; measured table BASELINE.md
         if data_split:
-            hx = jnp.fft.irfftn(k_hat[None] * x_hat, s=shape).astype(dtype)
+            hx = _irfftn(k_hat[None] * x_hat, s=shape).astype(dtype)
             hxr = hx if al == 1.0 else al * hx + (1.0 - al) * z0
             z0 = _data_prox(hxr + u0, r0)
             u0 = u0 + hxr - z0
@@ -765,7 +764,7 @@ def admm_deconvolve_timeseries(
         return new_carry, f
 
     if data_split:
-        z0 = jnp.fft.irfftn(k_hat[None] * jnp.fft.rfftn(x, axes=(1, 2, 3)),
+        z0 = _irfftn(k_hat[None] * _rfftn(x, axes=(1, 2, 3)),
                             s=vol, axes=(1, 2, 3)).astype(dtype)
         u0 = jnp.zeros_like(x)
     else:
@@ -807,7 +806,7 @@ def admm_deconvolve_timeseries(
                    + (1.0 if temporal else 0.0))
 
     def _convT(v):
-        return jnp.fft.irfftn(jnp.conj(k_hat)[None] * jnp.fft.rfftn(
+        return _irfftn(jnp.conj(k_hat)[None] * _rfftn(
             v, axes=(1, 2, 3)), s=vol, axes=(1, 2, 3)).astype(dtype)
 
     hist0 = jnp.full((n + 1,), jnp.nan, jnp.asarray(f0).dtype).at[0].set(f0)
@@ -901,7 +900,10 @@ def admm_deconvolve_multichannel(
       ``mixing`` is not wired (the prox stops being a constant matrix /
       closed form — use the VMLMB engine).
     """
-    _check_config(config, "admm", weights)
+    _check_config(config, "admm", weights, allow_exact=True)
+    from microtipi_tpu.jobs.deconv import resolve_exact_fft as _ref
+    from microtipi_tpu.ops.convolution import fft_pair as _fp
+    _rfftn, _irfftn = _fp(_ref(config))
     data = jnp.asarray(data)
     if data.ndim != 4:
         raise ValueError(f"expected a (C, Nz, Ny, Nx) stack, got {data.shape}")
@@ -937,7 +939,7 @@ def admm_deconvolve_multichannel(
     if psfs.ndim == 3:
         psfs = psfs[None]
     kernel = jax.vmap(lambda p: pad_fft_kernel(p, vol))(psfs)
-    k_hat = jnp.fft.rfftn(kernel, axes=(1, 2, 3))
+    k_hat = _rfftn(kernel, axes=(1, 2, 3))
     if k_hat.shape[0] == 1 and nk > 1:
         k_hat = jnp.broadcast_to(k_hat, (nk,) + k_hat.shape[1:])
     if weights is not None:
@@ -969,7 +971,7 @@ def admm_deconvolve_multichannel(
         from microtipi_tpu.jobs.deconv import regularization_cost
 
         def model(x):
-            hx = jnp.fft.irfftn(k_hat * jnp.fft.rfftn(x, axes=(1, 2, 3)),
+            hx = _irfftn(k_hat * _rfftn(x, axes=(1, 2, 3)),
                                 s=vol, axes=(1, 2, 3))
             if m is not None:
                 hx = jnp.einsum("ck,kzyx->czyx", m, hx)
@@ -1048,7 +1050,7 @@ def admm_deconvolve_multichannel(
         return (weights * data + rr0 * v) / (weights + rr0)
 
     if not data_split:
-        htd = jnp.fft.irfftn(jnp.conj(k_hat) * jnp.fft.rfftn(data, axes=(1, 2, 3)),
+        htd = _irfftn(jnp.conj(k_hat) * _rfftn(data, axes=(1, 2, 3)),
                              s=vol, axes=(1, 2, 3)).astype(dtype)
 
     def step_core(carry):
@@ -1056,14 +1058,14 @@ def admm_deconvolve_multichannel(
         hx = None
         rhs = r1 * _sdiffs_adj([z - u for z, u in zip(z1, u1)]) + r2 * (z2 - u2)
         if data_split:
-            x_hat = (r0 * jnp.conj(k_hat) * jnp.fft.rfftn(z0 - u0, axes=(1, 2, 3))
-                     + jnp.fft.rfftn(rhs, axes=(1, 2, 3))) / den
+            x_hat = (r0 * jnp.conj(k_hat) * _rfftn(z0 - u0, axes=(1, 2, 3))
+                     + _rfftn(rhs, axes=(1, 2, 3))) / den
         else:
-            x_hat = jnp.fft.rfftn(htd + rhs, axes=(1, 2, 3)) / den
-        x = jnp.fft.irfftn(x_hat, s=vol, axes=(1, 2, 3)).astype(dtype)
+            x_hat = _rfftn(htd + rhs, axes=(1, 2, 3)) / den
+        x = _irfftn(x_hat, s=vol, axes=(1, 2, 3)).astype(dtype)
         al = float(over_relax)  # Boyd 2011 §3.4.3; measured table BASELINE.md
         if data_split:
-            hx = jnp.fft.irfftn(k_hat * x_hat, s=vol, axes=(1, 2, 3)).astype(dtype)
+            hx = _irfftn(k_hat * x_hat, s=vol, axes=(1, 2, 3)).astype(dtype)
             hxr = hx if al == 1.0 else al * hx + (1.0 - al) * z0
             z0 = _data_prox(hxr + u0, r0)
             u0 = u0 + hxr - z0
@@ -1098,7 +1100,7 @@ def admm_deconvolve_multichannel(
         return new_carry, f
 
     if data_split:
-        z0 = jnp.fft.irfftn(k_hat * jnp.fft.rfftn(x, axes=(1, 2, 3)),
+        z0 = _irfftn(k_hat * _rfftn(x, axes=(1, 2, 3)),
                             s=vol, axes=(1, 2, 3)).astype(dtype)
         u0 = jnp.zeros_like(z0)
     else:
@@ -1133,7 +1135,7 @@ def admm_deconvolve_multichannel(
     p_el = n_el * (4.0 + (1.0 if data_split else 0.0))
 
     def _convT(v):
-        return jnp.fft.irfftn(jnp.conj(k_hat) * jnp.fft.rfftn(
+        return _irfftn(jnp.conj(k_hat) * _rfftn(
             v, axes=(1, 2, 3)), s=vol, axes=(1, 2, 3)).astype(dtype)
 
     hist0 = jnp.full((n + 1,), jnp.nan, jnp.asarray(f0).dtype).at[0].set(f0)
@@ -1220,7 +1222,10 @@ def admm_deconvolve_timeseries_multichannel(
     """
     from microtipi_tpu.jobs.multichannel import make_tsmc_objective
 
-    _check_config(config, "admm", weights)
+    _check_config(config, "admm", weights, allow_exact=True)
+    from microtipi_tpu.jobs.deconv import resolve_exact_fft as _ref
+    from microtipi_tpu.ops.convolution import fft_pair as _fp
+    _rfftn, _irfftn = _fp(_ref(config))
     poisson = config.data_term == "poisson"
     if mixing is not None and (poisson or weights is not None):
         raise ValueError(
@@ -1333,7 +1338,7 @@ def admm_deconvolve_timeseries_multichannel(
         return (w * gg * data + rr0 * v) / (w * gg * gg + rr0)
 
     if not data_split:
-        htd = jnp.fft.irfftn(jnp.conj(k_hat) * jnp.fft.rfftn(data, axes=(2, 3, 4)),
+        htd = _irfftn(jnp.conj(k_hat) * _rfftn(data, axes=(2, 3, 4)),
                              s=vol, axes=(2, 3, 4)).astype(dtype)
 
     def step_core(carry):
@@ -1344,14 +1349,14 @@ def admm_deconvolve_timeseries_multichannel(
         if temporal:
             rhs = rhs + r1t * ((jnp.roll(zt - ut, 1, axis=0)) - (zt - ut))
         if data_split:
-            x_hat = (r0 * jnp.conj(kc_hat) * jnp.fft.rfftn(z0 - u0, axes=tzyx)
-                     + jnp.fft.rfftn(rhs, axes=tzyx)) / den
+            x_hat = (r0 * jnp.conj(kc_hat) * _rfftn(z0 - u0, axes=tzyx)
+                     + _rfftn(rhs, axes=tzyx)) / den
         else:
-            x_hat = jnp.fft.rfftn(htd + rhs, axes=tzyx) / den
-        x = jnp.fft.irfftn(x_hat, s=(nt,) + vol, axes=tzyx).astype(dtype)
+            x_hat = _rfftn(htd + rhs, axes=tzyx) / den
+        x = _irfftn(x_hat, s=(nt,) + vol, axes=tzyx).astype(dtype)
         al = float(over_relax)  # Boyd 2011 §3.4.3; measured table BASELINE.md
         if data_split:
-            hx = jnp.fft.irfftn(kc_hat * x_hat, s=(nt,) + vol,
+            hx = _irfftn(kc_hat * x_hat, s=(nt,) + vol,
                                 axes=tzyx).astype(dtype)
             hxr = hx if al == 1.0 else al * hx + (1.0 - al) * z0
             z0 = _data_prox(hxr + u0, r0)
@@ -1393,7 +1398,7 @@ def admm_deconvolve_timeseries_multichannel(
         return new_carry, f
 
     if data_split:
-        z0 = jnp.fft.irfftn(k_hat * jnp.fft.rfftn(x, axes=(2, 3, 4)),
+        z0 = _irfftn(k_hat * _rfftn(x, axes=(2, 3, 4)),
                             s=vol, axes=(2, 3, 4)).astype(dtype)
         u0 = jnp.zeros_like(x)
     else:
@@ -1435,7 +1440,7 @@ def admm_deconvolve_timeseries_multichannel(
                    + (1.0 if temporal else 0.0))
 
     def _convT(v):
-        return jnp.fft.irfftn(jnp.conj(k_hat) * jnp.fft.rfftn(
+        return _irfftn(jnp.conj(k_hat) * _rfftn(
             v, axes=(2, 3, 4)), s=vol, axes=(2, 3, 4)).astype(dtype)
 
     def _tadj(g):

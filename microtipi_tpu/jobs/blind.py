@@ -335,7 +335,10 @@ def blind_deconvolve(
         # — deconvolver.getModel(); the re-estimated weights feed ONLY the
         # PSF step of this round (BlindDeconvJob.java:109-111).
         kern = pad_fft_kernel(psf, var_shape)
-        full_cost = WeightedConvolutionCost.build(kern, data, None, var_shape)
+        from microtipi_tpu.jobs.psf_fit import _resolve_fit_exact
+
+        full_cost = WeightedConvolutionCost.build(kern, data, None, var_shape,
+                                                  exact=_resolve_fit_exact())
         return weight_updater(full_cost.model(x), data)
 
     def _obj_at_data(x):

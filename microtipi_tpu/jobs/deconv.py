@@ -123,13 +123,14 @@ class DeconvolutionConfig:
     #: 512^3 (the MXU path the XLA FFT does not saturate), lifting the
     #: 256^3 headline solve +45% and the 512^3 solve +80%. None
     #: (default) = AUTO: exact on TPU backends, off on CPU (already
-    #: exact) — for the wired surfaces: the 3D single-volume solvers
-    #: (deconvolve / admm_deconvolve / fista_deconvolve, incl. per-tile
-    #: through tiled_deconvolve and the blind loop's object steps).
-    #: Surfaces not yet wired (4D/5D/multichannel/sharded/superres/
-    #: depthvar) keep the XLA FFT under the auto default and raise on an
-    #: EXPLICIT True rather than silently ignore it. CLI ``--exact-fft``
-    #: / ``--no-exact-fft`` force.
+    #: exact) — wired across EVERY solver surface: the 3D single-volume
+    #: solvers (deconvolve / admm_deconvolve / fista_deconvolve, incl.
+    #: per-tile and the blind loop), the 4D/5D/multichannel/superres/
+    #: depth-varying solvers and their ADMM engines, RL/Wiener, the PSF
+    #: fits (backend auto rule), the uncertainty CG, and the sharded
+    #: path's z-leg 1D transform (its rfft2 leg is measured f32-exact
+    #: and keeps jnp.fft). CLI ``--exact-fft`` / ``--no-exact-fft``
+    #: force.
     exact_fft: bool | None = None
 
 
@@ -150,7 +151,9 @@ def resolve_exact_fft(config: DeconvolutionConfig) -> bool:
     already exact and faster there)."""
     if config.exact_fft is not None:
         return bool(config.exact_fft)
-    return jax.default_backend() in ("tpu", "axon")
+    from microtipi_tpu.ops.convolution import auto_exact_fft
+
+    return auto_exact_fft()
 
 
 def resolve_mem_dtype(config: DeconvolutionConfig, x0) -> jnp.dtype | None:

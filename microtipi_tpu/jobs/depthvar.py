@@ -121,16 +121,13 @@ def deconvolve_depthvar(
     data grid (default: K evenly spaced). Supports the padded-variable mode
     (``config.var_shape``) like the shift-invariant solver.
     """
-    if config.exact_fft is True:  # explicit only: the auto default keeps
-        # the XLA FFT on surfaces the exact path has not reached yet
-        raise ValueError(
-            "exact_fft is wired for the 3D single-volume solvers only "
-            "(deconvolve / admm_deconvolve / fista_deconvolve, incl. "
-            "per-tile through tiled_deconvolve); drop it here")
+    from microtipi_tpu.jobs.deconv import resolve_exact_fft
+    exact = resolve_exact_fft(config)
     var_shape = tuple(config.var_shape) if config.var_shape is not None else data.shape
     if psfs.shape[1:] != var_shape:
         psfs = jax.vmap(lambda h: pad_fft_kernel(h, var_shape))(psfs)
-    cost = DepthVaryingConvCost.build(psfs, data, weights, var_shape, anchors)
+    cost = DepthVaryingConvCost.build(psfs, data, weights, var_shape, anchors,
+                                      exact=exact)
     reg = make_regularizer(config, var_shape)
 
     if config.data_term == "poisson":
@@ -213,16 +210,21 @@ def richardson_lucy_depthvar(
     k = psfs.shape[0]
     if anchors is None:
         anchors = np.linspace(0.0, shape[0] - 1.0, k)
+    from microtipi_tpu.jobs.deconv import DeconvolutionConfig, resolve_exact_fft
+    from microtipi_tpu.ops.convolution import fft_pair
+
+    exact = resolve_exact_fft(DeconvolutionConfig())
+    _rfftn, _irfftn = fft_pair(exact)
     zw = jnp.asarray(depth_weights(shape[0], anchors), data.dtype)
-    h_hat = jnp.fft.rfftn(psfs, axes=(1, 2, 3))
+    h_hat = _rfftn(psfs, axes=(1, 2, 3))
 
     def forward(y):
-        return depth_varying_convolve(y, h_hat, zw, shape)
+        return depth_varying_convolve(y, h_hat, zw, shape, exact)
 
     def backward(r):
-        r_hat = jnp.fft.rfftn(r)
-        backs = jnp.fft.irfftn(jnp.conj(h_hat) * r_hat[None], s=shape,
-                               axes=(1, 2, 3))
+        r_hat = _rfftn(r)
+        backs = _irfftn(jnp.conj(h_hat) * r_hat[None], s=shape,
+                        axes=(1, 2, 3))
         return jnp.sum(zw[:, :, None, None] * backs, axis=0)
 
     # Per-voxel sensitivity H^T 1 = sum_k w_k(z) * flux(h_k): a z profile.
@@ -251,12 +253,16 @@ def _depthvar_fit_cost(obj, data, weights, anchors):
     if weights is not None:
         # Zero weight EXCLUDES the voxel (see WeightedConvolutionCost.build).
         data = jnp.where(weights > 0, data, 0.0)
+    from microtipi_tpu.jobs.deconv import DeconvolutionConfig, resolve_exact_fft
+    from microtipi_tpu.ops.convolution import fft_pair
+
+    _rfftn, _irfftn = fft_pair(resolve_exact_fft(DeconvolutionConfig()))
     zw = jnp.asarray(depth_weights(shape[0], anchors), data.dtype)
-    xk_hat = jnp.fft.rfftn(zw[:, :, None, None] * obj[None], axes=(1, 2, 3))
+    xk_hat = _rfftn(zw[:, :, None, None] * obj[None], axes=(1, 2, 3))
 
     def cost(psfs):
-        h_hat = jnp.fft.rfftn(psfs, axes=(1, 2, 3))
-        pred = jnp.fft.irfftn(jnp.sum(h_hat * xk_hat, axis=0), s=shape)
+        h_hat = _rfftn(psfs, axes=(1, 2, 3))
+        pred = _irfftn(jnp.sum(h_hat * xk_hat, axis=0), s=shape)
         r = pred - data
         if weights is None:
             return 0.5 * jnp.sum(r * r)

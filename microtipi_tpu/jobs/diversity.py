@@ -71,6 +71,18 @@ import jax.numpy as jnp
 from microtipi_tpu.models.microscope import FAMILY_NAMES, PHASE
 from microtipi_tpu.utils.grids import fft_freq2
 
+def _rfftn(*a, **k):
+    from microtipi_tpu.ops.convolution import auto_exact_fft, fft_pair
+
+    return fft_pair(auto_exact_fft())[0](*a, **k)
+
+
+def _irfftn(*a, **k):
+    from microtipi_tpu.ops.convolution import auto_exact_fft, fft_pair
+
+    return fft_pair(auto_exact_fft())[1](*a, **k)
+
+
 __all__ = [
     "defocus_diversity",
     "zernike_diversity",
@@ -206,7 +218,7 @@ def diversity_cost(
     phases = jnp.asarray(phases, model.dtype)
     if phases.shape[0] != d.shape[0]:
         raise ValueError(f"{d.shape[0]} images but {phases.shape[0]} diversity phases")
-    y_hat = jnp.fft.rfftn(d, axes=(1, 2, 3))
+    y_hat = _rfftn(d, axes=(1, 2, 3))
     mult = jnp.asarray(_rfft_multiplicity(model.shape, np.float32), model.dtype)
     n_vox = float(np.prod(model.shape))
     if image_weights is not None:
@@ -216,7 +228,7 @@ def diversity_cost(
 
     def cost(params):
         h = diversity_psfs(model, params, phases)
-        h_hat = jnp.fft.rfftn(h, axes=(1, 2, 3))
+        h_hat = _rfftn(h, axes=(1, 2, 3))
         wh = h_hat if w is None else w * h_hat
         s = jnp.sum(jnp.real(h_hat) * jnp.real(wh)
                     + jnp.imag(h_hat) * jnp.imag(wh), axis=0)
@@ -244,16 +256,16 @@ def diversity_object_estimate(
     ``jobs.deconv.deconvolve`` with any one channel instead.
     """
     d = jnp.asarray(data, model.dtype)
-    y_hat = jnp.fft.rfftn(d, axes=(1, 2, 3))
+    y_hat = _rfftn(d, axes=(1, 2, 3))
     h = diversity_psfs(model, params, phases)
-    h_hat = jnp.fft.rfftn(h, axes=(1, 2, 3))
+    h_hat = _rfftn(h, axes=(1, 2, 3))
     wh = h_hat if image_weights is None else (
         jnp.asarray(image_weights, model.dtype)[:, None, None, None] * h_hat)
     s = jnp.sum(jnp.real(h_hat) * jnp.real(wh)
                 + jnp.imag(h_hat) * jnp.imag(wh), axis=0)
     num = jnp.sum(jnp.conj(wh) * y_hat, axis=0)
     x_hat = num / (s + gamma * jnp.max(s))
-    return jnp.fft.irfftn(x_hat, s=model.shape).astype(model.dtype)
+    return _irfftn(x_hat, s=model.shape).astype(model.dtype)
 
 
 def diversity_fit_uncertainty(
@@ -315,7 +327,7 @@ def diversity_fit_uncertainty(
     d = jnp.asarray(data, model.dtype)
     n_img = d.shape[0]
     phases = jnp.asarray(phases, model.dtype)
-    y_hat = jnp.fft.rfftn(d, axes=(1, 2, 3))
+    y_hat = _rfftn(d, axes=(1, 2, 3))
     mult = jnp.asarray(_rfft_multiplicity(model.shape, np.float64), model.dtype)
     n_vox = float(np.prod(model.shape))
     w = (None if image_weights is None
@@ -340,7 +352,7 @@ def diversity_fit_uncertainty(
             sub[nm] = full.at[freeze[nm]:].set(v[off:off + sz])
             off += sz
         h = diversity_psfs(model, params._replace(**sub), phases)
-        return jnp.fft.rfftn(h, axes=(1, 2, 3))
+        return _rfftn(h, axes=(1, 2, 3))
 
     h_hat = otf(x0)                       # (D, ...) complex
     a = jax.jacfwd(otf)(x0)               # (D, ..., k) complex

@@ -42,7 +42,7 @@ from microtipi_tpu.jobs.deconv import (
     regularization_cost,
     resolve_mem_dtype,
 )
-from microtipi_tpu.ops.convolution import generalized_kl
+from microtipi_tpu.ops.convolution import fft_pair, generalized_kl
 from microtipi_tpu.ops.regularization import hyperbolic_tv, joint_hyperbolic_tv
 from microtipi_tpu.optim.vmlmb import minimize_vmlmb
 from microtipi_tpu.utils.arrays import pad_fft_kernel
@@ -55,8 +55,8 @@ __all__ = [
 ]
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(5,))
-def _perchannel_quadratic_cost(x, kernel_sq, g2, b, c, vol):
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _perchannel_quadratic_cost(x, kernel_sq, g2, b, c, vol, exact=False):
     """Sum over leading (channel/time) axes of the circulant quadratic data
     term with a PER-CHANNEL kernel spectrum (``kernel_sq`` broadcasts
     against the batched rfftn of ``x`` — (C,) + spec for a 4D block,
@@ -65,28 +65,28 @@ def _perchannel_quadratic_cost(x, kernel_sq, g2, b, c, vol):
     (``jobs.deconv.make_objective``). ``g2``: per-frame quadratic weight
     (squared bleaching gains; a scalar 1.0 when uncorrected)."""
     axes = tuple(range(x.ndim - 3, x.ndim))
-    ax = jnp.fft.irfftn(kernel_sq * jnp.fft.rfftn(x, axes=axes),
-                        s=vol, axes=axes)
+    _rfftn, _irfftn = fft_pair(exact)
+    ax = _irfftn(kernel_sq * _rfftn(x, axes=axes), s=vol, axes=axes)
     return (0.5 * jnp.vdot(x, g2 * ax) - jnp.vdot(x, b) + c).real.astype(x.dtype)
 
 
-def _perchannel_quadratic_fwd(x, kernel_sq, g2, b, c, vol):
+def _perchannel_quadratic_fwd(x, kernel_sq, g2, b, c, vol, exact=False):
     axes = tuple(range(x.ndim - 3, x.ndim))
-    ax = jnp.fft.irfftn(kernel_sq * jnp.fft.rfftn(x, axes=axes),
-                        s=vol, axes=axes)
+    _rfftn, _irfftn = fft_pair(exact)
+    ax = _irfftn(kernel_sq * _rfftn(x, axes=axes), s=vol, axes=axes)
     f = (0.5 * jnp.vdot(x, g2 * ax) - jnp.vdot(x, b) + c).real.astype(x.dtype)
     return f, (g2 * ax - b)
 
 
-def _perchannel_quadratic_bwd(vol, res, g):
+def _perchannel_quadratic_bwd(vol, exact, res, g):
     return (g * res, None, None, None, None)
 
 
 _perchannel_quadratic_cost.defvjp(_perchannel_quadratic_fwd, _perchannel_quadratic_bwd)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(4,))
-def _mixed_quadratic_cost(x, normal_spec, b, c, vol):
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _mixed_quadratic_cost(x, normal_spec, b, c, vol, exact=False):
     """Quadratic data term for the spectrally MIXED forward model
     ``y_tc = sum_k M_ck (H_k x_tk)``: the normal operator stays a one-FFT-
     pair circulant program because mixing is pointwise in Fourier space,
@@ -97,21 +97,23 @@ def _mixed_quadratic_cost(x, normal_spec, b, c, vol):
     so unmixing costs ONE (K, K) einsum over spectra on top of the batched
     transforms — no extra FFTs vs the unmixed path. ``b = A^T d`` and
     ``c = 0.5 sum d^2`` are precomputed; gradient = irfftn-sum - b."""
-    xh = jnp.fft.rfftn(x, axes=(-3, -2, -1))
-    ax = jnp.fft.irfftn(jnp.einsum("kjzyx,tjzyx->tkzyx", normal_spec, xh),
-                        s=vol, axes=(-3, -2, -1))
+    _rfftn, _irfftn = fft_pair(exact)
+    xh = _rfftn(x, axes=(-3, -2, -1))
+    ax = _irfftn(jnp.einsum("kjzyx,tjzyx->tkzyx", normal_spec, xh),
+                 s=vol, axes=(-3, -2, -1))
     return (0.5 * jnp.vdot(x, ax) - jnp.vdot(x, b) + c).real.astype(x.dtype)
 
 
-def _mixed_quadratic_fwd(x, normal_spec, b, c, vol):
-    xh = jnp.fft.rfftn(x, axes=(-3, -2, -1))
-    ax = jnp.fft.irfftn(jnp.einsum("kjzyx,tjzyx->tkzyx", normal_spec, xh),
-                        s=vol, axes=(-3, -2, -1))
+def _mixed_quadratic_fwd(x, normal_spec, b, c, vol, exact=False):
+    _rfftn, _irfftn = fft_pair(exact)
+    xh = _rfftn(x, axes=(-3, -2, -1))
+    ax = _irfftn(jnp.einsum("kjzyx,tjzyx->tkzyx", normal_spec, xh),
+                 s=vol, axes=(-3, -2, -1))
     f = (0.5 * jnp.vdot(x, ax) - jnp.vdot(x, b) + c).real.astype(x.dtype)
     return f, (ax - b)
 
 
-def _mixed_quadratic_bwd(vol, res, g):
+def _mixed_quadratic_bwd(vol, exact, res, g):
     return (g * res, None, None, None)
 
 
@@ -301,12 +303,9 @@ def make_tsmc_objective(
     engines reuse: ``k_hat`` (per-channel spectra), ``m`` (mixing), ``g5``
     (bleach gains), ``nk``, and the (possibly zero-weight-masked)
     ``data``/``weights``."""
-    if config.exact_fft is True:  # explicit only: the auto default keeps
-        # the XLA FFT on surfaces the exact path has not reached yet
-        raise ValueError(
-            "exact_fft is wired for the 3D single-volume solvers only "
-            "(deconvolve / admm_deconvolve / fista_deconvolve, incl. "
-            "per-tile through tiled_deconvolve); drop it here")
+    from microtipi_tpu.jobs.deconv import resolve_exact_fft
+    exact = resolve_exact_fft(config)
+    _rfftn, _irfftn = fft_pair(exact)
 
     data = jnp.asarray(data)
     if data.ndim != 5:
@@ -338,7 +337,7 @@ def make_tsmc_objective(
             f"corner-origin kernel shape <= {vol} (or one volume "
             f"broadcast), got {psfs.shape}")
     kernel = jax.vmap(lambda p: pad_fft_kernel(p, vol))(psfs)
-    k_hat = jnp.fft.rfftn(kernel, axes=(1, 2, 3))  # (C or K,) + spec
+    k_hat = _rfftn(kernel, axes=(1, 2, 3))  # (C or K,) + spec
     if m is not None and k_hat.shape[0] == 1 and nk > 1:
         # The (K, K) Fourier coupling needs one spectrum per dye.
         k_hat = jnp.broadcast_to(k_hat, (nk,) + k_hat.shape[1:])
@@ -358,8 +357,7 @@ def make_tsmc_objective(
         g5 = bleach.reshape(nt, nk, 1, 1, 1)
 
     def model(x):
-        hx = jnp.fft.irfftn(k_hat * jnp.fft.rfftn(x, axes=axes),
-                            s=vol, axes=axes)
+        hx = _irfftn(k_hat * _rfftn(x, axes=axes), s=vol, axes=axes)
         if g5 is not None:
             hx = g5 * hx
         if m is not None:
@@ -384,14 +382,15 @@ def make_tsmc_objective(
     elif weights is None and m is None:
         kernel_sq = jnp.real(k_hat) ** 2 + jnp.imag(k_hat) ** 2
         g2 = jnp.ones((), data.dtype) if g5 is None else g5 * g5
-        b = jnp.fft.irfftn(jnp.conj(k_hat) * jnp.fft.rfftn(data, axes=axes),
-                           s=vol, axes=axes)
+        b = _irfftn(jnp.conj(k_hat) * _rfftn(data, axes=axes),
+                    s=vol, axes=axes)
         if g5 is not None:
             b = g5 * b
         c = 0.5 * jnp.sum(data * data)
 
         def data_term(x):
-            return _perchannel_quadratic_cost(x, kernel_sq, g2, b, c, vol)
+            return _perchannel_quadratic_cost(x, kernel_sq, g2, b, c, vol,
+                                              exact)
     elif weights is None and g5 is None and accurate:
         def data_term(x):
             r = model(x) - data
@@ -401,14 +400,14 @@ def make_tsmc_objective(
         gram = m.T @ m  # (K, K)
         normal_spec = jnp.einsum("kzyx,kj,jzyx->kjzyx",
                                  jnp.conj(k_hat), gram, k_hat)
-        b = jnp.fft.irfftn(
+        b = _irfftn(
             jnp.conj(k_hat) * jnp.einsum(
-                "ck,tczyx->tkzyx", m, jnp.fft.rfftn(data, axes=axes)),
+                "ck,tczyx->tkzyx", m, _rfftn(data, axes=axes)),
             s=vol, axes=axes)
         c = 0.5 * jnp.sum(data * data)
 
         def data_term(x):
-            return _mixed_quadratic_cost(x, normal_spec, b, c, vol)
+            return _mixed_quadratic_cost(x, normal_spec, b, c, vol, exact)
     else:
         if weights is None:  # mixing + bleach: explicit residual
             weights = jnp.ones((), data.dtype)

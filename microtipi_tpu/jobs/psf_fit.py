@@ -88,7 +88,17 @@ class PsfFitResult(NamedTuple):
 
 
 
-def _fit_data_term(obj, data, weights):
+def _resolve_fit_exact() -> bool:
+    """Backend auto rule for the fit transforms — same policy as
+    ``jobs.deconv.resolve_exact_fft`` (exact matmul-DFT on TPU backends,
+    where the XLA FFT is bf16-grade AND slower — BASELINE.md round 5;
+    ``jnp.fft`` elsewhere)."""
+    from microtipi_tpu.ops.convolution import auto_exact_fft
+
+    return auto_exact_fft()
+
+
+def _fit_data_term(obj, data, weights, exact: bool | None = None):
     """Data term for PSF fits: object as kernel (PSF_Estimation.java:147-150).
 
     f64: the circulant quadratic form (2 FFTs/eval for cost AND psf-space
@@ -99,15 +109,18 @@ def _fit_data_term(obj, data, weights):
     Measured (confocal 16x64x64, f32): quadratic recovers [0.295, -0.0005,
     0.0007] of [0.3, -0.2, 0.1]; residual recovers [0.295, -0.118, 0.133].
     """
+    if exact is None:
+        exact = _resolve_fit_exact()
     if weights is None:
         if jnp.asarray(data).dtype == jnp.float64:
             from microtipi_tpu.ops.convolution import QuadraticConvCost
 
-            return QuadraticConvCost.build(obj, data)
+            return QuadraticConvCost.build(obj, data, exact=exact)
         from microtipi_tpu.ops.convolution import UniformConvCost
 
-        return UniformConvCost.build(obj, data)  # 3 FFTs, cancellation-free
-    return WeightedConvolutionCost.build(obj, data, weights)
+        # 3 FFTs, cancellation-free
+        return UniformConvCost.build(obj, data, exact=exact)
+    return WeightedConvolutionCost.build(obj, data, weights, exact=exact)
 
 
 def center_bead_stack(data: jax.Array, subvoxel: bool = True) -> jax.Array:
@@ -153,7 +166,10 @@ def center_bead_stack(data: jax.Array, subvoxel: bool = True) -> jax.Array:
              + fx[None, None, :] * px)
     ramp = jnp.exp((2j * jnp.pi) * phase.astype(
         jnp.complex128 if d.dtype == jnp.float64 else jnp.complex64))
-    return jnp.fft.irfftn(jnp.fft.rfftn(d) * ramp, s=shape).astype(d.dtype)
+    from microtipi_tpu.ops.convolution import fft_pair
+
+    _rfftn, _irfftn = fft_pair(_resolve_fit_exact())
+    return _irfftn(_rfftn(d) * ramp, s=shape).astype(d.dtype)
 
 
 def detect_beads(
@@ -1027,11 +1043,14 @@ def fit_uncertainty(
         raise ValueError(f"family {family!r} has no coefficients")
     if weights is not None and weights.shape != data.shape:
         weights = pad_to_shape(weights, data.shape)
-    obj_hat = jnp.fft.rfftn(obj)
+    from microtipi_tpu.ops.convolution import fft_pair
+
+    _exact = _resolve_fit_exact()
+    obj_hat = fft_pair(_exact)[0](obj)
 
     def predict(v):
         h = model.compute_psf(params._replace(**{family: v}))
-        return convolve(h, obj_hat, data.shape)
+        return convolve(h, obj_hat, data.shape, _exact)
 
     jac = jax.jacfwd(predict)(x).reshape(-1, x.shape[0])
     resid = (predict(x) - data).ravel()

@@ -147,7 +147,11 @@ def richardson_lucy(
         raise ValueError("richardson_lucy requires psf shape == data shape")
     if stop not in ("fixed", "gaussian", "poisson"):
         raise ValueError(f"unknown stop {stop!r}")
-    k_hat = convolve_spectrum(psf)
+    from microtipi_tpu.ops.convolution import auto_exact_fft, fft_pair
+
+    _exact = auto_exact_fft()
+    _rfftn, _irfftn = fft_pair(_exact)
+    k_hat = convolve_spectrum(psf, _exact)
     if backprojector == "wiener-butterworth":
         k_hat_conj = wb_backprojector(k_hat, data.shape, beta=wb_beta)
         flux = jnp.asarray(1.0, data.dtype)  # B(0) = 1 by construction
@@ -158,10 +162,10 @@ def richardson_lucy(
         raise ValueError(f"unknown backprojector {backprojector!r}")
 
     def forward(y):
-        return convolve(y, k_hat, data.shape)
+        return convolve(y, k_hat, data.shape, _exact)
 
     def backward(r):
-        return jnp.fft.irfftn(k_hat_conj * jnp.fft.rfftn(r), s=data.shape)
+        return _irfftn(k_hat_conj * _rfftn(r), s=data.shape)
 
     return _rl_engine(data, forward, backward, flux, iterations, background,
                       mu, epsilon, x0, accelerate, stop, stop_sigma,
@@ -304,7 +308,10 @@ def multiview_richardson_lucy(
         raise ValueError("views and psfs must share a (K,)+volume shape")
     vol = views.shape[1:]
     axes = tuple(range(1, views.ndim))
-    k_hat = jnp.fft.rfftn(psfs, axes=axes)
+    from microtipi_tpu.ops.convolution import auto_exact_fft, fft_pair
+
+    _rfftn, _irfftn = fft_pair(auto_exact_fft())
+    k_hat = _rfftn(psfs, axes=axes)
     if backprojector == "wiener-butterworth":
         # per-view backprojectors (each arm has its own OTF support); the
         # fused denominator is sum_v B_v(0) = K
@@ -331,10 +338,10 @@ def multiview_richardson_lucy(
     eps = jnp.maximum(1e-6 * (jnp.mean(d) + bg), tiny)  # see jobs.richardson_lucy
 
     def body(_, x):
-        model = jnp.fft.irfftn(k_hat * jnp.fft.rfftn(x)[None], s=vol, axes=axes) + bg
+        model = _irfftn(k_hat * _rfftn(x)[None], s=vol, axes=axes) + bg
         ratio = jnp.where(model > eps, d / jnp.maximum(model, eps), 0.0)
         back = jnp.sum(
-            jnp.fft.irfftn(k_hat_conj * jnp.fft.rfftn(ratio, axes=axes), s=vol, axes=axes),
+            _irfftn(k_hat_conj * _rfftn(ratio, axes=axes), s=vol, axes=axes),
             axis=0,
         )
         return jnp.maximum(x * back / flux, 0.0)

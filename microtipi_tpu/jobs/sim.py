@@ -372,10 +372,34 @@ def reconstruct_sim(
 # which is what fills the missing cone and extends the axial support by q.
 
 
+def _fft3(x, axes=None):
+    """Full complex 3D FFT, exact matmul-DFT on TPU backends (the XLA 3D
+    FFT is bf16-grade there — BASELINE.md round 5; the 2D paths keep
+    ``jnp.fft.fft2``, measured f32-exact)."""
+    from microtipi_tpu.ops.convolution import auto_exact_fft
+
+    if auto_exact_fft():
+        from microtipi_tpu.ops import exactfft
+
+        return exactfft.fftn(x, axes=axes)
+    return jnp.fft.fftn(x, axes=axes)
+
+
+def _ifft3(x, axes=None):
+    """Inverse of :func:`_fft3` (same backend policy)."""
+    from microtipi_tpu.ops.convolution import auto_exact_fft
+
+    if auto_exact_fft():
+        from microtipi_tpu.ops import exactfft
+
+        return exactfft.ifftn(x, axes=axes)
+    return jnp.fft.ifftn(x, axes=axes)
+
+
 def _fftnc(x):
     """3D FFT over the trailing (Nz, Ny, Nx) axes (leading axes are batch)."""
-    return jnp.fft.fftn(x.astype(jnp.complex128 if x.dtype == jnp.float64
-                                 else jnp.complex64), axes=(-3, -2, -1))
+    return _fft3(x.astype(jnp.complex128 if x.dtype == jnp.float64
+                          else jnp.complex64), axes=(-3, -2, -1))
 
 
 def _wrapped_coord(n):
@@ -433,7 +457,7 @@ def simulate_sim3d(x: jax.Array, psf: jax.Array, pattern_k, phases,
                 xm = (x * ramp ** m).astype(cdtype)
             else:
                 xm = (x * jnp.conj(ramp) ** (-m)).astype(cdtype)
-            y.append(jnp.fft.ifftn(jnp.fft.fftn(xm) * otfs[i]))
+            y.append(_ifft3(_fft3(xm) * otfs[i]))
         row = []
         for j in range(phases.shape[1]):
             d = y[0]
@@ -549,15 +573,15 @@ def reconstruct_sim3d(
     for i, m in enumerate(ORDERS_3D):
         if m == 0:
             continue
-        o_big_img = jnp.fft.ifftn(_zeropad_spectrum(otfs[i].astype(cdtype),
-                                                    fine))
+        o_big_img = _ifft3(_zeropad_spectrum(otfs[i].astype(cdtype),
+                                             fine))
         for a in range(a_n):
             # band m carries S(k - m p): shift BOTH the band and its OTF by
             # -m p (real-space ramp; on the fine lateral grid p halves)
             ramp = _phase_ramp(fine[1:], -m * a_k[a] / 2.0, rdtype)[None]
-            big_b = jnp.fft.fftn(jnp.fft.ifftn(
+            big_b = _fft3(_ifft3(
                 _zeropad_spectrum(bands[a, i].astype(cdtype), fine)) * ramp)
-            big_h = jnp.fft.fftn(o_big_img * ramp)
+            big_h = _fft3(o_big_img * ramp)
             num = num + jnp.conj(big_h) * big_b
             den = den + jnp.real(big_h) ** 2 + jnp.imag(big_h) ** 2
     otf_peak = jnp.max(jnp.abs(jnp.real(otfs[0])))  # H(0) real positive
@@ -575,5 +599,5 @@ def reconstruct_sim3d(
         apo_ax = np.clip(1.0 - np.abs(fz) / kmax_ax, 0.0, 1.0)
         apo = jnp.asarray(apo_ax[:, None, None] * apo_lat[None], rdtype)
         s_hat = s_hat * apo
-    x = jnp.real(jnp.fft.ifftn(s_hat)).astype(rdtype)
+    x = jnp.real(_ifft3(s_hat)).astype(rdtype)
     return SIMReconstruction(x, den)

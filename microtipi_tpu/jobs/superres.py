@@ -63,9 +63,14 @@ def upsample_psf(psf: jax.Array, factor: tuple[int, int, int]) -> jax.Array:
     model-synthesized and upsampled-measured fine PSFs are interchangeable
     in :func:`deconvolve_superres`.
     """
+    from microtipi_tpu.jobs.deconv import DeconvolutionConfig, resolve_exact_fft
+    from microtipi_tpu.ops import exactfft
+
     fz, fy, fx = (int(v) for v in factor)
     n = psf.shape
-    spec = jnp.fft.fftn(jnp.asarray(psf).astype(
+    _fftn = exactfft.fftn if resolve_exact_fft(DeconvolutionConfig()) \
+        else jnp.fft.fftn
+    spec = _fftn(jnp.asarray(psf).astype(
         jnp.complex128 if psf.dtype == jnp.float64 else jnp.complex64))
     # halve even-size Nyquist bins before the split below
     for ax, (N, f) in enumerate(zip(n, (fz, fy, fx))):
@@ -86,7 +91,9 @@ def upsample_psf(psf: jax.Array, factor: tuple[int, int, int]) -> jax.Array:
             src[ax] = lo
             dst[ax] = lo + N
             big = big.at[tuple(dst)].set(big[tuple(src)])
-    out = jnp.fft.ifftn(jnp.fft.ifftshift(big)).real
+    _ifftn = exactfft.ifftn if resolve_exact_fft(DeconvolutionConfig()) \
+        else jnp.fft.ifftn
+    out = _ifftn(jnp.fft.ifftshift(big)).real
     return jnp.maximum(out.astype(psf.dtype), 0.0)
 
 
@@ -179,19 +186,17 @@ def make_superres_objective(psf_fine, data, weights, config, factor):
     by the VMLMB solver and the ADMM engine (mirrors
     ``jobs.timeseries.make_timeseries_objective``; returns the plain
     objective, wrap in ``jax.value_and_grad`` for the solver)."""
-    if config.exact_fft is True:  # explicit only: the auto default keeps
-        # the XLA FFT on surfaces the exact path has not reached yet
-        raise ValueError(
-            "exact_fft is wired for the 3D single-volume solvers only "
-            "(deconvolve / admm_deconvolve / fista_deconvolve, incl. "
-            "per-tile through tiled_deconvolve); drop it here")
+    from microtipi_tpu.jobs.deconv import resolve_exact_fft
+    from microtipi_tpu.ops.convolution import fft_pair
+
+    _rfftn, _irfftn = fft_pair(resolve_exact_fft(config))
     factor, fine_shape = _check_superres(jnp.asarray(data), psf_fine, factor,
                                          config)
     kernel = pad_fft_kernel(psf_fine, fine_shape)
-    k_hat = jnp.fft.rfftn(kernel)
+    k_hat = _rfftn(kernel)
 
     def model(x):
-        conv = jnp.fft.irfftn(k_hat * jnp.fft.rfftn(x), s=fine_shape)
+        conv = _irfftn(k_hat * _rfftn(x), s=fine_shape)
         return bin_volume(conv, factor)
 
     bg = jnp.asarray(config.background, data.dtype)
@@ -267,7 +272,11 @@ def admm_deconvolve_superres(
         _hyperbolic_prox,
     )
 
-    _check_config(config, "admm", weights)
+    _check_config(config, "admm", weights, allow_exact=True)
+    from microtipi_tpu.jobs.deconv import resolve_exact_fft as _ref
+    from microtipi_tpu.ops.convolution import fft_pair as _fp
+
+    _rfftn, _irfftn = _fp(_ref(config))
     data = jnp.asarray(data)
     if weights is not None:
         # Zero weight EXCLUDES the camera pixel (0*NaN in the block prox
@@ -293,7 +302,7 @@ def admm_deconvolve_superres(
         r0 = 1.0
 
     kernel = pad_fft_kernel(psf_fine, fine_shape)
-    k_hat = jnp.fft.rfftn(kernel)
+    k_hat = _rfftn(kernel)
     h2 = jnp.real(k_hat) ** 2 + jnp.imag(k_hat) ** 2
     s2 = _grad_sq_spectrum(fine_shape, scales, h2.dtype)
     den = r0 * h2 + r1 * s2 + r2
@@ -321,11 +330,11 @@ def admm_deconvolve_superres(
         x, z0, u0, z1, u1, z2, u2 = carry
         rhs = r1 * _circ_diffs_adjoint(
             [z - u for z, u in zip(z1, u1)], scales) + r2 * (z2 - u2)
-        x_hat = (r0 * jnp.conj(k_hat) * jnp.fft.rfftn(z0 - u0)
-                 + jnp.fft.rfftn(rhs)) / den
-        x = jnp.fft.irfftn(x_hat, s=fine_shape).astype(dtype)
+        x_hat = (r0 * jnp.conj(k_hat) * _rfftn(z0 - u0)
+                 + _rfftn(rhs)) / den
+        x = _irfftn(x_hat, s=fine_shape).astype(dtype)
         al = float(over_relax)  # Boyd 2011 §3.4.3; measured table BASELINE.md
-        hx = jnp.fft.irfftn(k_hat * x_hat, s=fine_shape).astype(dtype)
+        hx = _irfftn(k_hat * x_hat, s=fine_shape).astype(dtype)
         hxr = hx if al == 1.0 else al * hx + (1.0 - al) * z0
         z0 = _data_prox(hxr + u0, r0)
         u0 = u0 + hxr - z0
@@ -361,7 +370,7 @@ def admm_deconvolve_superres(
         masks.append(m.at[tuple(
             slice(-1, None) if i == a else slice(None)
             for i in range(3))].set(0.0))
-    z0 = jnp.fft.irfftn(k_hat * jnp.fft.rfftn(x), s=fine_shape).astype(dtype)
+    z0 = _irfftn(k_hat * _rfftn(x), s=fine_shape).astype(dtype)
     u0 = jnp.zeros_like(x)
     z1 = _circ_diffs(x, scales)
     u1 = [jnp.zeros_like(g) for g in z1]
@@ -397,7 +406,7 @@ def admm_deconvolve_superres(
     p_el = n_el * 5.0
 
     def _convT(v):
-        return jnp.fft.irfftn(jnp.conj(k_hat) * jnp.fft.rfftn(v),
+        return _irfftn(jnp.conj(k_hat) * _rfftn(v),
                               s=fine_shape).astype(dtype)
 
     hist0 = jnp.full((n + 1,), jnp.nan, jnp.asarray(f0).dtype).at[0].set(f0)

@@ -36,7 +36,7 @@ from microtipi_tpu.jobs.deconv import (
     regularization_cost,
     resolve_mem_dtype,
 )
-from microtipi_tpu.ops.convolution import generalized_kl
+from microtipi_tpu.ops.convolution import fft_pair, generalized_kl
 from microtipi_tpu.ops.regularization import hyperbolic_tv
 from microtipi_tpu.optim.vmlmb import minimize_vmlmb
 from microtipi_tpu.utils.arrays import pad_fft_kernel
@@ -44,8 +44,8 @@ from microtipi_tpu.utils.arrays import pad_fft_kernel
 __all__ = ["deconvolve_timeseries", "make_timeseries_objective"]
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(5,))
-def _batched_quadratic_cost(x, kernel_sq, g2, b, c, vol):
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _batched_quadratic_cost(x, kernel_sq, g2, b, c, vol, exact=False):
     """Sum over frames of the circulant quadratic data term — the batched
     analogue of ``ops.convolution.QuadraticConvCost`` (one batched FFT pair
     yields cost AND gradient; same harmless-cancellation caveat as the
@@ -53,19 +53,21 @@ def _batched_quadratic_cost(x, kernel_sq, g2, b, c, vol):
     (T, 1, 1, 1) per-frame quadratic weight (squared bleaching gains; ones
     when uncorrected) applied OUTSIDE the spectrum product so the kernel
     spectrum is never materialized per frame."""
-    ax = jnp.fft.irfftn(kernel_sq[None] * jnp.fft.rfftn(x, axes=(1, 2, 3)),
-                        s=vol, axes=(1, 2, 3))
+    _rfftn, _irfftn = fft_pair(exact)
+    ax = _irfftn(kernel_sq[None] * _rfftn(x, axes=(1, 2, 3)),
+                 s=vol, axes=(1, 2, 3))
     return (0.5 * jnp.vdot(x, g2 * ax) - jnp.vdot(x, b) + c).real.astype(x.dtype)
 
 
-def _batched_quadratic_fwd(x, kernel_sq, g2, b, c, vol):
-    ax = jnp.fft.irfftn(kernel_sq[None] * jnp.fft.rfftn(x, axes=(1, 2, 3)),
-                        s=vol, axes=(1, 2, 3))
+def _batched_quadratic_fwd(x, kernel_sq, g2, b, c, vol, exact=False):
+    _rfftn, _irfftn = fft_pair(exact)
+    ax = _irfftn(kernel_sq[None] * _rfftn(x, axes=(1, 2, 3)),
+                 s=vol, axes=(1, 2, 3))
     f = (0.5 * jnp.vdot(x, g2 * ax) - jnp.vdot(x, b) + c).real.astype(x.dtype)
     return f, (g2 * ax - b)
 
 
-def _batched_quadratic_bwd(vol, res, g):
+def _batched_quadratic_bwd(vol, exact, res, g):
     return (g * res, None, None, None, None)
 
 
@@ -149,16 +151,13 @@ def make_timeseries_objective(
     if config.var_shape is not None:
         raise ValueError("var_shape is not supported for the joint 4D solve; "
                          "pad the input data instead")
-    if config.exact_fft is True:  # explicit only: the auto default keeps
-        # the XLA FFT on surfaces the exact path has not reached yet
-        raise ValueError(
-            "exact_fft is wired for the 3D single-volume solvers only "
-            "(deconvolve / admm_deconvolve / fista_deconvolve, incl. "
-            "per-tile through tiled_deconvolve); drop it here")
+    from microtipi_tpu.jobs.deconv import resolve_exact_fft
+    exact = resolve_exact_fft(config)
+    _rfftn, _irfftn = fft_pair(exact)
 
     vol = data.shape[1:]
     kernel = pad_fft_kernel(psf, vol)
-    k_hat = jnp.fft.rfftn(kernel)
+    k_hat = _rfftn(kernel)
     axes = (1, 2, 3)
     if weights is not None:
         weights = jnp.asarray(weights)
@@ -174,8 +173,8 @@ def make_timeseries_objective(
         g4 = bleach.reshape(-1, 1, 1, 1)
 
     def model(x):
-        hx = jnp.fft.irfftn(k_hat[None] * jnp.fft.rfftn(x, axes=axes),
-                            s=vol, axes=axes)
+        hx = _irfftn(k_hat[None] * _rfftn(x, axes=axes),
+                     s=vol, axes=axes)
         return hx if g4 is None else g4 * hx
 
     bg = jnp.asarray(config.background, data.dtype)
@@ -200,14 +199,14 @@ def make_timeseries_objective(
         kernel_sq = jnp.real(k_hat) ** 2 + jnp.imag(k_hat) ** 2
         g2 = jnp.ones((data.shape[0], 1, 1, 1), data.dtype) if g4 is None \
             else g4 * g4
-        b = jnp.fft.irfftn(jnp.conj(k_hat)[None] * jnp.fft.rfftn(data, axes=axes),
-                           s=vol, axes=axes)
+        b = _irfftn(jnp.conj(k_hat)[None] * _rfftn(data, axes=axes),
+                    s=vol, axes=axes)
         if g4 is not None:
             b = g4 * b
         c = 0.5 * jnp.sum(data * data)
 
         def data_term(x):
-            return _batched_quadratic_cost(x, kernel_sq, g2, b, c, vol)
+            return _batched_quadratic_cost(x, kernel_sq, g2, b, c, vol, exact)
     else:
         # Zero weight EXCLUDES the voxel whatever its value (0*NaN = NaN
         # would defeat the validity mask — WeightedConvolutionCost.build

@@ -96,6 +96,9 @@ def laplace_objective(
     forms without ``jax.custom_vjp`` so ``jax.linearize(jax.grad(f))`` —
     forward-over-reverse — is legal.
     """
+    from microtipi_tpu.jobs.deconv import resolve_exact_fft
+
+    exact = resolve_exact_fft(config)
     var_shape = tuple(config.var_shape) if config.var_shape is not None else data.shape
     kernel = pad_fft_kernel(psf, var_shape)
     if config.data_term == "poisson":
@@ -104,9 +107,11 @@ def laplace_objective(
                 "data_term='poisson' models the noise itself; per-voxel "
                 "Gaussian weights do not compose with it"
             )
-        cost = PoissonConvCost.build(kernel, data, config.background, var_shape)
+        cost = PoissonConvCost.build(kernel, data, config.background,
+                                     var_shape, exact=exact)
     elif config.data_term == "gaussian":
-        cost = WeightedConvolutionCost.build(kernel, data, weights, var_shape)
+        cost = WeightedConvolutionCost.build(kernel, data, weights, var_shape,
+                                             exact=exact)
     else:
         raise ValueError(f"unknown data_term {config.data_term!r}")
 
@@ -168,14 +173,18 @@ def object_uncertainty(
 
     minv = None
     if precondition:
+        from microtipi_tpu.jobs.deconv import resolve_exact_fft
+        from microtipi_tpu.ops.convolution import fft_pair
+
+        _rfftn, _irfftn = fft_pair(resolve_exact_fft(config))
         var_shape = (tuple(config.var_shape)
                      if config.var_shape is not None else data.shape)
-        h_hat = jnp.fft.rfftn(pad_fft_kernel(psf, var_shape))
+        h_hat = _rfftn(pad_fft_kernel(psf, var_shape))
         h2 = jnp.real(h_hat * jnp.conj(h_hat))
         if config.data_term == "poisson":
             from microtipi_tpu.utils.arrays import crop_to_shape
 
-            m = jnp.fft.irfftn(h_hat * jnp.fft.rfftn(x_hat), s=var_shape)
+            m = _irfftn(h_hat * _rfftn(x_hat), s=var_shape)
             if m.shape != data.shape:
                 m = crop_to_shape(m, data.shape)
             m = jnp.maximum(m + config.background, jnp.finfo(x_hat.dtype).eps)
@@ -196,8 +205,8 @@ def object_uncertainty(
         den = den + jnp.finfo(x_hat.dtype).eps * jnp.max(den)
 
         def minv(v):
-            p = jnp.fft.irfftn(jnp.fft.rfftn(free * v) / den,
-                               s=var_shape).astype(v.dtype)
+            p = _irfftn(_rfftn(free * v) / den,
+                        s=var_shape).astype(v.dtype)
             return free * p + (1.0 - free) * v
 
     probes = jax.random.rademacher(key, (n_probes,) + x_hat.shape, x_hat.dtype)

@@ -32,8 +32,11 @@ def wiener(data: jax.Array, psf: jax.Array, reg: float = 1e-3) -> jax.Array:
     """
     if psf.shape != data.shape:
         raise ValueError("wiener requires psf shape == data shape (pad_fft_kernel first)")
-    k_hat = jnp.fft.rfftn(psf)
+    from microtipi_tpu.ops.convolution import auto_exact_fft, fft_pair
+
+    _rfftn, _irfftn = fft_pair(auto_exact_fft())
+    k_hat = _rfftn(psf)
     k2 = jnp.real(k_hat) ** 2 + jnp.imag(k_hat) ** 2
     lam = reg * jnp.max(k2)
-    x_hat = jnp.conj(k_hat) * jnp.fft.rfftn(data) / (k2 + lam)
-    return jnp.fft.irfftn(x_hat, s=data.shape)
+    x_hat = jnp.conj(k_hat) * _rfftn(data) / (k2 + lam)
+    return _irfftn(x_hat, s=data.shape)

@@ -225,4 +225,10 @@ class WideFieldConfig:
         """3D FFT of the PSF. The reference's ``getMtf`` is broken (loop never
         increments, ``WideFieldModel.java:1814,1822``); this is what it was
         meant to compute."""
+        from microtipi_tpu.ops.convolution import auto_exact_fft
+
+        if auto_exact_fft():
+            from microtipi_tpu.ops import exactfft
+
+            return exactfft.fftn(self.compute_psf(params).astype(self.cdtype))
         return jnp.fft.fftn(self.compute_psf(params).astype(self.cdtype))

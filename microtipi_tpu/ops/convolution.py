@@ -46,6 +46,17 @@ __all__ = [
 ]
 
 
+def auto_exact_fft() -> bool:
+    """Backend auto rule shared by every ``exact_fft``-style default: the
+    f32-exact matmul-DFT on TPU backends — measured both MORE ACCURATE
+    (the XLA TPU FFT is bf16-grade, ~35% RMS spectrum error at 256^3) and
+    FASTER (+45-80% solve throughput, it rides the MXU) there; ``jnp.fft``
+    on CPU where it is already exact and faster (BASELINE.md round 5)."""
+    import jax as _jax
+
+    return _jax.default_backend() in ("tpu", "axon")
+
+
 def fft_pair(exact: bool = False):
     """(rfftn, irfftn) — ``exact=True`` routes to the highest-precision
     matmul-DFT (``ops.exactfft``): f32-exact transforms on TPU, where the

@@ -64,16 +64,20 @@ def depth_weights(nz: int, anchors) -> np.ndarray:
 
 
 def depth_varying_convolve(
-    x: jax.Array, kernels_hat: jax.Array, zweights: jax.Array, shape: tuple[int, ...]
+    x: jax.Array, kernels_hat: jax.Array, zweights: jax.Array,
+    shape: tuple[int, ...], exact: bool = False
 ) -> jax.Array:
     """``sum_k h_k (*) (w_k ⊙ x)`` with precomputed anchor spectra.
 
     ``kernels_hat`` is the batched rfftn of the K corner-origin anchor
     kernels at ``shape``; ``zweights`` is ``(K, Nz)``.
     """
+    from microtipi_tpu.ops.convolution import fft_pair
+
+    _rfftn, _irfftn = fft_pair(exact)
     xk = zweights[:, :, None, None] * x[None]
-    xk_hat = jnp.fft.rfftn(xk, axes=(1, 2, 3))
-    return jnp.fft.irfftn(jnp.sum(kernels_hat * xk_hat, axis=0), s=shape)
+    xk_hat = _rfftn(xk, axes=(1, 2, 3))
+    return _irfftn(jnp.sum(kernels_hat * xk_hat, axis=0), s=shape)
 
 
 class DepthVaryingConvCost(NamedTuple):
@@ -90,6 +94,7 @@ class DepthVaryingConvCost(NamedTuple):
     data: jax.Array
     weights: jax.Array | None
     var_shape: tuple[int, ...]
+    exact: bool = False
 
     @classmethod
     def build(
@@ -99,6 +104,7 @@ class DepthVaryingConvCost(NamedTuple):
         weights: jax.Array | None = None,
         var_shape: tuple[int, ...] | None = None,
         anchors=None,
+        exact: bool = False,
     ) -> "DepthVaryingConvCost":
         """``kernels``: (K, Nz, Ny, Nx) corner-origin anchor PSFs at
         ``var_shape`` (embed with ``utils.arrays.pad_fft_kernel`` per anchor
@@ -130,18 +136,22 @@ class DepthVaryingConvCost(NamedTuple):
         # Weights live on the variable z grid; the data window is centered
         # (utils.arrays._offsets), so data z index 0 sits at var index off_z.
         off_z = (var_shape[0] - data.shape[0]) // 2
+        from microtipi_tpu.ops.convolution import fft_pair
+
         zw = depth_weights(var_shape[0], anchors + off_z)
         return cls(
-            jnp.fft.rfftn(kernels, axes=(1, 2, 3)),
+            fft_pair(exact)[0](kernels, axes=(1, 2, 3)),
             jnp.asarray(zw, data.dtype),
             data,
             weights,
             var_shape,
+            exact,
         )
 
     def model(self, x: jax.Array) -> jax.Array:
         """Forward model H x = crop(sum_k h_k (*) (w_k ⊙ x))."""
-        hx = depth_varying_convolve(x, self.kernels_hat, self.zweights, self.var_shape)
+        hx = depth_varying_convolve(x, self.kernels_hat, self.zweights,
+                                    self.var_shape, self.exact)
         if hx.shape != self.data.shape:
             hx = crop_to_shape(hx, self.data.shape)
         return hx

@@ -30,7 +30,7 @@ from functools import lru_cache
 import numpy as np
 import jax.numpy as jnp
 
-__all__ = ["irfftn", "rfftn"]
+__all__ = ["fft", "fftn", "ifft", "ifftn", "irfftn", "rfftn"]
 
 _P = "highest"
 
@@ -71,10 +71,24 @@ def _wide(dtype):
     return jnp.dtype(dtype) in (jnp.float64, jnp.complex128)
 
 
+def _to_device(mat):
+    """numpy constant -> device array. Complex constants are shipped as a
+    real/imag PAIR recombined on device: the axon TPU runtime rejects
+    complex host<->device transfers (UNIMPLEMENTED), which would break
+    EAGER use of these transforms (under jit the constants embed in the
+    program and never transfer, so both paths compile identically)."""
+    if np.iscomplexobj(mat):
+        import jax as _jax
+
+        return _jax.lax.complex(jnp.asarray(np.ascontiguousarray(mat.real)),
+                                jnp.asarray(np.ascontiguousarray(mat.imag)))
+    return jnp.asarray(mat)
+
+
 def _contract(a, mat, axis):
     """Apply: contract ``a``'s ``axis`` with ``mat[in, out]``."""
     a = jnp.moveaxis(a, axis, -1)
-    out = jnp.einsum("...i,io->...o", a, jnp.asarray(mat), precision=_P)
+    out = jnp.einsum("...i,io->...o", a, _to_device(mat), precision=_P)
     return jnp.moveaxis(out, -1, axis)
 
 
@@ -100,6 +114,54 @@ def rfftn(x, s=None, axes=None):
     for a in axes[:-1]:
         w, _ = _dft_mats(out.shape[a], wide)
         out = _contract(out, w, a)
+    return out
+
+
+def fft(x, axis=-1):
+    """``jnp.fft.fft``-compatible 1D full complex transform along ``axis``
+    (the distributed transpose-FFT's z leg — ``parallel/fft.py``)."""
+    x = jnp.asarray(x)
+    wide = _wide(x.dtype)
+    w, _ = _dft_mats(x.shape[axis], wide)
+    return _contract(x.astype(jnp.complex128 if wide else jnp.complex64),
+                     w, axis % x.ndim)
+
+
+def ifft(y, axis=-1):
+    """``jnp.fft.ifft``-compatible 1D inverse transform along ``axis``."""
+    y = jnp.asarray(y)
+    wide = _wide(y.dtype)
+    winv, _, _ = _idft_mats(y.shape[axis], wide)
+    return _contract(y.astype(jnp.complex128 if wide else jnp.complex64),
+                     winv, axis % y.ndim)
+
+
+def fftn(x, axes=None):
+    """``jnp.fft.fftn``-compatible full complex transform (the superres
+    OTF-resampling path uses it once at setup). Full-size over ``axes``."""
+    x = jnp.asarray(x)
+    if axes is None:
+        axes = tuple(range(x.ndim))
+    axes = tuple(a % x.ndim for a in axes)
+    wide = _wide(x.dtype)
+    out = x.astype(jnp.complex128 if wide else jnp.complex64)
+    for a in axes:
+        w, _ = _dft_mats(out.shape[a], wide)
+        out = _contract(out, w, a)
+    return out
+
+
+def ifftn(y, axes=None):
+    """``jnp.fft.ifftn``-compatible full complex inverse transform."""
+    y = jnp.asarray(y)
+    if axes is None:
+        axes = tuple(range(y.ndim))
+    axes = tuple(a % y.ndim for a in axes)
+    wide = _wide(y.dtype)
+    out = y.astype(jnp.complex128 if wide else jnp.complex64)
+    for a in axes:
+        winv, _, _ = _idft_mats(out.shape[a], wide)
+        out = _contract(out, winv, a)
     return out
 
 

@@ -95,8 +95,16 @@ def fourier_shell_correlation(a, b, spacing=None, n_shells=None):
         n_shells = max(8, min(a.shape) // 2)
     idx, centers = _shell_indices(a.shape, spacing, n_shells)
 
-    fa = jnp.fft.fftn(a).ravel()
-    fb = jnp.fft.fftn(b).ravel()
+    from microtipi_tpu.ops.convolution import auto_exact_fft
+
+    if auto_exact_fft():
+        from microtipi_tpu.ops import exactfft
+
+        fa = exactfft.fftn(a).ravel()
+        fb = exactfft.fftn(b).ravel()
+    else:
+        fa = jnp.fft.fftn(a).ravel()
+        fb = jnp.fft.fftn(b).ravel()
     cross = jax.ops.segment_sum(jnp.real(fa * jnp.conj(fb)), idx, n_shells)
     pa = jax.ops.segment_sum(jnp.abs(fa) ** 2, idx, n_shells)
     pb = jax.ops.segment_sum(jnp.abs(fb) ** 2, idx, n_shells)

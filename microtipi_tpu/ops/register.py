@@ -51,12 +51,15 @@ def register_translation(a: jax.Array, b: jax.Array, subvoxel: bool = True,
     """
     if a.shape != b.shape:
         raise ValueError("register_translation requires equal shapes")
-    f = jnp.fft.rfftn(a) * jnp.conj(jnp.fft.rfftn(b))
+    from microtipi_tpu.ops.convolution import auto_exact_fft, fft_pair
+
+    _rfftn, _irfftn = fft_pair(auto_exact_fft())
+    f = _rfftn(a) * jnp.conj(_rfftn(b))
     if method == "phase":
         tiny = jnp.asarray(np.finfo(np.float32).tiny, f.real.dtype)
-        r = jnp.fft.irfftn(f / jnp.maximum(jnp.abs(f), tiny), s=a.shape)
+        r = _irfftn(f / jnp.maximum(jnp.abs(f), tiny), s=a.shape)
     elif method == "xcorr":
-        r = jnp.fft.irfftn(f, s=a.shape)
+        r = _irfftn(f, s=a.shape)
     else:
         raise ValueError(f"unknown method {method!r}")
     idx = jnp.unravel_index(jnp.argmax(r), a.shape)
@@ -108,7 +111,10 @@ def fourier_shift(x: jax.Array, shift) -> jax.Array:
         phase = phase + fr[tuple(sl)] * shift[ax]
     cdtype = jnp.complex128 if x.dtype == jnp.float64 else jnp.complex64
     ramp = jnp.exp((-2j * jnp.pi) * phase.astype(cdtype))
-    return jnp.fft.irfftn(jnp.fft.rfftn(x) * ramp, s=x.shape).astype(x.dtype)
+    from microtipi_tpu.ops.convolution import auto_exact_fft, fft_pair
+
+    _rfftn, _irfftn = fft_pair(auto_exact_fft())
+    return _irfftn(_rfftn(x) * ramp, s=x.shape).astype(x.dtype)
 
 
 def register_timeseries(data: jax.Array, subvoxel: bool = True):

@@ -82,27 +82,28 @@ def crop_trailing(a: jax.Array, vol_shape: tuple[int, int, int]) -> jax.Array:
     return a[idx]
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def _sharded_quadratic_cost(x, kernel_sq, g2, b, c, vol_shape, mesh):
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _sharded_quadratic_cost(x, kernel_sq, g2, b, c, vol_shape, mesh,
+                            exact=None):
     """Distributed analogue of ops.convolution._quadratic_cost: cost and
     gradient of the uniform-weight data term from ONE distributed FFT pair.
     Only ``x`` carries a gradient (kernel/b/c are per-round constants).
     ``g2``: per-frame quadratic weight (squared bleaching gains broadcast
     as (T, 1, 1, 1); a scalar 1.0 when uncorrected/unbatched) applied
     outside the spectrum product, as in jobs.timeseries."""
-    y = sharded_rfftn(x, mesh)
-    ax = sharded_irfftn(y * kernel_sq, vol_shape, mesh)
+    y = sharded_rfftn(x, mesh, exact)
+    ax = sharded_irfftn(y * kernel_sq, vol_shape, mesh, exact)
     return (0.5 * jnp.vdot(x, g2 * ax) - jnp.vdot(x, b) + c).real.astype(x.dtype)
 
 
-def _sq_fwd(x, kernel_sq, g2, b, c, vol_shape, mesh):
-    y = sharded_rfftn(x, mesh)
-    ax = sharded_irfftn(y * kernel_sq, vol_shape, mesh)
+def _sq_fwd(x, kernel_sq, g2, b, c, vol_shape, mesh, exact=None):
+    y = sharded_rfftn(x, mesh, exact)
+    ax = sharded_irfftn(y * kernel_sq, vol_shape, mesh, exact)
     f = (0.5 * jnp.vdot(x, g2 * ax) - jnp.vdot(x, b) + c).real.astype(x.dtype)
     return f, g2 * ax - b
 
 
-def _sq_bwd(vol_shape, mesh, res, g):
+def _sq_bwd(vol_shape, mesh, exact, res, g):
     return (g * res, None, None, None, None)
 
 
@@ -160,12 +161,10 @@ def make_sharded_objective(
     to mesh-divisible grids for arbitrary-sized stacks (pad Nz/Ny up to a
     multiple of the mesh z-axis).
     """
-    if config.exact_fft is True:  # explicit only: the auto default keeps
-        # the XLA FFT on surfaces the exact path has not reached yet
-        raise ValueError(
-            "exact_fft is wired for the 3D single-volume solvers only "
-            "(deconvolve / admm_deconvolve / fista_deconvolve, incl. "
-            "per-tile through tiled_deconvolve); drop it here")
+    # exact_fft policy for the distributed transforms: the z-leg 1D
+    # transform follows the same rule as the dense solvers (exact
+    # matmul-DFT on TPU; the rfft2 leg is measured f32-exact either way).
+    exact = config.exact_fft
     vol_shape = data.shape[-3:]
     batched = data.ndim == 4
     per_channel = psf.ndim == 4
@@ -262,7 +261,7 @@ def make_sharded_objective(
         if weights is not None:
             raise ValueError("data_term='poisson' does not compose with weights")
         kernel = _pad_kernel(psf)
-        k_hat = sharded_spectrum(kernel, mesh)
+        k_hat = sharded_spectrum(kernel, mesh, exact)
         d = constrain_volume(pad_trailing(data, var_shape), mesh) if var_shape != vol_shape else data
         mask = None
         if var_shape != vol_shape:
@@ -274,7 +273,7 @@ def make_sharded_objective(
         from microtipi_tpu.ops.convolution import generalized_kl
 
         def objective(x):
-            hx = sharded_convolve(x, k_hat, var_shape, mesh)
+            hx = sharded_convolve(x, k_hat, var_shape, mesh, exact)
             pred = _mix(hx if g4 is None else g4 * hx) + bg
             return _regularize(generalized_kl(pred, d, mask), x)
 
@@ -285,13 +284,13 @@ def make_sharded_objective(
     if var_shape != vol_shape:
         # Padded-variable mode: zero weight outside the centered data window.
         kernel = _pad_kernel(psf)
-        k_hat = sharded_spectrum(kernel, mesh)
+        k_hat = sharded_spectrum(kernel, mesh, exact)
         d_pad = constrain_volume(pad_trailing(data, var_shape), mesh)
         w = jnp.ones(vol_shape, data.dtype) if weights is None else weights
         w_pad = constrain_volume(pad_trailing(w, var_shape), mesh)
 
         def data_term(x):
-            hx = sharded_convolve(x, k_hat, var_shape, mesh)
+            hx = sharded_convolve(x, k_hat, var_shape, mesh, exact)
             r = _mix(hx if g4 is None else g4 * hx) - d_pad
             return 0.5 * jnp.sum(w_pad * r * r)
 
@@ -300,23 +299,25 @@ def make_sharded_objective(
 
         return _wrap(objective)
 
-    k_hat = sharded_spectrum(psf, mesh)
+    k_hat = sharded_spectrum(psf, mesh, exact)
 
     if weights is None and mixm is None and accurate:
         def data_term(x):
-            hx = sharded_convolve(x, k_hat, vol_shape, mesh)
+            hx = sharded_convolve(x, k_hat, vol_shape, mesh, exact)
             r = (hx if g4 is None else g4 * hx) - data
             return 0.5 * jnp.sum(r * r)
     elif weights is None and mixm is None:
         kernel_sq = jnp.real(k_hat) ** 2 + jnp.imag(k_hat) ** 2
-        b = sharded_irfftn(jnp.conj(k_hat) * sharded_rfftn(data, mesh), vol_shape, mesh)
+        b = sharded_irfftn(jnp.conj(k_hat) * sharded_rfftn(data, mesh, exact),
+                           vol_shape, mesh, exact)
         g2 = jnp.ones((), data.dtype) if g4 is None else g4 * g4
         if g4 is not None:
             b = g4 * b
         c = 0.5 * jnp.sum(data * data)
 
         def data_term(x):
-            return _sharded_quadratic_cost(x, kernel_sq, g2, b, c, vol_shape, mesh)
+            return _sharded_quadratic_cost(x, kernel_sq, g2, b, c, vol_shape,
+                                           mesh, exact)
 
     else:
         if weights is None:
@@ -328,7 +329,7 @@ def make_sharded_objective(
             data = jnp.where(weights > 0, data, 0.0)
 
         def data_term(x):
-            hx = sharded_convolve(x, k_hat, vol_shape, mesh)
+            hx = sharded_convolve(x, k_hat, vol_shape, mesh, exact)
             r = _mix(hx if g4 is None else g4 * hx) - data
             return 0.5 * jnp.sum(weights * r * r)
 

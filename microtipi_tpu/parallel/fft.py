@@ -43,22 +43,44 @@ __all__ = [
 ]
 
 
-def rfft3_local(x_local: jax.Array, axis_name: str = Z_AXIS) -> jax.Array:
+def rfft3_local(x_local: jax.Array, axis_name: str = Z_AXIS,
+                exact: bool | None = None) -> jax.Array:
     """Forward distributed rfftn body (call inside shard_map).
 
     ``x_local``: (..., Nz/p, Ny, Nx) real. Returns (..., Nz, Ny/p, Nx//2+1)
-    complex — z complete, y sharded.
+    complex — z complete, y sharded. The z-axis 1D transform follows the
+    ``exact_fft`` backend policy (exact matmul-DFT on TPU — the XLA FFT
+    there is bf16-grade, BASELINE.md round 5; the 2D ``rfft2`` leg keeps
+    ``jnp.fft``, measured f32-exact). ``exact=None`` = the auto rule.
     """
+    from microtipi_tpu.ops.convolution import auto_exact_fft
+
+    if exact is None:
+        exact = auto_exact_fft()
     xk = jnp.fft.rfft2(x_local, axes=(-2, -1))
     # gather z (concat on -3), scatter y (split on -2)
     xk = lax.all_to_all(xk, axis_name, split_axis=xk.ndim - 2, concat_axis=xk.ndim - 3, tiled=True)
+    if exact:
+        from microtipi_tpu.ops import exactfft
+
+        return exactfft.fft(xk, axis=-3)
     return jnp.fft.fft(xk, axis=-3)
 
 
-def irfft3_local(y_local: jax.Array, ny: int, nx: int, axis_name: str = Z_AXIS) -> jax.Array:
+def irfft3_local(y_local: jax.Array, ny: int, nx: int, axis_name: str = Z_AXIS,
+                 exact: bool | None = None) -> jax.Array:
     """Inverse of :func:`rfft3_local`. ``y_local``: (..., Nz, Ny/p, Nx//2+1);
     returns (..., Nz/p, Ny, Nx) real. ``ny``/``nx`` are the *global* sizes."""
-    y = jnp.fft.ifft(y_local, axis=-3)
+    from microtipi_tpu.ops.convolution import auto_exact_fft
+
+    if exact is None:
+        exact = auto_exact_fft()
+    if exact:
+        from microtipi_tpu.ops import exactfft
+
+        y = exactfft.ifft(y_local, axis=-3)
+    else:
+        y = jnp.fft.ifft(y_local, axis=-3)
     y = lax.all_to_all(y, axis_name, split_axis=y.ndim - 3, concat_axis=y.ndim - 2, tiled=True)
     return jnp.fft.irfft2(y, s=(ny, nx), axes=(-2, -1))
 
@@ -72,11 +94,14 @@ def _specs(mesh: Mesh, ndim: int, spectrum: bool):
     return P(*batch, Z_AXIS, None, None)
 
 
-def sharded_rfftn(x: jax.Array, mesh: Mesh) -> jax.Array:
-    """Global-array distributed rfftn; input z-sharded, output y-sharded."""
+def sharded_rfftn(x: jax.Array, mesh: Mesh,
+                  exact: bool | None = None) -> jax.Array:
+    """Global-array distributed rfftn; input z-sharded, output y-sharded.
+    ``exact``: z-leg precision policy (None = the ``exact_fft`` backend
+    auto rule — see :func:`rfft3_local`)."""
     ndim = x.ndim
     return jax.shard_map(
-        partial(rfft3_local, axis_name=Z_AXIS),
+        partial(rfft3_local, axis_name=Z_AXIS, exact=exact),
         mesh=mesh,
         in_specs=_specs(mesh, ndim, False),
         out_specs=_specs(mesh, ndim, True),
@@ -84,12 +109,13 @@ def sharded_rfftn(x: jax.Array, mesh: Mesh) -> jax.Array:
     )(x)
 
 
-def sharded_irfftn(y: jax.Array, shape: tuple[int, int, int], mesh: Mesh) -> jax.Array:
+def sharded_irfftn(y: jax.Array, shape: tuple[int, int, int], mesh: Mesh,
+                   exact: bool | None = None) -> jax.Array:
     """Global-array distributed irfftn; ``shape`` is the global (Nz, Ny, Nx)."""
     nz, ny, nx = shape
     ndim = y.ndim
     return jax.shard_map(
-        partial(irfft3_local, ny=ny, nx=nx, axis_name=Z_AXIS),
+        partial(irfft3_local, ny=ny, nx=nx, axis_name=Z_AXIS, exact=exact),
         mesh=mesh,
         in_specs=_specs(mesh, ndim, True),
         out_specs=_specs(mesh, ndim, False),
@@ -97,13 +123,15 @@ def sharded_irfftn(y: jax.Array, shape: tuple[int, int, int], mesh: Mesh) -> jax
     )(y)
 
 
-def sharded_spectrum(kernel: jax.Array, mesh: Mesh) -> jax.Array:
+def sharded_spectrum(kernel: jax.Array, mesh: Mesh,
+                     exact: bool | None = None) -> jax.Array:
     """Kernel spectrum in the distributed layout (y-sharded), computed once."""
-    return sharded_rfftn(kernel, mesh)
+    return sharded_rfftn(kernel, mesh, exact)
 
 
 def sharded_convolve(
-    x: jax.Array, kernel_hat: jax.Array, shape: tuple[int, int, int], mesh: Mesh
+    x: jax.Array, kernel_hat: jax.Array, shape: tuple[int, int, int],
+    mesh: Mesh, exact: bool | None = None
 ) -> jax.Array:
     """Circular convolution with a kernel spectrum in distributed layout.
 
@@ -111,5 +139,5 @@ def sharded_convolve(
     comes from :func:`sharded_spectrum` and broadcasts over batch. Two
     all-to-alls total; the spectral product is purely local.
     """
-    y = sharded_rfftn(x, mesh)
-    return sharded_irfftn(y * kernel_hat, shape, mesh)
+    y = sharded_rfftn(x, mesh, exact)
+    return sharded_irfftn(y * kernel_hat, shape, mesh, exact)

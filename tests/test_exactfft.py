@@ -102,35 +102,55 @@ def test_admm_and_fista_exact_fft_equal_default_on_cpu():
     assert int(r.status) == 0 and int(r.iterations) < 300
 
 
-def test_exact_fft_guards_on_unsupported_surfaces():
-    """Surfaces that would silently run the XLA FFT must raise instead."""
-    data, psf = _problem()
-    cfg = DeconvolutionConfig(mu=0.01, epsilon=0.5, max_iter=2,
-                              exact_fft=True)
+def test_exact_fft_equals_default_on_every_surface():
+    """Round-5 roll-out: exact_fft=True must reproduce the standard path on
+    the CPU backend (jnp.fft is exact there) across EVERY solver surface —
+    the 4D/5D/multichannel/superres/depth-varying solvers, their ADMM
+    engines, and the sharded path (z-leg 1D matmul-DFT)."""
+    from microtipi_tpu.jobs.admm import (
+        admm_deconvolve_multichannel,
+        admm_deconvolve_timeseries,
+        admm_deconvolve_timeseries_multichannel,
+    )
     from microtipi_tpu.jobs.depthvar import deconvolve_depthvar
     from microtipi_tpu.jobs.multichannel import deconvolve_multichannel
-    from microtipi_tpu.jobs.superres import deconvolve_superres
+    from microtipi_tpu.jobs.superres import (
+        admm_deconvolve_superres,
+        deconvolve_superres,
+    )
     from microtipi_tpu.jobs.timeseries import deconvolve_timeseries
 
-    with pytest.raises(ValueError, match="exact_fft"):
-        deconvolve_timeseries(jnp.stack([data, data]), psf, config=cfg)
-    with pytest.raises(ValueError, match="exact_fft"):
-        deconvolve_multichannel(jnp.stack([data, data]),
-                                jnp.stack([psf, psf]), config=cfg)
-    with pytest.raises(ValueError, match="exact_fft"):
-        deconvolve_depthvar(data, jnp.stack([psf, psf]), config=cfg)
-    with pytest.raises(ValueError, match="exact_fft"):
-        deconvolve_superres(jnp.asarray(np.zeros((4, 6, 6))),
-                            jnp.asarray(np.zeros((4, 12, 12))), (1, 2, 2),
-                            config=cfg)
+    data, psf = _problem()
+    stack = jnp.stack([data, data * 0.9 + 0.1])
+    psfs = jnp.stack([psf, psf])
+
+    def pair(run):
+        a = np.asarray(run(DeconvolutionConfig(
+            mu=0.01, epsilon=0.5, max_iter=4, grtol=0.0, exact_fft=False)).x)
+        b = np.asarray(run(DeconvolutionConfig(
+            mu=0.01, epsilon=0.5, max_iter=4, grtol=0.0, exact_fft=True)).x)
+        np.testing.assert_allclose(a, b, atol=2e-4 * max(np.abs(a).max(), 1))
+
+    pair(lambda c: deconvolve_timeseries(stack, psf, config=c, mu_t=0.05))
+    pair(lambda c: admm_deconvolve_timeseries(stack, psf, config=c, mu_t=0.05))
+    pair(lambda c: deconvolve_multichannel(stack, psfs, config=c))
+    pair(lambda c: admm_deconvolve_multichannel(stack, psfs, config=c))
+    pair(lambda c: admm_deconvolve_timeseries_multichannel(
+        stack[:, None], psfs[:1], config=c, mu_t=0.05))
+    pair(lambda c: deconvolve_depthvar(data, psfs, config=c))
+
+    srdata = jnp.asarray(np.asarray(data)[:, ::2, ::2].copy())
+    fine = jnp.asarray(np.maximum(np.asarray(psf), 0))
+    pair(lambda c: deconvolve_superres(srdata, fine, (1, 2, 2), config=c))
+    pair(lambda c: admm_deconvolve_superres(srdata, fine, (1, 2, 2), config=c))
+
     if jax.device_count() >= 8:
         from microtipi_tpu.parallel.deconv import sharded_deconvolve
         from microtipi_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(batch=1, z=8)
-        with pytest.raises(ValueError, match="exact_fft"):
-            sharded_deconvolve(jnp.zeros((8, 16, 16)), jnp.zeros((8, 16, 16)),
-                               mesh, config=cfg)
+        sd, sp = _problem(seed=7, shape=(8, 16, 16))
+        pair(lambda c: sharded_deconvolve(sd, sp, mesh, config=c))
 
 
 def test_exact_fft_through_tiled():
