@@ -92,6 +92,22 @@ def _contract(a, mat, axis):
     return jnp.moveaxis(out, -1, axis)
 
 
+def _contract_real_in(a, mat, axis):
+    """Contract a REAL ``a`` with a complex ``mat[in, out]``: two real
+    matmuls (re/im of the matrix separately) instead of the four a
+    complex-cast input costs — the forward rfftn's first (last-axis)
+    contraction always has a real input, so this shaves ~1/6 of the
+    transform's MXU FLOPs at identical numerics."""
+    import jax as _jax
+
+    a = jnp.moveaxis(a, axis, -1)
+    mr = np.ascontiguousarray(mat.real)
+    mi = np.ascontiguousarray(mat.imag)
+    re = jnp.einsum("...i,io->...o", a, jnp.asarray(mr), precision=_P)
+    im = jnp.einsum("...i,io->...o", a, jnp.asarray(mi), precision=_P)
+    return jnp.moveaxis(_jax.lax.complex(re, im), -1, axis)
+
+
 def rfftn(x, s=None, axes=None):
     """``jnp.fft.rfftn``-compatible forward transform, f32-exact on TPU.
 
@@ -109,8 +125,11 @@ def rfftn(x, s=None, axes=None):
     n_last = x.shape[last]
     wide = _wide(x.dtype)
     _, wh = _dft_mats(n_last, wide)
-    out = _contract(x.astype(jnp.complex128 if wide else jnp.complex64),
-                    wh, last)
+    if not jnp.issubdtype(x.dtype, jnp.complexfloating):
+        out = _contract_real_in(x, wh, last)
+    else:
+        out = _contract(x.astype(jnp.complex128 if wide else jnp.complex64),
+                        wh, last)
     for a in axes[:-1]:
         w, _ = _dft_mats(out.shape[a], wide)
         out = _contract(out, w, a)
